@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build correctly-configured sessions for Verify/Bench/tests.
+  *
+  * Local mode tuning: shuffle partitions = cores (not 200), AQE on (runtime
+  * coalescing + skew-join splitting — the same settings hold on a real
+  * cluster where shuffle.partitions scales with executor count).
+  */
+object GraftSession {
+  val cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def build(appName: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // testdata events.parquet stores TIMESTAMP(NANOS); Spark has no ns
+      // type, so read as long and convert in Tables.events (truncation to
+      // µs matches DuckDB's read of the same file).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator library — pure `DataFrame => DataFrame`
+  * combinators re-expressing the reference pipeline's dataflow operators
+  * (SURVEY.md §2) Spark-first. Every function is a thin declarative layer
+  * over Catalyst built-ins, so predicate pushdown / column pruning / WSCG
+  * apply untouched.
+  *
+  * Reference citations use the layout of BernadinePierre/de-final-project
+  * (read-only at /root/reference).
+  */
+object Relational {
+
+  /** Keep-last dedup per key (reference A2/W3: pandas
+    * `drop_duplicates(subset=[pk], keep='last')`,
+    * src/process_lambda.py:95,115,152,161,170,179,182,199).
+    *
+    * Spark reads are unordered, so "last" must be made explicit: callers
+    * pass `versionCols` (e.g. ingest timestamp, in-file row id) and the row
+    * with the greatest version per key wins. Ties beyond `versionCols` are
+    * broken arbitrarily — pass a total order for deterministic output.
+    *
+    * Scale: one hash shuffle on the key; the per-key sort is local to each
+    * partition. Skewed keys are handled by AQE; no global sort.
+    */
+  def dedupKeepLast(keys: Seq[String], versionCols: Seq[Column])(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(versionCols.map(_.desc): _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** Keep-first variant (reference A3: `drop_duplicates(keep='first')` after
+    * a global sort, src/process_lambda.py:239). */
+  def dedupKeepFirst(keys: Seq[String], orderCols: Seq[Column])(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** Broadcast left equi-join against a small lookup/dimension table
+    * (reference J1–J5, src/process_lambda.py:121,184,260-274,319-338,386-405).
+    *
+    * The reference's J1/J2 are accidentally positional joins (pandas
+    * RangeIndex, SURVEY.md §2.3); this implements the *intended* key join.
+    *
+    * Scale: `broadcast()` pins a broadcast-hash join — no shuffle of the
+    * (large) left side. Dimensions here are ≤ thousands of rows; at 100 TB
+    * the left side streams through executors untouched.
+    */
+  def lookupJoin(lookup: DataFrame, usingKeys: Seq[String], joinType: String = "left")(
+      df: DataFrame): DataFrame =
+    df.join(broadcast(lookup), usingKeys, joinType)
+
+  /** Dense sequential surrogate key over a total sort order (reference W1/W2:
+    * `range(1, n+1)` after a sort, src/process_lambda.py:227,239-240,298,365,433;
+    * semantically `row_number() OVER (ORDER BY ...)`).
+    *
+    * A naive global-window `row_number` serializes the whole dataset through
+    * one task. This implementation is the scalable two-pass form:
+    *   1. range-partition + local sort on `order` (globally sorted),
+    *   2. number rows within each partition in parallel,
+    *   3. add per-partition offsets (tiny driver-side cumulative sum).
+    *
+    * `order` must be a total order for deterministic ids (the callers use
+    * unique natural keys). Ids are 1-based like the reference.
+    */
+  def sequentialId(idName: String, order: Seq[Column])(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df
+      .repartitionByRange(shufflePartitions, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__graft_pid", spark_partition_id())
+    // Two passes over `sorted`; cache only when the input is not a cheap
+    // re-read (callers on raw parquet scans can skip persist).
+    sorted.persist()
+    val counts: Array[(Int, Long)] = sorted
+      .groupBy("__graft_pid").count()
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets: Map[Int, Long] = counts
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+      .sliding(2)
+      .collect { case Array((_, off), (pid, _)) => pid -> off }
+      .toMap
+    val offsetCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets), col("__graft_pid")), lit(0L))
+    val w = Window.partitionBy(col("__graft_pid")).orderBy(order: _*)
+    val out = sorted
+      .withColumn(idName, row_number().over(w).cast("long") + offsetCol)
+      .drop("__graft_pid")
+    out
+  }
+
+  /** Unpivot/melt a set of columns into (variable, value) long form
+    * (reference R1: `pd.melt`, src/process_lambda.py:209-225).
+    * Uses Spark's native `unpivot` (codegen'd Expand; no shuffle). */
+  def melt(ids: Seq[String], values: Seq[String], variableName: String, valueName: String)(
+      df: DataFrame): DataFrame =
+    df.unpivot(ids.map(col).toArray, values.map(col).toArray, variableName, valueName)
+
+  /** Derive the 7 calendar parts the reference's dim_date carries
+    * (F4–F7, src/process_lambda.py:231-237) from a date column.
+    * `day_of_week` keeps the pandas convention Monday=0..Sunday=6
+    * (`dt.day_of_week`, SURVEY.md §2.9 F5) via Spark's `weekday`. */
+  def withDateParts(dateCol: String)(df: DataFrame): DataFrame = {
+    val d = col(dateCol)
+    df.withColumn("year", year(d).cast("long"))
+      .withColumn("month", month(d).cast("long"))
+      .withColumn("day", dayofmonth(d).cast("long"))
+      .withColumn("day_of_week", weekday(d).cast("long"))
+      .withColumn("day_name", date_format(d, "EEEE"))
+      .withColumn("month_name", date_format(d, "MMMM"))
+      .withColumn("quarter", quarter(d).cast("long"))
+  }
+
+  /** Split a timestamp into a date part and a µs-precision time-of-day
+    * string (reference F2/F3: `.dt.date` + `.dt.strftime('%H:%M:%S.%f')`,
+    * src/process_lambda.py:248-254,306-313,373-380). */
+  def splitTimestamp(tsCol: String, datePart: String, timePart: String)(df: DataFrame): DataFrame =
+    df.withColumn(datePart, to_date(col(tsCol)))
+      .withColumn(timePart, date_format(col(tsCol), "HH:mm:ss.SSSSSS"))
+
+  /** Top-k rows per group by a total order (window rank-filter; the scalable
+    * form of "sort the group and keep k"). */
+  def topKPerGroup(keys: Seq[String], order: Seq[Column], k: Int, rankName: String = "rnk")(
+      df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankName, row_number().over(w).cast("long"))
+      .filter(col(rankName) <= k)
+  }
+
+  /** Exact 2-decimal money arithmetic: cast a double money column to
+    * DECIMAL so sums are exact and order-independent (safe for
+    * distributed partial aggregation — double sums are not). */
+  def money(c: Column): Column = c.cast("decimal(12,2)")
+}
