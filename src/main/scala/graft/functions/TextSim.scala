@@ -1,0 +1,141 @@
+package graft.functions
+
+/** Deterministic, cross-engine text/similarity SQL builders.
+  *
+  * The training-data operators (MinHash/SimHash/n-gram-Jaccard dedup,
+  * LSH + brute-force ANN, language ID, quality scoring, fingerprinting)
+  * must produce bit-identical results in Spark and in the DuckDB oracle.
+  * Each query is therefore authored ONCE as a template over a [[Dialect]]
+  * and rendered for both engines, with these determinism rules:
+  *
+  *  - integer polynomial hashing mod 1e9+7 — no engine-specific `hash()`;
+  *  - left-to-right folds (`aggregate` / `list_reduce`) so double sums
+  *    associate identically;
+  *  - element-to-double casts before any float math (exact);
+  *  - no libm beyond sqrt (exactly rounded per IEEE-754).
+  *
+  * All testdata text is ASCII, where Spark `ascii` and DuckDB `unicode`
+  * agree on code points.
+  */
+object TextSim {
+  val P = 1000000007L
+
+  /** The tiny SQL surface where the two engines differ. */
+  final case class Dialect(
+      size: String,          // array length fn
+      explode: String,       // table-generating array unnest
+      arrayDistinct: String,
+      arrayIntersect: String,
+      arrayMin: String,
+      charCode: String,      // code point of a 1-char string
+      xor: (String, String) => String,
+      intDiv: (String, String) => String,
+      transform: (String, String) => String,          // (array, lambda)
+      foldLong: (String, Long, String) => String,     // (array, init, lambda)
+      foldDouble: (String, String) => String,         // (array, lambda), init 0.0
+      zipMul: (String, String) => String,             // elementwise double product array
+      at: (String, String) => String,                 // 1-based element access
+      ramp: String => String)                         // [1..n] as an array expr
+
+  val spark: Dialect = Dialect(
+    size = "size",
+    explode = "explode",
+    arrayDistinct = "array_distinct",
+    arrayIntersect = "array_intersect",
+    arrayMin = "array_min",
+    charCode = "ascii",
+    xor = (a, b) => s"($a ^ $b)",
+    intDiv = (a, b) => s"($a div $b)",
+    transform = (arr, f) => s"transform($arr, $f)",
+    foldLong = (arr, init, f) => s"aggregate($arr, ${init}L, $f)",
+    foldDouble = (arr, f) => s"aggregate($arr, cast(0 as double), $f)",
+    zipMul = (a, b) => s"zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double))",
+    at = (arr, i) => s"element_at($arr, $i)",
+    // Spark's sequence(1, 0) yields a DESCENDING [1,0] rather than [], so
+    // guard the upper bound; callers additionally filter size>=k when the
+    // ramp length could go non-positive.
+    ramp = n => s"sequence(1, greatest($n, 1))")
+
+  val duck: Dialect = Dialect(
+    size = "len",
+    explode = "unnest",
+    arrayDistinct = "list_distinct",
+    arrayIntersect = "list_intersect",
+    arrayMin = "list_min",
+    charCode = "unicode",
+    xor = (a, b) => s"xor($a, $b)",
+    intDiv = (a, b) => s"($a // $b)",
+    transform = (arr, f) => s"list_transform($arr, $f)",
+    foldLong = (arr, init, f) => s"list_reduce(list_prepend(CAST($init AS BIGINT), $arr), $f)",
+    foldDouble = (arr, f) => s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $arr), $f)",
+    zipMul = (a, b) =>
+      s"list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)",
+    at = (arr, i) => s"$arr[$i]",
+    ramp = n => s"range(1, greatest($n, 1) + 1)")
+
+  /** Polynomial rolling hash over a word's characters:
+    * fold(h*31 + code) mod P, init 7. */
+  def wordHash(d: Dialect, w: String): String = {
+    val codes = d.transform(d.ramp(s"length($w)"), s"i -> ${d.charCode}(substring($w, i, 1))")
+    d.foldLong(codes, 7L, s"(h, c) -> (h * 31 + c) % $P")
+  }
+
+  /** Word-hash array of a space-tokenized text column. */
+  def wordHashes(d: Dialect, text: String): String =
+    d.transform(tokens(d, text), s"w -> ${wordHash(d, "w")}")
+
+  /** Space tokenizer. */
+  def tokens(d: Dialect, text: String): String =
+    if (d eq spark) s"split($text, ' ')" else s"string_split($text, ' ')"
+
+  /** Hashes of 3-word shingles from a word-hash array column `wh`
+    * (callers must filter size(wh) >= 3):
+    * sh_i = ((wh_i*131 + wh_{i+1}) % P * 131 + wh_{i+2}) % P. */
+  def shingleHashes(d: Dialect, wh: String): String =
+    d.transform(
+      d.ramp(s"${d.size}($wh) - 2"),
+      s"i -> ((${d.at(wh, "i")} * 131 + ${d.at(wh, "i + 1")}) % $P * 131 + ${d.at(wh, "i + 2")}) % $P")
+
+  /** MinHash coefficient pairs (a, b) — 8 independent permutations,
+    * banded 4×2 for LSH. */
+  val minhashCoeffs: Seq[(Long, Long)] =
+    Seq((31L, 7L), (37L, 11L), (41L, 13L), (43L, 17L), (47L, 19L), (53L, 23L), (59L, 29L), (61L, 3L))
+
+  def minhash(d: Dialect, shs: String, a: Long, b: Long): String =
+    s"${d.arrayMin}(${d.transform(shs, s"h -> ($a * h + $b) % $P")})"
+
+  /** 30-bit SimHash over the word-hash multiset (hashes < 1e9+7 < 2^30):
+    * bit_j set iff more than half the tokens have bit j of their hash set. */
+  val simhashBits = 30
+  def simhash(d: Dialect, wh: String): String =
+    (0 until simhashBits).map { j =>
+      val p = 1L << j
+      val ones = d.foldLong(
+        d.transform(wh, s"h -> ${d.intDiv("h", p.toString)} % 2"), 0L, "(a, b) -> a + b")
+      s"(CASE WHEN 2 * $ones > ${d.size}($wh) THEN $p ELSE 0 END)"
+    }.mkString("(CAST(", " + ", " AS BIGINT))")
+
+  /** Left-to-right double dot product of two float-array columns. */
+  def dot(d: Dialect, a: String, b: String): String =
+    d.foldDouble(d.zipMul(a, b), "(acc, v) -> acc + v")
+
+  /** Squared L2 norm (same fold). */
+  def norm2(d: Dialect, a: String): String = dot(d, a, a)
+
+  /** Deterministic random-hyperplane weight for (plane j, 0-based dim d):
+    * LCG-derived integer in [-1000, 1000]; all intermediates positive and
+    * within int64 in both engines. */
+  private def planeWeight(j: Int, dim: String): String =
+    s"((CAST(1103515245 AS BIGINT) * ($j * 64 + $dim) + 12345) % 2001) - 1000"
+
+  /** 8-plane sign-bucket (random-hyperplane LSH → 256 buckets). */
+  def lshBucket(d: Dialect, emb: String): String =
+    (0 until 8).map { j =>
+      val proj = d.foldDouble(
+        d.transform(
+          d.ramp(s"${d.size}($emb)"),
+          s"dd -> ${d.at(emb, "dd")}::DOUBLE * (${planeWeight(j, "(dd - 1)")})::DOUBLE"),
+        "(acc, v) -> acc + v")
+      s"(CASE WHEN $proj >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(CAST(", " + ", " AS BIGINT))")
+}

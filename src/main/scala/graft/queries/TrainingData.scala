@@ -1,0 +1,256 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import graft.functions.TextSim
+import graft.functions.TextSim.{Dialect, duck, spark => sprk}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-data pipeline operators over `documents` / `embeddings` —
+  * the capability layer a 100 TB LLM-data pipeline needs beyond the
+  * reference's ELT surface (SURVEY.md §7.2 step 7):
+  *
+  *  - deduplication: exact (t34), n-gram Jaccard (t35), MinHash+LSH (t36),
+  *    SimHash (t37);
+  *  - similarity search: brute-force cosine top-k (t38) and
+  *    random-hyperplane-LSH bucketed near-dup (t39);
+  *  - text analysis: token counting (t30), quality scoring (t31),
+  *    language ID (t32), document fingerprinting (t33);
+  *  - multimodal: opaque binary payload + typed metadata extraction (t40).
+  *
+  * Each query is ONE SQL template rendered for Spark and for the DuckDB
+  * oracle (see [[TextSim]] for the determinism rules). Scale notes:
+  * everything is shuffle-minimal — per-document signatures are computed
+  * scan-side (no shuffle), pair generation goes through sharded equi-joins
+  * on shingle/band/bucket keys (never a cross join of the corpus), and the
+  * only cross join (t37/t38) keeps one side tiny (queries / broadcast).
+  */
+object TrainingData {
+
+  /** Render `template` for Spark (with temp views registered) and DuckDB. */
+  private def dual(headline: Boolean = false)(template: Dialect => String): GQuery =
+    GQuery(
+      fn = (s: SparkSession, dir: String) => {
+        Tables.documents(s, dir).createOrReplaceTempView("documents")
+        Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+        s.sql(template(sprk))
+      },
+      oracle = Some(template(duck)),
+      headline = headline)
+
+  /** t30 — token counting: whitespace tokens + BPE-ish regex tokens +
+    * average token length. */
+  private val t30 = dual() { d =>
+    val toks = TextSim.tokens(d, "text")
+    val nBpe =
+      if (d eq sprk) raw"regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')"
+      else raw"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))"
+    s"""SELECT doc_id,
+       |  CAST(${d.size}($toks) AS BIGINT) AS n_tokens,
+       |  CAST($nBpe AS BIGINT) AS n_bpe_tokens,
+       |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(${d.size}($toks) AS DOUBLE) AS avg_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** t31 — quality scoring: distinct-token ratio, stopword ratio, length
+    * score, combined quality (fixed-order double arithmetic). */
+  private val t31 = dual() { d =>
+    val toks = TextSim.tokens(d, "text")
+    val filterFn = if (d eq sprk) "filter" else "list_filter"
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(${d.size}($toks) AS BIGINT) AS n_tokens,
+       |    CAST(${d.size}(${d.arrayDistinct}($toks)) AS BIGINT) AS n_distinct,
+       |    CAST(${d.size}($filterFn($toks, w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, lang, n_tokens, n_distinct, n_stop,
+       |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+       |  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+       |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5
+       |    + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+       |    + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** t32 — language ID by marker-word scoring (n-gram heuristic shape):
+    * per-language marker counts, argmax with alphabetical tie-break. */
+  private val t32 = dual() { d =>
+    val toks = TextSim.tokens(d, "text")
+    val filterFn = if (d eq sprk) "filter" else "list_filter"
+    def score(ws: Seq[String]) =
+      s"CAST(${d.size}($filterFn($toks, w -> ${ws.map(w => s"w = '$w'").mkString(" OR ")})) AS BIGINT)"
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    ${score(Seq("the", "a", "row"))} AS s_en,
+       |    ${score(Seq("table", "join"))} AS s_de,
+       |    ${score(Seq("data", "line"))} AS s_es,
+       |    ${score(Seq("query", "scan"))} AS s_fr,
+       |    ${score(Seq("spark", "window"))} AS s_zh
+       |  FROM documents)
+       |SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+       |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+       |       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+       |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+       |       WHEN s_fr >= s_zh THEN 'fr'
+       |       ELSE 'zh' END AS pred_lang
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** t33 — document fingerprinting: rolling polynomial hash over word
+    * hashes + winnowing-style min-shingle-hash. */
+  private val t33 = dual() { d =>
+    val wh = TextSim.wordHashes(d, "text")
+    s"""WITH w AS (SELECT doc_id, $wh AS wh FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    ${d.foldLong("wh", 7L, s"(a, h) -> (a * 131 + h) % ${TextSim.P}")} AS fingerprint,
+       |    ${d.arrayMin}(${TextSim.shingleHashes(d, "wh")}) AS min_shingle,
+       |    CAST(${d.size}(wh) AS BIGINT) AS n_tokens
+       |  FROM w WHERE ${d.size}(wh) >= 3)
+       |SELECT doc_id, fingerprint, min_shingle, n_tokens
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** t34 — exact deduplication: hash-groupBy on full content; keeper = min
+    * doc id per group. One shuffle on the (hashable) text key. */
+  private val t34 = dual() { d =>
+    s"""SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies,
+       |  CAST(length(text) AS BIGINT) AS n_chars
+       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+  }
+
+  /** t35 — n-gram Jaccard near-dup pairs: 3-word shingle hashes →
+    * inverted-index equi-join on shingle (never a cross join) → exact
+    * Jaccard ≥ 0.5. The shingle join shards by shingle hash; at 100 TB
+    * add a document-frequency cap on hot shingles. */
+  private val t35 = dual(headline = true) { d =>
+    s"""WITH w AS (SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents),
+       |sh AS (SELECT doc_id, ${d.arrayDistinct}(${TextSim.shingleHashes(d, "wh")}) AS shs
+       |       FROM w WHERE ${d.size}(wh) >= 3),
+       |ex AS (SELECT doc_id, ${d.explode}(shs) AS h FROM sh),
+       |sizes AS (SELECT doc_id, CAST(${d.size}(shs) AS BIGINT) AS n FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** t36 — MinHash + LSH dedup: 8 minhashes → 4 bands × 2 rows →
+    * band-bucket equi-join for candidates → exact Jaccard verify ≥ 0.5.
+    * The candidate join is on (band, mh_x, mh_y) — prunes the pair space
+    * before any exact work, which is what scales to 100 TB. */
+  private val t36 = dual(headline = true) { d =>
+    val mhCols = TextSim.minhashCoeffs.zipWithIndex
+      .map { case ((a, b), i) => s"${TextSim.minhash(d, "shs", a, b)} AS mh${i + 1}" }
+      .mkString(",\n    ")
+    val bands = (0 until 4).map { bI =>
+      s"SELECT doc_id, ${bI + 1} AS band, mh${2 * bI + 1} AS x, mh${2 * bI + 2} AS y FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents),
+       |sh AS (SELECT doc_id, ${d.arrayDistinct}(${TextSim.shingleHashes(d, "wh")}) AS shs
+       |       FROM w WHERE ${d.size}(wh) >= 3),
+       |sig AS (SELECT doc_id, shs,
+       |    $mhCols
+       |  FROM sh),
+       |bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(${d.size}(${d.arrayIntersect}(sa.shs, sb.shs))AS DOUBLE)
+       |    / CAST(${d.size}(sa.shs) + ${d.size}(sb.shs) - ${d.size}(${d.arrayIntersect}(sa.shs, sb.shs)) AS DOUBLE) AS jaccard
+       |FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+       |WHERE CAST(${d.size}(${d.arrayIntersect}(sa.shs, sb.shs)) AS DOUBLE)
+       |    / CAST(${d.size}(sa.shs) + ${d.size}(sb.shs) - ${d.size}(${d.arrayIntersect}(sa.shs, sb.shs)) AS DOUBLE) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** t37 — SimHash near-dup: 30-bit signature per doc, pairs at Hamming
+    * distance ≤ 3. Pairing here is a small broadcast nested-loop over doc
+    * signatures (bytes per doc); at 100 TB you'd band the simhash bits into
+    * equi-join keys exactly like t36. */
+  private val t37 = dual() { d =>
+    s"""WITH w AS (SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents),
+       |s AS (SELECT doc_id, ${TextSim.simhash(d, "wh")} AS sim FROM w WHERE ${d.size}(wh) >= 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(${d.xor("a.sim", "b.sim")}) AS BIGINT) AS hamming
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** t38 — brute-force cosine ANN: fixed query set (vec_id % 100 = 0,
+    * scale-proportional) against the whole corpus; top-5 per query. The
+    * query side is broadcast; the corpus streams — the right baseline
+    * shape for exact kNN at scale. */
+  private val t38 = dual(headline = true) { d =>
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2 FROM embeddings),
+       |q AS (SELECT * FROM v WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |    ${TextSim.dot(d, "q.embedding", "v.embedding")} / (sqrt(q.n2) * sqrt(v.n2)) AS cosine
+       |  FROM q JOIN v ON v.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM ranked
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** t39 — LSH-bucketed similarity: 8 random-hyperplane sign bits → 256
+    * buckets; candidate pairs only within a bucket, then exact cosine ≥
+    * 0.4. The bucket equi-join replaces the all-pairs cross join — the
+    * scale path for near-dup embedding dedup. */
+  private val t39 = dual() { d =>
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2,
+       |    ${TextSim.lshBucket(d, "embedding")} AS bucket
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+       |    ${TextSim.dot(d, "a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+       |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, bucket, cosine FROM pairs
+       |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** t40 — multimodal plumbing: text → opaque binary payload column +
+    * typed metadata (byte length, head/tail hex, 64-byte frame count) —
+    * the schema/partitioning shape for image/audio columns; the real
+    * decoder is the stubbed batch kernel in graft.multimodal. */
+  private val t40 = dual() { d =>
+    val bin = if (d eq sprk) "encode(text, 'UTF-8')" else "encode(text)"
+    val blen = if (d eq sprk) "length(b)" else "octet_length(b)"
+    // DuckDB 1.0 has no BLOB substring — slice the hex string instead
+    // (2 hex chars per byte) so both engines do the same string math.
+    s"""WITH b AS (SELECT doc_id, $bin AS b FROM documents)
+       |SELECT doc_id,
+       |  CAST($blen AS BIGINT) AS n_bytes,
+       |  substring(hex(b), 1, 16) AS head_hex,
+       |  substring(hex(b), 2 * $blen - 15, 16) AS tail_hex,
+       |  CAST(floor($blen / 64) AS BIGINT) AS n_frames
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  val all: Map[String, GQuery] = Map(
+    "t30_token_stats" -> t30,
+    "t31_text_quality" -> t31,
+    "t32_lang_id" -> t32,
+    "t33_fingerprint" -> t33,
+    "t34_exact_dedup" -> t34,
+    "t35_ngram_jaccard_dedup" -> t35,
+    "t36_minhash_lsh_dedup" -> t36,
+    "t37_simhash_dedup" -> t37,
+    "t38_ann_cosine_topk" -> t38,
+    "t39_lsh_bucket_ann" -> t39,
+    "t40_multimodal_meta" -> t40)
+}
