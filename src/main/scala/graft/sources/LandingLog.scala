@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** The append-only landing log (reference S3–S6: one immutable CSV per
+  * (table, ingest batch) under `{table}/{batchId}.csv`, batch ids named so
+  * lexicographic = chronological — src/ingestion_lambda.py:171-175,
+  * src/process_lambda.py:28-56).
+  *
+  * Spark-first differences from the reference:
+  *  - the whole log is ONE `spark.read.csv(dir)` (Spark unions files
+  *    natively, S6) with an explicit schema — no type inference (§1.2);
+  *  - file order is made EXPLICIT: `_ingest_ts` is parsed from
+  *    `input_file_name()`, because keep-last dedup correctness must not
+  *    depend on listing order (reference defect O3, SURVEY.md §2.6);
+  *  - batch ids are full-precision (`yyyy-MM-dd HH:mm:ss.SSS`) so two
+  *    batches in one minute never overwrite (reference defect F11).
+  */
+object LandingLog {
+
+  /** Batch ids are timestamps; Hadoop `Path` forbids `:` and spaces are
+    * awkward, so file keys use `_`/`.` separators — the substitution is
+    * order-preserving, keeping lexicographic = chronological (O3). */
+  def fileKey(batchId: String): String =
+    batchId.replace(' ', '_').replace(':', '.')
+
+  /** Write one increment as a single CSV file (header on), named by batch
+    * id. A driver-side rename collapses Spark's part-file into the
+    * deterministic `{table}/{batchId}.csv` key the log contract requires. */
+  def writeIncrement(df: DataFrame, root: String, table: String, batchId: String): Unit = {
+    val tmp = s"$root/.tmp_${table}_${batchId.replaceAll("[^0-9A-Za-z]", "_")}"
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    val tmpDir = Paths.get(tmp)
+    val part = Files.list(tmpDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file written for $table/$batchId"))
+    val dest = Paths.get(s"$root/$table/${fileKey(batchId)}.csv")
+    Files.createDirectories(dest.getParent)
+    Files.move(part, dest)
+    Files.list(tmpDir).iterator().asScala.foreach(Files.delete)
+    Files.delete(tmpDir)
+  }
+
+  /** Read the full append-log for a table with `_ingest_ts` (the batch id
+    * string parsed from the file name — lexicographically chronological)
+    * attached to every row. Empty/missing log → empty frame. */
+  def readLog(spark: SparkSession, root: String, table: String, schema: StructType): DataFrame = {
+    val dir = Paths.get(s"$root/$table")
+    val base =
+      if (Files.isDirectory(dir) && Files.list(dir).iterator().asScala.exists(_.toString.endsWith(".csv")))
+        spark.read.option("header", "true").schema(schema).csv(s"$root/$table")
+      else
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    base.withColumn(
+      "_ingest_ts",
+      regexp_extract(input_file_name(), "/([^/]+)\\.csv$", 1))
+  }
+
+  /** Parquet snapshot sink (reference S7: exactly one object per star
+    * table, overwritten each run). */
+  def writeSnapshot(df: DataFrame, root: String, table: String): Unit =
+    df.write.mode("overwrite").parquet(s"$root/$table")
+
+  def readSnapshot(spark: SparkSession, root: String, table: String): DataFrame =
+    spark.read.parquet(s"$root/$table")
+}
+
+/** Per-table high-watermark state (reference S14: `update_tracking.json`
+  * read-modify-write, bootstrap sentinel on first run —
+  * src/ingestion_lambda.py:121,177-201). Real timestamps, not the
+  * reference's lexicographic string compare (P2): the sentinel is epoch 0.
+  * In a streaming deployment this becomes the checkpoint offset log.
+  */
+final class WatermarkStore(path: String) {
+  val sentinel = "1970-01-01 00:00:00.000000"
+
+  def read(): Map[String, String] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) Map.empty
+    else {
+      val txt = new String(Files.readAllBytes(p), "UTF-8")
+      """"([^"]+)"\s*:\s*"([^"]+)"""".r
+        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
+    }
+  }
+
+  def watermark(table: String): String = read().getOrElse(table, sentinel)
+
+  def update(updates: Map[String, String]): Unit = {
+    val merged = read() ++ updates
+    val json = merged.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.write(p, json.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+  }
+}
+
+/** Incremental source extraction (reference S1/S2/P2/P3). The source is
+  * any DataFrame-able relation — a JDBC table in production, a local
+  * parquet/CSV stand-in in tests. Predicate and projection both push down
+  * to the source scan (JDBC: into the remote SQL; files: into the reader).
+  */
+object Extract {
+
+  /** S1: projected + predicated incremental read: rows strictly newer than
+    * the watermark, pruned to the ingestion projection. */
+  def increment(source: DataFrame, projection: Seq[String], watermark: String): DataFrame =
+    source
+      .filter(col("last_updated") > to_timestamp(lit(watermark)))
+      .select(projection.map(col): _*)
+
+  /** S2: max-watermark probe — one aggregated value, pushed to the scan. */
+  def maxLastUpdated(source: DataFrame): Option[java.sql.Timestamp] =
+    source.agg(max(col("last_updated"))).collect()(0) match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getTimestamp(0))
+    }
+
+  /** JDBC production reader (reference S1 against Postgres). Untested in
+    * this zero-egress environment; the options mirror the reference's
+    * behavior (pushdown via dbtable subquery, explicit projection). */
+  def jdbc(spark: SparkSession, url: String, table: String, props: java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** JDBC full-refresh sink (reference S10: overwrite + 1000-row batches). */
+  def jdbcOverwrite(df: DataFrame, url: String, table: String, props: java.util.Properties): Unit =
+    df.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("truncate", "true")
+      .option("batchsize", 1000)
+      .jdbc(url, table, props)
+}

@@ -1,0 +1,152 @@
+package graft.star
+
+import graft.model.Schemas
+import graft.sources.{Extract, LandingLog, WatermarkStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The incremental batch driver — the three reference Lambdas collapsed
+  * into one Spark application (SURVEY.md §3: the process-boundary hops,
+  * their async-invoke defects included, become plain function calls).
+  *
+  *  ingest:  per-table change gate (P3) → incremental extract (S1/P2) →
+  *           immutable CSV landing increment (S3) → watermark bump (S14)
+  *  process: selective rebuild of only the star tables whose inputs
+  *           changed (the reference's hand-rolled dependency graph,
+  *           src/process_lambda.py:449-474) → parquet snapshot overwrite
+  *           (S7), reference key naming (`dim-location`, F9)
+  *  load:    full-refresh warehouse tables with the `dim-`/`fact-` prefix
+  *           stripped (src/warehousing_lambda.py:49-50) → LIMIT-10
+  *           preview (S12) + CSV extract (S13)
+  */
+object Runner {
+
+  /** Which star tables each source table feeds
+    * (src/process_lambda.py:449-474). */
+  val dependencies: Map[String, Set[String]] = Map(
+    "address" -> Set("dim-location", "dim-counterparty"),
+    "counterparty" -> Set("dim-counterparty"),
+    "currency" -> Set("dim-currency"),
+    "design" -> Set("dim-design"),
+    "payment_type" -> Set("dim-payment_type"),
+    "staff" -> Set("dim-staff"),
+    "department" -> Set("dim-staff"),
+    "transaction" -> Set("dim-transaction"),
+    "payment" -> Set("dim-date", "fact-payment"),
+    "purchase_order" -> Set("dim-date", "fact-purchase_order"),
+    "sales_order" -> Set("dim-date", "fact-sales_order"))
+
+  val factSources = Set("payment", "purchase_order", "sales_order")
+
+  /** Stage 1 — ingest: for each source relation, gate on max(last_updated)
+    * vs the stored watermark, extract the strict increment, land it as an
+    * immutable CSV batch, bump the watermark. Returns updated tables. */
+  def ingestOnce(
+      sources: Map[String, DataFrame],
+      landingRoot: String,
+      store: WatermarkStore,
+      batchId: String): Seq[String] = {
+    val updated = sources.toSeq.sortBy(_._1).flatMap { case (table, src) =>
+      val wm = store.watermark(table)
+      Extract.maxLastUpdated(src) match {
+        case Some(maxTs) if maxTs.toString > wm =>
+          val projection = Schemas.sources(table)._1.fieldNames.toSeq
+          val inc = Extract.increment(src, projection, wm)
+          LandingLog.writeIncrement(inc, landingRoot, table, batchId)
+          store.update(Map(table -> maxTs.toString))
+          Some(table)
+        case _ => None
+      }
+    }
+    updated
+  }
+
+  /** Stage 2 — process: rebuild exactly the star tables whose inputs
+    * changed; any fact-input change also rebuilds dim_date and the facts
+    * for the changed inputs (reference behavior). Returns written keys. */
+  def processBatch(
+      spark: SparkSession,
+      landingRoot: String,
+      processedRoot: String,
+      updates: Set[String]): Seq[String] = {
+    def log(table: String): DataFrame =
+      LandingLog.readLog(spark, landingRoot, table, Schemas.sources(table)._1)
+
+    val written = Seq.newBuilder[String]
+    def put(key: String, df: DataFrame): Unit = {
+      LandingLog.writeSnapshot(df, processedRoot, key)
+      written += key
+    }
+
+    if (updates("address")) put("dim-location", StarSchema.dimLocation(log("address")))
+    if (updates("address") || updates("counterparty"))
+      put("dim-counterparty", StarSchema.dimCounterparty(log("counterparty"), log("address")))
+    if (updates("currency")) put("dim-currency", StarSchema.dimCurrency(log("currency")))
+    if (updates("design")) put("dim-design", StarSchema.dimDesign(log("design")))
+    if (updates("payment_type"))
+      put("dim-payment_type", StarSchema.dimPaymentType(log("payment_type")))
+    if (updates("staff") || updates("department"))
+      put("dim-staff", StarSchema.dimStaff(log("staff"), log("department")))
+    if (updates("transaction"))
+      put("dim-transaction", StarSchema.dimTransaction(log("transaction")))
+
+    if ((updates & factSources).nonEmpty) {
+      // dim_date is built from the full current snapshots of all three fact
+      // inputs, then cached: three fact builders each broadcast-join it.
+      val pay = StarSchema.currentSnapshot("payment")(log("payment"))
+      val po = StarSchema.currentSnapshot("purchase_order")(log("purchase_order"))
+      val so = StarSchema.currentSnapshot("sales_order")(log("sales_order"))
+      val dates = StarSchema.dimDate(pay, po, so).cache()
+      put("dim-date", dates)
+      if (updates("payment")) put("fact-payment", StarSchema.factPayment(log("payment"), dates))
+      if (updates("purchase_order"))
+        put("fact-purchase_order", StarSchema.factPurchaseOrder(log("purchase_order"), dates))
+      if (updates("sales_order"))
+        put("fact-sales_order", StarSchema.factSalesOrder(log("sales_order"), dates))
+      dates.unpersist()
+    }
+    written.result()
+  }
+
+  /** Stage 3 — warehouse load: full refresh of each changed star table
+    * under its warehouse name (prefix stripped, `-`→`_`), plus the
+    * preview/export surface (S11–S13). Parquet stands in for the JDBC
+    * warehouse here; `Extract.jdbcOverwrite` is the production sink. */
+  def loadWarehouse(
+      spark: SparkSession,
+      processedRoot: String,
+      warehouseRoot: String,
+      keys: Seq[String],
+      preview: Boolean = false): Seq[String] =
+    keys.map { key =>
+      val table = key.replaceFirst("^dim-", "").replaceFirst("^fact-", "").replace("-", "_")
+      val df = LandingLog.readSnapshot(spark, processedRoot, key)
+      if (!df.isEmpty) {
+        df.write.mode("overwrite").parquet(s"$warehouseRoot/$table")
+        if (preview) {
+          df.limit(10).show(truncate = false)
+          df.coalesce(1).write.mode("overwrite").option("header", "true")
+            .csv(s"$warehouseRoot/extracts/$table")
+        }
+      }
+      table
+    }
+
+  /** One end-to-end micro-batch: ingest → process → load. */
+  def runOnce(
+      spark: SparkSession,
+      sources: Map[String, DataFrame],
+      landingRoot: String,
+      processedRoot: String,
+      warehouseRoot: String,
+      statePath: String,
+      batchId: String): Seq[String] = {
+    val store = new WatermarkStore(statePath)
+    val updated = ingestOnce(sources, landingRoot, store, batchId)
+    if (updated.isEmpty) Seq.empty
+    else {
+      val written = processBatch(spark, landingRoot, processedRoot, updated.toSet)
+      loadWarehouse(spark, processedRoot, warehouseRoot, written)
+    }
+  }
+}

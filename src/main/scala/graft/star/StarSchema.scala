@@ -1,0 +1,174 @@
+package graft.star
+
+import graft.model.Schemas
+import graft.operators.Relational._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The 11 star-schema builders (reference src/process_lambda.py:91-435),
+  * re-expressed as declarative DataFrame compositions over the operator
+  * library. Each builder is ≤ ~20 lines vs the reference's 7–66 (SURVEY.md
+  * §7.1 layer 4).
+  *
+  * Semantics pinned per SURVEY.md:
+  *  - inputs are landing-log frames carrying `_ingest_ts`; keep-last dedup
+  *    per PK uses the explicit (ingest batch, last_updated) version order
+  *    (A2/O3 made deterministic);
+  *  - dim_counterparty / dim_staff use the intended KEY left joins, not
+  *    the reference's positional-join accident (J1/J2, §2.3);
+  *  - dim_date: one row per distinct calendar date across all fact date
+  *    columns, ascending, date_id = row_number, day_of_week Monday=0,
+  *    English day/month names (W1, F4–F7). The natural `date` column is
+  *    kept in the output so facts can re-join across runs;
+  *  - facts: timestamps split into a date FK + µs time string (F2/F3);
+  *    surrogate ids are 1..n over the natural-key order — a documented
+  *    deterministic policy replacing the reference's "input order" (W2);
+  *  - every date-dimension lookup is a broadcast join (J3–J5): dims are
+  *    lookup-sized, facts stream through unshuffled — the 100 TB shape.
+  */
+object StarSchema {
+
+  /** Keep-last dedup with the explicit landing-log version order. */
+  private def latest(pk: String)(df: DataFrame): DataFrame = {
+    val version =
+      if (df.columns.contains("last_updated")) Seq(col("_ingest_ts"), col("last_updated"))
+      else Seq(col("_ingest_ts"))
+    dedupKeepLast(Seq(pk), version)(df).drop("_ingest_ts")
+  }
+
+  /** Deduped current snapshot of a source table from its landing log. */
+  def currentSnapshot(table: String)(log: DataFrame): DataFrame =
+    latest(Schemas.sources(table)._2)(log)
+
+  // ---- dimensions (src/process_lambda.py:91-242) ----
+
+  def dimLocation(address: DataFrame): DataFrame =
+    currentSnapshot("address")(address)
+      .withColumnRenamed("address_id", "location_id")
+      .select("location_id", "address_line_1", "address_line_2", "district",
+        "city", "postal_code", "country", "phone")
+
+  def dimCounterparty(counterparty: DataFrame, address: DataFrame): DataFrame = {
+    val addr = currentSnapshot("address")(address).select(
+      col("address_id").as("legal_address_id"),
+      col("address_line_1").as("counterparty_legal_address_line_1"),
+      col("address_line_2").as("counterparty_legal_address_line_2"),
+      col("district").as("counterparty_legal_district"),
+      col("city").as("counterparty_legal_city"),
+      col("postal_code").as("counterparty_legal_postal_code"),
+      col("country").as("counterparty_legal_country"),
+      col("phone").as("counterparty_legal_phone_number"))
+    lookupJoin(addr, Seq("legal_address_id"))(currentSnapshot("counterparty")(counterparty))
+      .select("counterparty_id", "counterparty_legal_name",
+        "counterparty_legal_address_line_1", "counterparty_legal_address_line_2",
+        "counterparty_legal_district", "counterparty_legal_city",
+        "counterparty_legal_postal_code", "counterparty_legal_country",
+        "counterparty_legal_phone_number")
+  }
+
+  def dimCurrency(currency: DataFrame): DataFrame =
+    currentSnapshot("currency")(currency)
+      .select("currency_id", "currency_code") // currency_name: reference TODO (:148)
+
+  def dimDesign(design: DataFrame): DataFrame =
+    currentSnapshot("design")(design)
+      .select("design_id", "design_name", "file_location", "file_name")
+
+  def dimPaymentType(paymentType: DataFrame): DataFrame =
+    currentSnapshot("payment_type")(paymentType)
+      .select("payment_type_id", "payment_type_name")
+
+  def dimStaff(staff: DataFrame, department: DataFrame): DataFrame = {
+    val dept = currentSnapshot("department")(department)
+      .select("department_id", "department_name", "location")
+    lookupJoin(dept, Seq("department_id"))(currentSnapshot("staff")(staff))
+      .select("staff_id", "first_name", "last_name", "department_name",
+        "location", "email_address")
+  }
+
+  def dimTransaction(transaction: DataFrame): DataFrame =
+    currentSnapshot("transaction")(transaction)
+      .select("transaction_id", "transaction_type", "sales_order_id", "purchase_order_id")
+
+  /** dim_date (src/process_lambda.py:209-242): melt every date/timestamp
+    * column of the three fact inputs (R1/U2), distinct calendar dates
+    * ascending (A3/O1), dense 1-based surrogate id (W1), calendar parts
+    * with Monday=0 weekday (F4–F7). */
+  def dimDate(payment: DataFrame, purchaseOrder: DataFrame, salesOrder: DataFrame): DataFrame = {
+    def datesOf(df: DataFrame, cols: Seq[String]): DataFrame =
+      df.select(explode(array(cols.map(c => to_date(col(c))): _*)).as("date"))
+    val all = datesOf(payment, Seq("created_at", "last_updated", "payment_date"))
+      .unionByName(datesOf(purchaseOrder,
+        Seq("created_at", "last_updated", "agreed_delivery_date", "agreed_payment_date")))
+      .unionByName(datesOf(salesOrder,
+        Seq("created_at", "last_updated", "agreed_delivery_date", "agreed_payment_date")))
+      .filter(col("date").isNotNull)
+      .distinct()
+    withDateParts("date")(sequentialId("date_id", Seq(col("date")))(all))
+      .select("date_id", "date", "year", "month", "day", "day_of_week",
+        "day_name", "month_name", "quarter")
+  }
+
+  // ---- facts (src/process_lambda.py:245-435) ----
+
+  /** Replace a date column with its dim_date FK (broadcast lookup, J3–J5). */
+  private def dateFk(dateCol: String, fkName: String, dates: DataFrame)(df: DataFrame): DataFrame =
+    lookupJoin(
+      dates.select(col("date").as(dateCol), col("date_id").as(fkName)),
+      Seq(dateCol))(df)
+      .drop(dateCol)
+
+  /** Common fact prelude: split created_at / last_updated into date + µs
+    * time-of-day string (F2/F3). */
+  private def splitAudit(df: DataFrame): DataFrame =
+    splitTimestamp("last_updated", "_lu_date", "last_updated_time")(
+      splitTimestamp("created_at", "_c_date", "created_time")(df))
+
+  def factPayment(payment: DataFrame, dates: DataFrame): DataFrame = {
+    val base = splitAudit(currentSnapshot("payment")(payment))
+    val withFks =
+      dateFk("payment_date", "payment_date_fk", dates)(
+        dateFk("_lu_date", "last_updated_date", dates)(
+          dateFk("_c_date", "created_date", dates)(base)))
+    sequentialId("record_payment_id", Seq(col("payment_id")))(withFks)
+      .select(col("record_payment_id"), col("payment_id"), col("created_date"),
+        col("created_time"), col("last_updated_date"), col("last_updated_time"),
+        col("transaction_id"), col("counterparty_id"), col("payment_amount"),
+        col("currency_id"), col("payment_type_id"), col("paid"),
+        col("payment_date_fk").as("payment_date"))
+  }
+
+  def factPurchaseOrder(purchaseOrder: DataFrame, dates: DataFrame): DataFrame = {
+    val base = splitAudit(currentSnapshot("purchase_order")(purchaseOrder))
+    val withFks =
+      dateFk("agreed_payment_date", "agreed_payment_date_fk", dates)(
+        dateFk("agreed_delivery_date", "agreed_delivery_date_fk", dates)(
+          dateFk("_lu_date", "last_updated_date", dates)(
+            dateFk("_c_date", "created_date", dates)(base))))
+    sequentialId("purchase_record_id", Seq(col("purchase_order_id")))(withFks)
+      .select(col("purchase_record_id"), col("purchase_order_id"), col("created_date"),
+        col("created_time"), col("last_updated_date"), col("last_updated_time"),
+        col("staff_id"), col("counterparty_id"), col("item_code"), col("item_quantity"),
+        col("item_unit_price"), col("currency_id"),
+        col("agreed_delivery_date_fk").as("agreed_delivery_date"),
+        col("agreed_payment_date_fk").as("agreed_payment_date"),
+        col("agreed_delivery_location_id"))
+  }
+
+  def factSalesOrder(salesOrder: DataFrame, dates: DataFrame): DataFrame = {
+    val base = splitAudit(currentSnapshot("sales_order")(salesOrder))
+    val withFks =
+      dateFk("agreed_payment_date", "agreed_payment_date_fk", dates)(
+        dateFk("agreed_delivery_date", "agreed_delivery_date_fk", dates)(
+          dateFk("_lu_date", "last_updated_date", dates)(
+            dateFk("_c_date", "created_date", dates)(base))))
+    sequentialId("sales_record_id", Seq(col("sales_order_id")))(withFks)
+      .select(col("sales_record_id"), col("sales_order_id"), col("created_date"),
+        col("created_time"), col("last_updated_date"), col("last_updated_time"),
+        col("staff_id").as("sales_staff_id"), col("counterparty_id"),
+        col("units_sold"), col("unit_price"), col("currency_id"), col("design_id"),
+        col("agreed_payment_date_fk").as("agreed_payment_date"),
+        col("agreed_delivery_date_fk").as("agreed_delivery_date"),
+        col("agreed_delivery_location_id"))
+  }
+}

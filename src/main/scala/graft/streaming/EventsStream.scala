@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.10): the reference's 20-min
+  * EventBridge micro-batch cadence formalized as a streaming query. The
+  * same transforms run in batch (queries q24/q25) and streaming — one
+  * logical plan, two triggers.
+  *
+  * Scale: the windowed aggregate is a streaming partial-agg with state in
+  * the state store keyed by (window, event_type); watermarking bounds
+  * state. Sessionization keeps one state row per user, timing out on the
+  * processing gap — `flatMapGroupsWithState` is the Spark-native form of
+  * a custom streaming operator.
+  */
+object EventsStream {
+
+  final case class Event(event_id: Long, user_id: Long, event_type: String,
+      value: Double, ts: java.sql.Timestamp)
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Tumbling 1-hour event-time window with a 2-hour watermark — the
+    * streaming twin of batch query q25. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+
+  /** Gap-based sessionization with explicit state: a session closes when
+    * no event arrives within `gapMinutes` (event time, per user). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** File-source streaming read of an events directory — the production
+    * entry (`readStream` over a landing path); tests use MemoryStream. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
+      .parquet(dir)
+}

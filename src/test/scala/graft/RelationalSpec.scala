@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Relational._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupKeepLast keeps exactly the max-version row per key") {
+    val df = Seq(
+      ("a", 1, "v1"), ("a", 3, "v3"), ("a", 2, "v2"),
+      ("b", 5, "w5"), ("c", 1, "x1")).toDF("k", "version", "payload")
+    val out = dedupKeepLast(Seq("k"), Seq(col("version")))(df)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(out.toSeq == Seq(("a", 3, "v3"), ("b", 5, "w5"), ("c", 1, "x1")))
+  }
+
+  test("dedupKeepLast matches per-key max over random data") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val rows = List.fill(200)((rnd.nextInt(20), rnd.nextInt(1000)))
+      val df = rows.toDF("k", "v").repartition(7)
+      val got = dedupKeepLast(Seq("k"), Seq(col("v")))(df)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val want = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(got == want)
+    }
+  }
+
+  test("sequentialId assigns dense 1..n ids in sort order across partitions") {
+    val df = spark.range(1000).select(
+      (col("id") * 7919 % 1000).as("k")) // scrambled order
+      .repartition(8)
+    val out = sequentialId("sid", Seq(col("k")))(df)
+      .orderBy("sid").collect().map(r => (r.getLong(1), r.getLong(0)))
+    assert(out.map(_._1).toSeq == (1L to 1000L).toSeq, "ids dense 1..n")
+    assert(out.map(_._2).toSeq == out.map(_._2).toSeq.sorted, "ids follow sort order")
+  }
+
+  test("topKPerGroup returns the k best per group with deterministic ties") {
+    val df = Seq(("g1", 10), ("g1", 30), ("g1", 20), ("g1", 40), ("g2", 5))
+      .toDF("g", "v")
+    val out = topKPerGroup(Seq("g"), Seq(col("v").desc), 2)(df)
+      .orderBy("g", "rnk").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(out.toSeq == Seq(("g1", 40), ("g1", 30), ("g2", 5)))
+  }
+
+  test("withDateParts uses Monday=0 weekday and English names") {
+    val df = Seq("2025-09-01", "2025-09-07").toDF("s") // Mon, Sun
+      .select(to_date(col("s")).as("d"))
+    val out = withDateParts("d")(df).orderBy("d")
+      .select("day_of_week", "day_name", "month_name", "quarter")
+      .collect()
+    assert(out(0) == Row(0L, "Monday", "September", 3L))
+    assert(out(1) == Row(6L, "Sunday", "September", 3L))
+  }
+
+  test("melt unpivots columns into (variable, value) rows") {
+    val df = Seq((1, 10.0, 20.0)).toDF("id", "a", "b")
+    val out = melt(Seq("id"), Seq("a", "b"), "variable", "value")(df)
+      .orderBy("variable").collect().map(r => (r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("a", 10.0), ("b", 20.0)))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.star.Runner
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end star-schema pipeline test against the FIXTURES.md semantics:
+  * two incremental batches with an overlapping PK (keep-last must win),
+  * non-dense lookup ids (key-join semantics, not the reference's
+  * positional accident), dim_date invariants, fact FK correctness.
+  */
+class StarPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private def dt(s: String) = java.sql.Date.valueOf(s)
+
+  private val root = Files.createTempDirectory("graft_star").toString
+  private val landing = s"$root/landing"
+  private val processed = s"$root/processed"
+  private val warehouse = s"$root/warehouse"
+  private val state = s"$root/state/update_tracking.json"
+
+  // Source relations (the "Postgres" side): non-dense ids on purpose.
+  private def addressSrc(v2: Boolean): DataFrame = {
+    val rows = Seq(
+      (15, "1 Alpha Way", null, "West", "Leeds", "LS1", "UK", "111", ts("2025-09-01 08:00:00")),
+      (23, "9 Beta Rd", "Unit 4", null, "York", "YO1", "UK", "222", ts("2025-09-01 08:00:00"))) ++
+      (if (v2) Seq((15, "1 Alpha Way", "Floor 2", "West", "Leeds", "LS1", "UK", "111",
+        ts("2025-09-01 11:00:00"))) else Nil)
+    rows.toDF("address_id", "address_line_1", "address_line_2", "district",
+      "city", "postal_code", "country", "phone", "last_updated")
+  }
+
+  private def counterpartySrc: DataFrame = Seq(
+    (23, "Acme Ltd", 23, ts("2025-09-01 08:00:00")),
+    (31, "Orphan Co", 99, ts("2025-09-01 08:00:00"))) // 99: no such address
+    .toDF("counterparty_id", "counterparty_legal_name", "legal_address_id", "last_updated")
+
+  private def salesOrderSrc(v2: Boolean): DataFrame = {
+    val base = Seq(
+      (101, ts("2025-09-01 09:15:00"), ts("2025-09-01 09:15:00"), 7, 12, 23, 100,
+        BigDecimal("3.25"), 1, dt("2025-09-10"), dt("2025-09-12"), 15))
+    val extra = if (v2) Seq(
+      (101, ts("2025-09-01 09:15:00"), ts("2025-09-01 10:11:00"), 7, 12, 23, 120,
+        BigDecimal("3.25"), 1, dt("2025-09-10"), dt("2025-09-12"), 15),
+      (102, ts("2025-09-01 10:05:00"), ts("2025-09-01 10:05:00"), 8, 14, 23, 40,
+        BigDecimal("9.99"), 2, dt("2025-09-11"), dt("2025-09-13"), 16)) else Nil
+    (base ++ extra).toDF("sales_order_id", "created_at", "last_updated", "design_id",
+      "staff_id", "counterparty_id", "units_sold", "unit_price", "currency_id",
+      "agreed_delivery_date", "agreed_payment_date", "agreed_delivery_location_id")
+  }
+
+  private def emptyFactSrc(name: String): DataFrame = {
+    val schema = graft.model.Schemas.sources(name)._1
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private def sources(v2: Boolean): Map[String, DataFrame] = Map(
+    "address" -> addressSrc(v2),
+    "counterparty" -> counterpartySrc,
+    "sales_order" -> salesOrderSrc(v2),
+    "payment" -> emptyFactSrc("payment"),
+    "purchase_order" -> emptyFactSrc("purchase_order"))
+
+  test("two incremental batches: keep-last dedup, key joins, dim_date, fact FKs") {
+    val w1 = Runner.runOnce(spark, sources(v2 = false), landing, processed, warehouse,
+      state, "2025-09-01 10:00:00.000")
+    assert(w1.toSet == Set("location", "counterparty", "date", "sales_order"),
+      s"first batch writes all non-empty tables: $w1")
+
+    // Batch 2: only address + sales_order have newer rows; currency etc. gated out.
+    val w2 = Runner.runOnce(spark, sources(v2 = true), landing, processed, warehouse,
+      state, "2025-09-01 11:30:00.000")
+    assert(w2.toSet == Set("location", "counterparty", "date", "sales_order"),
+      s"second batch rebuilds only affected tables: $w2")
+
+    // dim_location: keep-last won (address 15 now has Floor 2), ids intact.
+    val loc = spark.read.parquet(s"$warehouse/location").orderBy("location_id").collect()
+    assert(loc.map(_.getInt(0)).toSeq == Seq(15, 23))
+    assert(loc(0).getString(2) == "Floor 2", "latest address version wins")
+
+    // dim_counterparty: KEY join — id 23 enriched via address_id 23 (not
+    // positional), id 31 → NULLs (legal_address_id 99 unmatched).
+    val cp = spark.read.parquet(s"$warehouse/counterparty").orderBy("counterparty_id").collect()
+    assert(cp(0).getInt(0) == 23 && cp(0).getString(5) == "York")
+    assert(cp(1).getInt(0) == 31 && cp(1).isNullAt(5), "unmatched lookup yields NULL enrichment")
+
+    // fact_sales_order: keep-last (units_sold 120), dense surrogate ids,
+    // µs time strings, date FKs resolve through dim_date.
+    val fact = spark.read.parquet(s"$warehouse/sales_order").orderBy("sales_record_id").collect()
+    assert(fact.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(fact(0).getInt(1) == 101 && fact(0).getInt(8) == 120, "keep-last row feeds the fact")
+    assert(fact(0).getString(3) == "09:15:00.000000", "µs-precision created_time")
+
+    val dates = spark.read.parquet(s"$warehouse/date")
+    val byId = dates.orderBy("date_id").collect()
+    assert(byId.map(_.getLong(0)).toSeq == (1L to byId.length).toSeq, "dense 1..n date ids")
+    val idFor = byId.map(r => r.getDate(1).toString -> r.getLong(0)).toMap
+    assert(fact(0).getLong(2) == idFor("2025-09-01"), "created_date FK")
+    assert(fact(1).getLong(12) == idFor("2025-09-13"), "agreed_payment_date FK")
+    // Monday=0 convention: 2025-09-01 is a Monday.
+    assert(byId.find(_.getDate(1).toString == "2025-09-01").get.getLong(5) == 0L)
+
+    // Idempotent third run with no source changes: nothing written.
+    val w3 = Runner.runOnce(spark, sources(v2 = true), landing, processed, warehouse,
+      state, "2025-09-01 12:00:00.000")
+    assert(w3.isEmpty, "change gate skips unchanged tables")
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("windowed streaming aggregate matches its batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      Event(1, 10, "click", 1.0, ts("2024-01-01 10:05:00")),
+      Event(2, 10, "click", 2.0, ts("2024-01-01 10:55:00")),
+      Event(3, 11, "view", 5.0, ts("2024-01-01 11:10:00")))
+    q.processAllAvailable()
+    // advance watermark far enough to close the 10:00 and 11:00 windows
+    input.addData(Event(4, 12, "view", 1.0, ts("2024-01-01 15:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("win_out")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
+  }
+
+  test("stateful sessionization closes sessions on the event-time gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      Event(1, 10, "click", 1.0, ts("2024-01-01 10:00:00")),
+      Event(2, 10, "click", 2.0, ts("2024-01-01 10:10:00")), // same session
+      Event(3, 10, "click", 4.0, ts("2024-01-01 11:30:00"))) // new session (80-min gap)
+    q.processAllAvailable()
+    // push watermark ahead so the open session times out and emits
+    input.addData(Event(9, 99, "view", 0.0, ts("2024-01-01 18:00:00")))
+    q.processAllAvailable()
+    input.addData(Event(10, 98, "view", 0.0, ts("2024-01-02 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sess_out").as[Session]
+      .collect().filter(_.user_id == 10).sortBy(_.session_start.getTime)
+    assert(out.length == 2, s"two sessions for user 10, got ${out.toSeq}")
+    assert(out(0).n_events == 2 && out(0).total_value == 3.0)
+    assert(out(0).session_end.toString == "2024-01-01 10:10:00.0")
+    assert(out(1).n_events == 1 && out(1).total_value == 4.0)
+  }
+}
