@@ -96,10 +96,14 @@ object TextSim {
       d.ramp(s"${d.size}($wh) - 2"),
       s"i -> ((${d.at(wh, "i")} * 131 + ${d.at(wh, "i + 1")}) % $P * 131 + ${d.at(wh, "i + 2")}) % $P")
 
-  /** MinHash coefficient pairs (a, b) — 8 independent permutations,
-    * banded 4×2 for LSH. */
+  /** MinHash coefficient pairs (a, b) — 16 independent permutations,
+    * banded 4×4 for LSH (4 rows per band: P(candidate) = 1-(1-s^4)^4,
+    * steep enough that sub-0.2-Jaccard pairs almost never collide — the
+    * parameter that keeps candidate generation sub-quadratic). */
   val minhashCoeffs: Seq[(Long, Long)] =
-    Seq((31L, 7L), (37L, 11L), (41L, 13L), (43L, 17L), (47L, 19L), (53L, 23L), (59L, 29L), (61L, 3L))
+    Seq((31L, 7L), (37L, 11L), (41L, 13L), (43L, 17L), (47L, 19L), (53L, 23L),
+      (59L, 29L), (61L, 3L), (67L, 37L), (71L, 41L), (73L, 43L), (79L, 47L),
+      (83L, 53L), (89L, 59L), (97L, 61L), (101L, 67L))
 
   def minhash(d: Dialect, shs: String, a: Long, b: Long): String =
     s"${d.arrayMin}(${d.transform(shs, s"h -> ($a * h + $b) % $P")})"

@@ -118,58 +118,117 @@ object TrainingData {
        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
   }
 
-  /** t35 — n-gram Jaccard near-dup pairs: 3-word shingle hashes →
-    * inverted-index equi-join on shingle (never a cross join) → exact
-    * Jaccard ≥ 0.5. The shingle join shards by shingle hash; at 100 TB
-    * add a document-frequency cap on hot shingles. */
-  private val t35 = dual(headline = true) { d =>
-    s"""WITH w AS (SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents),
-       |sh AS (SELECT doc_id, ${d.arrayDistinct}(${TextSim.shingleHashes(d, "wh")}) AS shs
-       |       FROM w WHERE ${d.size}(wh) >= 3),
-       |ex AS (SELECT doc_id, ${d.explode}(shs) AS h FROM sh),
-       |sizes AS (SELECT doc_id, CAST(${d.size}(shs) AS BIGINT) AS n FROM sh),
-       |pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
-       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id)
-       |SELECT doc_a, doc_b,
-       |  CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
-       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-       |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
-  }
+  /** Shared shingle-signature SQL: per-doc distinct 3-gram shingle-hash
+    * set (the expensive scan-side computation — built once, PERSISTED on
+    * the Spark side so self-joins reuse it instead of recomputing). */
+  private def shSql(d: Dialect): String =
+    s"""SELECT doc_id, ${d.arrayDistinct}(${TextSim.shingleHashes(d, "wh")}) AS shs
+       |FROM (SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents)
+       |WHERE ${d.size}(wh) >= 3""".stripMargin
 
-  /** t36 — MinHash + LSH dedup: 8 minhashes → 4 bands × 2 rows →
-    * band-bucket equi-join for candidates → exact Jaccard verify ≥ 0.5.
-    * The candidate join is on (band, mh_x, mh_y) — prunes the pair space
-    * before any exact work, which is what scales to 100 TB. */
-  private val t36 = dual(headline = true) { d =>
-    val mhCols = TextSim.minhashCoeffs.zipWithIndex
-      .map { case ((a, b), i) => s"${TextSim.minhash(d, "shs", a, b)} AS mh${i + 1}" }
-      .mkString(",\n    ")
-    val bands = (0 until 4).map { bI =>
-      s"SELECT doc_id, ${bI + 1} AS band, mh${2 * bI + 1} AS x, mh${2 * bI + 2} AS y FROM sig"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH w AS (SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents),
-       |sh AS (SELECT doc_id, ${d.arrayDistinct}(${TextSim.shingleHashes(d, "wh")}) AS shs
-       |       FROM w WHERE ${d.size}(wh) >= 3),
-       |sig AS (SELECT doc_id, shs,
-       |    $mhCols
-       |  FROM sh),
-       |bands AS (
-       |  $bands),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b,
-       |  CAST(${d.size}(${d.arrayIntersect}(sa.shs, sb.shs))AS DOUBLE)
-       |    / CAST(${d.size}(sa.shs) + ${d.size}(sb.shs) - ${d.size}(${d.arrayIntersect}(sa.shs, sb.shs)) AS DOUBLE) AS jaccard
-       |FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
-       |WHERE CAST(${d.size}(${d.arrayIntersect}(sa.shs, sb.shs)) AS DOUBLE)
-       |    / CAST(${d.size}(sa.shs) + ${d.size}(sb.shs) - ${d.size}(${d.arrayIntersect}(sa.shs, sb.shs)) AS DOUBLE) >= 0.5
+  /** Candidate-pair + exact-verify tail shared by t35/t36: exact Jaccard
+    * (intersection over union of the FULL shingle sets) computed once per
+    * candidate pair, threshold 0.5. `sh`/`cand` are views (Spark) or CTEs
+    * (DuckDB). */
+  private def verifyTail(d: Dialect, sh: String, cand: String): String =
+    s"""SELECT doc_a, doc_b,
+       |  CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) AS jaccard
+       |FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(${d.size}(${d.arrayIntersect}(sa.shs, sb.shs)) AS BIGINT) AS c,
+       |    CAST(${d.size}(sa.shs) AS BIGINT) AS na, CAST(${d.size}(sb.shs) AS BIGINT) AS nb
+       |  FROM $cand JOIN $sh sa ON doc_a = sa.doc_id JOIN $sh sb ON doc_b = sb.doc_id)
+       |WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  /** Hot-shingle document-frequency cap for candidate generation (t35):
+    * shingles appearing in more than this many documents generate no
+    * candidate pairs (they carry ~no similarity signal but quadratic
+    * cost — the standard inverted-index mitigation at corpus scale).
+    * Exact Jaccard is still computed on full shingle sets. */
+  private val dfCap = 20
+
+  /** t35 — n-gram Jaccard near-dup pairs: inverted shingle index with a
+    * document-frequency cap → candidate equi-join (never a cross join) →
+    * exact Jaccard ≥ 0.5 on the full shingle sets. */
+  private val t35 = GQuery(
+    fn = (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val sh = s.sql(shSql(sprk)).persist()
+      sh.createOrReplaceTempView("t35_sh")
+      s.sql(
+        s"""SELECT doc_id, explode(shs) AS h FROM t35_sh""").createOrReplaceTempView("t35_ex")
+      s.sql(
+        s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |FROM (SELECT doc_id, h FROM t35_ex
+           |      WHERE h IN (SELECT h FROM t35_ex GROUP BY h HAVING count(*) <= $dfCap)) a
+           |JOIN (SELECT doc_id, h FROM t35_ex
+           |      WHERE h IN (SELECT h FROM t35_ex GROUP BY h HAVING count(*) <= $dfCap)) b
+           |  ON a.h = b.h AND a.doc_id < b.doc_id""".stripMargin)
+        .createOrReplaceTempView("t35_cand")
+      s.sql(verifyTail(sprk, "t35_sh", "t35_cand"))
+    },
+    oracle = Some {
+      val d = duck
+      s"""WITH sh AS (${shSql(d)}),
+         |ex AS (SELECT doc_id, ${d.explode}(shs) AS h FROM sh),
+         |keep AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= $dfCap),
+         |exf AS (SELECT ex.doc_id, ex.h FROM ex JOIN keep ON ex.h = keep.h),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM exf a JOIN exf b ON a.h = b.h AND a.doc_id < b.doc_id)
+         |${verifyTail(d, "sh", "cand")}""".stripMargin
+    },
+    headline = true)
+
+  /** t36 — MinHash + LSH dedup: 16 minhashes → 4 bands × 4 rows →
+    * band-bucket equi-join for candidates → exact Jaccard verify ≥ 0.5.
+    * Banding prunes the pair space before any exact work — the property
+    * that keeps near-dup detection sub-quadratic at 100 TB. */
+  private val t36 = GQuery(
+    fn = (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val d = sprk
+      val mhCols = TextSim.minhashCoeffs.zipWithIndex
+        .map { case ((a, b), i) => s"${TextSim.minhash(d, "shs", a, b)} AS mh${i + 1}" }
+        .mkString(", ")
+      val sig = s.sql(s"SELECT doc_id, shs, $mhCols FROM (${shSql(d)})").persist()
+      sig.createOrReplaceTempView("t36_sig")
+      sig.createOrReplaceTempView("t36_sh") // verifyTail needs (doc_id, shs)
+      val stackArgs = (0 until 4).map { b =>
+        s"${b + 1}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3}, mh${4 * b + 4}"
+      }.mkString(", ")
+      s.sql(
+        s"""SELECT doc_id, stack(4, $stackArgs) AS (band, x1, x2, x3, x4)
+           |FROM t36_sig""".stripMargin).createOrReplaceTempView("t36_bands")
+      s.sql(
+        s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |FROM t36_bands a JOIN t36_bands b
+           |  ON a.band = b.band AND a.x1 = b.x1 AND a.x2 = b.x2
+           | AND a.x3 = b.x3 AND a.x4 = b.x4 AND a.doc_id < b.doc_id""".stripMargin)
+        .createOrReplaceTempView("t36_cand")
+      s.sql(verifyTail(d, "t36_sh", "t36_cand"))
+    },
+    oracle = Some {
+      val d = duck
+      val mhCols = TextSim.minhashCoeffs.zipWithIndex
+        .map { case ((a, b), i) => s"${TextSim.minhash(d, "shs", a, b)} AS mh${i + 1}" }
+        .mkString(", ")
+      val bands = (0 until 4).map { b =>
+        s"SELECT doc_id, ${b + 1} AS band, mh${4 * b + 1} AS x1, mh${4 * b + 2} AS x2, mh${4 * b + 3} AS x3, mh${4 * b + 4} AS x4 FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH sh AS (${shSql(d)}),
+         |sig AS (SELECT doc_id, shs, $mhCols FROM sh),
+         |bands AS (
+         |  $bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.x1 = b.x1 AND a.x2 = b.x2
+         |   AND a.x3 = b.x3 AND a.x4 = b.x4 AND a.doc_id < b.doc_id)
+         |${verifyTail(d, "sh", "cand")}""".stripMargin
+    },
+    headline = true)
 
   /** t37 — SimHash near-dup: 30-bit signature per doc, pairs at Hamming
     * distance ≤ 3. Pairing here is a small broadcast nested-loop over doc
