@@ -1,0 +1,437 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Extended relational surface: operator families beyond the reference's
+  * own inventory that a complete engine must expose (SURVEY.md §2.11 note
+  * + §7.2 step 7) — pivot, cube, full-outer/cross joins, explode, JSON
+  * extraction, date arithmetic, exact percentiles, deterministic moment
+  * statistics, as-of and range joins, batch sessionization. Each carries
+  * a DuckDB oracle; dialect differences are hand-mirrored per query.
+  */
+object Extra {
+
+  /** Register testdata views once per call (idempotent). */
+  private def q(headline: Boolean = false)(sparkSql: String, duckSql: String): GQuery =
+    GQuery(
+      fn = (s, dir) => {
+        Seq("orders", "customer", "lineitem", "region", "nation").foreach { t =>
+          Tables.load(s, dir, t).createOrReplaceTempView(t)
+        }
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        Tables.documents(s, dir).createOrReplaceTempView("documents")
+        s.sql(sparkSql)
+      },
+      oracle = Some(duckSql),
+      headline = headline)
+
+  /** e01 — pivot: per-nation order counts by market segment. Spark
+    * `PIVOT` ≡ DuckDB conditional aggregation (grouped CASE sums). */
+  private val e01 = q()(
+    sparkSql = """
+      SELECT c_nationkey,
+        coalesce(automobile, 0) AS automobile, coalesce(building, 0) AS building,
+        coalesce(furniture, 0) AS furniture, coalesce(household, 0) AS household,
+        coalesce(machinery, 0) AS machinery
+      FROM (
+        SELECT * FROM (
+          SELECT c_nationkey, c_mktsegment FROM customer)
+        PIVOT (CAST(count(*) AS BIGINT)
+               FOR c_mktsegment IN ('AUTOMOBILE' AS automobile, 'BUILDING' AS building,
+                 'FURNITURE' AS furniture, 'HOUSEHOLD' AS household, 'MACHINERY' AS machinery)))
+      ORDER BY c_nationkey""",
+    duckSql = """
+      SELECT c_nationkey,
+        CAST(count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS BIGINT) AS automobile,
+        CAST(count(*) FILTER (c_mktsegment = 'BUILDING') AS BIGINT) AS building,
+        CAST(count(*) FILTER (c_mktsegment = 'FURNITURE') AS BIGINT) AS furniture,
+        CAST(count(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS BIGINT) AS household,
+        CAST(count(*) FILTER (c_mktsegment = 'MACHINERY') AS BIGINT) AS machinery
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")
+
+  /** e02 — CUBE grouping sets with NULL-label coalescing (non-null
+    * grouping columns, so the labels are unambiguous). */
+  private val e02 = q()(
+    sparkSql = """
+      SELECT coalesce(l_returnflag, '*') AS rf, coalesce(l_linestatus, '*') AS ls,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY rf, ls""",
+    duckSql = """
+      SELECT coalesce(l_returnflag, '*') AS rf, coalesce(l_linestatus, '*') AS ls,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY rf, ls""")
+
+  /** e03 — FULL OUTER join of customers against per-customer order
+    * aggregates (order-less customers keep NULL aggregates). */
+  private val e03 = q()(
+    sparkSql = """
+      SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,
+        o.n_orders, o.revenue
+      FROM customer c FULL OUTER JOIN (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+      ORDER BY custkey""",
+    duckSql = """
+      SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,
+        o.n_orders, o.revenue
+      FROM customer c FULL OUTER JOIN (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+      ORDER BY custkey""")
+
+  /** e04 — CROSS join (tiny × tiny: region × distinct order status). */
+  private val e04 = q()(
+    sparkSql = """
+      SELECT r_name, s.o_orderstatus
+      FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+      ORDER BY r_name, o_orderstatus""",
+    duckSql = """
+      SELECT r_name, s.o_orderstatus
+      FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+      ORDER BY r_name, o_orderstatus""")
+
+  /** e05 — explode/unnest + aggregate: corpus word frequency. */
+  private val e05 = q()(
+    sparkSql = """
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT explode(split(text, ' ')) AS w FROM documents)
+      GROUP BY w ORDER BY w""",
+    duckSql = """
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w ORDER BY w""")
+
+  /** e06 — date arithmetic: offsets, boundary-crossing diffs, month
+    * truncation, last-of-month, day-of-year. */
+  private val e06 = q()(
+    sparkSql = """
+      SELECT o_orderkey,
+        date_add(CAST(o_orderdate AS DATE), 30) AS due_date,
+        CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT) AS days_since_95,
+        CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+      FROM orders ORDER BY o_orderkey""",
+    duckSql = """
+      SELECT o_orderkey,
+        CAST(o_orderdate AS DATE) + 30 AS due_date,
+        CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95,
+        CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+      FROM orders ORDER BY o_orderkey""")
+
+  /** e07 — conditional scalar functions: CASE, nullif, coalesce,
+    * greatest/least over account balances. */
+  private val e07 = q()(
+    sparkSql = """
+      SELECT c_custkey,
+        CASE WHEN c_acctbal < 0 THEN 'overdrawn' WHEN c_acctbal = 0 THEN 'zero'
+             ELSE 'credit' END AS bal_class,
+        coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+        CAST(greatest(c_acctbal, 0.0) AS DOUBLE) AS bal_floor0,
+        CAST(least(c_acctbal, 1000.0) AS DOUBLE) AS bal_cap1k
+      FROM customer ORDER BY c_custkey""",
+    duckSql = """
+      SELECT c_custkey,
+        CASE WHEN c_acctbal < 0 THEN 'overdrawn' WHEN c_acctbal = 0 THEN 'zero'
+             ELSE 'credit' END AS bal_class,
+        coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+        CAST(greatest(c_acctbal, 0.0) AS DOUBLE) AS bal_floor0,
+        CAST(least(c_acctbal, 1000.0) AS DOUBLE) AS bal_cap1k
+      FROM customer ORDER BY c_custkey""")
+
+  /** e08 — AS-OF join (an operator Spark lacks natively, composed per
+    * SURVEY.md preference (a)): for each purchase, the latest click at or
+    * before it per user. Spark: union both streams, carry the last click
+    * forward with last(ignoreNulls) over an ordered per-user window — one
+    * shuffle on user_id, no range explosion. DuckDB: native ASOF JOIN. */
+  private val e08 = q(headline = true)(
+    sparkSql = """
+      WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'),
+      merged AS (
+        SELECT user_id, ts, 0 AS kind, click_id, NULL AS purchase_id, NULL AS value
+        FROM clicks
+        UNION ALL
+        SELECT user_id, ts, 1 AS kind, NULL, purchase_id, value FROM purchases),
+      carried AS (
+        SELECT user_id, ts, kind, purchase_id, value,
+          last(click_id, true) OVER (PARTITION BY user_id ORDER BY ts, kind, purchase_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+          last(CASE WHEN kind = 0 THEN ts END, true) OVER (PARTITION BY user_id ORDER BY ts, kind, purchase_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+        FROM merged)
+      SELECT purchase_id, user_id, ts AS purchase_ts, click_id, click_ts, value
+      FROM carried WHERE kind = 1
+      ORDER BY purchase_id""",
+    duckSql = """
+      WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+        c.click_id, c.ts AS click_ts, p.value
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY purchase_id""")
+
+  /** e09 — range join: orders bucketed into inline half-year ranges
+    * (non-equi BETWEEN join against a broadcast-tiny ranges relation). */
+  private val e09 = q()(
+    sparkSql = """
+      SELECT r.label, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders JOIN (
+        SELECT * FROM VALUES
+          ('1994H2', DATE '1994-07-01', DATE '1994-12-31'),
+          ('1995H1', DATE '1995-01-01', DATE '1995-06-30'),
+          ('1995H2', DATE '1995-07-01', DATE '1995-12-31'),
+          ('1996H1', DATE '1996-01-01', DATE '1996-06-30')
+          AS t(label, d_start, d_end)) r
+      ON CAST(o_orderdate AS DATE) BETWEEN r.d_start AND r.d_end
+      GROUP BY r.label ORDER BY r.label""",
+    duckSql = """
+      SELECT r.label, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders JOIN (
+        SELECT * FROM (VALUES
+          ('1994H2', DATE '1994-07-01', DATE '1994-12-31'),
+          ('1995H1', DATE '1995-01-01', DATE '1995-06-30'),
+          ('1995H2', DATE '1995-07-01', DATE '1995-12-31'),
+          ('1996H1', DATE '1996-01-01', DATE '1996-06-30'))
+          t(label, d_start, d_end)) r
+      ON CAST(o_orderdate AS DATE) BETWEEN r.d_start AND r.d_end
+      GROUP BY r.label ORDER BY r.label""")
+
+  /** e10 — JSON: construct a JSON document from columns, extract fields
+    * back out (string + numeric paths). */
+  private val e10 = q()(
+    sparkSql = """
+      SELECT o_orderkey,
+        get_json_object(j, '$.status') AS status,
+        CAST(get_json_object(j, '$.key') AS BIGINT) AS key_back
+      FROM (SELECT o_orderkey,
+              concat('{"status":"', o_orderstatus, '","key":', o_orderkey, '}') AS j
+            FROM orders)
+      ORDER BY o_orderkey""",
+    duckSql = """
+      SELECT o_orderkey,
+        json_extract_string(j, '$.status') AS status,
+        CAST(json_extract_string(j, '$.key') AS BIGINT) AS key_back
+      FROM (SELECT o_orderkey,
+              concat('{"status":"', o_orderstatus, '","key":', o_orderkey, '}') AS j
+            FROM orders)
+      ORDER BY o_orderkey""")
+
+  /** e11 — exact interpolated percentiles (quantity is integer-valued and
+    * the quartile fractions are exact binary, so interpolation is exact
+    * in both engines). */
+  private val e11 = q()(
+    sparkSql = """
+      SELECT l_returnflag,
+        CAST(percentile(l_quantity, 0.25) AS DOUBLE) AS p25,
+        CAST(percentile(l_quantity, 0.5) AS DOUBLE) AS p50,
+        CAST(percentile(l_quantity, 0.75) AS DOUBLE) AS p75
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    duckSql = """
+      SELECT l_returnflag,
+        CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS p25,
+        CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS p50,
+        CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS p75
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+
+  /** e12 — deterministic moment statistics: mean/variance/stddev from
+    * exact DECIMAL power sums (built-in stddev/var aggregate in any
+    * engine is summation-order-dependent in the last bits; the decimal
+    * power-sum form is order-independent, hence safe for distributed
+    * partial aggregation AND for cross-engine comparison). */
+  private val e12 = q()(
+    sparkSql = """
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS mean,
+        (CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+          - CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+            * CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*))
+          / (count(*) - 1) AS variance,
+        sqrt((CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+          - CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+            * CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*))
+          / (count(*) - 1)) AS stddev
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    duckSql = """
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS mean,
+        (CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+          - CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+            * CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*))
+          / (count(*) - 1) AS variance,
+        sqrt((CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+          - CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+            * CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*))
+          / (count(*) - 1)) AS stddev
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+
+  /** e13 — batch gap-sessionization (the batch twin of the streaming
+    * flatMapGroupsWithState sessionizer): 30-min event-time gap starts a
+    * new session; lag + cumulative flag sum assigns session ids. */
+  private val e13 = q(headline = true)(
+    sparkSql = """
+      WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR CAST(ts AS LONG) - CAST(lag(ts) OVER w AS LONG) > 1800
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      numbered AS (
+        SELECT user_id, event_id, ts, value,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        CAST(count(*) AS BIGINT) AS n_events,
+        min(ts) AS session_start, max(ts) AS session_end,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM numbered GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""",
+    duckSql = """
+      WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR datediff('second', lag(ts) OVER w, ts) > 1800
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      numbered AS (
+        SELECT user_id, event_id, ts, value,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        CAST(count(*) AS BIGINT) AS n_events,
+        min(ts) AS session_start, max(ts) AS session_end,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM numbered GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""")
+
+  /** e14 — sorted array aggregation: per-nation sorted list of region
+    * keys + string aggregation (array results canonicalized by sorting). */
+  private val e14 = q()(
+    sparkSql = """
+      SELECT c_nationkey,
+        sort_array(collect_list(c_mktsegment)) AS segs,
+        CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+    duckSql = """
+      SELECT c_nationkey,
+        list_sort(list(c_mktsegment)) AS segs,
+        CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+      GROUP BY c_nationkey ORDER BY c_nationkey""")
+
+  /** e15 — extended window functions: dense_rank, ntile, percent_rank,
+    * cume_dist, lead, first/nth value over per-segment balance order. */
+  private val e15 = q()(
+    sparkSql = """
+      SELECT c_custkey, c_mktsegment,
+        CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        percent_rank() OVER w AS prnk,
+        cume_dist() OVER w AS cdist,
+        lead(c_custkey, 1) OVER w AS next_cust,
+        first_value(c_custkey) OVER w AS top_cust
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_mktsegment, drnk, c_custkey""",
+    duckSql = """
+      SELECT c_custkey, c_mktsegment,
+        CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        percent_rank() OVER w AS prnk,
+        cume_dist() OVER w AS cdist,
+        lead(c_custkey, 1) OVER w AS next_cust,
+        first_value(c_custkey) OVER w AS top_cust
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_mktsegment, drnk, c_custkey""")
+
+  /** e16 — string function battery: regexp_extract, pad, trim, translate,
+    * repeat, reverse, position, case mapping. */
+  private val e16 = q()(
+    sparkSql = """
+      SELECT c_custkey,
+        regexp_extract(c_name, '([0-9]+)', 1) AS name_num,
+        lpad(CAST(c_custkey AS STRING), 8, '0') AS padded,
+        translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+        reverse(c_mktsegment) AS rev,
+        repeat('ab', 3) AS rep,
+        CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+        lower(c_mktsegment) AS seg_lower,
+        trim('  x  ') AS trimmed
+      FROM customer ORDER BY c_custkey""",
+    duckSql = """
+      SELECT c_custkey,
+        regexp_extract(c_name, '([0-9]+)', 1) AS name_num,
+        lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+        reverse(c_mktsegment) AS rev,
+        repeat('ab', 3) AS rep,
+        CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+        lower(c_mktsegment) AS seg_lower,
+        trim('  x  ') AS trimmed
+      FROM customer ORDER BY c_custkey""")
+
+  /** e17 — scalar subquery + IN subquery: orders above the global mean
+    * price from AUTOMOBILE-segment customers. */
+  private val e17 = q()(
+    sparkSql = """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                              / count(*) FROM orders)
+        AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+      ORDER BY o_orderkey""",
+    duckSql = """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                              / count(*) FROM orders)
+        AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+      ORDER BY o_orderkey""")
+
+  val all: Map[String, GQuery] = Map(
+    "e01_pivot" -> e01,
+    "e02_cube" -> e02,
+    "e03_full_outer_join" -> e03,
+    "e04_cross_join" -> e04,
+    "e05_wordcount_explode" -> e05,
+    "e06_date_math" -> e06,
+    "e07_conditional_funcs" -> e07,
+    "e08_asof_join" -> e08,
+    "e09_range_join" -> e09,
+    "e10_json_extract" -> e10,
+    "e11_percentiles" -> e11,
+    "e12_moment_stats" -> e12,
+    "e13_sessionize" -> e13,
+    "e14_array_agg" -> e14,
+    "e15_window_battery" -> e15,
+    "e16_string_funcs" -> e16,
+    "e17_scalar_subquery" -> e17)
+}
