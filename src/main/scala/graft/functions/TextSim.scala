@@ -51,10 +51,9 @@ object TextSim {
     foldDouble = (arr, f) => s"aggregate($arr, cast(0 as double), $f)",
     zipMul = (a, b) => s"zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double))",
     at = (arr, i) => s"element_at($arr, $i)",
-    // Spark's sequence(1, 0) yields a DESCENDING [1,0] rather than [], so
-    // guard the upper bound; callers additionally filter size>=k when the
-    // ramp length could go non-positive.
-    ramp = n => s"sequence(1, greatest($n, 1))")
+    // Spark's sequence(1, 0) yields a DESCENDING [1,0] rather than [] —
+    // build 0..n and slice off the 0 so n<1 gives a genuinely empty ramp.
+    ramp = n => s"slice(sequence(0, greatest($n, 0)), 2, greatest($n, 0))")
 
   val duck: Dialect = Dialect(
     size = "len",
@@ -71,11 +70,23 @@ object TextSim {
     zipMul = (a, b) =>
       s"list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)",
     at = (arr, i) => s"$arr[$i]",
-    ramp = n => s"range(1, greatest($n, 1) + 1)")
+    ramp = n => s"range(1, $n + 1)") // duck range(lo, hi<lo) is already []
 
   /** Polynomial rolling hash over a word's characters:
-    * fold(h*31 + code) mod P, init 7. */
-  def wordHash(d: Dialect, w: String): String = {
+    * fold(h*31 + code) mod P, init 7. On the Spark side this is the
+    * codegen'd [[PolyHash]] expression (one tight loop in WSCG); the HOF
+    * fold below is the portable form the DuckDB oracle runs —
+    * bit-identical by construction (PolyHashSpec asserts it). */
+  def wordHash(d: Dialect, w: String): String =
+    if (d eq spark) s"graft_poly_hash($w)"
+    else {
+      val codes = d.transform(d.ramp(s"length($w)"), s"i -> ${d.charCode}(substring($w, i, 1))")
+      d.foldLong(codes, 7L, s"(h, c) -> (h * 31 + c) % $P")
+    }
+
+  /** The HOF form of [[wordHash]] for either dialect (used by the oracle
+    * and by the equivalence spec). */
+  def wordHashHof(d: Dialect, w: String): String = {
     val codes = d.transform(d.ramp(s"length($w)"), s"i -> ${d.charCode}(substring($w, i, 1))")
     d.foldLong(codes, 7L, s"(h, c) -> (h * 31 + c) % $P")
   }
