@@ -9,7 +9,10 @@ import org.apache.spark.sql.SparkSession
   * cluster where shuffle.partitions scales with executor count).
   */
 object GraftSession {
-  val cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** Default to every available core (the driver environment is
+    * local[32]); SPARK_GRAFT_CPUS overrides for smaller test runs. */
+  val cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    Runtime.getRuntime.availableProcessors().toString)
 
   def build(appName: String): SparkSession = {
     val spark = SparkSession.builder()
