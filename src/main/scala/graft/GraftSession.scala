@@ -28,7 +28,7 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.functions.PolyHash.register(spark)
+    graft.functions.GraftFunctions.registerAll(spark)
     spark
   }
 }

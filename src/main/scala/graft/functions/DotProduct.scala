@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Codegen'd dot product of two float-array columns in DOUBLE precision —
+  * the native-Expression form of the TextSim fold
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0, +)`.
+  *
+  * Strict left-to-right double accumulation, so it is bit-identical to the
+  * HOF form and to the DuckDB oracle's `list_reduce` — but one tight loop
+  * over the unsafe array data instead of materializing an intermediate
+  * product array and dispatching interpreted lambdas per element. This is
+  * the hot kernel of the similarity-search queries (64-dim embeddings ×
+  * corpus size candidate pairs).
+  *
+  * Mismatched lengths yield NULL (as zip_with's null padding would).
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == ArrayType(FloatType, true) || left.dataType == ArrayType(FloatType, false))
+      if (right.dataType == ArrayType(FloatType, true) || right.dataType == ArrayType(FloatType, false))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"graft_dot: right side is ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckFailure(s"graft_dot: left side is ${left.dataType.sql}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_boxed = graft.functions.DotProduct.dot($a, $b);
+         |if (${ev.value}_boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_boxed.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Static kernel — called from generated code. Returns null (boxed) on
+    * length mismatch to mirror zip_with padding semantics. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+}

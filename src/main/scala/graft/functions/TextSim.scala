@@ -130,8 +130,15 @@ object TextSim {
       s"(CASE WHEN 2 * $ones > ${d.size}($wh) THEN $p ELSE 0 END)"
     }.mkString("(CAST(", " + ", " AS BIGINT))")
 
-  /** Left-to-right double dot product of two float-array columns. */
+  /** Left-to-right double dot product of two float-array columns. Spark
+    * runs the codegen'd [[DotProduct]] kernel; the fold form below is the
+    * oracle's portable twin (bit-identical — DotProductSpec asserts it). */
   def dot(d: Dialect, a: String, b: String): String =
+    if (d eq spark) s"graft_dot($a, $b)"
+    else d.foldDouble(d.zipMul(a, b), "(acc, v) -> acc + v")
+
+  /** The HOF form of [[dot]] (oracle + equivalence spec). */
+  def dotHof(d: Dialect, a: String, b: String): String =
     d.foldDouble(d.zipMul(a, b), "(acc, v) -> acc + v")
 
   /** Squared L2 norm (same fold). */

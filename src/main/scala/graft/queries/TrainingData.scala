@@ -30,7 +30,7 @@ object TrainingData {
   private def dual(headline: Boolean = false)(template: Dialect => String): GQuery =
     GQuery(
       fn = (s: SparkSession, dir: String) => {
-        graft.functions.PolyHash.register(s)
+        graft.functions.GraftFunctions.registerAll(s)
         Tables.documents(s, dir).createOrReplaceTempView("documents")
         Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
         s.sql(template(sprk))
@@ -154,7 +154,7 @@ object TrainingData {
     * exact Jaccard ≥ 0.5 on the full shingle sets. */
   private val t35 = GQuery(
     fn = (s, dir) => {
-      graft.functions.PolyHash.register(s)
+      graft.functions.GraftFunctions.registerAll(s)
       Tables.documents(s, dir).createOrReplaceTempView("documents")
       val sh = s.sql(shSql(sprk)).persist()
       sh.createOrReplaceTempView("t35_sh")
@@ -189,7 +189,7 @@ object TrainingData {
     * that keeps near-dup detection sub-quadratic at 100 TB. */
   private val t36 = GQuery(
     fn = (s, dir) => {
-      graft.functions.PolyHash.register(s)
+      graft.functions.GraftFunctions.registerAll(s)
       Tables.documents(s, dir).createOrReplaceTempView("documents")
       val d = sprk
       val mhCols = TextSim.minhashCoeffs.zipWithIndex

@@ -67,6 +67,25 @@ object LandingLog {
 
   def readSnapshot(spark: SparkSession, root: String, table: String): DataFrame =
     spark.read.parquet(s"$root/$table")
+
+  /** S8: existence-probed snapshot read — None when the snapshot has never
+    * been written (the reference's head_object → 404 → None path,
+    * src/process_lambda.py:69-88). */
+  def readSnapshotIfExists(spark: SparkSession, root: String, table: String): Option[DataFrame] =
+    if (Files.isDirectory(Paths.get(s"$root/$table"))) Some(readSnapshot(spark, root, table))
+    else None
+
+  /** List all written snapshot keys (C4: the manual-trigger full scan of
+    * the processed store, src/warehousing_lambda.py:130-134). */
+  def listSnapshots(root: String): Seq[String] = {
+    val p = Paths.get(root)
+    if (!Files.isDirectory(p)) Seq.empty
+    else Files.list(p).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filterNot(_.startsWith("."))
+      .toSeq.sorted
+  }
 }
 
 /** Per-table high-watermark state (reference S14: `update_tracking.json`

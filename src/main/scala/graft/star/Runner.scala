@@ -132,6 +132,13 @@ object Runner {
       table
     }
 
+  /** Manual full reload (reference C4): scan every written snapshot and
+    * load the whole star schema into the warehouse. */
+  def fullReload(spark: SparkSession, processedRoot: String, warehouseRoot: String,
+      preview: Boolean = false): Seq[String] =
+    loadWarehouse(spark, processedRoot, warehouseRoot,
+      LandingLog.listSnapshots(processedRoot), preview)
+
   /** One end-to-end micro-batch: ingest → process → load. */
   def runOnce(
       spark: SparkSession,
