@@ -14,7 +14,7 @@ object SparkEntry {
   /** All registered queries, assembled from the per-domain registries. */
   def registry: Map[String, GQuery] =
     _root_.graft.queries.Core.all ++ _root_.graft.queries.TrainingData.all ++
-      _root_.graft.queries.Extra.all
+      _root_.graft.queries.Extra.all ++ _root_.graft.queries.Capability.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
