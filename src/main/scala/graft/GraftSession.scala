@@ -26,6 +26,9 @@ object GraftSession {
       // type, so read as long and convert in Tables.events (truncation to
       // µs matches DuckDB's read of the same file).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed-table warehouse (bucketed tables) in a throwaway dir
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.registerAll(spark)

@@ -142,4 +142,36 @@ object Relational {
     * DECIMAL so sums are exact and order-independent (safe for
     * distributed partial aggregation — double sums are not). */
   def money(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** Write a bucketed + sorted table so later equi-joins/aggregations on
+    * the bucket key need NO shuffle (co-located join; the plan shows
+    * SortMergeJoin with no Exchange). The 100 TB pattern for fact tables
+    * that join repeatedly on the same key. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Two-phase salted aggregation for skewed keys: partial-aggregate on
+    * (key, salt) to spread one hot key over `saltBuckets` reducers, then
+    * merge partials per key. `aggs` must be algebraic (reassociable):
+    * sums/counts/min/max — exactly the partial/final split Spark does
+    * internally, made explicit for pathological skew beyond AQE's
+    * splitting. */
+  def saltedSum(keys: Seq[String], saltBuckets: Int, sumCols: Seq[String])(
+      df: DataFrame): DataFrame = {
+    val salted = df.withColumn("__graft_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val partial = salted
+      .groupBy((keys :+ "__graft_salt").map(col): _*)
+      .agg(
+        sumCols.map(c => sum(col(c)).as(c)).head,
+        sumCols.map(c => sum(col(c)).as(c)).tail :+ count(lit(1)).as("__graft_n"): _*)
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sumCols.map(c => sum(col(c)).as(c)).head,
+        sumCols.map(c => sum(col(c)).as(c)).tail :+ sum(col("__graft_n")).as("n"): _*)
+  }
 }
