@@ -416,6 +416,126 @@ object Extra {
         AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
       ORDER BY o_orderkey""")
 
+  /** e18 — struct construction + field access round-trip. */
+  private val e18 = q()(
+    sparkSql = """
+      SELECT o_orderkey,
+        named_struct('status', o_orderstatus, 'priority', o_orderpriority) AS info,
+        named_struct('status', o_orderstatus, 'priority', o_orderpriority).status AS status_back
+      FROM orders ORDER BY o_orderkey""",
+    duckSql = """
+      SELECT o_orderkey,
+        struct_pack(status := o_orderstatus, priority := o_orderpriority) AS info,
+        struct_pack(status := o_orderstatus, priority := o_orderpriority).status AS status_back
+      FROM orders ORDER BY o_orderkey""")
+
+  /** e19 — array higher-order functions as query surface: exists, forall,
+    * fold (portable filter-count forms on the oracle side). */
+  private val e19 = q()(
+    sparkSql = """
+      SELECT doc_id,
+        exists(split(text, ' '), w -> length(w) > 8) AS has_long,
+        forall(split(text, ' '), w -> length(w) >= 1) AS all_nonempty,
+        CAST(aggregate(transform(split(text, ' '), w -> length(w)), 0, (a, x) -> a + x) AS BIGINT) AS total_len
+      FROM documents ORDER BY doc_id""",
+    duckSql = """
+      SELECT doc_id,
+        len(list_filter(string_split(text, ' '), w -> length(w) > 8)) > 0 AS has_long,
+        len(list_filter(string_split(text, ' '), w -> length(w) < 1)) = 0 AS all_nonempty,
+        CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS total_len
+      FROM documents ORDER BY doc_id""")
+
+  /** e20 — multiple DISTINCT aggregates in one pass (Catalyst Expand). */
+  private val e20 = q()(
+    sparkSql = """
+      SELECT l_returnflag,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_dist_qty,
+        CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    duckSql = """
+      SELECT l_returnflag,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_dist_qty,
+        CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+
+  /** e21 — RANGE window frame over a numeric order (value-based frame,
+    * not row-based; decimal running sums). */
+  private val e21 = q()(
+    sparkSql = """
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_totalprice
+          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+      FROM orders ORDER BY o_custkey, o_orderkey""",
+    duckSql = """
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_totalprice
+          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+      FROM orders ORDER BY o_custkey, o_orderkey""")
+
+  /** e22 — ordered string aggregation (listagg/string_agg equivalent,
+    * canonicalized by sorting the distinct inputs). */
+  private val e22 = q()(
+    sparkSql = """
+      SELECT c_nationkey,
+        array_join(sort_array(collect_list(c_mktsegment)), ',') AS segs
+      FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+    duckSql = """
+      SELECT c_nationkey,
+        string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+      FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+      GROUP BY c_nationkey ORDER BY c_nationkey""")
+
+  /** e23 — regex replace / split_part / prefix-suffix predicates. */
+  private val e23 = q()(
+    sparkSql = """
+      SELECT c_custkey,
+        regexp_replace(c_name, '[0-9]', '#') AS masked,
+        split_part(c_name, '#', 1) AS name_head,
+        startswith(c_mktsegment, 'BU') AS is_bu,
+        endswith(c_mktsegment, 'RY') AS ends_ry,
+        contains(c_name, '1') AS has_one
+      FROM customer ORDER BY c_custkey""",
+    duckSql = """
+      SELECT c_custkey,
+        regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        split_part(c_name, '#', 1) AS name_head,
+        starts_with(c_mktsegment, 'BU') AS is_bu,
+        ends_with(c_mktsegment, 'RY') AS ends_ry,
+        contains(c_name, '1') AS has_one
+      FROM customer ORDER BY c_custkey""")
+
+  /** e24 — lateral explode to rows (LATERAL VIEW ≡ unnest-in-select). */
+  private val e24 = q()(
+    sparkSql = """
+      SELECT doc_id, tok
+      FROM documents LATERAL VIEW explode(split(text, ' ')) t AS tok
+      WHERE doc_id < 20 ORDER BY doc_id, tok""",
+    duckSql = """
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 20 ORDER BY doc_id, tok""")
+
+  /** e25 — timestamp field extraction + epoch seconds (truncating). */
+  private val e25 = q()(
+    sparkSql = """
+      SELECT event_id,
+        CAST(extract(HOUR FROM ts) AS BIGINT) AS h,
+        CAST(extract(MINUTE FROM ts) AS BIGINT) AS m,
+        unix_timestamp(ts) AS epoch_s
+      FROM events ORDER BY event_id""",
+    duckSql = """
+      SELECT event_id,
+        CAST(extract('hour' FROM ts) AS BIGINT) AS h,
+        CAST(extract('minute' FROM ts) AS BIGINT) AS m,
+        CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+      FROM events ORDER BY event_id""")
+
   val all: Map[String, GQuery] = Map(
     "e01_pivot" -> e01,
     "e02_cube" -> e02,
@@ -433,5 +553,13 @@ object Extra {
     "e14_array_agg" -> e14,
     "e15_window_battery" -> e15,
     "e16_string_funcs" -> e16,
-    "e17_scalar_subquery" -> e17)
+    "e17_scalar_subquery" -> e17,
+    "e18_struct_access" -> e18,
+    "e19_array_hofs" -> e19,
+    "e20_multi_distinct" -> e20,
+    "e21_range_frame" -> e21,
+    "e22_string_agg" -> e22,
+    "e23_regex_predicates" -> e23,
+    "e24_lateral_explode" -> e24,
+    "e25_ts_extract" -> e25)
 }
