@@ -1,0 +1,18 @@
+package graft
+
+import graft.functions.{DotProduct, PolyHash}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Spark extension point: registers the engine's native expressions at
+  * session build time. Use via
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions` on spark-submit —
+  * the standard way a cluster deployment picks up the library's functions
+  * without touching application code.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(PolyHash.description)
+    ext.injectFunction(DotProduct.description)
+  }
+}

@@ -64,9 +64,14 @@ object DotProduct {
     acc
   }
 
+  /** (identifier, info, builder) — shared by imperative registration and
+    * the SparkSessionExtensions path. */
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+      description._1, description._2, description._3)
 }

@@ -57,11 +57,16 @@ object PolyHash {
     h
   }
 
+  /** (identifier, info, builder) — shared by imperative registration and
+    * the SparkSessionExtensions path. */
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_poly_hash"),
+    new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
+    (children: Seq[Expression]) => PolyHash(children.head))
+
   /** Idempotently register `graft_poly_hash` on a session so SQL text can
     * use it (done per-query too, so any externally-built session works). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_poly_hash"),
-      new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
-      (children: Seq[Expression]) => PolyHash(children.head))
+      description._1, description._2, description._3)
 }

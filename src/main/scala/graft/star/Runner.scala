@@ -93,17 +93,19 @@ object Runner {
     if ((updates & factSources).nonEmpty) {
       // dim_date is built from the full current snapshots of all three fact
       // inputs, then cached: three fact builders each broadcast-join it.
-      val pay = StarSchema.currentSnapshot("payment")(log("payment"))
-      val po = StarSchema.currentSnapshot("purchase_order")(log("purchase_order"))
-      val so = StarSchema.currentSnapshot("sales_order")(log("sales_order"))
+      // One log replay + dedup per fact input, shared by dim_date and the
+      // fact builders (the log replay is the dominant read at scale).
+      val pay = StarSchema.currentSnapshot("payment")(log("payment")).cache()
+      val po = StarSchema.currentSnapshot("purchase_order")(log("purchase_order")).cache()
+      val so = StarSchema.currentSnapshot("sales_order")(log("sales_order")).cache()
       val dates = StarSchema.dimDate(pay, po, so).cache()
       put("dim-date", dates)
-      if (updates("payment")) put("fact-payment", StarSchema.factPayment(log("payment"), dates))
+      if (updates("payment")) put("fact-payment", StarSchema.factPayment(pay, dates))
       if (updates("purchase_order"))
-        put("fact-purchase_order", StarSchema.factPurchaseOrder(log("purchase_order"), dates))
+        put("fact-purchase_order", StarSchema.factPurchaseOrder(po, dates))
       if (updates("sales_order"))
-        put("fact-sales_order", StarSchema.factSalesOrder(log("sales_order"), dates))
-      dates.unpersist()
+        put("fact-sales_order", StarSchema.factSalesOrder(so, dates))
+      Seq(dates, pay, po, so).foreach(_.unpersist())
     }
     written.result()
   }

@@ -124,8 +124,11 @@ object StarSchema {
     splitTimestamp("last_updated", "_lu_date", "last_updated_time")(
       splitTimestamp("created_at", "_c_date", "created_time")(df))
 
+  /** Fact builders take the already-deduped current snapshot (one log
+    * replay per fact input, shared with dimDate — at scale the log replay
+    * is the dominant read, so it must not happen twice). */
   def factPayment(payment: DataFrame, dates: DataFrame): DataFrame = {
-    val base = splitAudit(currentSnapshot("payment")(payment))
+    val base = splitAudit(payment)
     val withFks =
       dateFk("payment_date", "payment_date_fk", dates)(
         dateFk("_lu_date", "last_updated_date", dates)(
@@ -139,7 +142,7 @@ object StarSchema {
   }
 
   def factPurchaseOrder(purchaseOrder: DataFrame, dates: DataFrame): DataFrame = {
-    val base = splitAudit(currentSnapshot("purchase_order")(purchaseOrder))
+    val base = splitAudit(purchaseOrder)
     val withFks =
       dateFk("agreed_payment_date", "agreed_payment_date_fk", dates)(
         dateFk("agreed_delivery_date", "agreed_delivery_date_fk", dates)(
@@ -156,7 +159,7 @@ object StarSchema {
   }
 
   def factSalesOrder(salesOrder: DataFrame, dates: DataFrame): DataFrame = {
-    val base = splitAudit(currentSnapshot("sales_order")(salesOrder))
+    val base = splitAudit(salesOrder)
     val withFks =
       dateFk("agreed_payment_date", "agreed_payment_date_fk", dates)(
         dateFk("agreed_delivery_date", "agreed_delivery_date_fk", dates)(

@@ -103,6 +103,15 @@ class StarPipelineSpec extends SparkSpec {
     // Monday=0 convention: 2025-09-01 is a Monday.
     assert(byId.find(_.getDate(1).toString == "2025-09-01").get.getLong(5) == 0L)
 
+    // Typed facades: the warehouse tables round-trip through Dataset[T].
+    import graft.model.StarRows._
+    val typedFacts = spark.read.parquet(s"$warehouse/sales_order")
+      .as[FactSalesOrder].collect().sortBy(_.sales_record_id)
+    assert(typedFacts.map(_.units_sold).toSeq == Seq(120, 40))
+    assert(typedFacts.head.unit_price == BigDecimal("3.25"))
+    val typedDates = spark.read.parquet(s"$warehouse/date").as[DimDate].collect()
+    assert(typedDates.forall(d => d.day_of_week >= 0 && d.day_of_week <= 6))
+
     // Idempotent third run with no source changes: nothing written.
     val w3 = Runner.runOnce(spark, sources(v2 = true), landing, processed, warehouse,
       state, "2025-09-01 12:00:00.000")
