@@ -144,6 +144,14 @@ object TextSim {
   /** Squared L2 norm (same fold). */
   def norm2(d: Dialect, a: String): String = dot(d, a, a)
 
+  /** Squared Euclidean distance, one left-to-right fold of (a_i-b_i)²
+    * (used by the IVF cell assignment — deterministic in both engines). */
+  def dist2(d: Dialect, a: String, b: String): String =
+    if (d eq spark)
+      s"aggregate(zip_with($a, $b, (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), cast(0 as double), (acc, v) -> acc + v)"
+    else
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), (acc, v) -> acc + v)"
+
   /** Deterministic random-hyperplane weight for (plane j, 0-based dim d):
     * LCG-derived integer in [-1000, 1000]; all intermediates positive and
     * within int64 in both engines. */

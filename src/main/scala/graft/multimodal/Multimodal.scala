@@ -59,6 +59,33 @@ object Multimodal {
     }
   }
 
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling: slice every `stride`-th fixed-size frame out of each
+    * payload (the video-keyframe access pattern). Pure per-row compute —
+    * no shuffle; output partitioning follows the input. */
+  def frameSample(media: Dataset[MediaRow], frameSize: Int = 64, stride: Int = 2): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = r.payload.length / frameSize
+      (0 until n by stride).map { i =>
+        Frame(r.doc_id, i, r.payload.slice(i * frameSize, (i + 1) * frameSize))
+      }
+    }
+  }
+
+  /** Resize stub: recompute target dims preserving aspect ratio — the
+    * arithmetic shell of the real kernel (a codec call would replace the
+    * body; the signature and per-batch shape are the contract). */
+  def resizeMeta(features: Dataset[MediaFeatures], targetWidth: Int): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val w = math.max(f.width, 1)
+      val scaled = math.max((f.height.toLong * targetWidth / w).toInt, 1)
+      f.copy(width = targetWidth, height = scaled)
+    }
+  }
+
   /** Wrap a text table as fake media payloads (testing shim: documents
     * stand in for a binary corpus). */
   def documentsAsMedia(documents: DataFrame): Dataset[MediaRow] = {

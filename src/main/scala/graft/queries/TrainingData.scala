@@ -303,6 +303,37 @@ object TrainingData {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  /** t41 — IVF-style ANN: 8 fixed seed centroids (deterministic stand-in
+    * for trained k-means — the cell/probe structure is the point), every
+    * vector assigned to its nearest cell by squared distance, queries
+    * probe ONLY their own cell, top-3 by cosine within it. The inverted
+    * cell index is what bounds probe cost at corpus scale; real
+    * deployments add multi-probe of neighboring cells for recall. */
+  private val t41 = dual() { d =>
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2 FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM v WHERE vec_id < 8),
+       |assigned AS (
+       |  SELECT vec_id, embedding, n2, cid FROM (
+       |    SELECT v.vec_id, v.embedding, v.n2, cent.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${TextSim.dist2(d, "v.embedding", "cent.cemb")}, cent.cid) AS rk
+       |    FROM v CROSS JOIN cent)
+       |  WHERE rk = 1),
+       |q AS (SELECT * FROM assigned WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cid AS cell,
+       |    ${TextSim.dot(d, "q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+       |  FROM q JOIN assigned c ON c.cid = q.cid AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cell, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cell, cosine, rnk FROM ranked
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+  }
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -314,5 +345,6 @@ object TrainingData {
     "t37_simhash_dedup" -> t37,
     "t38_ann_cosine_topk" -> t38,
     "t39_lsh_bucket_ann" -> t39,
-    "t40_multimodal_meta" -> t40)
+    "t40_multimodal_meta" -> t40,
+    "t41_ivf_ann" -> t41)
 }

@@ -23,6 +23,20 @@ class MultimodalSpec extends SparkSpec {
       "batch size does not affect results")
   }
 
+  test("frame sampling slices strided fixed-size frames; resize keeps aspect") {
+    val media = Seq(MediaRow(1L, "video/stub", Array.tabulate(300)(_.toByte))).toDS()
+    val frames = Multimodal.frameSample(media, frameSize = 64, stride = 2).collect()
+    // 300 bytes → 4 whole frames (0..3), stride 2 → frames 0 and 2
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(frames.forall(_.frame_bytes.length == 64))
+    assert(frames(1).frame_bytes(0) == 128.toByte, "frame 2 starts at byte 128")
+
+    val feats = Multimodal.decodeAll(media, new StubDecoder(4))
+    val resized = Multimodal.resizeMeta(feats, targetWidth = 224).collect()
+    assert(resized.forall(_.width == 224))
+    assert(resized.forall(_.height >= 1))
+  }
+
   test("decoder batches never exceed the configured size") {
     val media = (1L to 50L).map(i => MediaRow(i, "image/stub", Array.fill(10)(i.toByte)))
       .toDS().repartition(2)
