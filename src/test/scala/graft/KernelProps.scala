@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.{DotProduct, PolyHash}
+import graft.sources.{LandingLog, WatermarkStore}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based checks for the pure kernels (no Spark session — these
+  * run the static functions the codegen'd expressions call). */
+object KernelProps extends Properties("graft.kernels") {
+
+  property("polyHash stays in [0, P) and matches the reference fold") =
+    forAll { (s: String) =>
+      val h = PolyHash.hash(UTF8String.fromString(s))
+      var want = 7L
+      s.codePoints().forEach(cp => want = (want * 31 + cp) % PolyHash.P)
+      h >= 0 && h < PolyHash.P && h == want
+    }
+
+  property("polyHash satisfies the append recurrence h(s+c) = (h(s)*31 + c) mod P") =
+    forAll(Gen.asciiPrintableStr, Gen.asciiPrintableChar) { (s, c) =>
+      val base = PolyHash.hash(UTF8String.fromString(s))
+      val appended = PolyHash.hash(UTF8String.fromString(s + c))
+      appended == (base * 31 + c.toInt) % PolyHash.P
+    }
+
+  private val floatArr = Gen.listOfN(16, Gen.chooseNum(-100f, 100f)).map(_.toArray)
+
+  property("dot kernel equals plain-scala fold") =
+    forAll(floatArr, floatArr) { (a, b) =>
+      val got = DotProduct.dot(
+        new GenericArrayData(a.map(x => x: Any)),
+        new GenericArrayData(b.map(x => x: Any)))
+      var want = 0.0
+      var i = 0
+      while (i < a.length) { want += a(i).toDouble * b(i).toDouble; i += 1 }
+      java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(want)
+    }
+
+  property("dot kernel returns null on length mismatch") =
+    forAll(floatArr) { a =>
+      DotProduct.dot(
+        new GenericArrayData(a.map(x => x: Any)),
+        new GenericArrayData((a ++ Array(1f)).map(x => x: Any))) == null
+    }
+
+  private val tsGen: Gen[String] = for {
+    y <- Gen.chooseNum(2020, 2030); mo <- Gen.chooseNum(1, 12); d <- Gen.chooseNum(1, 28)
+    h <- Gen.chooseNum(0, 23); mi <- Gen.chooseNum(0, 59); s <- Gen.chooseNum(0, 59)
+  } yield f"$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$s%02d.000"
+
+  property("landing fileKey substitution preserves lexicographic order") =
+    forAll(tsGen, tsGen) { (a, b) =>
+      val (fa, fb) = (LandingLog.fileKey(a), LandingLog.fileKey(b))
+      Prop.propBoolean((a.compareTo(b)).signum == (fa.compareTo(fb)).signum)
+    }
+
+  property("watermark store round-trips arbitrary table maps") =
+    forAll(Gen.mapOf(Gen.zip(Gen.identifier.suchThat(_.nonEmpty), tsGen))) { m =>
+      val f = java.nio.file.Files.createTempFile("wm", ".json")
+      try {
+        val store = new WatermarkStore(f.toString)
+        store.update(m)
+        store.read() == m
+      } finally java.nio.file.Files.deleteIfExists(f)
+    }
+}
