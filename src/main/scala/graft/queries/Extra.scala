@@ -330,19 +330,20 @@ object Extra {
       FROM numbered GROUP BY user_id, session_id
       ORDER BY user_id, session_id""")
 
-  /** e14 — sorted array aggregation: per-nation sorted list of region
-    * keys + string aggregation (array results canonicalized by sorting). */
+  /** e14 — sorted array aggregation: collect_list → sort_array, emitted
+    * as a joined string so the compare is representation-proof across
+    * engines' array stringification. */
   private val e14 = q()(
     sparkSql = """
       SELECT c_nationkey,
-        sort_array(collect_list(c_mktsegment)) AS segs,
-        CAST(count(*) AS BIGINT) AS n
+        array_join(sort_array(collect_list(c_mktsegment)), '|') AS segs,
+        CAST(size(sort_array(collect_list(c_mktsegment))) AS BIGINT) AS n
       FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
       GROUP BY c_nationkey ORDER BY c_nationkey""",
     duckSql = """
       SELECT c_nationkey,
-        list_sort(list(c_mktsegment)) AS segs,
-        CAST(count(*) AS BIGINT) AS n
+        array_to_string(list_sort(list(c_mktsegment)), '|') AS segs,
+        CAST(len(list_sort(list(c_mktsegment))) AS BIGINT) AS n
       FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
       GROUP BY c_nationkey ORDER BY c_nationkey""")
 
@@ -416,17 +417,19 @@ object Extra {
         AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
       ORDER BY o_orderkey""")
 
-  /** e18 — struct construction + field access round-trip. */
+  /** e18 — struct construction + field access round-trip (output kept to
+    * scalar columns so the cross-engine compare is representation-proof;
+    * the struct is built and accessed inside the query). */
   private val e18 = q()(
     sparkSql = """
       SELECT o_orderkey,
-        named_struct('status', o_orderstatus, 'priority', o_orderpriority) AS info,
-        named_struct('status', o_orderstatus, 'priority', o_orderpriority).status AS status_back
+        named_struct('status', o_orderstatus, 'priority', o_orderpriority).status AS status_back,
+        named_struct('status', o_orderstatus, 'priority', o_orderpriority).priority AS priority_back
       FROM orders ORDER BY o_orderkey""",
     duckSql = """
       SELECT o_orderkey,
-        struct_pack(status := o_orderstatus, priority := o_orderpriority) AS info,
-        struct_pack(status := o_orderstatus, priority := o_orderpriority).status AS status_back
+        struct_pack(status := o_orderstatus, priority := o_orderpriority).status AS status_back,
+        struct_pack(status := o_orderstatus, priority := o_orderpriority).priority AS priority_back
       FROM orders ORDER BY o_orderkey""")
 
   /** e19 — array higher-order functions as query surface: exists, forall,
