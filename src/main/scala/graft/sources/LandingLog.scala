@@ -135,11 +135,15 @@ object Extract {
       .filter(col("last_updated") > to_timestamp(lit(watermark)))
       .select(projection.map(col): _*)
 
-  /** S2: max-watermark probe — one aggregated value, pushed to the scan. */
+  /** S2: max-watermark probe — one aggregated value, pushed to the scan.
+    * Handles both TIMESTAMP (java.sql.Timestamp) and TIMESTAMP_NTZ
+    * (java.time.LocalDateTime) source columns. */
   def maxLastUpdated(source: DataFrame): Option[java.sql.Timestamp] =
-    source.agg(max(col("last_updated"))).collect()(0) match {
-      case r if r.isNullAt(0) => None
-      case r => Some(r.getTimestamp(0))
+    source.agg(max(col("last_updated"))).collect()(0).get(0) match {
+      case null => None
+      case t: java.sql.Timestamp => Some(t)
+      case ldt: java.time.LocalDateTime => Some(java.sql.Timestamp.valueOf(ldt))
+      case other => sys.error(s"unsupported last_updated type: ${other.getClass}")
     }
 
   /** JDBC production reader (reference S1 against Postgres). Untested in

@@ -1,0 +1,149 @@
+package graft.star
+
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end star-schema pipeline benchmark: maps the driver testdata
+  * onto the 11 reference-shaped source tables (sf0.1 ≈ 600k-row
+  * sales_order/purchase_order logs, 150k payments), then times the FULL
+  * pipeline — incremental ingest (CSV landing), star build (all 8 dims +
+  * 3 facts), warehouse load — against the reference's 300 s
+  * single-stage Lambda budget (BASELINE.md).
+  *
+  * Prints one JSON line: {"metric":"star_rebuild","value":sec,...}.
+  */
+object StarBench {
+
+  /** Reference-shaped source relations derived from testdata (ids cast to
+    * the ingestion projection's int/decimal types; every table carries
+    * last_updated for the watermark). */
+  def sources(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val supplier = Tables.supplier(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val part = Tables.part(spark, dir)
+
+    val li = lineitem.join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+      col("l_orderkey") === col("o_orderkey"))
+
+    Map(
+      "address" -> customer.select(
+        col("c_custkey").cast("int").as("address_id"),
+        concat(lit("No."), col("c_custkey")).as("address_line_1"),
+        lit(null).cast("string").as("address_line_2"),
+        col("c_mktsegment").as("district"),
+        concat(lit("City"), col("c_nationkey")).as("city"),
+        lpad(col("c_custkey").cast("string"), 6, "0").as("postal_code"),
+        lit("XX").as("country"),
+        lpad(col("c_custkey").cast("string"), 10, "9").as("phone"),
+        lit(java.sql.Timestamp.valueOf("2025-09-01 08:00:00")).as("last_updated")),
+      "counterparty" -> customer.select(
+        col("c_custkey").cast("int").as("counterparty_id"),
+        col("c_name").as("counterparty_legal_name"),
+        col("c_custkey").cast("int").as("legal_address_id"),
+        lit(java.sql.Timestamp.valueOf("2025-09-01 08:00:00")).as("last_updated")),
+      "currency" -> {
+        import spark.implicits._
+        Seq((1, "GBP"), (2, "USD"), (3, "EUR")).toDF("currency_id", "currency_code")
+          .withColumn("last_updated", lit(java.sql.Timestamp.valueOf("2025-09-01 08:00:00")))
+      },
+      "department" -> nation.select(
+        col("n_nationkey").cast("int").as("department_id"),
+        col("n_name").as("department_name"),
+        concat(lit("Loc"), col("n_regionkey")).as("location"),
+        lit(java.sql.Timestamp.valueOf("2025-09-01 08:00:00")).as("last_updated")),
+      "design" -> part.select(
+        col("p_partkey").cast("int").as("design_id"),
+        col("p_name").as("design_name"),
+        concat(lit("/designs/"), col("p_brand")).as("file_location"),
+        concat(col("p_type"), lit(".json")).as("file_name"),
+        lit(java.sql.Timestamp.valueOf("2025-09-01 08:00:00")).as("last_updated")),
+      "payment_type" -> {
+        import spark.implicits._
+        Seq((1, "SALES_RECEIPT"), (2, "SALES_REFUND"), (3, "PURCHASE_PAYMENT"), (4, "PURCHASE_REFUND"))
+          .toDF("payment_type_id", "payment_type_name")
+          .withColumn("last_updated", lit(java.sql.Timestamp.valueOf("2025-09-01 08:00:00")))
+      },
+      "payment" -> orders.select(
+        col("o_orderkey").cast("int").as("payment_id"),
+        col("o_orderdate").as("created_at"),
+        col("o_orderdate").as("last_updated"),
+        col("o_orderkey").cast("int").as("transaction_id"),
+        col("o_custkey").cast("int").as("counterparty_id"),
+        col("o_totalprice").cast("decimal(10,2)").as("payment_amount"),
+        (col("o_orderkey") % 3 + 1).cast("int").as("currency_id"),
+        (col("o_orderkey") % 4 + 1).cast("int").as("payment_type_id"),
+        (col("o_orderkey") % 2 === 0).as("paid"),
+        to_date(col("o_orderdate")).as("payment_date")),
+      "purchase_order" -> li.select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("int").as("purchase_order_id"),
+        col("l_shipdate").as("created_at"),
+        col("l_shipdate").as("last_updated"),
+        (col("l_suppkey") % 1000).cast("int").as("staff_id"),
+        col("o_custkey").cast("int").as("counterparty_id"),
+        concat(lit("ITEM-"), col("l_partkey")).as("item_code"),
+        col("l_quantity").cast("int").as("item_quantity"),
+        col("l_extendedprice").cast("decimal(10,2)").as("item_unit_price"),
+        (col("l_orderkey") % 3 + 1).cast("int").as("currency_id"),
+        to_date(col("l_shipdate")).as("agreed_delivery_date"),
+        date_add(to_date(col("l_shipdate")), 30).as("agreed_payment_date"),
+        (col("l_suppkey") % 500).cast("int").as("agreed_delivery_location_id")),
+      "sales_order" -> li.select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("int").as("sales_order_id"),
+        col("o_orderdate").as("created_at"),
+        col("l_shipdate").as("last_updated"),
+        (col("l_partkey") % 10000).cast("int").as("design_id"),
+        (col("l_suppkey") % 1000).cast("int").as("staff_id"),
+        col("o_custkey").cast("int").as("counterparty_id"),
+        col("l_quantity").cast("int").as("units_sold"),
+        col("l_extendedprice").cast("decimal(10,2)").as("unit_price"),
+        (col("l_orderkey") % 3 + 1).cast("int").as("currency_id"),
+        to_date(col("l_shipdate")).as("agreed_delivery_date"),
+        date_add(to_date(col("l_shipdate")), 14).as("agreed_payment_date"),
+        (col("o_custkey") % 5000).cast("int").as("agreed_delivery_location_id")),
+      "staff" -> supplier.select(
+        col("s_suppkey").cast("int").as("staff_id"),
+        split(col("s_name"), "#").getItem(0).as("first_name"),
+        concat(lit("Supplier"), col("s_suppkey")).as("last_name"),
+        col("s_nationkey").cast("int").as("department_id"),
+        concat(col("s_name"), lit("@example.com")).as("email_address"),
+        lit(java.sql.Timestamp.valueOf("2025-09-01 08:00:00")).as("last_updated")),
+      "transaction" -> orders.select(
+        col("o_orderkey").cast("int").as("transaction_id"),
+        when(col("o_orderkey") % 2 === 0, "SALE").otherwise("PURCHASE").as("transaction_type"),
+        when(col("o_orderkey") % 2 === 0, col("o_orderkey").cast("int")).as("sales_order_id"),
+        when(col("o_orderkey") % 2 =!= 0, col("o_orderkey").cast("int")).as("purchase_order_id"),
+        col("o_orderdate").as("last_updated")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.build("graft-star-bench")
+    val root = Files.createTempDirectory("graft_star_bench").toString
+    val srcs = sources(spark, sfDir)
+
+    val t0 = System.nanoTime()
+    val store = new graft.sources.WatermarkStore(s"$root/state.json")
+    val updated = Runner.ingestOnce(srcs, s"$root/landing", store, "2025-09-01 10:00:00.000")
+    val t1 = System.nanoTime()
+    val written = Runner.processBatch(spark, s"$root/landing", s"$root/processed", updated.toSet)
+    val t2 = System.nanoTime()
+    val loaded = Runner.loadWarehouse(spark, s"$root/processed", s"$root/warehouse", written)
+    val t3 = System.nanoTime()
+
+    val rows = loaded.map { t =>
+      t -> spark.read.parquet(s"$root/warehouse/$t").count()
+    }.toMap
+    def sec(a: Long, b: Long): Double = (b - a) / 1e9
+    val total = sec(t0, t3)
+    println(
+      s"""{"metric":"star_rebuild","value":$total,"unit":"sec","sf":"$sfDir",""" +
+        s""""ingest_sec":${sec(t0, t1)},"process_sec":${sec(t1, t2)},"load_sec":${sec(t2, t3)},""" +
+        s""""tables":${loaded.size},"fact_rows":${rows.getOrElse("sales_order", 0L)}}""")
+    spark.stop()
+  }
+}
