@@ -1,0 +1,61 @@
+package graft
+
+/** Physical-plan regression guards: the properties that make these
+  * queries scale (pushdown, broadcast, partial aggregation, no
+  * accidental cross joins) asserted against the compiled plans — so a
+  * future refactor that silently de-optimizes a plan fails here, not in
+  * a 100 TB run. */
+class PlanPropertiesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  // formatted mode — the simple plan's toString truncates PushedFilters
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q01: filter and projection reach the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate predicate must push to the scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double"),
+      s"scan must prune to the 7 needed columns:\n$p")
+  }
+
+  test("q02: multiple pushed predicates") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)") && p.contains("EqualTo(l_returnflag,R)"),
+      s"both predicates must push down:\n$p")
+  }
+
+  test("q03/q04: dimension lookups are broadcast hash joins") {
+    assert(plan("q03_lookup_join").contains("BroadcastHashJoin"))
+    val p4 = plan("q04_enrich_customer")
+    // formatted mode prints each node in the tree and the detail section
+    assert("BroadcastHashJoin".r.findAllIn(p4).size >= 2 && !p4.contains("SortMergeJoin"),
+      s"both enrichment joins must broadcast:\n$p4")
+  }
+
+  test("q01/q05: aggregates split partial/final (map-side combine)") {
+    assert("HashAggregate".r.findAllIn(plan("q01_pricing_summary")).size >= 2)
+    assert("HashAggregate".r.findAllIn(plan("q05_big_join_agg")).size >= 2)
+  }
+
+  test("t35/t36: near-dup candidate generation never cross-joins the corpus") {
+    Seq("t35_ngram_jaccard_dedup", "t36_minhash_lsh_dedup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not cartesian-join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must pair via equi-joins:\n$p")
+    }
+  }
+
+  test("q13: unpivot compiles to Expand (no join, no explode shuffle)") {
+    val p = plan("q13_unpivot")
+    assert(p.contains("Expand"), s"native unpivot should use Expand:\n$p")
+  }
+
+  test("q06: keep-last dedup is a windowed rank filter with group-limit pushdown") {
+    val p = plan("q06_dedup_keeplast")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      s"dedup should run as a window rank filter:\n$p")
+  }
+}
