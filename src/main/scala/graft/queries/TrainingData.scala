@@ -234,18 +234,34 @@ object TrainingData {
     headline = true)
 
   /** t37 — SimHash near-dup: 30-bit signature per doc, pairs at Hamming
-    * distance ≤ 3. Pairing here is a small broadcast nested-loop over doc
-    * signatures (bytes per doc); at 100 TB you'd band the simhash bits into
-    * equi-join keys exactly like t36. */
+    * distance ≤ 3. Candidates come from 4 bit-bands (8+8+8+6 bits): by
+    * pigeonhole, ≤3 differing bits leaves at least one band identical, so
+    * the band equi-join has perfect recall at this radius and no pair of
+    * dissimilar documents is ever compared — the same sub-quadratic shape
+    * as the MinHash path. */
   private val t37 = dual() { d =>
+    def band(i: Int): String = {
+      val shift = 1L << (8 * i)
+      val mask = if (i == 3) 64 else 256
+      s"(${d.intDiv("sim", shift.toString)} % $mask)"
+    }
+    val bandsSql = (0 until 4).map { i =>
+      s"SELECT doc_id, sim, $i AS band, ${band(i)} AS v FROM s"
+    }.mkString("\n  UNION ALL ")
     s"""WITH w AS (SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents),
        |s AS (SELECT doc_id, ${TextSim.simhash(d, "wh")} AS sim FROM w WHERE ${d.size}(wh) >= 1),
-       |pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(bit_count(${d.xor("a.sim", "b.sim")}) AS BIGINT) AS hamming
-       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, hamming FROM pairs
-       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+       |bands AS (
+       |  $bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.sim AS sim_a, b.sim AS sim_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(${d.xor("sim_a", "sim_b")}) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(${d.xor("sim_a", "sim_b")}) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** t38 — brute-force cosine ANN: fixed query set (vec_id % 100 = 0,
