@@ -234,34 +234,25 @@ object TrainingData {
     headline = true)
 
   /** t37 — SimHash near-dup: 30-bit signature per doc, pairs at Hamming
-    * distance ≤ 3. Candidates come from 4 bit-bands (8+8+8+6 bits): by
-    * pigeonhole, ≤3 differing bits leaves at least one band identical, so
-    * the band equi-join has perfect recall at this radius and no pair of
-    * dissimilar documents is ever compared — the same sub-quadratic shape
-    * as the MinHash path. */
+    * distance ≤ 3 over all signature pairs (compact 8-byte keys — the
+    * pairing is a cheap broadcast loop over signatures, not documents).
+    *
+    * A pigeonhole bit-band equi-join (à la t36) was measured SLOWER here
+    * (12.8 s vs 2.7 s at sf0.1): this corpus is topically uniform, so
+    * simhash bits concentrate and the band buckets themselves go
+    * quadratic. Banding pays off only on signature-diverse corpora; for
+    * topic-uniform data, exact all-pairs over compact signatures (or the
+    * MinHash path, whose buckets key on content not bit-majorities) is
+    * the right tool. See SCALE.md. */
   private val t37 = dual() { d =>
-    def band(i: Int): String = {
-      val shift = 1L << (8 * i)
-      val mask = if (i == 3) 64 else 256
-      s"(${d.intDiv("sim", shift.toString)} % $mask)"
-    }
-    val bandsSql = (0 until 4).map { i =>
-      s"SELECT doc_id, sim, $i AS band, ${band(i)} AS v FROM s"
-    }.mkString("\n  UNION ALL ")
     s"""WITH w AS (SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents),
        |s AS (SELECT doc_id, ${TextSim.simhash(d, "wh")} AS sim FROM w WHERE ${d.size}(wh) >= 1),
-       |bands AS (
-       |  $bandsSql),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    a.sim AS sim_a, b.sim AS sim_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b,
-       |  CAST(bit_count(${d.xor("sim_a", "sim_b")}) AS BIGINT) AS hamming
-       |FROM cand
-       |WHERE bit_count(${d.xor("sim_a", "sim_b")}) <= 3
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(${d.xor("a.sim", "b.sim")}) AS BIGINT) AS hamming
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** t38 — brute-force cosine ANN: fixed query set (vec_id % 100 = 0,
