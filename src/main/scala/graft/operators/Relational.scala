@@ -143,6 +143,48 @@ object Relational {
     * distributed partial aggregation — double sums are not). */
   def money(c: Column): Column = c.cast("decimal(12,2)")
 
+  /** AS-OF join (an operator Spark lacks natively): for each left row,
+    * attach the latest right row with `rightTs <= leftTs` for the same
+    * key. Composition: union both sides with a kind marker, one window
+    * per key ordered (ts, kind) carrying the last right values forward,
+    * then keep left rows — ONE shuffle on the key, no range explosion,
+    * which is why composition beats a custom physical operator here.
+    *
+    * `rightCols` are the right-side columns to attach (prefixed names in
+    * the output); right rows must be unique per (key, ts) — pre-dedup
+    * with [[dedupKeepLast]] if not.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    require(rightCols.contains(key), s"rightCols must include the join key '$key'")
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__graft_ts", col(leftTs))
+      .withColumn("__graft_kind", lit(1))
+      .select((leftCols.map(col) :+ col("__graft_ts") :+ col("__graft_kind")) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__graft_r_$c")): _*)
+    val r = right
+      .withColumn("__graft_ts", col(rightTs))
+      .withColumn("__graft_kind", lit(0))
+      .select((leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col("__graft_ts") :+ col("__graft_kind")) ++
+        rightCols.map(c => col(c).as(s"__graft_r_$c")): _*)
+      .withColumn(key, col(s"__graft_r_$key"))
+    val keyed = l.withColumn("__graft_key", col(key))
+      .unionByName(r.withColumn("__graft_key", col(key)), allowMissingColumns = false)
+    val w = Window.partitionBy(col("__graft_key"))
+      .orderBy(col("__graft_ts"), col("__graft_kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(keyed) { (df, c) =>
+      df.withColumn(s"$prefix$c", last(col(s"__graft_r_$c"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__graft_kind") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"$prefix$c")): _*)
+  }
+
   /** Write a bucketed + sorted table so later equi-joins/aggregations on
     * the bucket key need NO shuffle (co-located join; the plan shows
     * SortMergeJoin with no Exchange). The 100 TB pattern for fact tables

@@ -539,6 +539,25 @@ object Extra {
         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
       FROM events ORDER BY event_id""")
 
+  /** e26 — correlated scalar subquery: orders above their own customer's
+    * average (Catalyst decorrelates this into an aggregate + join; the
+    * plan has no per-row subquery execution). */
+  private val e26 = q()(
+    sparkSql = """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE o_totalprice > (
+        SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        FROM orders i WHERE i.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""",
+    duckSql = """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE o_totalprice > (
+        SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        FROM orders i WHERE i.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""")
+
   val all: Map[String, GQuery] = Map(
     "e01_pivot" -> e01,
     "e02_cube" -> e02,
@@ -564,5 +583,6 @@ object Extra {
     "e22_string_agg" -> e22,
     "e23_regex_predicates" -> e23,
     "e24_lateral_explode" -> e24,
-    "e25_ts_extract" -> e25)
+    "e25_ts_extract" -> e25,
+    "e26_correlated_subquery" -> e26)
 }
