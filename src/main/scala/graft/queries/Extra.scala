@@ -558,6 +558,45 @@ object Extra {
         FROM orders i WHERE i.o_custkey = o.o_custkey)
       ORDER BY o_orderkey""")
 
+  /** e27 — time-series resample with gap fill: a dense hourly grid per
+    * event type (sequence/generate_series), left-joined against hourly
+    * aggregates, empty buckets filled with zero. */
+  private val e27 = q()(
+    sparkSql = """
+      WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events),
+      grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT explode(sequence(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds) g),
+      agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events GROUP BY event_type, date_trunc('hour', ts))
+      SELECT grid.event_type, grid.h AS hour,
+        coalesce(agg.n, 0) AS n, coalesce(agg.total, 0.0) AS total
+      FROM grid LEFT JOIN agg ON grid.event_type = agg.event_type AND grid.h = agg.h
+      ORDER BY 1, 2""",
+    duckSql = """
+      WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events),
+      grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds) g),
+      agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events GROUP BY event_type, date_trunc('hour', ts))
+      SELECT grid.event_type, grid.h AS hour,
+        coalesce(agg.n, 0) AS n, coalesce(agg.total, 0.0) AS total
+      FROM grid LEFT JOIN agg ON grid.event_type = agg.event_type AND grid.h = agg.h
+      ORDER BY 1, 2""")
+
   val all: Map[String, GQuery] = Map(
     "e01_pivot" -> e01,
     "e02_cube" -> e02,
@@ -584,5 +623,6 @@ object Extra {
     "e23_regex_predicates" -> e23,
     "e24_lateral_explode" -> e24,
     "e25_ts_extract" -> e25,
-    "e26_correlated_subquery" -> e26)
+    "e26_correlated_subquery" -> e26,
+    "e27_resample_gapfill" -> e27)
 }
