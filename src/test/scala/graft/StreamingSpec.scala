@@ -35,6 +35,23 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("file-source streaming entry processes a parquet directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .limit(500).write.mode("overwrite").parquet(dir)
+    val q = EventsStream.windowedCounts(EventsStream.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("file_win_out")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // append mode only emits watermark-closed windows; with a single burst
+    // the final windows stay open, so assert the stream ran and the state
+    // machinery processed rows rather than a specific count
+    assert(q.lastProgress != null && q.recentProgress.map(_.numInputRows).sum == 500)
+  }
+
   test("stateful sessionization closes sessions on the event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
