@@ -5,7 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length >= 2, s"usage: graft.Verify <sfDir> <outDir> (got ${args.mkString(" ")})")
+    val (sfDir, outDir) = (args(0), args(1))
     val spark = GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
