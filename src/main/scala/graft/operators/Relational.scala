@@ -77,9 +77,11 @@ object Relational {
       .repartitionByRange(shufflePartitions, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__graft_pid", spark_partition_id())
-    // Two passes over `sorted`; cache only when the input is not a cheap
-    // re-read (callers on raw parquet scans can skip persist).
-    sorted.persist()
+    // Two passes over `sorted`: the persist pins one partitioning across
+    // the count pass and the numbering pass (correctness, not just speed).
+    // It must outlive this call — the caller's action reads it — so it is
+    // handed to CacheJanitor for release at the driver's next barrier.
+    graft.CacheJanitor.register(sorted.persist())
     val counts: Array[(Int, Long)] = sorted
       .groupBy("__graft_pid").count()
       .collect()

@@ -151,21 +151,26 @@ object TrainingData {
 
   /** t35 — n-gram Jaccard near-dup pairs: inverted shingle index with a
     * document-frequency cap → candidate equi-join (never a cross join) →
-    * exact Jaccard ≥ 0.5 on the full shingle sets. */
+    * exact Jaccard ≥ 0.5 on the full shingle sets. The df-capped posting
+    * list is persisted ONCE and both sides of the candidate self-join
+    * read the cached copy — without it Spark recomputes the explode +
+    * HAVING filter per join side, doubling the heaviest stage. */
   private val t35 = GQuery(
     fn = (s, dir) => {
       graft.functions.GraftFunctions.registerAll(s)
       Tables.documents(s, dir).createOrReplaceTempView("documents")
-      val sh = s.sql(shSql(sprk)).persist()
+      val sh = graft.CacheJanitor.register(s.sql(shSql(sprk)).persist())
       sh.createOrReplaceTempView("t35_sh")
       s.sql(
         s"""SELECT doc_id, explode(shs) AS h FROM t35_sh""").createOrReplaceTempView("t35_ex")
+      val exf = graft.CacheJanitor.register(s.sql(
+        s"""SELECT doc_id, h FROM t35_ex
+           |WHERE h IN (SELECT h FROM t35_ex GROUP BY h HAVING count(*) <= $dfCap)""".stripMargin)
+        .persist())
+      exf.createOrReplaceTempView("t35_exf")
       s.sql(
         s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |FROM (SELECT doc_id, h FROM t35_ex
-           |      WHERE h IN (SELECT h FROM t35_ex GROUP BY h HAVING count(*) <= $dfCap)) a
-           |JOIN (SELECT doc_id, h FROM t35_ex
-           |      WHERE h IN (SELECT h FROM t35_ex GROUP BY h HAVING count(*) <= $dfCap)) b
+           |FROM t35_exf a JOIN t35_exf b
            |  ON a.h = b.h AND a.doc_id < b.doc_id""".stripMargin)
         .createOrReplaceTempView("t35_cand")
       s.sql(verifyTail(sprk, "t35_sh", "t35_cand"))
@@ -195,7 +200,8 @@ object TrainingData {
       val mhCols = TextSim.minhashCoeffs.zipWithIndex
         .map { case ((a, b), i) => s"${TextSim.minhash(d, "shs", a, b)} AS mh${i + 1}" }
         .mkString(", ")
-      val sig = s.sql(s"SELECT doc_id, shs, $mhCols FROM (${shSql(d)})").persist()
+      val sig = graft.CacheJanitor.register(
+        s.sql(s"SELECT doc_id, shs, $mhCols FROM (${shSql(d)})").persist())
       sig.createOrReplaceTempView("t36_sig")
       sig.createOrReplaceTempView("t36_sh") // verifyTail needs (doc_id, shs)
       val stackArgs = (0 until 4).map { b =>
@@ -234,25 +240,81 @@ object TrainingData {
     headline = true)
 
   /** t37 — SimHash near-dup: 30-bit signature per doc, pairs at Hamming
-    * distance ≤ 3 over all signature pairs (compact 8-byte keys — the
-    * pairing is a cheap broadcast loop over signatures, not documents).
+    * distance ≤ 3. The DEFINITION (and the DuckDB oracle) is all-pairs;
+    * the Spark plan is sub-quadratic multi-table pigeonhole banding
+    * (Manku et al., WWW'07 — public): split the signature into 6
+    * INTERLEAVED 5-bit blocks (block b = bits j with j mod 6 = b, a fixed
+    * bit permutation so a run of concentrated bit-majorities spreads over
+    * all blocks instead of saturating one), and build C(6,3) = 20 band
+    * tables, each keyed on a distinct 3-block combination (15 bits).
     *
-    * A pigeonhole bit-band equi-join (à la t36) was measured SLOWER here
-    * (12.8 s vs 2.7 s at sf0.1): this corpus is topically uniform, so
-    * simhash bits concentrate and the band buckets themselves go
-    * quadratic. Banding pays off only on signature-diverse corpora; for
-    * topic-uniform data, exact all-pairs over compact signatures (or the
-    * MinHash path, whose buckets key on content not bit-majorities) is
-    * the right tool. See SCALE.md. */
-  private val t37 = dual() { d =>
-    s"""WITH w AS (SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents),
-       |s AS (SELECT doc_id, ${TextSim.simhash(d, "wh")} AS sim FROM w WHERE ${d.size}(wh) >= 1),
-       |pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(bit_count(${d.xor("a.sim", "b.sim")}) AS BIGINT) AS hamming
-       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, hamming FROM pairs
-       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+    * Recall is exact, not probabilistic: ≤ 3 differing bits touch ≤ 3
+    * blocks, so ≥ 3 blocks match exactly, and every 3-subset of blocks is
+    * one of the 20 tables — the pair collides in at least one table. The
+    * exact `bit_count(xor) ≤ 3` verify then reproduces the all-pairs
+    * output bit-for-bit. 15-bit keys carry enough entropy to stay
+    * sub-quadratic even on topic-uniform corpora (where single-block
+    * 5-bit keys — the earlier banding attempt, commit fd33663 — collapse
+    * into giant buckets); residual candidate cost is output-bound: a
+    * bucket of k docs with truly identical keys yields k² candidates only
+    * where the corpus genuinely contains k near-dups. Signatures are
+    * persisted once (8-byte keys) and reused by the band build and the
+    * verify joins; the plan has NO corpus×corpus join
+    * (PlanPropertiesSpec pins this). */
+  private val t37 = {
+    // blkExpr(b) = 5-bit value of interleaved block b, bits (6i + b).
+    def blkExpr(b: Int): String =
+      (0 until 5).map { i =>
+        val p = 1L << (6 * i + b)
+        s"((sim div $p) % 2) * ${1L << i}"
+      }.mkString("(", " + ", ")")
+    val combos = (for {
+      b1 <- 0 until 6; b2 <- b1 + 1 until 6; b3 <- b2 + 1 until 6
+    } yield (b1, b2, b3)).toSeq
+    GQuery(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        Tables.documents(s, dir).createOrReplaceTempView("documents")
+        val d = sprk
+        val sig = s.sql(
+          s"""SELECT doc_id, ${TextSim.simhash(d, "wh")} AS sim
+             |FROM (SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents)
+             |WHERE ${d.size}(wh) >= 1""".stripMargin).persist()
+        graft.CacheJanitor.register(sig)
+        sig.createOrReplaceTempView("t37_sig")
+        val blkCols = (0 until 6).map(b => s"${blkExpr(b)} AS blk$b").mkString(", ")
+        val stackArgs = combos.zipWithIndex.map { case ((b1, b2, b3), t) =>
+          s"$t, blk$b1 * 1024 + blk$b2 * 32 + blk$b3"
+        }.mkString(", ")
+        s.sql(
+          s"""SELECT doc_id, stack(${combos.size}, $stackArgs) AS (tbl, bkey)
+             |FROM (SELECT doc_id, $blkCols FROM t37_sig)""".stripMargin)
+          .createOrReplaceTempView("t37_bands")
+        s.sql(
+          s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |FROM t37_bands a JOIN t37_bands b
+             |  ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin)
+          .createOrReplaceTempView("t37_cand")
+        s.sql(
+          s"""SELECT doc_a, doc_b,
+             |  CAST(bit_count(${d.xor("sa.sim", "sb.sim")}) AS BIGINT) AS hamming
+             |FROM t37_cand
+             |JOIN t37_sig sa ON doc_a = sa.doc_id
+             |JOIN t37_sig sb ON doc_b = sb.doc_id
+             |WHERE bit_count(${d.xor("sa.sim", "sb.sim")}) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)
+      },
+      oracle = Some {
+        val d = duck
+        s"""WITH w AS (SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents),
+           |s AS (SELECT doc_id, ${TextSim.simhash(d, "wh")} AS sim FROM w WHERE ${d.size}(wh) >= 1),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(bit_count(${d.xor("a.sim", "b.sim")}) AS BIGINT) AS hamming
+           |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, hamming FROM pairs
+           |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+      })
   }
 
   /** t38 — brute-force cosine ANN: fixed query set (vec_id % 100 = 0,

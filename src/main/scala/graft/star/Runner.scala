@@ -107,6 +107,9 @@ object Runner {
         put("fact-sales_order", StarSchema.factSalesOrder(so, dates))
       Seq(dates, pay, po, so).foreach(_.unpersist())
     }
+    // Release operator-internal persists (sequentialId's sorted frames)
+    // now that every snapshot write has materialized them.
+    graft.CacheJanitor.drain()
     written.result()
   }
 

@@ -40,10 +40,10 @@ class PlanPropertiesSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan("q05_big_join_agg")).size >= 2)
   }
 
-  test("t35/t36: near-dup candidate generation never cross-joins the corpus") {
-    // t37 deliberately pairs all signatures (8-byte keys): measured faster
-    // than bit-banding on this topic-uniform corpus — see its scaladoc.
-    Seq("t35_ngram_jaccard_dedup", "t36_minhash_lsh_dedup").foreach { q =>
+  test("t35/t36/t37: near-dup candidate generation never cross-joins the corpus") {
+    // t37 included: pigeonhole banding keys candidates on (table, 15-bit
+    // block combo) equi-joins — no corpus×corpus join survives.
+    Seq("t35_ngram_jaccard_dedup", "t36_minhash_lsh_dedup", "t37_simhash_dedup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not cartesian-join:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must pair via equi-joins:\n$p")
