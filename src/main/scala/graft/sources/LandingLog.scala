@@ -3,8 +3,9 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** The append-only landing log (reference S3–S6: one immutable CSV per
   * (table, ingest batch) under `{table}/{batchId}.csv`, batch ids named so
@@ -31,17 +32,22 @@ object LandingLog {
   /** Write one increment as a single CSV file (header on), named by batch
     * id. A driver-side rename collapses Spark's part-file into the
     * deterministic `{table}/{batchId}.csv` key the log contract requires. */
+  /** List a directory's entries eagerly, closing the stream (Files.list
+    * holds an open fd until closed — a leak in a long-running driver). */
+  private def ls(dir: Path): Seq[Path] =
+    Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
+
   def writeIncrement(df: DataFrame, root: String, table: String, batchId: String): Unit = {
     val tmp = s"$root/.tmp_${table}_${batchId.replaceAll("[^0-9A-Za-z]", "_")}"
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
     val tmpDir = Paths.get(tmp)
-    val part = Files.list(tmpDir).iterator().asScala
+    val part = ls(tmpDir)
       .find(_.getFileName.toString.startsWith("part-"))
       .getOrElse(sys.error(s"no part file written for $table/$batchId"))
     val dest = Paths.get(s"$root/$table/${fileKey(batchId)}.csv")
     Files.createDirectories(dest.getParent)
     Files.move(part, dest)
-    Files.list(tmpDir).iterator().asScala.foreach(Files.delete)
+    ls(tmpDir).foreach(Files.delete)
     Files.delete(tmpDir)
   }
 
@@ -51,7 +57,7 @@ object LandingLog {
   def readLog(spark: SparkSession, root: String, table: String, schema: StructType): DataFrame = {
     val dir = Paths.get(s"$root/$table")
     val base =
-      if (Files.isDirectory(dir) && Files.list(dir).iterator().asScala.exists(_.toString.endsWith(".csv")))
+      if (Files.isDirectory(dir) && ls(dir).exists(_.toString.endsWith(".csv")))
         spark.read.option("header", "true").schema(schema).csv(s"$root/$table")
       else
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -60,13 +66,33 @@ object LandingLog {
       regexp_extract(input_file_name(), "/([^/]+)\\.csv$", 1))
   }
 
-  /** Parquet snapshot sink (reference S7: exactly one object per star
-    * table, overwritten each run). */
-  def writeSnapshot(df: DataFrame, root: String, table: String): Unit =
-    df.write.mode("overwrite").parquet(s"$root/$table")
+  /** Parquet snapshot sink (reference S7: one logical snapshot per star
+    * table, overwritten each run). With `partitionBy`, the snapshot is
+    * laid out hive-style on MIRROR keys (`__p_<col>`, string-cast copies
+    * of the named columns) so the data columns keep their exact types on
+    * read-back (directory values would otherwise be re-inferred as int).
+    * Partitioned facts are the 100 TB layout: a reader filtering on the
+    * partition key — directly or via dynamic partition pruning through
+    * the dim_date join — skips whole date directories at the source. */
+  def writeSnapshot(df: DataFrame, root: String, table: String,
+      partitionBy: Seq[String] = Nil): Unit =
+    if (partitionBy.isEmpty) df.write.mode("overwrite").parquet(s"$root/$table")
+    else {
+      val mirrors = partitionBy.map(c => s"__p_$c")
+      val withKeys = partitionBy.zip(mirrors).foldLeft(df) { case (d, (c, m)) =>
+        d.withColumn(m, col(c).cast("string"))
+      }
+      withKeys.write.mode("overwrite").partitionBy(mirrors: _*).parquet(s"$root/$table")
+    }
 
-  def readSnapshot(spark: SparkSession, root: String, table: String): DataFrame =
-    spark.read.parquet(s"$root/$table")
+  /** Snapshot read; mirror partition keys are dropped so the frame is
+    * schema-identical to what [[writeSnapshot]] was given, whatever the
+    * physical layout. Pruning readers scan the path directly and filter
+    * on `__p_*` before the drop. */
+  def readSnapshot(spark: SparkSession, root: String, table: String): DataFrame = {
+    val raw = spark.read.parquet(s"$root/$table")
+    raw.drop(raw.columns.filter(_.startsWith("__p_")).toSeq: _*)
+  }
 
   /** S8: existence-probed snapshot read — None when the snapshot has never
     * been written (the reference's head_object → 404 → None path,
@@ -80,11 +106,11 @@ object LandingLog {
   def listSnapshots(root: String): Seq[String] = {
     val p = Paths.get(root)
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala
+    else ls(p)
       .filter(Files.isDirectory(_))
       .map(_.getFileName.toString)
       .filterNot(_.startsWith("."))
-      .toSeq.sorted
+      .sorted
   }
 }
 

@@ -48,8 +48,14 @@ object Runner {
       batchId: String): Seq[String] = {
     val updated = sources.toSeq.sortBy(_._1).flatMap { case (table, src) =>
       val wm = store.watermark(table)
+      // Compare TIMESTAMP VALUES, not strings: Timestamp.toString emits
+      // variable-length fractions ("…00.0" vs the sentinel's "…000000"),
+      // so a lexicographic gate can skip an epoch-exact max or break on
+      // format drift — the reference's P2 defect, fixed here like the
+      // extract filter (Extract.increment parses the watermark too).
+      val wmTs = java.sql.Timestamp.valueOf(wm)
       Extract.maxLastUpdated(src) match {
-        case Some(maxTs) if maxTs.toString > wm =>
+        case Some(maxTs) if maxTs.after(wmTs) =>
           val projection = Schemas.sources(table)._1.fieldNames.toSeq
           val inc = Extract.increment(src, projection, wm)
           LandingLog.writeIncrement(inc, landingRoot, table, batchId)
@@ -68,13 +74,14 @@ object Runner {
       spark: SparkSession,
       landingRoot: String,
       processedRoot: String,
-      updates: Set[String]): Seq[String] = {
+      updates: Set[String],
+      stableDateIds: Boolean = false): Seq[String] = {
     def log(table: String): DataFrame =
       LandingLog.readLog(spark, landingRoot, table, Schemas.sources(table)._1)
 
     val written = Seq.newBuilder[String]
-    def put(key: String, df: DataFrame): Unit = {
-      LandingLog.writeSnapshot(df, processedRoot, key)
+    def put(key: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+      LandingLog.writeSnapshot(df, processedRoot, key, partitionBy)
       written += key
     }
 
@@ -98,13 +105,23 @@ object Runner {
       val pay = StarSchema.currentSnapshot("payment")(log("payment")).cache()
       val po = StarSchema.currentSnapshot("purchase_order")(log("purchase_order")).cache()
       val so = StarSchema.currentSnapshot("sales_order")(log("sales_order")).cache()
-      val dates = StarSchema.dimDate(pay, po, so).cache()
+      val dates = StarSchema.dimDate(pay, po, so, stableDateIds).cache()
       put("dim-date", dates)
-      if (updates("payment")) put("fact-payment", StarSchema.factPayment(pay, dates))
-      if (updates("purchase_order"))
-        put("fact-purchase_order", StarSchema.factPurchaseOrder(po, dates))
-      if (updates("sales_order"))
-        put("fact-sales_order", StarSchema.factSalesOrder(so, dates))
+      // Dense (reference) date ids renumber when a rebuild discovers a new
+      // earlier date, which would leave any fact NOT rebuilt this batch
+      // holding stale FKs (the reference's live defect). So under dense
+      // ids every non-empty fact is rebuilt alongside dim_date; with
+      // stableDateIds (yyyymmdd, value-determined) the selective rebuild
+      // is safe and only updated facts are rewritten.
+      // Facts are date-partitioned on created_date (the 100 TB layout —
+      // replay/downstream reads prune date directories, incl. via DPP
+      // through the dim_date join).
+      def fact(src: String, key: String, snap: DataFrame, build: => DataFrame): Unit =
+        if (updates(src) || (!stableDateIds && !snap.isEmpty))
+          put(key, build, partitionBy = Seq("created_date"))
+      fact("payment", "fact-payment", pay, StarSchema.factPayment(pay, dates))
+      fact("purchase_order", "fact-purchase_order", po, StarSchema.factPurchaseOrder(po, dates))
+      fact("sales_order", "fact-sales_order", so, StarSchema.factSalesOrder(so, dates))
       Seq(dates, pay, po, so).foreach(_.unpersist())
     }
     // Release operator-internal persists (sequentialId's sorted frames)
@@ -113,27 +130,67 @@ object Runner {
     written.result()
   }
 
+  /** The warehouse database every load registers its tables under (S11:
+    * the reference's information_schema.tables surface becomes the Spark
+    * catalog — a metastore on a real cluster, in-memory in local mode). */
+  val warehouseDb = "graft_wh"
+
   /** Stage 3 — warehouse load: full refresh of each changed star table
-    * under its warehouse name (prefix stripped, `-`→`_`), plus the
-    * preview/export surface (S11–S13). Parquet stands in for the JDBC
-    * warehouse here; `Extract.jdbcOverwrite` is the production sink. */
+    * under its warehouse name (prefix stripped, `-`→`_`), registered as an
+    * EXTERNAL CATALOG TABLE over its parquet path so the SQL layer sees
+    * named tables, plus the preview/export surface (S11–S13). Parquet
+    * stands in for the JDBC warehouse here; `Extract.jdbcOverwrite` is the
+    * production sink. */
   def loadWarehouse(
       spark: SparkSession,
       processedRoot: String,
       warehouseRoot: String,
       keys: Seq[String],
-      preview: Boolean = false): Seq[String] =
+      preview: Boolean = false): Seq[String] = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $warehouseDb")
     keys.map { key =>
       val table = key.replaceFirst("^dim-", "").replaceFirst("^fact-", "").replace("-", "_")
       val df = LandingLog.readSnapshot(spark, processedRoot, key)
       if (!df.isEmpty) {
-        df.write.mode("overwrite").parquet(s"$warehouseRoot/$table")
+        df.write.mode("overwrite")
+          .option("path", s"$warehouseRoot/$table")
+          .format("parquet")
+          .saveAsTable(s"$warehouseDb.$table")
         if (preview) {
-          df.limit(10).show(truncate = false)
+          previewTable(spark, table).show(truncate = false)
           df.coalesce(1).write.mode("overwrite").option("header", "true")
             .csv(s"$warehouseRoot/extracts/$table")
         }
       }
+      table
+    }
+  }
+
+  /** S11: list the loaded warehouse tables from the catalog (reference
+    * `information_schema.tables` probe, src/warehousing_lambda.py:87-91). */
+  def listWarehouseTables(spark: SparkSession): Seq[String] =
+    if (!spark.catalog.databaseExists(warehouseDb)) Seq.empty
+    else spark.catalog.listTables(warehouseDb).collect()
+      .filter(!_.isTemporary).map(_.name).toSeq.sorted
+
+  /** S12: LIMIT-10 preview through the catalog's named-table SQL surface. */
+  def previewTable(spark: SparkSession, table: String): DataFrame =
+    spark.sql(s"SELECT * FROM $warehouseDb.`$table` LIMIT 10")
+
+  /** Stage 3, JDBC form (reference §3.3 verbatim: full-refresh
+    * `to_sql(if_exists='replace')` per star table into the warehouse DB,
+    * src/warehousing_lambda.py:48-77): same name munging as
+    * [[loadWarehouse]], sink = batched JDBC overwrite. */
+  def loadWarehouseJdbc(
+      spark: SparkSession,
+      processedRoot: String,
+      keys: Seq[String],
+      url: String,
+      props: java.util.Properties): Seq[String] =
+    keys.map { key =>
+      val table = key.replaceFirst("^dim-", "").replaceFirst("^fact-", "").replace("-", "_")
+      val df = LandingLog.readSnapshot(spark, processedRoot, key)
+      if (!df.isEmpty) Extract.jdbcOverwrite(df, url, table, props)
       table
     }
 
@@ -144,7 +201,10 @@ object Runner {
     loadWarehouse(spark, processedRoot, warehouseRoot,
       LandingLog.listSnapshots(processedRoot), preview)
 
-  /** One end-to-end micro-batch: ingest → process → load. */
+  /** One end-to-end micro-batch: ingest → process → load. With
+    * `jdbcWarehouse = Some((url, props))` the load stage targets the JDBC
+    * warehouse (the reference's production sink) instead of the
+    * parquet/catalog warehouse. */
   def runOnce(
       spark: SparkSession,
       sources: Map[String, DataFrame],
@@ -152,13 +212,17 @@ object Runner {
       processedRoot: String,
       warehouseRoot: String,
       statePath: String,
-      batchId: String): Seq[String] = {
+      batchId: String,
+      jdbcWarehouse: Option[(String, java.util.Properties)] = None): Seq[String] = {
     val store = new WatermarkStore(statePath)
     val updated = ingestOnce(sources, landingRoot, store, batchId)
     if (updated.isEmpty) Seq.empty
     else {
       val written = processBatch(spark, landingRoot, processedRoot, updated.toSet)
-      loadWarehouse(spark, processedRoot, warehouseRoot, written)
+      jdbcWarehouse match {
+        case Some((url, props)) => loadWarehouseJdbc(spark, processedRoot, written, url, props)
+        case None => loadWarehouse(spark, processedRoot, warehouseRoot, written)
+      }
     }
   }
 }

@@ -94,7 +94,8 @@ object StarSchema {
     * column of the three fact inputs (R1/U2), distinct calendar dates
     * ascending (A3/O1), dense 1-based surrogate id (W1), calendar parts
     * with Monday=0 weekday (F4–F7). */
-  def dimDate(payment: DataFrame, purchaseOrder: DataFrame, salesOrder: DataFrame): DataFrame = {
+  def dimDate(payment: DataFrame, purchaseOrder: DataFrame, salesOrder: DataFrame,
+      stableIds: Boolean = false): DataFrame = {
     def datesOf(df: DataFrame, cols: Seq[String]): DataFrame =
       df.select(explode(array(cols.map(c => to_date(col(c))): _*)).as("date"))
     val all = datesOf(payment, Seq("created_at", "last_updated", "payment_date"))
@@ -104,7 +105,16 @@ object StarSchema {
         Seq("created_at", "last_updated", "agreed_delivery_date", "agreed_payment_date")))
       .filter(col("date").isNotNull)
       .distinct()
-    withDateParts("date")(sequentialId("date_id", Seq(col("date")))(all))
+    // stableIds: date_id = yyyymmdd — a pure function of the date value,
+    // so a rebuild that discovers a NEW earlier date never renumbers
+    // existing ids and previously-written fact FKs stay valid (the dense
+    // 1..n policy below is the reference's, which has exactly that
+    // renumbering defect — Runner compensates by rebuilding all facts
+    // whenever dim_date is rebuilt under dense ids).
+    val numbered =
+      if (stableIds) all.withColumn("date_id", date_format(col("date"), "yyyyMMdd").cast("long"))
+      else sequentialId("date_id", Seq(col("date")))(all)
+    withDateParts("date")(numbered)
       .select("date_id", "date", "year", "month", "day", "day_of_week",
         "day_name", "month_name", "quarter")
   }

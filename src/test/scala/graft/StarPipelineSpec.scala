@@ -117,4 +117,77 @@ class StarPipelineSpec extends SparkSpec {
       state, "2025-09-01 12:00:00.000")
     assert(w3.isEmpty, "change gate skips unchanged tables")
   }
+
+  test("warehouse tables are registered in the Spark catalog (S11) and preview reads through it") {
+    // Runs after the pipeline test above populated the warehouse.
+    val tables = Runner.listWarehouseTables(spark)
+    assert(Set("location", "counterparty", "date", "sales_order").subsetOf(tables.toSet),
+      s"catalog must list the loaded star tables: $tables")
+    val prev = Runner.previewTable(spark, "sales_order").collect()
+    assert(prev.nonEmpty && prev.length <= 10, "LIMIT-10 preview via named catalog table")
+    // The catalog table is external over the warehouse parquet path: SQL
+    // over the NAME sees the same rows as the path read.
+    assert(spark.sql(s"SELECT count(*) FROM ${Runner.warehouseDb}.sales_order").collect()(0).getLong(0)
+      == spark.read.parquet(s"$warehouse/sales_order").count())
+  }
+
+  test("fact snapshots are date-partitioned and a partition filter prunes the scan") {
+    val raw = spark.read.parquet(s"$processed/fact-sales_order")
+    assert(raw.columns.contains("__p_created_date"), "fact snapshot carries the partition mirror key")
+    // Snapshot read-back drops the mirror key -> schema identical to the builder output.
+    val snap = graft.sources.LandingLog.readSnapshot(spark, processed, "fact-sales_order")
+    assert(!snap.columns.exists(_.startsWith("__p_")))
+
+    val pruned = raw.filter($"__p_created_date" === raw.select("__p_created_date")
+      .orderBy("__p_created_date").first().get(0))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__p_created_date"),
+      s"partition filter must reach the scan as a PartitionFilter:\n$plan")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.head.selectedPartitions.partitionCount == 1,
+      "exactly one date directory survives pruning")
+  }
+
+  test("change gate compares timestamp VALUES at sub-second / sentinel precision") {
+    val root2 = Files.createTempDirectory("graft_gate").toString
+    val state2 = s"$root2/update_tracking.json"
+    def src(maxTs: java.sql.Timestamp): Map[String, DataFrame] = Map(
+      "currency" -> Seq((1, "GBP", maxTs)).toDF("currency_id", "currency_code", "last_updated"))
+    val store = new graft.sources.WatermarkStore(state2)
+
+    // Epoch-exact max == the bootstrap sentinel value: strictly-newer gate
+    // must SKIP (equal, not greater) even though the sentinel string has
+    // more fractional digits than Timestamp.toString emits ("…00.0").
+    val atSentinel = Runner.ingestOnce(src(ts("1970-01-01 00:00:00")),
+      s"$root2/landing", store, "1970-01-01 00:00:01.000")
+    assert(atSentinel.isEmpty, "max == sentinel value must not ingest")
+
+    // One millisecond past the sentinel: must ingest, and the bumped
+    // watermark round-trips through the store at full precision.
+    val ms = java.sql.Timestamp.valueOf("1970-01-01 00:00:00.001")
+    assert(Runner.ingestOnce(src(ms), s"$root2/landing", store,
+      "1970-01-01 00:00:02.000") == Seq("currency"))
+    assert(java.sql.Timestamp.valueOf(store.watermark("currency")) == ms)
+
+    // Same max again: value-equal to the stored watermark → skipped,
+    // regardless of how many fractional digits either side printed.
+    assert(Runner.ingestOnce(src(ms), s"$root2/landing", store,
+      "1970-01-01 00:00:03.000").isEmpty, "re-run at same max is idempotent")
+
+    // 100 µs further: strictly newer by value (a difference below
+    // millisecond string length) → ingested exactly once.
+    val us = java.sql.Timestamp.valueOf("1970-01-01 00:00:00.0011")
+    assert(Runner.ingestOnce(src(us), s"$root2/landing", store,
+      "1970-01-01 00:00:04.000") == Seq("currency"))
+    assert(Runner.ingestOnce(src(us), s"$root2/landing", store,
+      "1970-01-01 00:00:05.000").isEmpty)
+
+    // Format drift: an external writer padded the stored watermark to µs
+    // ("…. 000000"); the value gate still parses and skips an equal max.
+    store.update(Map("currency" -> "1970-01-01 00:00:00.001100"))
+    assert(Runner.ingestOnce(src(us), s"$root2/landing", store,
+      "1970-01-01 00:00:06.000").isEmpty, "padded watermark format still gates by value")
+  }
 }
