@@ -35,6 +35,7 @@ object TextSim {
       foldDouble: (String, String) => String,         // (array, lambda), init 0.0
       zipMul: (String, String) => String,             // elementwise double product array
       at: (String, String) => String,                 // 1-based element access
+      arrayOf: Seq[String] => String,                 // array literal from exprs
       ramp: String => String)                         // [1..n] as an array expr
 
   val spark: Dialect = Dialect(
@@ -51,6 +52,7 @@ object TextSim {
     foldDouble = (arr, f) => s"aggregate($arr, cast(0 as double), $f)",
     zipMul = (a, b) => s"zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double))",
     at = (arr, i) => s"element_at($arr, $i)",
+    arrayOf = items => items.mkString("array(", ", ", ")"),
     // Spark's sequence(1, 0) yields a DESCENDING [1,0] rather than [] —
     // build 0..n and slice off the 0 so n<1 gives a genuinely empty ramp.
     ramp = n => s"slice(sequence(0, greatest($n, 0)), 2, greatest($n, 0))")
@@ -70,6 +72,7 @@ object TextSim {
     zipMul = (a, b) =>
       s"list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)",
     at = (arr, i) => s"$arr[$i]",
+    arrayOf = items => items.mkString("list_value(", ", ", ")"),
     ramp = n => s"range(1, $n + 1)") // duck range(lo, hi<lo) is already []
 
   /** Polynomial rolling hash over a word's characters:
@@ -158,9 +161,13 @@ object TextSim {
   private def planeWeight(j: Int, dim: String): String =
     s"((CAST(1103515245 AS BIGINT) * ($j * 64 + $dim) + 12345) % 2001) - 1000"
 
-  /** 8-plane sign-bucket (random-hyperplane LSH → 256 buckets). */
-  def lshBucket(d: Dialect, emb: String): String =
-    (0 until 8).map { j =>
+  /** Random-hyperplane sign code over `lshPlanes` planes. The FULL code is
+    * always computed; callers take `code % mask` to use however many low
+    * planes the corpus size warrants ([[lshMask]]) — the masked-off planes
+    * cost nothing extra and keep the template static. */
+  val lshPlanes = 12
+  def lshCode(d: Dialect, emb: String): String =
+    (0 until lshPlanes).map { j =>
       val proj = d.foldDouble(
         d.transform(
           d.ramp(s"${d.size}($emb)"),
@@ -168,4 +175,22 @@ object TextSim {
         "(acc, v) -> acc + v")
       s"(CASE WHEN $proj >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(CAST(", " + ", " AS BIGINT))")
+
+  /** Bucket count (a power of two ≤ 2^lshPlanes) as a pure INTEGER CASE
+    * chain over the corpus row count `n` — targets ~16 vectors/bucket so
+    * per-bucket pair generation stays bounded as the corpus grows. A
+    * deterministic integer ladder, NOT floor(log2(n)): libm log2 is not
+    * bit-identical across engines. Clamped to [16, 4096]; beyond ~64k
+    * vectors production raises lshPlanes and extends the ladder. */
+  def lshMask(n: String): String =
+    s"""CASE WHEN $n < 256 THEN 16 WHEN $n < 512 THEN 32 WHEN $n < 1024 THEN 64
+       | WHEN $n < 2048 THEN 128 WHEN $n < 4096 THEN 256 WHEN $n < 8192 THEN 512
+       | WHEN $n < 16384 THEN 1024 WHEN $n < 32768 THEN 2048 ELSE 4096 END""".stripMargin
+
+  /** IVF cell count ladder over corpus size `n` — tracks ~sqrt(n) (the
+    * classical nlist choice balancing probe cost against cell size),
+    * clamped to [8, 256] for the seed-centroid stand-in. */
+  def ivfCells(n: String): String =
+    s"""CASE WHEN $n < 256 THEN 8 WHEN $n < 1024 THEN 16 WHEN $n < 4096 THEN 32
+       | WHEN $n < 16384 THEN 64 WHEN $n < 65536 THEN 128 ELSE 256 END""".stripMargin
 }

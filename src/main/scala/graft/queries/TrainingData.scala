@@ -317,14 +317,17 @@ object TrainingData {
       })
   }
 
-  /** t38 — brute-force cosine ANN: fixed query set (vec_id % 100 = 0,
-    * scale-proportional) against the whole corpus; top-5 per query. The
-    * query side is broadcast; the corpus streams — the right baseline
-    * shape for exact kNN at scale. */
+  /** t38 — brute-force cosine kNN baseline over a BOUNDED query set: at
+    * most 25 fixed queries (`vec_id % 100 = 0 AND vec_id < 2500`) against
+    * the whole corpus; top-5 per query. The bounded-query contract is the
+    * scale split: exact kNN is O(|Q|·n) — linear in the corpus only while
+    * |Q| is a constant (this baseline); corpus-scale all-vs-all scoring is
+    * what t39/t41 bucket for. The query side broadcasts; the corpus
+    * streams. */
   private val t38 = dual(headline = true) { d =>
     s"""WITH v AS (
        |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2 FROM embeddings),
-       |q AS (SELECT * FROM v WHERE vec_id % 100 = 0),
+       |q AS (SELECT * FROM v WHERE vec_id % 100 = 0 AND vec_id < 2500),
        |scored AS (
        |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
        |    ${TextSim.dot(d, "q.embedding", "v.embedding")} / (sqrt(q.n2) * sqrt(v.n2)) AS cosine
@@ -337,19 +340,33 @@ object TrainingData {
        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
-  /** t39 — LSH-bucketed similarity: 8 random-hyperplane sign bits → 256
-    * buckets; candidate pairs only within a bucket, then exact cosine ≥
-    * 0.4. The bucket equi-join replaces the all-pairs cross join — the
-    * scale path for near-dup embedding dedup. */
+  /** t39 — LSH-bucketed similarity with SCALE-PARAMETERIZED buckets and
+    * Hamming-1 multi-probe: the bucket count is a deterministic integer
+    * ladder over count(*) (~16 vectors/bucket, [[TextSim.lshMask]]) so
+    * per-bucket pair cost stays bounded as the corpus grows — the fixed
+    * 256 buckets of the first cut went O((n/256)²). Each vector probes
+    * its own bucket plus every 1-bit-flip neighbor (recall for vectors
+    * that straddle one hyperplane); flips above the active mask produce
+    * keys ≥ mask that match nothing, so the probe array is static over
+    * all 12 planes. Candidates via the probe→bucket equi-join, then
+    * exact cosine ≥ 0.4. */
   private val t39 = dual() { d =>
-    s"""WITH v AS (
+    val probes = d.arrayOf("bucket" +: (0 until TextSim.lshPlanes)
+      .map(k => d.xor("bucket", (1L << k).toString)))
+    s"""WITH cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |m AS (SELECT ${TextSim.lshMask("n")} AS mask FROM cnt),
+       |v AS (
        |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2,
-       |    ${TextSim.lshBucket(d, "embedding")} AS bucket
+       |    ${TextSim.lshCode(d, "embedding")} % (SELECT mask FROM m) AS bucket
        |  FROM embeddings),
+       |p AS (SELECT vec_id, ${d.explode}($probes) AS probe FROM v),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM p a JOIN v b ON a.probe = b.bucket AND a.vec_id < b.vec_id),
        |pairs AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+       |  SELECT vec_a, vec_b, a.bucket AS bucket,
        |    ${TextSim.dot(d, "a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
-       |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |  FROM cand JOIN v a ON vec_a = a.vec_id JOIN v b ON vec_b = b.vec_id)
        |SELECT vec_a, vec_b, bucket, cosine FROM pairs
        |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
   }
@@ -372,28 +389,35 @@ object TrainingData {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
-  /** t41 — IVF-style ANN: 8 fixed seed centroids (deterministic stand-in
-    * for trained k-means — the cell/probe structure is the point), every
-    * vector assigned to its nearest cell by squared distance, queries
-    * probe ONLY their own cell, top-3 by cosine within it. The inverted
-    * cell index is what bounds probe cost at corpus scale; real
-    * deployments add multi-probe of neighboring cells for recall. */
+  /** t41 — IVF-style ANN, SCALE-PARAMETERIZED: the cell count follows
+    * ~sqrt(n) via a deterministic integer ladder ([[TextSim.ivfCells]] —
+    * the fixed 8 cells of the first cut left per-cell probe cost growing
+    * linearly), seed centroids = the first `cells` vectors (deterministic
+    * stand-in for trained k-means — the cell/probe structure is the
+    * point). Every vector is assigned to its nearest cell by squared
+    * distance; queries MULTI-PROBE their 3 nearest cells (the standard
+    * recall lever for boundary-straddling queries), top-3 by cosine over
+    * the probed inventory. Query set bounded like t38. */
   private val t41 = dual() { d =>
-    s"""WITH v AS (
+    s"""WITH cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |m AS (SELECT ${TextSim.ivfCells("n")} AS cells FROM cnt),
+       |v AS (
        |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2 FROM embeddings),
-       |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM v WHERE vec_id < 8),
-       |assigned AS (
-       |  SELECT vec_id, embedding, n2, cid FROM (
-       |    SELECT v.vec_id, v.embedding, v.n2, cent.cid,
-       |      row_number() OVER (PARTITION BY v.vec_id
-       |        ORDER BY ${TextSim.dist2(d, "v.embedding", "cent.cemb")}, cent.cid) AS rk
-       |    FROM v CROSS JOIN cent)
-       |  WHERE rk = 1),
-       |q AS (SELECT * FROM assigned WHERE vec_id % 100 = 0),
+       |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM v
+       |         WHERE vec_id < (SELECT cells FROM m)),
+       |cellrank AS (
+       |  SELECT v.vec_id, v.embedding, v.n2, cent.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${TextSim.dist2(d, "v.embedding", "cent.cemb")}, cent.cid) AS rk
+       |  FROM v CROSS JOIN cent),
+       |assigned AS (SELECT vec_id, embedding, n2, cid FROM cellrank WHERE rk = 1),
+       |qprobe AS (
+       |  SELECT vec_id, embedding, n2, cid FROM cellrank
+       |  WHERE vec_id % 100 = 0 AND vec_id < 2500 AND rk <= 3),
        |scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cid AS cell,
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.cid AS cell,
        |    ${TextSim.dot(d, "q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
-       |  FROM q JOIN assigned c ON c.cid = q.cid AND c.vec_id <> q.vec_id),
+       |  FROM qprobe q JOIN assigned c ON c.cid = q.cid AND c.vec_id <> q.vec_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cell, cosine,
        |    CAST(row_number() OVER (PARTITION BY query_id

@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.TextSim
+import graft.functions.TextSim.{spark => sprk}
+
+/** Recall floors for the approximate similarity operators against exact
+  * brute-force ground truth (sf0.01: 500 embeddings — small enough to
+  * compute the exact answer in-test, large enough that buckets/cells are
+  * populated). Pins the QUALITY side of the scale parameterization: the
+  * bucket/cell ladders and multi-probe may be retuned, but a change that
+  * collapses recall fails here, not in production. */
+class AnnRecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("t39 multi-probe LSH finds most true cosine>=0.4 pairs") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    val d = sprk
+    val truth = spark.sql(
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2 FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE ${TextSim.dot(d, "a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4""".stripMargin)
+      .count()
+    val found = SparkEntry.queries("t39_lsh_bucket_ann")(spark, dir).count()
+    CacheJanitor.drain()
+    assert(truth > 0, "ground truth must be non-trivial")
+    val recall = found.toDouble / truth
+    info(s"t39 recall: $found/$truth = $recall")
+    assert(recall >= 0.30, s"LSH multi-probe recall degraded: $recall")
+  }
+
+  test("t41 IVF 3-cell probe recovers a meaningful share of exact top-3 neighbors") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    val d = sprk
+    // Exact top-3 per bounded query (same query set as t41).
+    val truth = spark.sql(
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2 FROM embeddings),
+         |q AS (SELECT * FROM v WHERE vec_id % 100 = 0 AND vec_id < 2500),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |    ${TextSim.dot(d, "q.embedding", "v.embedding")} / (sqrt(q.n2) * sqrt(v.n2)) AS cosine
+         |  FROM q JOIN v ON v.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) WHERE rnk <= 3""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("t41_ivf_ann")(spark, dir)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    CacheJanitor.drain()
+    assert(truth.nonEmpty)
+    val recall = (truth & got).size.toDouble / truth.size
+    // Synthetic embeddings are near-random (little cluster structure), so
+    // cell-probe recall is inherently modest here; the floor pins
+    // "multi-probe works and doesn't regress", not production quality.
+    info(s"t41 recall@3: ${(truth & got).size}/${truth.size} = $recall")
+    assert(recall >= 0.4, s"IVF 3-probe recall degraded: $recall")
+  }
+}
