@@ -18,6 +18,13 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // The production deployment path for the native functions: the
+      // string-form extensions config (what spark-submit ships). It is a
+      // STATIC conf — applied to every SparkSession created over this
+      // context — so Verify/Bench/tests all run through real injection;
+      // registerAll below stays as the idempotent API-level fallback for
+      // sessions graft didn't build.
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   * Operator-family map (reference file:line cites in SURVEY.md):
   *  - scans/projection/filter/pushdown: q02, q24   (S1/S5, P1/P2/P4/P5)
   *  - aggregation: q01, q05, q11, q19, q22         (A1/A4 + general aggs)
+  *  - skew handling: q23 salted two-phase aggregation
   *  - dedup: q06 keep-last (A2/W3), q07 distinct (A3)
   *  - joins: q03/q04 broadcast lookups (J1–J5), q05 large shuffle join
   *  - windows/surrogate keys: q08/q09 (W1/W2), q10 top-k, q20 frames
@@ -441,6 +442,30 @@ object Core {
       FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
       ORDER BY o_custkey"""))
 
+  /** Two-phase SALTED aggregation over the biggest table — the explicit
+    * skew-spreading form of [[saltedSum]] (one hot key no longer lands on
+    * one reducer; partials merge per key). Result-identical to a plain
+    * GROUP BY by algebraic reassociativity — which is exactly what the
+    * oracle checks (sums in DECIMAL so the reassociation is exact). */
+  private val q23 = GQuery(
+    fn = (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("sum_qty", money(col("l_quantity")))
+        .withColumn("sum_price", money(col("l_extendedprice")))
+      saltedSum(Seq("l_returnflag"), 16, Seq("sum_qty", "sum_price"))(li)
+        .select(col("l_returnflag"),
+          col("sum_qty").cast("double").as("sum_qty"),
+          col("sum_price").cast("double").as("sum_price"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    oracle = Some("""
+      SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** Incremental watermark filter (reference P2/P3: rows newer than the
     * stored high-watermark; predicate pushed to the scan). */
   private val q24 = GQuery(
@@ -494,6 +519,7 @@ object Core {
     "q20_window_frames" -> q20,
     "q21_scalar_funcs" -> q21,
     "q22_having" -> q22,
+    "q23_salted_agg" -> q23,
     "q24_incremental_filter" -> q24,
     "q25_tumbling_window" -> q25)
 }

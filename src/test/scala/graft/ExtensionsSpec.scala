@@ -2,27 +2,41 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** The spark.sql.extensions deployment path: a session built with
-  * GraftExtensions has the native functions without any imperative
-  * registration. */
+/** The spark.sql.extensions deployment path. GraftSession sets the
+  * string-form extensions config (the spark-submit production path); as a
+  * static conf it is re-applied to every SparkSession created over the
+  * context. The shared test session also calls registerAll imperatively,
+  * which would make a test against it vacuous — so this builds a FRESH
+  * session (default/active cleared first) whose function registry was
+  * never touched imperatively: resolution there proves the injection path
+  * alone registers the functions. */
 class ExtensionsSpec extends SparkSpec {
 
-  test("withExtensions registers graft functions at session build") {
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    // note: getOrCreate may return the shared session; the injected
-    // functions must be present either way
-    val r = s2.sql(
-      """SELECT graft_poly_hash('abc') AS h,
-        |       graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
-        |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d
-        |""".stripMargin).collect()(0)
-    assert(r.getLong(0) == graft.functions.PolyHash.hash(
-      org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
-    assert(r.getDouble(1) == 11.0)
+  test("extensions injection registers graft functions in a fresh, untouched session") {
+    val shared = spark // force shared session init before clearing
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]").appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      assert(s2 ne shared, "extension session must be fresh (vacuity guard)")
+      assert(s2.sessionState ne shared.sessionState,
+        "fresh session must not inherit the shared session's registry")
+      val r = s2.sql(
+        """SELECT graft_poly_hash('abc') AS h,
+          |       graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d
+          |""".stripMargin).collect()(0)
+      assert(r.getLong(0) == graft.functions.PolyHash.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+      assert(r.getDouble(1) == 11.0)
+    } finally {
+      // Hand the shared session back to the other suites (the fresh
+      // session shares its SparkContext, so nothing is stopped here).
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
   }
 }
