@@ -427,6 +427,60 @@ object TrainingData {
        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** t42 — composed corpus curation: the end-to-end shape of a training
+    * -data filter pass as ONE declarative plan — quality scoring (t31's
+    * formula) + language gate (t32's marker heuristic, en only) + length
+    * gate + exact dedup (t34's min-id keeper), emitting the curated
+    * manifest. One scan computes every per-doc signal; the only shuffle
+    * is the dedup groupBy on text — at 100 TB the same plan holds with
+    * the text pre-hashed to 8 bytes. */
+  private val t42 = dual() { d =>
+    val toks = TextSim.tokens(d, "text")
+    val filterFn = if (d eq sprk) "filter" else "list_filter"
+    def markers(ws: Seq[String]) =
+      s"CAST(${d.size}($filterFn($toks, w -> ${ws.map(w => s"w = '$w'").mkString(" OR ")})) AS BIGINT)"
+    s"""WITH scored AS (
+       |  SELECT doc_id, text,
+       |    CAST(${d.size}($toks) AS BIGINT) AS n_tokens,
+       |    CAST(${d.size}(${d.arrayDistinct}($toks)) AS BIGINT) AS n_distinct,
+       |    ${markers(Seq("the", "a", "row"))} AS s_en,
+       |    ${markers(Seq("table", "join"))} AS s_de,
+       |    ${markers(Seq("the", "a"))} AS n_stop
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, text, n_tokens,
+       |    CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5
+       |      + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+       |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+       |  FROM scored
+       |  WHERE n_tokens >= 5 AND s_en >= s_de),
+       |kept AS (
+       |  SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens, min(quality) AS quality
+       |  FROM q WHERE quality >= 0.45 GROUP BY text)
+       |SELECT doc_id, n_tokens, quality FROM kept ORDER BY doc_id""".stripMargin
+  }
+
+  /** t43 — deterministic train/val/test split: every document lands in a
+    * split by a pure hash of its id (`graft_poly_hash` — stable across
+    * runs, machines, and partitionings; no RNG, no shuffle of the data),
+    * with per-split corpus stats. The split column is computable at scan
+    * time for any later read — the property that matters when sharding
+    * 100 TB into training mixes. */
+  private val t43 = dual() { d =>
+    val h = TextSim.wordHash(d, "CAST(doc_id AS STRING)")
+    s"""WITH assigned AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $h % 100 < 80 THEN 'train'
+       |         WHEN $h % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    CAST(${d.size}(${TextSim.tokens(d, "text")}) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM assigned GROUP BY split ORDER BY split""".stripMargin
+  }
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -439,5 +493,7 @@ object TrainingData {
     "t38_ann_cosine_topk" -> t38,
     "t39_lsh_bucket_ann" -> t39,
     "t40_multimodal_meta" -> t40,
-    "t41_ivf_ann" -> t41)
+    "t41_ivf_ann" -> t41,
+    "t42_corpus_curation" -> t42,
+    "t43_split_assign" -> t43)
 }
