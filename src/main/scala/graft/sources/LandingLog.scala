@@ -68,21 +68,28 @@ object LandingLog {
 
   /** Parquet snapshot sink (reference S7: one logical snapshot per star
     * table, overwritten each run). With `partitionBy`, the snapshot is
-    * laid out hive-style on MIRROR keys (`__p_<col>`, string-cast copies
-    * of the named columns) so the data columns keep their exact types on
-    * read-back (directory values would otherwise be re-inferred as int).
-    * Partitioned facts are the 100 TB layout: a reader filtering on the
-    * partition key — directly or via dynamic partition pruning through
-    * the dim_date join — skips whole date directories at the source. */
+    * laid out hive-style on MIRROR keys (`__p_<col>` = floor(col /
+    * rangeSize), string-cast) so the data columns keep their exact types
+    * on read-back and the directory count is RANGE-GRANULAR, not
+    * per-value: date ids are chronological (dense ids are date-ordered;
+    * yyyymmdd ids divide into months at rangeSize=100), so each directory
+    * is a contiguous time range. Two small-files guards make this the
+    * 100 TB layout rather than a pathology: coarse ranges bound the
+    * directory count, and a repartition on the mirror key bounds files
+    * per directory to ~1 (without it every task writes a file into every
+    * directory it touches — measured 190 s vs 13 s for the sf0.1 fact
+    * rebuild). A reader filtering on the key prunes whole ranges. */
   def writeSnapshot(df: DataFrame, root: String, table: String,
-      partitionBy: Seq[String] = Nil): Unit =
+      partitionBy: Seq[String] = Nil, rangeSize: Long = 100): Unit =
     if (partitionBy.isEmpty) df.write.mode("overwrite").parquet(s"$root/$table")
     else {
       val mirrors = partitionBy.map(c => s"__p_$c")
       val withKeys = partitionBy.zip(mirrors).foldLeft(df) { case (d, (c, m)) =>
-        d.withColumn(m, col(c).cast("string"))
+        d.withColumn(m, floor(col(c).cast("long") / rangeSize).cast("string"))
       }
-      withKeys.write.mode("overwrite").partitionBy(mirrors: _*).parquet(s"$root/$table")
+      withKeys
+        .repartition(mirrors.map(col): _*)
+        .write.mode("overwrite").partitionBy(mirrors: _*).parquet(s"$root/$table")
     }
 
   /** Snapshot read; mirror partition keys are dropped so the frame is
