@@ -51,19 +51,36 @@ object LandingLog {
     Files.delete(tmpDir)
   }
 
+  /** Large-increment sink (backfills): where [[writeIncrement]] funnels
+    * the increment through one task to honor the reference's
+    * one-CSV-per-batch contract, a backfill lands as a DIRECTORY of part
+    * files (`{table}/{batchId}.batch/`) written at full parallelism. The
+    * log replay reads both forms and derives the same `_ingest_ts` from
+    * the directory name, so batch semantics (keep-last ordering,
+    * idempotent replay) are identical — only the parallelism differs. */
+  def writeIncrementDir(df: DataFrame, root: String, table: String, batchId: String): Unit =
+    df.write.mode("overwrite").option("header", "true")
+      .csv(s"$root/$table/${fileKey(batchId)}.batch")
+
   /** Read the full append-log for a table with `_ingest_ts` (the batch id
-    * string parsed from the file name — lexicographically chronological)
-    * attached to every row. Empty/missing log → empty frame. */
+    * parsed from the single-file name OR the `.batch` directory name —
+    * lexicographically chronological either way) attached to every row.
+    * Empty/missing log → empty frame. */
   def readLog(spark: SparkSession, root: String, table: String, schema: StructType): DataFrame = {
     val dir = Paths.get(s"$root/$table")
     val base =
-      if (Files.isDirectory(dir) && ls(dir).exists(_.toString.endsWith(".csv")))
-        spark.read.option("header", "true").schema(schema).csv(s"$root/$table")
+      if (Files.isDirectory(dir) && ls(dir).exists { p =>
+        p.toString.endsWith(".csv") || p.toString.endsWith(".batch")
+      })
+        spark.read.option("header", "true").option("recursiveFileLookup", "true")
+          .schema(schema).csv(s"$root/$table")
       else
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     base.withColumn(
       "_ingest_ts",
-      regexp_extract(input_file_name(), "/([^/]+)\\.csv$", 1))
+      coalesce(
+        nullif(regexp_extract(input_file_name(), "/([^/]+)\\.batch/[^/]+$", 1), lit("")),
+        regexp_extract(input_file_name(), "/([^/]+)\\.csv$", 1)))
   }
 
   /** Parquet snapshot sink (reference S7: one logical snapshot per star

@@ -82,4 +82,33 @@ object EventsStream {
     spark.readStream
       .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
       .parquet(dir)
+
+  /** Streaming exactly-once dedup on the event key: duplicates arriving
+    * within the watermark horizon are dropped with BOUNDED state
+    * (`dropDuplicatesWithinWatermark` evicts keys once the watermark
+    * passes them — plain `dropDuplicates` would grow state forever on an
+    * unbounded stream). The streaming twin of the batch keep-one dedup
+    * (A2/A3): at-least-once upstream delivery becomes exactly-once per
+    * key downstream — the property the reference's immutable-increment
+    * contract approximates in batch. */
+  def dedupEvents(events: DataFrame, keyCols: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming landing sink: append the (deduped) stream as parquet under
+    * the landing root with an exactly-once checkpoint — the streaming
+    * form of the reference's ingest stage (S3 + S14 collapse into the
+    * sink + its offset log). `AvailableNow` drains what exists and stops:
+    * the reference's 20-minute EventBridge cadence becomes re-running
+    * this one query, with the checkpoint as the watermark store. */
+  def toLanding(events: DataFrame, landingDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .format("parquet")
+      .option("path", landingDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

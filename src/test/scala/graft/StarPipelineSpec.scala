@@ -150,6 +150,35 @@ class StarPipelineSpec extends SparkSpec {
       "exactly one date directory survives pruning")
   }
 
+  test("multi-file backfill increments replay identically to single-file increments") {
+    import graft.sources.LandingLog
+    val r = Files.createTempDirectory("graft_backfill").toString
+    val schema = graft.model.Schemas.sources("currency")._1
+    def df(rows: Seq[(Int, String, java.sql.Timestamp)]) =
+      rows.toDF("currency_id", "currency_code", "last_updated")
+
+    // Batch 1: the reference's one-CSV contract.
+    LandingLog.writeIncrement(df(Seq((1, "GBP", ts("2025-09-01 08:00:00")))),
+      r, "currency", "2025-09-01 10:00:00.000")
+    // Batch 2: a parallel backfill directory (multiple part files).
+    LandingLog.writeIncrementDir(
+      df(Seq((1, "GBX", ts("2025-09-01 11:00:00")),
+        (2, "EUR", ts("2025-09-01 11:00:00")))).repartition(3),
+      r, "currency", "2025-09-01 11:00:00.000")
+
+    val log = LandingLog.readLog(spark, r, "currency", schema)
+    assert(log.count() == 3)
+    // Both forms carry the batch id as _ingest_ts (chronological).
+    val tsByBatch = log.select("_ingest_ts").distinct().collect().map(_.getString(0)).sorted
+    assert(tsByBatch.toSeq ==
+      Seq("2025-09-01_10.00.00.000", "2025-09-01_11.00.00.000"), tsByBatch.toSeq)
+    // Keep-last semantics across the mixed log: the backfill wins for id 1.
+    val snap = graft.star.StarSchema.currentSnapshot("currency")(log)
+      .orderBy("currency_id").collect()
+    assert(snap.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq(1 -> "GBX", 2 -> "EUR"))
+  }
+
   test("change gate compares timestamp VALUES at sub-second / sentinel precision") {
     val root2 = Files.createTempDirectory("graft_gate").toString
     val state2 = s"$root2/update_tracking.json"

@@ -52,6 +52,47 @@ class StreamingSpec extends SparkSpec {
     assert(q.lastProgress != null && q.recentProgress.map(_.numInputRows).sum == 500)
   }
 
+  test("streaming dedup drops duplicate keys within the watermark, state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      Event(1, 10, "click", 1.0, ts("2024-01-01 10:00:00")),
+      Event(1, 10, "click", 1.0, ts("2024-01-01 10:00:00")), // exact dup, same batch
+      Event(2, 10, "click", 2.0, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    input.addData(
+      Event(1, 10, "click", 1.0, ts("2024-01-01 10:01:00")), // dup key, later batch
+      Event(3, 11, "view", 5.0, ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"each key exactly once: ${ids.toSeq}")
+  }
+
+  test("streaming landing sink is exactly-once across re-runs (checkpointed)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_land")
+    val (src, land, ckpt) = (s"$root/src", s"$root/landing", s"$root/ckpt")
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .limit(200).write.mode("overwrite").parquet(src)
+
+    EventsStream.toLanding(EventsStream.readEvents(spark, src), land, ckpt)
+      .awaitTermination(60000)
+    assert(spark.read.parquet(land).count() == 200)
+
+    // Re-run with no new source data: the checkpoint (the streaming form
+    // of the watermark store) must prevent re-ingestion.
+    EventsStream.toLanding(EventsStream.readEvents(spark, src), land, ckpt)
+      .awaitTermination(60000)
+    assert(spark.read.parquet(land).count() == 200, "second run must ingest nothing")
+  }
+
   test("stateful sessionization closes sessions on the event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
