@@ -152,8 +152,7 @@ final class WatermarkStore(path: String) {
     if (!Files.exists(p)) Map.empty
     else {
       val txt = new String(Files.readAllBytes(p), "UTF-8")
-      """"([^"]+)"\s*:\s*"([^"]+)"""".r
-        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
+      MiniJson.parseFlat(txt) // escape-correct; malformed state fails loudly
     }
   }
 
@@ -161,8 +160,7 @@ final class WatermarkStore(path: String) {
 
   def update(updates: Map[String, String]): Unit = {
     val merged = read() ++ updates
-    val json = merged.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+    val json = MiniJson.renderFlat(merged)
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)
     Files.write(p, json.getBytes("UTF-8"),

@@ -40,11 +40,11 @@ object Secrets {
   }
 
   /** Parse the flat JSON secret document (string values only — the exact
-    * shape the reference consumes). Same minimal parser contract as
-    * WatermarkStore's state file: flat string-to-string JSON. */
-  def parse(json: String): Map[String, String] =
-    """"([^"]+)"\s*:\s*"([^"]*)"""".r
-      .findAllMatchIn(json).map(m => m.group(1) -> m.group(2)).toMap
+    * shape the reference consumes). Escape-correct: a password containing
+    * `\"` or `{` parses to the literal characters; anything outside the
+    * flat string-to-string shape fails loudly rather than yielding wrong
+    * credentials. Same codec contract as WatermarkStore's state file. */
+  def parse(json: String): Map[String, String] = MiniJson.parseFlat(json)
 
   def fromJson(json: String): DbSecret = {
     val m = parse(json)

@@ -1,0 +1,64 @@
+package graft
+
+import graft.sources.{MiniJson, Secrets, WatermarkStore}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Escape-correctness of the flat-JSON codec and its two consumers
+  * (C1 secret documents, S14 watermark state). The previous regex
+  * scanner silently mis-parsed `\"` in a value and broke on `{`; these
+  * cases pin the loud-failure / exact-round-trip contract. */
+class MiniJsonSpec extends AnyFunSuite {
+
+  test("full escape set round-trips through render/parse") {
+    val m = Map(
+      "quote" -> """pa"ss""",
+      "backslash" -> """a\b""",
+      "brace" -> "v{a}l,ue:",
+      "ws" -> "tab\there\nnewline\rcr",
+      "unicode" -> "café ",
+      "empty" -> "")
+    assert(MiniJson.parseFlat(MiniJson.renderFlat(m)) == m)
+  }
+
+  test("parses standard JSON escapes including \\u") {
+    val m = MiniJson.parseFlat("""{"k": "a\"b\\c\/dA\n"}""")
+    assert(m("k") == "a\"b\\c/dA\n")
+  }
+
+  test("malformed documents fail loudly, never silently mis-parse") {
+    val bad = Seq(
+      """{"k": "v"""",            // unterminated document
+      """{"k": "v} """,           // unterminated string
+      """{"k": {"nested": "v"}}""", // nested object
+      """{"k": ["v"]}""",         // array value
+      """{"k": 1}""",             // non-string value
+      """{"k": "v"} trailing""",  // trailing content
+      """{"k": "a\x"}""",         // unsupported escape
+      """{"k" "v"}""")            // missing colon
+    bad.foreach { doc =>
+      intercept[IllegalArgumentException](MiniJson.parseFlat(doc))
+    }
+  }
+
+  test("secret document with escaped quote in password yields exact credentials") {
+    val s = Secrets.fromJson(
+      """{"host": "h", "dbname": "d", "username": "u", "password": "p\"w{d}\\x"}""")
+    assert(s.password == """p"w{d}\x""")
+  }
+
+  test("watermark state with hostile values round-trips through the file") {
+    val f = Files.createTempDirectory("graft_wm").resolve("state.json")
+    val store = new WatermarkStore(f.toString)
+    val hostile = Map("ta\"ble" -> """2026-01-01 00:00:00.000001 {"x"}""")
+    store.update(hostile)
+    store.update(Map("plain" -> "2026-02-02 00:00:00.000000"))
+    assert(store.read() == hostile + ("plain" -> "2026-02-02 00:00:00.000000"))
+  }
+
+  test("corrupt watermark file fails loudly instead of losing state") {
+    val f = Files.createTempDirectory("graft_wm2").resolve("state.json")
+    Files.writeString(f, """{"t": "v", garbage}""")
+    intercept[IllegalArgumentException](new WatermarkStore(f.toString).read())
+  }
+}
