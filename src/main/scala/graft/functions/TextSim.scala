@@ -189,8 +189,25 @@ object TextSim {
 
   /** IVF cell count ladder over corpus size `n` — tracks ~sqrt(n) (the
     * classical nlist choice balancing probe cost against cell size),
-    * clamped to [8, 256] for the seed-centroid stand-in. */
+    * clamped to [8, 256]. */
   def ivfCells(n: String): String =
     s"""CASE WHEN $n < 256 THEN 8 WHEN $n < 1024 THEN 16 WHEN $n < 4096 THEN 32
        | WHEN $n < 16384 THEN 64 WHEN $n < 65536 THEN 128 ELSE 256 END""".stripMargin
+
+  /** Scala mirror of [[ivfCells]] — the Spark side trains IVF centroids
+    * stepwise in the driver, so it needs the ladder as a value; the DuckDB
+    * oracle evaluates the SQL form. A divergence here breaks t41 parity,
+    * which is exactly what the oracle compare would catch. */
+  def ivfCellsValue(n: Long): Int =
+    if (n < 256) 8 else if (n < 1024) 16 else if (n < 4096) 32
+    else if (n < 16384) 64 else if (n < 65536) 128 else 256
+
+  /** IVF k-means training-sample bound: centroids are trained on the
+    * first `cells * ivfTrainPerCell` vectors (deterministic, bounded —
+    * the standard train-on-a-sample contract; the full corpus is only
+    * ever ASSIGNED, never iterated over). */
+  val ivfTrainPerCell = 16
+
+  /** Deterministic Lloyd iterations for the IVF coarse quantizer. */
+  val ivfLloydIters = 2
 }

@@ -389,42 +389,143 @@ object TrainingData {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
-  /** t41 — IVF-style ANN, SCALE-PARAMETERIZED: the cell count follows
-    * ~sqrt(n) via a deterministic integer ladder ([[TextSim.ivfCells]] —
-    * the fixed 8 cells of the first cut left per-cell probe cost growing
-    * linearly), seed centroids = the first `cells` vectors (deterministic
-    * stand-in for trained k-means — the cell/probe structure is the
-    * point). Every vector is assigned to its nearest cell by squared
-    * distance; queries MULTI-PROBE their 3 nearest cells (the standard
-    * recall lever for boundary-straddling queries), top-3 by cosine over
-    * the probed inventory. Query set bounded like t38. */
-  private val t41 = dual() { d =>
-    s"""WITH cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
-       |m AS (SELECT ${TextSim.ivfCells("n")} AS cells FROM cnt),
-       |v AS (
-       |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2 FROM embeddings),
-       |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM v
-       |         WHERE vec_id < (SELECT cells FROM m)),
-       |cellrank AS (
-       |  SELECT v.vec_id, v.embedding, v.n2, cent.cid,
-       |    row_number() OVER (PARTITION BY v.vec_id
-       |      ORDER BY ${TextSim.dist2(d, "v.embedding", "cent.cemb")}, cent.cid) AS rk
-       |  FROM v CROSS JOIN cent),
-       |assigned AS (SELECT vec_id, embedding, n2, cid FROM cellrank WHERE rk = 1),
-       |qprobe AS (
-       |  SELECT vec_id, embedding, n2, cid FROM cellrank
-       |  WHERE vec_id % 100 = 0 AND vec_id < 2500 AND rk <= 3),
-       |scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.cid AS cell,
-       |    ${TextSim.dot(d, "q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
-       |  FROM qprobe q JOIN assigned c ON c.cid = q.cid AND c.vec_id <> q.vec_id),
-       |ranked AS (
-       |  SELECT query_id, neighbor_id, cell, cosine,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
-       |  FROM scored)
-       |SELECT query_id, neighbor_id, cell, cosine, rnk FROM ranked
-       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+  /** t41 — IVF ANN with TRAINED centroids and SCAN-SIDE assignment.
+    *
+    * Scale shape (the round-2 n×cells cross-join + full-corpus window is
+    * gone): the coarse quantizer is k-means over a BOUNDED deterministic
+    * sample (first `cells × ivfTrainPerCell` vectors, 2 Lloyd iterations,
+    * seed = first `cells` vectors); the full corpus is then assigned to
+    * cells by a zero-shuffle argmin fold over the centroid array inlined
+    * as a broadcast literal — the only shuffles left are the bounded
+    * training aggregations and the final bounded-query top-k window.
+    * Cell ids are centroid ARRAY POSITIONS (1..cells); queries
+    * multi-probe their 3 nearest cells via the same per-row distance
+    * array (sorted (dist, idx) structs — no window, no join).
+    *
+    * Determinism: Spark trains stepwise in the driver (each step collects
+    * only `cells` centroid rows — a legitimate scalar collect, like the
+    * two-pass id offsets) with sorted-fold means (left-to-right double
+    * sums over vec_id-sorted vectors); the DuckDB oracle replays the
+    * IDENTICAL chain as one CTE pipeline. Doubles round-trip exactly
+    * through the literal re-emission (Double.toString ↔ parse). */
+  private val t41 = {
+    def litD(v: Double): String = {
+      val s0 = v.toString
+      if (s0.contains('.') || s0.contains('E')) s0 + "D" else s0 + ".0D"
+    }
+    // Top-3 nearest cells from a per-row distance array: sort (dist, idx)
+    // structs (ties break on idx, consistent with first-min assignment).
+    def top3(d: Dialect, ds: String): String =
+      if (d eq sprk)
+        s"transform(slice(array_sort(zip_with($ds, sequence(1, size($ds)), " +
+          s"(dd, ii) -> named_struct('d', dd, 'i', ii))), 1, 3), s0 -> CAST(s0.i AS BIGINT))"
+      else
+        s"list_transform(list_sort(list_transform(range(1, len($ds) + 1), " +
+          s"ii -> {'d': $ds[ii], 'i': ii}))[1:3], s0 -> CAST(s0.i AS BIGINT))"
+    // Shared final stage: full-corpus scan-side assignment + bounded-query
+    // multi-probe + top-3 by cosine. `centsRef` is the centroid array
+    // expression: a broadcast literal on Spark, a 1-row CROSS JOIN column
+    // in the oracle (DuckDB's plan cost is not under test).
+    def finalStage(d: Dialect, fromV: String, centsCol: String): String =
+      s"""fd AS (
+         |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2,
+         |    ${d.transform(d.ramp(s"${d.size}(centsCol_)"), s"ci -> ${TextSim.dist2(d, "embedding", d.at("centsCol_", "ci"))}")} AS ds
+         |  FROM (SELECT vec_id, embedding, $centsCol AS centsCol_ $fromV)),
+         |assigned AS (
+         |  SELECT vec_id, embedding, n2,
+         |    CAST(${if (d eq sprk) "array_position" else "list_position"}(ds, ${d.arrayMin}(ds)) AS BIGINT) AS cell
+         |  FROM fd),
+         |q AS (SELECT vec_id, embedding, n2, ${top3(d, "ds")} AS probes
+         |      FROM fd WHERE vec_id % 100 = 0 AND vec_id < 2500),
+         |qp AS (SELECT vec_id, embedding, n2, ${d.explode}(probes) AS cell FROM q),
+         |scored AS (
+         |  SELECT qp.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell AS cell,
+         |    ${TextSim.dot(d, "qp.embedding", "c.embedding")} / (sqrt(qp.n2) * sqrt(c.n2)) AS cosine
+         |  FROM qp JOIN assigned c ON c.cell = qp.cell AND c.vec_id <> qp.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cell, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cell, cosine, rnk FROM ranked
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+    // One Lloyd iteration in the oracle dialect: assign the training
+    // sample to `prev`'s centroids (argmin of the distance array), then
+    // per-cell sorted-fold means; empty cells keep the previous centroid.
+    def duckIter(it: Int, prev: String): String = {
+      val d = duck
+      s"""d$it AS (
+         |  SELECT t.vec_id, t.emb,
+         |    ${d.transform(d.ramp("len(c.cents)"), s"ci -> ${TextSim.dist2(d, "t.emb", "c.cents[ci]")}")} AS ds
+         |  FROM train t CROSS JOIN $prev c),
+         |a$it AS (SELECT vec_id, emb, CAST(list_position(ds, list_min(ds)) AS BIGINT) AS cell FROM d$it),
+         |g$it AS (SELECT cell, list(emb ORDER BY vec_id) AS vecs FROM a$it GROUP BY cell),
+         |n$it AS (
+         |  SELECT cell, list_transform(range(1, len(vecs[1]) + 1),
+         |    i -> list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(vecs, v -> v[i])),
+         |                     (acc, x0) -> acc + x0) / CAST(len(vecs) AS DOUBLE)) AS cemb
+         |  FROM g$it),
+         |r$it AS (SELECT unnest(range(1, (SELECT cells FROM m) + 1)) AS ci),
+         |e$it AS (
+         |  SELECT r$it.ci AS ci, coalesce(n$it.cemb, (SELECT cents FROM $prev)[r$it.ci]) AS cemb
+         |  FROM r$it LEFT JOIN n$it ON n$it.cell = r$it.ci),
+         |c$it AS (SELECT list(cemb ORDER BY ci) AS cents FROM e$it)""".stripMargin
+    }
+
+    GQuery(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+        val d = sprk
+        val n = s.sql("SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings")
+          .collect()(0).getLong(0)
+        val k = TextSim.ivfCellsValue(n)
+        val cap = k.toLong * TextSim.ivfTrainPerCell
+        var cents: Array[Array[Double]] = s.sql(
+          s"""SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |FROM embeddings WHERE vec_id < $k ORDER BY vec_id""".stripMargin)
+          .collect().map(_.getSeq[Double](0).toArray)
+        def centsLit: String =
+          cents.map(_.map(litD).mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+        if (cents.nonEmpty) {
+          val dim = cents(0).length
+          for (_ <- 1 to TextSim.ivfLloydIters) {
+            val upd = s.sql(
+              s"""WITH t AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 |           FROM embeddings WHERE vec_id < $cap),
+                 |dd AS (SELECT vec_id, emb,
+                 |  transform(sequence(1, ${cents.length}),
+                 |    ci -> ${TextSim.dist2(d, "emb", s"element_at($centsLit, ci)")}) AS ds FROM t),
+                 |a AS (SELECT vec_id, emb,
+                 |  CAST(array_position(ds, array_min(ds)) AS BIGINT) AS cell FROM dd),
+                 |g AS (SELECT cell,
+                 |  transform(sort_array(collect_list(struct(vec_id, emb))), s0 -> s0.emb) AS vecs
+                 |  FROM a GROUP BY cell)
+                 |SELECT cell, transform(sequence(1, $dim),
+                 |  i -> aggregate(transform(vecs, v -> element_at(v, i)), CAST(0 AS DOUBLE),
+                 |                 (acc, x0) -> acc + x0) / CAST(size(vecs) AS DOUBLE)) AS cemb
+                 |FROM g""".stripMargin)
+              .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
+            cents = Array.tabulate(cents.length)(i => upd.getOrElse(i + 1, cents(i)))
+          }
+        }
+        s.sql(s"WITH ${finalStage(d, "FROM embeddings", centsLit)}")
+      },
+      oracle = Some {
+        val d = duck
+        val iters = (1 to TextSim.ivfLloydIters)
+          .map(it => duckIter(it, if (it == 1) "c0" else s"c${it - 1}")).mkString(",\n")
+        s"""WITH cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+           |m AS (SELECT ${TextSim.ivfCells("n")} AS cells FROM cnt),
+           |train AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+           |  FROM embeddings WHERE vec_id < ${TextSim.ivfTrainPerCell} * (SELECT cells FROM m)),
+           |c0 AS (SELECT list(emb ORDER BY vec_id) AS cents FROM train
+           |       WHERE vec_id < (SELECT cells FROM m)),
+           |$iters,
+           |${finalStage(d, s"FROM embeddings CROSS JOIN c${TextSim.ivfLloydIters} cj", "cj.cents")}""".stripMargin
+      })
   }
 
   /** t42 — composed corpus curation: the end-to-end shape of a training

@@ -152,7 +152,9 @@ final class WatermarkStore(path: String) {
     if (!Files.exists(p)) Map.empty
     else {
       val txt = new String(Files.readAllBytes(p), "UTF-8")
-      MiniJson.parseFlat(txt) // escape-correct; malformed state fails loudly
+      // A blank file is "no state yet" (same as absent); anything else
+      // must parse exactly — malformed state fails loudly, never silently.
+      if (txt.trim.isEmpty) Map.empty else MiniJson.parseFlat(txt)
     }
   }
 

@@ -59,7 +59,9 @@ class AnnRecallSpec extends SparkSpec {
     // Synthetic embeddings are near-random (little cluster structure), so
     // cell-probe recall is inherently modest here; the floor pins
     // "multi-probe works and doesn't regress", not production quality.
+    // Trained centroids (2 deterministic Lloyd iterations) lifted the
+    // round-2 seed-centroid floor from 0.4 to 0.5.
     info(s"t41 recall@3: ${(truth & got).size}/${truth.size} = $recall")
-    assert(recall >= 0.4, s"IVF 3-probe recall degraded: $recall")
+    assert(recall >= 0.5, s"IVF 3-probe recall degraded: $recall")
   }
 }

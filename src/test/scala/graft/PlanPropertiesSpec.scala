@@ -40,14 +40,28 @@ class PlanPropertiesSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan("q05_big_join_agg")).size >= 2)
   }
 
-  test("t35/t36/t37: near-dup candidate generation never cross-joins the corpus") {
-    // t37 included: pigeonhole banding keys candidates on (table, 15-bit
-    // block combo) equi-joins — no corpus×corpus join survives.
-    Seq("t35_ngram_jaccard_dedup", "t36_minhash_lsh_dedup", "t37_simhash_dedup").foreach { q =>
+  test("t35/t36/t37/t39/t41: near-dup + ANN candidate generation never cross-joins the corpus") {
+    // t37: pigeonhole banding keys candidates on (table, 15-bit block
+    // combo) equi-joins; t39: probe→bucket equi-join; t41: cell equi-join
+    // against the scan-side assignment — no corpus×corpus join survives
+    // in any of them.
+    Seq("t35_ngram_jaccard_dedup", "t36_minhash_lsh_dedup", "t37_simhash_dedup",
+      "t39_lsh_bucket_ann", "t41_ivf_ann").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not cartesian-join:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must pair via equi-joins:\n$p")
     }
+  }
+
+  test("t41: cell assignment is scan-side — no full-corpus window, no shuffle before the probe join") {
+    val p = plan("t41_ivf_ann")
+    // The round-2 plan assigned cells via CROSS JOIN + row_number over
+    // n×cells rows. Now assignment is an argmin fold over the broadcast
+    // centroid literal, so the ONLY Window node left is the bounded
+    // per-query top-k after the probe equi-join.
+    val windows = "(?m)^\\(\\d+\\) Window\\s*$".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly the per-query ranking window, got $windows:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"probe join must broadcast:\n$p")
   }
 
   test("q13: unpivot compiles to Expand (no join, no explode shuffle)") {
