@@ -1,10 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark: run every registered query once at the target SF,
-  * emit ONE JSON line. A query that throws is reported as `-1` in
-  * `queries` AND carries its message in `errors` — a failure must never
-  * masquerade as a (fast) timing. */
+/** Per-round benchmark: run every registered query REPS times at the
+  * target SF, emit ONE JSON line with the per-query MEDIAN plus the
+  * observed spread and the machine's /proc/loadavg at start and end —
+  * so a contended machine can neither fake a regression nor mask one
+  * (round 2's recorded bench was 3-4x contention noise; the spread and
+  * loadavg fields make that adjudicable from the artifact alone). A
+  * query that throws is reported as `-1` in `queries` AND carries its
+  * message in `errors` — a failure must never masquerade as a (fast)
+  * timing.
+  */
 object Bench {
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
@@ -13,26 +19,48 @@ object Bench {
     case c => c.toString
   }
 
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+    catch { case _: Throwable => "unavailable" }
+
+  private final case class QRes(
+      name: String, median: Double, min: Double, max: Double, err: Option[String])
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = GraftSession.build("graft-bench")
-    val results: Seq[(String, Double, Option[String])] =
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val loadStart = loadavg()
+    val results: Seq[QRes] = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var err: Option[String] = None
+      var r = 0
+      while (r < reps && err.isEmpty) { // an erroring query is not re-run
         val t0 = System.nanoTime()
-        val err =
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
-          finally CacheJanitor.drain()
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
+        finally CacheJanitor.drain()
+        r += 1
       }
+      if (err.nonEmpty) QRes(name, -1, -1, -1, err)
+      else {
+        val sorted = times.sorted
+        QRes(name, sorted(sorted.size / 2), sorted.head, sorted.last, None)
+      }
+    }
+    val loadEnd = loadavg()
     val qs = results
-      .map { case (k, v, err) => s"\"${esc(k)}\":" + (if (err.isEmpty) v else -1) }
+      .map(q => s"\"${esc(q.name)}\":" + (if (q.err.isEmpty) q.median else -1))
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }
+    val spread = results.filter(_.err.isEmpty)
+      .map(q => s"\"${esc(q.name)}\":[${q.min},${q.max}]")
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    val nErr = results.count(_._3.nonEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}""")
+    val errs = results.collect { case QRes(k, _, _, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case QRes(_, m, _, _, None) => m }.sum
+    val nErr = results.count(_.err.nonEmpty)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}","errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
