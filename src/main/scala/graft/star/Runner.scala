@@ -68,14 +68,23 @@ object Runner {
   }
 
   /** Stage 2 — process: rebuild exactly the star tables whose inputs
-    * changed; any fact-input change also rebuilds dim_date and the facts
-    * for the changed inputs (reference behavior). Returns written keys. */
+    * changed; any fact-input change also rebuilds dim_date and (under
+    * dense reference ids) every non-empty fact. Returns written keys.
+    *
+    * `stableDateIds` defaults to TRUE — the scale policy: yyyymmdd ids
+    * are a pure function of the date value, so a rebuild that discovers
+    * a new earlier date never renumbers existing ids, and the selective
+    * rebuild can skip unchanged facts (StableIdRebuildSpec pins that no
+    * unchanged fact is ever rewritten). Pass `false` for the reference's
+    * dense 1..n policy (parity mode), which forces every non-empty fact
+    * to rebuild with dim_date — that renumbering-vs-stale-FK tradeoff is
+    * exactly why stable ids are the default. */
   def processBatch(
       spark: SparkSession,
       landingRoot: String,
       processedRoot: String,
       updates: Set[String],
-      stableDateIds: Boolean = false): Seq[String] = {
+      stableDateIds: Boolean = true): Seq[String] = {
     def log(table: String): DataFrame =
       LandingLog.readLog(spark, landingRoot, table, Schemas.sources(table)._1)
 
@@ -213,12 +222,13 @@ object Runner {
       warehouseRoot: String,
       statePath: String,
       batchId: String,
-      jdbcWarehouse: Option[(String, java.util.Properties)] = None): Seq[String] = {
+      jdbcWarehouse: Option[(String, java.util.Properties)] = None,
+      stableDateIds: Boolean = true): Seq[String] = {
     val store = new WatermarkStore(statePath)
     val updated = ingestOnce(sources, landingRoot, store, batchId)
     if (updated.isEmpty) Seq.empty
     else {
-      val written = processBatch(spark, landingRoot, processedRoot, updated.toSet)
+      val written = processBatch(spark, landingRoot, processedRoot, updated.toSet, stableDateIds)
       jdbcWarehouse match {
         case Some((url, props)) => loadWarehouseJdbc(spark, processedRoot, written, url, props)
         case None => loadWarehouse(spark, processedRoot, warehouseRoot, written)

@@ -96,7 +96,12 @@ class StarPipelineSpec extends SparkSpec {
 
     val dates = spark.read.parquet(s"$warehouse/date")
     val byId = dates.orderBy("date_id").collect()
-    assert(byId.map(_.getLong(0)).toSeq == (1L to byId.length).toSeq, "dense 1..n date ids")
+    // Default policy is stable yyyymmdd ids (a pure function of the date);
+    // the reference's dense 1..n policy stays available via
+    // stableDateIds=false and is pinned by q08's oracle + RelationalSpec.
+    assert(byId.map(_.getLong(0)).toSeq ==
+      byId.map(_.getDate(1).toString.replace("-", "").toLong).toSeq,
+      "stable yyyymmdd date ids")
     val idFor = byId.map(r => r.getDate(1).toString -> r.getLong(0)).toMap
     assert(fact(0).getLong(2) == idFor("2025-09-01"), "created_date FK")
     assert(fact(1).getLong(12) == idFor("2025-09-13"), "agreed_payment_date FK")
