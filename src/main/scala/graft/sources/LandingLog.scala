@@ -118,6 +118,32 @@ object LandingLog {
     raw.drop(raw.columns.filter(_.startsWith("__p_")).toSeq: _*)
   }
 
+  /** Range-partition-aware snapshot join — the READ-side payoff of
+    * [[writeSnapshot]]'s mirror-key layout: join the partitioned snapshot
+    * to a lookup on `joinCol = lookupKey` with the mirror-key condition
+    * `__p_joinCol = floor(lookupKey / rangeSize)` added, so Catalyst's
+    * dynamic partition pruning turns a SELECTIVE lookup predicate into a
+    * runtime partition filter on the big scan (e.g. one month of
+    * dim_date → only that month's fact directories are read, at any
+    * corpus size). The lookup is dimension-sized, so the join broadcasts
+    * and DPP reuses the broadcast result — no extra job. Mirror keys are
+    * dropped from the result, same as [[readSnapshot]]. */
+  def readSnapshotRangeJoined(spark: SparkSession, root: String, table: String,
+      joinCol: String, lookup: DataFrame, lookupKey: String,
+      rangeSize: Long = 100): DataFrame = {
+    val raw = spark.read.parquet(s"$root/$table")
+    // The lookup is the broadcast side BY CONTRACT (dimension-sized) —
+    // DPP prunes the scan side from the broadcast result, which only
+    // works when the partitioned table is the probe side; without the
+    // hint a small-at-test-scale fact could be picked as the build side
+    // and the dynamic filter would never apply.
+    raw.join(broadcast(lookup),
+        raw(joinCol) === lookup(lookupKey) &&
+          raw(s"__p_$joinCol") ===
+            floor(lookup(lookupKey).cast("long") / rangeSize).cast("string"))
+      .drop(raw.columns.filter(_.startsWith("__p_")).toSeq: _*)
+  }
+
   /** S8: existence-probed snapshot read — None when the snapshot has never
     * been written (the reference's head_object → 404 → None path,
     * src/process_lambda.py:69-88). */
