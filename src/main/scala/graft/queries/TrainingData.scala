@@ -188,55 +188,67 @@ object TrainingData {
     },
     headline = true)
 
-  /** t36 — MinHash + LSH dedup: 16 minhashes → 4 bands × 4 rows →
-    * band-bucket equi-join for candidates → exact Jaccard verify ≥ 0.5.
-    * Banding prunes the pair space before any exact work — the property
-    * that keeps near-dup detection sub-quadratic at 100 TB. */
+  /** MinHash 4×4 banding pipeline (Spark side), shared by t36 (the pair
+    * report) and t44 (cluster resolution over the pairs): 16 minhashes →
+    * 4 bands × 4 rows → band-bucket equi-join for candidates → exact
+    * Jaccard verify ≥ 0.5. Banding prunes the pair space before any
+    * exact work — the property that keeps near-dup detection
+    * sub-quadratic at 100 TB. Views are registered under `pfx`. */
+  private def minhashPairs(s: SparkSession, dir: String, pfx: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
+    val d = sprk
+    val mhCols = TextSim.minhashCoeffs.zipWithIndex
+      .map { case ((a, b), i) => s"${TextSim.minhash(d, "shs", a, b)} AS mh${i + 1}" }
+      .mkString(", ")
+    val sig = graft.CacheJanitor.register(
+      s.sql(s"SELECT doc_id, shs, $mhCols FROM (${shSql(d)})").persist())
+    sig.createOrReplaceTempView(s"${pfx}_sig")
+    sig.createOrReplaceTempView(s"${pfx}_sh") // verifyTail needs (doc_id, shs)
+    val stackArgs = (0 until 4).map { b =>
+      s"${b + 1}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3}, mh${4 * b + 4}"
+    }.mkString(", ")
+    s.sql(
+      s"""SELECT doc_id, stack(4, $stackArgs) AS (band, x1, x2, x3, x4)
+         |FROM ${pfx}_sig""".stripMargin).createOrReplaceTempView(s"${pfx}_bands")
+    s.sql(
+      s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM ${pfx}_bands a JOIN ${pfx}_bands b
+         |  ON a.band = b.band AND a.x1 = b.x1 AND a.x2 = b.x2
+         | AND a.x3 = b.x3 AND a.x4 = b.x4 AND a.doc_id < b.doc_id""".stripMargin)
+      .createOrReplaceTempView(s"${pfx}_cand")
+    s.sql(verifyTail(d, s"${pfx}_sh", s"${pfx}_cand"))
+  }
+
+  /** The same pipeline as DuckDB CTE text (everything up to and including
+    * a `pairs` CTE holding the verified Jaccard ≥ 0.5 pairs). */
+  private def minhashPairsDuckCtes: String = {
+    val d = duck
+    val mhCols = TextSim.minhashCoeffs.zipWithIndex
+      .map { case ((a, b), i) => s"${TextSim.minhash(d, "shs", a, b)} AS mh${i + 1}" }
+      .mkString(", ")
+    val bands = (0 until 4).map { b =>
+      s"SELECT doc_id, ${b + 1} AS band, mh${4 * b + 1} AS x1, mh${4 * b + 2} AS x2, mh${4 * b + 3} AS x3, mh${4 * b + 4} AS x4 FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""sh AS (${shSql(d)}),
+       |sig AS (SELECT doc_id, shs, $mhCols FROM sh),
+       |bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.x1 = b.x1 AND a.x2 = b.x2
+       |   AND a.x3 = b.x3 AND a.x4 = b.x4 AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |${verifyTail(d, "sh", "cand")})""".stripMargin
+  }
+
+  /** t36 — MinHash + LSH dedup pair report. */
   private val t36 = GQuery(
-    fn = (s, dir) => {
-      graft.functions.GraftFunctions.registerAll(s)
-      Tables.documents(s, dir).createOrReplaceTempView("documents")
-      val d = sprk
-      val mhCols = TextSim.minhashCoeffs.zipWithIndex
-        .map { case ((a, b), i) => s"${TextSim.minhash(d, "shs", a, b)} AS mh${i + 1}" }
-        .mkString(", ")
-      val sig = graft.CacheJanitor.register(
-        s.sql(s"SELECT doc_id, shs, $mhCols FROM (${shSql(d)})").persist())
-      sig.createOrReplaceTempView("t36_sig")
-      sig.createOrReplaceTempView("t36_sh") // verifyTail needs (doc_id, shs)
-      val stackArgs = (0 until 4).map { b =>
-        s"${b + 1}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3}, mh${4 * b + 4}"
-      }.mkString(", ")
-      s.sql(
-        s"""SELECT doc_id, stack(4, $stackArgs) AS (band, x1, x2, x3, x4)
-           |FROM t36_sig""".stripMargin).createOrReplaceTempView("t36_bands")
-      s.sql(
-        s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |FROM t36_bands a JOIN t36_bands b
-           |  ON a.band = b.band AND a.x1 = b.x1 AND a.x2 = b.x2
-           | AND a.x3 = b.x3 AND a.x4 = b.x4 AND a.doc_id < b.doc_id""".stripMargin)
-        .createOrReplaceTempView("t36_cand")
-      s.sql(verifyTail(d, "t36_sh", "t36_cand"))
-    },
-    oracle = Some {
-      val d = duck
-      val mhCols = TextSim.minhashCoeffs.zipWithIndex
-        .map { case ((a, b), i) => s"${TextSim.minhash(d, "shs", a, b)} AS mh${i + 1}" }
-        .mkString(", ")
-      val bands = (0 until 4).map { b =>
-        s"SELECT doc_id, ${b + 1} AS band, mh${4 * b + 1} AS x1, mh${4 * b + 2} AS x2, mh${4 * b + 3} AS x3, mh${4 * b + 4} AS x4 FROM sig"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH sh AS (${shSql(d)}),
-         |sig AS (SELECT doc_id, shs, $mhCols FROM sh),
-         |bands AS (
-         |  $bands),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.x1 = b.x1 AND a.x2 = b.x2
-         |   AND a.x3 = b.x3 AND a.x4 = b.x4 AND a.doc_id < b.doc_id)
-         |${verifyTail(d, "sh", "cand")}""".stripMargin
-    },
+    fn = (s, dir) => minhashPairs(s, dir, "t36"),
+    oracle = Some(
+      s"""WITH $minhashPairsDuckCtes
+         |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin),
     headline = true)
 
   /** t37 — SimHash near-dup: 30-bit signature per doc, pairs at Hamming
@@ -582,6 +594,70 @@ object TrainingData {
        |FROM assigned GROUP BY split ORDER BY split""".stripMargin
   }
 
+  /** t44 — near-dup CLUSTER RESOLUTION: connected components over the
+    * verified MinHash pair graph (the missing step between pair
+    * detection and an actual deduplicated corpus — near-duplication is
+    * transitive in effect but not in the pairwise predicate, so keeper
+    * selection must happen per component, not per pair).
+    *
+    * Spark plan: iterative min-label propagation as DataFrame joins —
+    * every node starts as its own label; each round takes the min label
+    * over neighbors; the driver loops until a fixpoint (the collect is
+    * ONE scalar count per round). Rounds = graph diameter, which for
+    * near-dup clusters is tiny and grows logarithmically under the
+    * min-label dynamics — the standard large-graph CC shape (each round
+    * is one bounded equi-join + partial-aggregated groupBy; no
+    * all-pairs anything). The DuckDB oracle computes the same components
+    * by recursive transitive closure — fine at oracle scale, exactly
+    * what does NOT scale to 100 TB (closure materializes whole
+    * components squared; label propagation never does).
+    *
+    * Output per component: cluster_id = min member (the keeper under
+    * the engine's min-id policy, t34/t42), member count, max member. */
+  private val t44 = GQuery(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val pairs = minhashPairs(s, dir, "t44").select("doc_a", "doc_b")
+      val edges = graft.CacheJanitor.register(
+        pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst").persist())
+      var labels = graft.CacheJanitor.register(
+        edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id")).persist())
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 25) {
+        val nbr = edges.join(labels, edges("dst") === labels("doc_id"))
+          .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nbl"))
+        val next = graft.CacheJanitor.register(
+          labels.join(nbr, labels("doc_id") === nbr("nid"))
+            .select(labels("doc_id"), least(labels("label"), col("nbl")).as("label"))
+            .persist())
+        changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+          .filter(col("label") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      require(changed == 0, s"label propagation did not converge within $rounds rounds")
+      labels.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+        .orderBy("cluster_id")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE $minhashPairsDuckCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS label FROM reach GROUP BY src)
+         |SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  max(doc_id) AS max_member
+         |FROM labels GROUP BY label ORDER BY cluster_id""".stripMargin))
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -596,5 +672,6 @@ object TrainingData {
     "t40_multimodal_meta" -> t40,
     "t41_ivf_ann" -> t41,
     "t42_corpus_curation" -> t42,
-    "t43_split_assign" -> t43)
+    "t43_split_assign" -> t43,
+    "t44_dedup_clusters" -> t44)
 }
