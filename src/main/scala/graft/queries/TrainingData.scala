@@ -658,6 +658,30 @@ object TrainingData {
          |  max(doc_id) AS max_member
          |FROM labels GROUP BY label ORDER BY cluster_id""".stripMargin))
 
+  /** t45 — benchmark DECONTAMINATION: flag corpus documents that share
+    * any 3-word shingle with the eval set (here: `doc_id % 50 = 0`
+    * stands in for the benchmark corpus — in production a separate
+    * table). The eval side is SMALL by definition, so its exploded
+    * shingle index broadcasts and contamination detection is one
+    * broadcast equi-join on 8-byte shingle hashes over scan-side
+    * signatures — no corpus×corpus work, linear in the corpus at any
+    * scale. Output: per contaminated doc, how many distinct shingles
+    * hit and how many benchmark docs they touch (the triage signal for
+    * drop-vs-redact decisions). */
+  private val t45 = dual() { d =>
+    s"""WITH w AS (SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents),
+       |sh AS (SELECT doc_id, ${d.arrayDistinct}(${TextSim.shingleHashes(d, "wh")}) AS shs
+       |       FROM w WHERE ${d.size}(wh) >= 3),
+       |bench AS (SELECT doc_id, ${d.explode}(shs) AS h FROM sh WHERE doc_id % 50 = 0),
+       |corpus AS (SELECT doc_id, ${d.explode}(shs) AS h FROM sh WHERE doc_id % 50 <> 0),
+       |hits AS (
+       |  SELECT c.doc_id AS doc_id, c.h AS h, b.doc_id AS bench_id
+       |  FROM corpus c JOIN bench b ON c.h = b.h)
+       |SELECT doc_id, CAST(count(DISTINCT h) AS BIGINT) AS n_shingles_hit,
+       |  CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+       |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -673,5 +697,6 @@ object TrainingData {
     "t41_ivf_ann" -> t41,
     "t42_corpus_curation" -> t42,
     "t43_split_assign" -> t43,
-    "t44_dedup_clusters" -> t44)
+    "t44_dedup_clusters" -> t44,
+    "t45_decontaminate" -> t45)
 }
