@@ -618,8 +618,13 @@ object TrainingData {
     fn = (s, dir) => {
       import org.apache.spark.sql.functions._
       val pairs = minhashPairs(s, dir, "t44").select("doc_a", "doc_b")
+      // Edges are hash-partitioned on the join key BEFORE caching: the
+      // cached partitioning satisfies each round's join requirement, so
+      // only the (shrinking-change) label side moves per round — the
+      // edge set, the big side at corpus scale, never re-shuffles.
       val edges = graft.CacheJanitor.register(
-        pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst").persist())
+        pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst")
+          .repartition(col("dst")).persist())
       var labels = graft.CacheJanitor.register(
         edges.select(col("src").as("doc_id")).distinct()
           .withColumn("label", col("doc_id")).persist())
