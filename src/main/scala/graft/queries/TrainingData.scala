@@ -687,6 +687,69 @@ object TrainingData {
        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** t46 — internal REPETITION detection (the Gopher-style quality gate:
+    * templated/boilerplate docs repeat their own n-grams): per doc, the
+    * duplicate-shingle ratio and the max multiplicity of any single
+    * shingle. The DEFINITION is multiplicity counting; the Spark plan
+    * computes it as a single sorted-run fold over the shingle array
+    * (O(n log n) per doc, scan-side, no shuffle at all) while the
+    * oracle uses the direct quadratic count — same integers, different
+    * cost, t37-style. `is_repetitive` pins the drop decision at the
+    * standard 0.2 dup-ratio threshold. */
+  private val t46 = dual() { d =>
+    val maxRep =
+      if (d eq sprk)
+        """aggregate(array_sort(shs),
+          |      named_struct('prev', CAST(-1 AS BIGINT), 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+          |      (acc, x) -> named_struct(
+          |        'prev', x,
+          |        'run', IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
+          |        'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)))),
+          |      acc -> acc.best)""".stripMargin
+      else
+        "list_max(list_transform(list_distinct(shs), dd -> CAST(len(list_filter(shs, x -> x = dd)) AS BIGINT)))"
+    s"""WITH w AS (SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents),
+       |s AS (SELECT doc_id, ${TextSim.shingleHashes(d, "wh")} AS shs
+       |      FROM w WHERE ${d.size}(wh) >= 3),
+       |r AS (
+       |  SELECT doc_id,
+       |    CAST(${d.size}(shs) AS BIGINT) AS n_shingles,
+       |    CAST(${d.size}(${d.arrayDistinct}(shs)) AS BIGINT) AS n_distinct,
+       |    $maxRep AS max_repeat
+       |  FROM s)
+       |SELECT doc_id, n_shingles, n_distinct, max_repeat,
+       |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS dup_ratio,
+       |  CAST(CASE WHEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_shingles AS DOUBLE) > 0.2
+       |       THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** t47 — corpus MIX report (the data-mixture view a training run is
+    * planned against): per (source, lang), doc/token counts and quality
+    * ratios computed from INTEGER sums only — sums of bigints are exact
+    * and order-independent, so the report is deterministic at any
+    * partitioning, where a sum of per-doc doubles would not be. One
+    * scan, one partial/final aggregation. */
+  private val t47 = dual() { d =>
+    val toks = TextSim.tokens(d, "text")
+    val filterFn = if (d eq sprk) "filter" else "list_filter"
+    s"""WITH t AS (
+       |  SELECT source, lang, n_chars,
+       |    CAST(${d.size}($toks) AS BIGINT) AS n_tokens,
+       |    CAST(${d.size}(${d.arrayDistinct}($toks)) AS BIGINT) AS n_distinct,
+       |    CAST(${d.size}($filterFn($toks, w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+       |  FROM documents)
+       |SELECT source, lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_distinct) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) AS distinct_ratio,
+       |  CAST(sum(n_stop) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) AS stop_ratio,
+       |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+       |  CAST(max(n_chars) AS BIGINT) AS max_chars
+       |FROM t GROUP BY source, lang ORDER BY source, lang""".stripMargin
+  }
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -703,5 +766,7 @@ object TrainingData {
     "t42_corpus_curation" -> t42,
     "t43_split_assign" -> t43,
     "t44_dedup_clusters" -> t44,
-    "t45_decontaminate" -> t45)
+    "t45_decontaminate" -> t45,
+    "t46_repetition" -> t46,
+    "t47_source_mix" -> t47)
 }
