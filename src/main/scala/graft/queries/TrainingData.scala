@@ -673,19 +673,46 @@ object TrainingData {
     * scale. Output: per contaminated doc, how many distinct shingles
     * hit and how many benchmark docs they touch (the triage signal for
     * drop-vs-redact decisions). */
-  private val t45 = dual() { d =>
-    s"""WITH w AS (SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents),
-       |sh AS (SELECT doc_id, ${d.arrayDistinct}(${TextSim.shingleHashes(d, "wh")}) AS shs
-       |       FROM w WHERE ${d.size}(wh) >= 3),
-       |bench AS (SELECT doc_id, ${d.explode}(shs) AS h FROM sh WHERE doc_id % 50 = 0),
-       |corpus AS (SELECT doc_id, ${d.explode}(shs) AS h FROM sh WHERE doc_id % 50 <> 0),
-       |hits AS (
-       |  SELECT c.doc_id AS doc_id, c.h AS h, b.doc_id AS bench_id
-       |  FROM corpus c JOIN bench b ON c.h = b.h)
-       |SELECT doc_id, CAST(count(DISTINCT h) AS BIGINT) AS n_shingles_hit,
-       |  CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
-       |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
+  private val t45 = GQuery(
+    fn = (s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val d = sprk
+      // Signatures computed ONCE and persisted (both the bench index and
+      // the corpus side read the cache); clean corpus docs are eliminated
+      // scan-side by intersecting against the broadcast bench shingle-set
+      // BEFORE any explode — at realistic contamination rates (~1%) the
+      // per-shingle join input shrinks ~100×, and set-membership makes
+      // the unordered collect_set deterministic.
+      val sh = graft.CacheJanitor.register(s.sql(shSql(d)).persist())
+      sh.createOrReplaceTempView("t45_sh")
+      s.sql("SELECT doc_id, explode(shs) AS h FROM t45_sh WHERE doc_id % 50 = 0")
+        .createOrReplaceTempView("t45_bench")
+      s.sql(
+        s"""WITH cand AS (
+           |  SELECT doc_id, shs FROM t45_sh
+           |  WHERE doc_id % 50 <> 0
+           |    AND size(array_intersect(shs, (SELECT collect_set(h) FROM t45_bench))) >= 1),
+           |corpus AS (SELECT doc_id, explode(shs) AS h FROM cand),
+           |hits AS (
+           |  SELECT c.doc_id AS doc_id, c.h AS h, b.doc_id AS bench_id
+           |  FROM corpus c JOIN t45_bench b ON c.h = b.h)
+           |SELECT doc_id, CAST(count(DISTINCT h) AS BIGINT) AS n_shingles_hit,
+           |  CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+           |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    },
+    oracle = Some {
+      val d = duck
+      s"""WITH sh AS (${shSql(d)}),
+         |bench AS (SELECT doc_id, ${d.explode}(shs) AS h FROM sh WHERE doc_id % 50 = 0),
+         |corpus AS (SELECT doc_id, ${d.explode}(shs) AS h FROM sh WHERE doc_id % 50 <> 0),
+         |hits AS (
+         |  SELECT c.doc_id AS doc_id, c.h AS h, b.doc_id AS bench_id
+         |  FROM corpus c JOIN bench b ON c.h = b.h)
+         |SELECT doc_id, CAST(count(DISTINCT h) AS BIGINT) AS n_shingles_hit,
+         |  CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
 
   /** t46 — internal REPETITION detection (the Gopher-style quality gate:
     * templated/boilerplate docs repeat their own n-grams): per doc, the
