@@ -66,4 +66,11 @@ object KernelProps extends Properties("graft.kernels") {
         store.read() == m
       } finally java.nio.file.Files.deleteIfExists(f)
     }
+
+  property("MiniJson round-trips ARBITRARY unicode keys and values exactly") =
+    forAll(Gen.mapOf(Gen.zip(
+      Gen.stringOf(Gen.choose[Char](0, 0xFFFF)).suchThat(_.nonEmpty),
+      Gen.stringOf(Gen.choose[Char](0, 0xFFFF))))) { m =>
+      graft.sources.MiniJson.parseFlat(graft.sources.MiniJson.renderFlat(m)) == m
+    }
 }
