@@ -777,6 +777,117 @@ object TrainingData {
        |FROM t GROUP BY source, lang ORDER BY source, lang""".stripMargin
   }
 
+  /** t48 — int8 SCALAR-QUANTIZED ANN with exact re-rank: per-dimension
+    * affine quantization of the corpus to 8-bit codes (4× less memory
+    * traffic — the lever that decides whether a corpus-scale index fits
+    * executor RAM), asymmetric scoring (float query × dequantized
+    * corpus), top-10 approximate candidates per bounded query, exact
+    * float re-rank to top-3. Scoring uses ONLY the 8-bit information:
+    * codes are materialized and dequantized, never the original floats,
+    * until the re-rank.
+    *
+    * Spark side follows t41's broadcast-literal pattern: per-dim min/max
+    * (order-independent aggregates, one tiny collect) are inlined so
+    * quantization and dequantized scoring are pure scan-side
+    * expressions; the oracle computes identical stats as CTEs. All
+    * arithmetic is fixed-order double math — bit-identical both
+    * engines. */
+  private val t48 = {
+    def rankTail(d: Dialect): String =
+      s"""cand AS (
+         |  SELECT query_id, neighbor_id, approx_cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx_cosine DESC, neighbor_id) AS rka
+         |  FROM scored),
+         |rer AS (
+         |  SELECT c.query_id AS query_id, c.neighbor_id AS neighbor_id,
+         |    c.approx_cosine AS approx_cosine,
+         |    ${TextSim.dot(d, "q.embedding", "n.embedding")} / (sqrt(q.n2) * sqrt(n.n2)) AS cosine
+         |  FROM cand c
+         |  JOIN w q ON q.vec_id = c.query_id
+         |  JOIN w n ON n.vec_id = c.neighbor_id
+         |  WHERE c.rka <= 10),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, approx_cosine, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM rer)
+         |SELECT query_id, neighbor_id, approx_cosine, cosine, rnk FROM ranked
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+    GQuery(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+        val d = sprk
+        def litD(v: Double): String = {
+          val s0 = v.toString
+          if (s0.contains('.') || s0.contains('E')) s0 + "D" else s0 + ".0D"
+        }
+        val stats = s.sql(
+          """SELECT pos, min(CAST(col AS DOUBLE)) AS mn, max(CAST(col AS DOUBLE)) AS mx
+            |FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, col
+            |GROUP BY pos ORDER BY pos""".stripMargin).collect()
+        val mn = stats.map(_.getDouble(1))
+        val span = stats.map(r => r.getDouble(2) - r.getDouble(1))
+        val dim = mn.length
+        def arr(a: Array[Double]) = a.map(litD).mkString("array(", ", ", ")")
+        val mnL = arr(mn); val spL = arr(span)
+        s.sql(
+          s"""WITH v AS (
+             |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2,
+             |    transform(sequence(1, $dim), i ->
+             |      CASE WHEN element_at($spL, i) = 0.0 THEN CAST(0 AS BIGINT)
+             |           ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+             |             CAST(floor((CAST(element_at(embedding, i) AS DOUBLE) - element_at($mnL, i))
+             |               / element_at($spL, i) * 255.0 + 0.5) AS BIGINT))) END) AS codes
+             |  FROM embeddings),
+             |w AS (
+             |  SELECT vec_id, embedding, n2,
+             |    transform(sequence(1, $dim), i ->
+             |      element_at($mnL, i) + CAST(element_at(codes, i) AS DOUBLE) / 255.0 * element_at($spL, i)) AS dq
+             |  FROM v),
+             |w2 AS (SELECT vec_id, n2, dq,
+             |         ${TextSim.dotHof(d, "dq", "dq")} AS dqn2 FROM w),
+             |qs AS (SELECT vec_id, n2, dq FROM w2 WHERE vec_id % 100 = 0 AND vec_id < 2500),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    ${TextSim.dotHof(d, "q.dq", "c.dq")} / (sqrt(q.n2) * sqrt(c.dqn2)) AS approx_cosine
+             |  FROM qs q JOIN w2 c ON c.vec_id <> q.vec_id),
+             |${rankTail(d)}""".stripMargin)
+      },
+      oracle = Some {
+        val d = duck
+        s"""WITH ex AS (
+           |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+           |    unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+           |  FROM embeddings),
+           |st AS (SELECT i, min(val) AS mn, max(val) AS mx FROM ex GROUP BY i),
+           |arrs AS (SELECT list(mn ORDER BY i) AS mns, list(mx - mn ORDER BY i) AS spans FROM st),
+           |v AS (
+           |  SELECT e.vec_id, e.embedding, ${TextSim.norm2(d, "e.embedding")} AS n2,
+           |    list_transform(range(1, len(e.embedding) + 1), i ->
+           |      CASE WHEN a.spans[i] = 0.0 THEN CAST(0 AS BIGINT)
+           |           ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+           |             CAST(floor((e.embedding[i]::DOUBLE - a.mns[i])
+           |               / a.spans[i] * 255.0 + 0.5) AS BIGINT))) END) AS codes,
+           |    a.mns AS mns, a.spans AS spans
+           |  FROM embeddings e CROSS JOIN arrs a),
+           |w AS (
+           |  SELECT vec_id, embedding, n2,
+           |    list_transform(range(1, len(codes) + 1), i ->
+           |      mns[i] + CAST(codes[i] AS DOUBLE) / 255.0 * spans[i]) AS dq
+           |  FROM v),
+           |w2 AS (SELECT vec_id, n2, dq, ${TextSim.dotHof(d, "dq", "dq")} AS dqn2 FROM w),
+           |qs AS (SELECT vec_id, n2, dq FROM w2 WHERE vec_id % 100 = 0 AND vec_id < 2500),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    ${TextSim.dotHof(d, "q.dq", "c.dq")} / (sqrt(q.n2) * sqrt(c.dqn2)) AS approx_cosine
+           |  FROM qs q JOIN w2 c ON c.vec_id <> q.vec_id),
+           |${rankTail(d)}""".stripMargin
+      })
+  }
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -795,5 +906,6 @@ object TrainingData {
     "t44_dedup_clusters" -> t44,
     "t45_decontaminate" -> t45,
     "t46_repetition" -> t46,
-    "t47_source_mix" -> t47)
+    "t47_source_mix" -> t47,
+    "t48_quantized_ann" -> t48)
 }

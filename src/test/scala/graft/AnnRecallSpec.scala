@@ -64,4 +64,33 @@ class AnnRecallSpec extends SparkSpec {
     info(s"t41 recall@3: ${(truth & got).size}/${truth.size} = $recall")
     assert(recall >= 0.5, s"IVF 3-probe recall degraded: $recall")
   }
+
+  test("t48 int8 quantized scoring + exact re-rank recovers most exact top-3 neighbors") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    val d = sprk
+    val truth = spark.sql(
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2 FROM embeddings),
+         |q AS (SELECT * FROM v WHERE vec_id % 100 = 0 AND vec_id < 2500),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |    ${TextSim.dot(d, "q.embedding", "v.embedding")} / (sqrt(q.n2) * sqrt(v.n2)) AS cosine
+         |  FROM q JOIN v ON v.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) WHERE rnk <= 3""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("t48_quantized_ann")(spark, dir)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    CacheJanitor.drain()
+    assert(truth.nonEmpty)
+    val recall = (truth & got).size.toDouble / truth.size
+    // 8 bits per dim loses little ranking signal; the top-10 candidate
+    // pool + exact re-rank should recover nearly all of the exact top-3.
+    info(s"t48 recall@3: ${(truth & got).size}/${truth.size} = $recall")
+    assert(recall >= 0.8, s"quantized re-rank recall degraded: $recall")
+  }
 }
