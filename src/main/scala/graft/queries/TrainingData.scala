@@ -849,10 +849,10 @@ object TrainingData {
              |  FROM v),
              |w2 AS (SELECT vec_id, n2, dq,
              |         ${TextSim.dotHof(d, "dq", "dq")} AS dqn2 FROM w),
-             |qs AS (SELECT vec_id, n2, dq FROM w2 WHERE vec_id % 100 = 0 AND vec_id < 2500),
+             |qs AS (SELECT vec_id, embedding, n2 FROM w WHERE vec_id % 100 = 0 AND vec_id < 2500),
              |scored AS (
              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             |    ${TextSim.dotHof(d, "q.dq", "c.dq")} / (sqrt(q.n2) * sqrt(c.dqn2)) AS approx_cosine
+             |    ${TextSim.dotHof(d, "q.embedding", "c.dq")} / (sqrt(q.n2) * sqrt(c.dqn2)) AS approx_cosine
              |  FROM qs q JOIN w2 c ON c.vec_id <> q.vec_id),
              |${rankTail(d)}""".stripMargin)
       },
@@ -879,10 +879,10 @@ object TrainingData {
            |      mns[i] + CAST(codes[i] AS DOUBLE) / 255.0 * spans[i]) AS dq
            |  FROM v),
            |w2 AS (SELECT vec_id, n2, dq, ${TextSim.dotHof(d, "dq", "dq")} AS dqn2 FROM w),
-           |qs AS (SELECT vec_id, n2, dq FROM w2 WHERE vec_id % 100 = 0 AND vec_id < 2500),
+           |qs AS (SELECT vec_id, embedding, n2 FROM w WHERE vec_id % 100 = 0 AND vec_id < 2500),
            |scored AS (
            |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           |    ${TextSim.dotHof(d, "q.dq", "c.dq")} / (sqrt(q.n2) * sqrt(c.dqn2)) AS approx_cosine
+           |    ${TextSim.dotHof(d, "q.embedding", "c.dq")} / (sqrt(q.n2) * sqrt(c.dqn2)) AS approx_cosine
            |  FROM qs q JOIN w2 c ON c.vec_id <> q.vec_id),
            |${rankTail(d)}""".stripMargin
       })
