@@ -10,19 +10,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reference's ELT surface (SURVEY.md §7.2 step 7):
   *
   *  - deduplication: exact (t34), n-gram Jaccard (t35), MinHash+LSH (t36),
-  *    SimHash (t37);
-  *  - similarity search: brute-force cosine top-k (t38) and
-  *    random-hyperplane-LSH bucketed near-dup (t39);
+  *    SimHash (t37), cluster resolution over the pair graph (t44);
+  *  - similarity search: brute-force cosine top-k (t38),
+  *    hyperplane-LSH buckets (t39), trained IVF (t41), int8
+  *    scalar-quantized index with exact re-rank (t48);
   *  - text analysis: token counting (t30), quality scoring (t31),
-  *    language ID (t32), document fingerprinting (t33);
+  *    language ID (t32), document fingerprinting (t33), repetition
+  *    gate (t46);
+  *  - corpus curation: composed filter pass (t42), deterministic split
+  *    (t43), benchmark decontamination (t45), source-mix report (t47);
   *  - multimodal: opaque binary payload + typed metadata extraction (t40).
   *
   * Each query is ONE SQL template rendered for Spark and for the DuckDB
-  * oracle (see [[TextSim]] for the determinism rules). Scale notes:
-  * everything is shuffle-minimal — per-document signatures are computed
-  * scan-side (no shuffle), pair generation goes through sharded equi-joins
-  * on shingle/band/bucket keys (never a cross join of the corpus), and the
-  * only cross join (t37/t38) keeps one side tiny (queries / broadcast).
+  * oracle (see [[TextSim]] for the determinism rules), or — where the
+  * Spark plan needs driver-side staging (t41 centroid training, t44
+  * convergence, t48 quantizer stats) — a Spark fn plus an equivalent
+  * one-shot oracle SQL. Scale notes: everything is shuffle-minimal —
+  * per-document signatures are computed scan-side (no shuffle), pair
+  * generation goes through sharded equi-joins on shingle/band/bucket
+  * keys (never a cross join of the corpus), and the only nested-loop
+  * joins (t38/t48 scoring) keep one side bounded (≤25 queries).
   */
 object TrainingData {
 
