@@ -625,12 +625,17 @@ object TrainingData {
     fn = (s, dir) => {
       import org.apache.spark.sql.functions._
       val pairs = minhashPairs(s, dir, "t44").select("doc_a", "doc_b")
-      // Edges are hash-partitioned on the join key BEFORE caching: the
-      // cached partitioning satisfies each round's join requirement, so
-      // only the (shrinking-change) label side moves per round — the
-      // edge set, the big side at corpus scale, never re-shuffles.
+      // Edges carry SELF-LOOPS so one join+aggregate per round computes
+      // the min label over the CLOSED neighborhood — no second merge
+      // join with the previous labels. They are hash-partitioned on the
+      // join key before caching: the cached partitioning satisfies each
+      // round's join requirement, so only the label side moves per
+      // round — the edge set, the big side at corpus scale, never
+      // re-shuffles.
+      val undirected = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst")
       val edges = graft.CacheJanitor.register(
-        pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst")
+        undirected
+          .union(undirected.select(col("src"), col("src")).distinct().toDF("src", "dst"))
           .repartition(col("dst")).persist())
       var labels = graft.CacheJanitor.register(
         edges.select(col("src").as("doc_id")).distinct()
@@ -638,14 +643,14 @@ object TrainingData {
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 25) {
-        val nbr = edges.join(labels, edges("dst") === labels("doc_id"))
-          .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nbl"))
         val next = graft.CacheJanitor.register(
-          labels.join(nbr, labels("doc_id") === nbr("nid"))
-            .select(labels("doc_id"), least(labels("label"), col("nbl")).as("label"))
+          edges.join(labels, edges("dst") === labels("doc_id"))
+            .groupBy(edges("src").as("doc_id")).agg(min(col("label")).as("label"))
             .persist())
+        // Labels only ever decrease, so "any label strictly smaller than
+        // before" is the full convergence test.
         changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-          .filter(col("label") =!= col("old")).count()
+          .filter(col("label") < col("old")).count()
         labels.unpersist()
         labels = next
         rounds += 1
