@@ -218,4 +218,45 @@ object Relational {
         sumCols.map(c => sum(col(c)).as(c)).head,
         sumCols.map(c => sum(col(c)).as(c)).tail :+ sum(col("__graft_n")).as("n"): _*)
   }
+
+  /** Connected components over an undirected pair list `(a, b)` by
+    * iterative min-label propagation: every node starts as its own
+    * label; each round takes the min label over the CLOSED neighborhood
+    * (self-loops are added here, so one equi-join + partial-aggregated
+    * groupBy per round); the driver loops to a fixpoint checking one
+    * scalar count per round. Rounds track graph diameter — the shape
+    * that scales to corpus-sized graphs, unlike transitive closure
+    * (quadratic in component size). The edge set is hash-partitioned on
+    * the join key before caching, so only the label side moves per
+    * round. Returns one row per node: (node, label = min node id of its
+    * component). Deterministic at any partitioning (min is
+    * order-independent). */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val p2 = pairs.toDF("a", "b")
+    val undirected = p2.union(p2.select(col("b"), col("a"))).toDF("src", "dst")
+    val edges = graft.CacheJanitor.register(
+      undirected
+        .union(undirected.select(col("src"), col("src")).distinct().toDF("src", "dst"))
+        .repartition(col("dst")).persist())
+    var labels = graft.CacheJanitor.register(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")).persist())
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val next = graft.CacheJanitor.register(
+        edges.join(labels, edges("dst") === labels("node"))
+          .groupBy(edges("src").as("node")).agg(min(col("label")).as("label"))
+          .persist())
+      // Labels only ever decrease, so "any label strictly smaller than
+      // before" is the full convergence test.
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge within $rounds rounds")
+    labels
+  }
 }

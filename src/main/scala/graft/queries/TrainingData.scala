@@ -625,39 +625,9 @@ object TrainingData {
     fn = (s, dir) => {
       import org.apache.spark.sql.functions._
       val pairs = minhashPairs(s, dir, "t44").select("doc_a", "doc_b")
-      // Edges carry SELF-LOOPS so one join+aggregate per round computes
-      // the min label over the CLOSED neighborhood — no second merge
-      // join with the previous labels. They are hash-partitioned on the
-      // join key before caching: the cached partitioning satisfies each
-      // round's join requirement, so only the label side moves per
-      // round — the edge set, the big side at corpus scale, never
-      // re-shuffles.
-      val undirected = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst")
-      val edges = graft.CacheJanitor.register(
-        undirected
-          .union(undirected.select(col("src"), col("src")).distinct().toDF("src", "dst"))
-          .repartition(col("dst")).persist())
-      var labels = graft.CacheJanitor.register(
-        edges.select(col("src").as("doc_id")).distinct()
-          .withColumn("label", col("doc_id")).persist())
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 25) {
-        val next = graft.CacheJanitor.register(
-          edges.join(labels, edges("dst") === labels("doc_id"))
-            .groupBy(edges("src").as("doc_id")).agg(min(col("label")).as("label"))
-            .persist())
-        // Labels only ever decrease, so "any label strictly smaller than
-        // before" is the full convergence test.
-        changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-          .filter(col("label") < col("old")).count()
-        labels.unpersist()
-        labels = next
-        rounds += 1
-      }
-      require(changed == 0, s"label propagation did not converge within $rounds rounds")
-      labels.groupBy(col("label").as("cluster_id"))
-        .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+      graft.operators.Relational.connectedComponents(pairs)
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
         .orderBy("cluster_id")
     },
     oracle = Some(

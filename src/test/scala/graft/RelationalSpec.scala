@@ -55,6 +55,37 @@ class RelationalSpec extends SparkSpec {
     assert(out(1) == Row(6L, "Sunday", "September", 3L))
   }
 
+  test("connectedComponents matches a union-find reference on random and edge-case graphs") {
+    import graft.operators.Relational.connectedComponents
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val cases: Seq[Seq[(Long, Long)]] = Seq(
+      Seq((1L, 2L)),                                   // single pair
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 8L)),     // chain + separate pair
+      (1L to 12L).map(i => (i, i + 1)),                // long chain (diameter test)
+      Seq((5L, 5L))                                    // self-pair only
+    ) ++ Seq(1, 2, 3).map { seed =>
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    }
+    cases.foreach { pairs =>
+      val got = connectedComponents(pairs.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      CacheJanitor.drain()
+      assert(got == unionFind(pairs), s"mismatch for ${pairs.take(10)}...")
+    }
+  }
+
   test("melt unpivots columns into (variable, value) rows") {
     val df = Seq((1, 10.0, 20.0)).toDF("id", "a", "b")
     val out = melt(Seq("id"), Seq("a", "b"), "variable", "value")(df)
