@@ -408,6 +408,148 @@ object TrainingData {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  // ── shared ANN machinery (t41 / t48 / t49) ─────────────────────────
+
+  /** Exact double literal: `Double.toString` round-trips bit-identically
+    * through Spark's parser; the `D` suffix pins DOUBLE. */
+  private def litD(v: Double): String = {
+    val s0 = v.toString
+    if (s0.contains('.') || s0.contains('E')) s0 + "D" else s0 + ".0D"
+  }
+
+  /** Top-3 nearest cells from a per-row centroid-distance array: sorted
+    * (dist, idx) structs (ties break on idx, consistent with first-min
+    * cell assignment) — no window, no join. */
+  private def top3Cells(d: Dialect, ds: String): String =
+    if (d eq sprk)
+      s"transform(slice(array_sort(zip_with($ds, sequence(1, size($ds)), " +
+        s"(dd, ii) -> named_struct('d', dd, 'i', ii))), 1, 3), s0 -> CAST(s0.i AS BIGINT))"
+    else
+      s"list_transform(list_sort(list_transform(range(1, len($ds) + 1), " +
+        s"ii -> {'d': $ds[ii], 'i': ii}))[1:3], s0 -> CAST(s0.i AS BIGINT))"
+
+  /** Driver-stepwise bounded k-means — the t41/t49 coarse quantizer.
+    * Seed = first `cells` vectors; `ivfLloydIters` deterministic Lloyd
+    * iterations over the first `cells × ivfTrainPerCell` vectors with
+    * sorted-fold means (left-to-right double sums over vec_id-sorted
+    * vectors); each step collects only `cells` centroid rows (a bounded
+    * scalar collect, like the two-pass id offsets). Returns the trained
+    * centroid array as a broadcast-literal SQL expression — doubles
+    * round-trip exactly through `Double.toString` ↔ parse. */
+  private def trainCentroidLiteral(s: SparkSession): String = {
+    val d = sprk
+    val n = s.sql("SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings")
+      .collect()(0).getLong(0)
+    val k = TextSim.ivfCellsValue(n)
+    val cap = k.toLong * TextSim.ivfTrainPerCell
+    var cents: Array[Array[Double]] = s.sql(
+      s"""SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |FROM embeddings WHERE vec_id < $k ORDER BY vec_id""".stripMargin)
+      .collect().map(_.getSeq[Double](0).toArray)
+    def centsLit: String =
+      cents.map(_.map(litD).mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+    if (cents.nonEmpty) {
+      val dim = cents(0).length
+      for (_ <- 1 to TextSim.ivfLloydIters) {
+        val upd = s.sql(
+          s"""WITH t AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |           FROM embeddings WHERE vec_id < $cap),
+             |dd AS (SELECT vec_id, emb,
+             |  transform(sequence(1, ${cents.length}),
+             |    ci -> ${TextSim.dist2(d, "emb", s"element_at($centsLit, ci)")}) AS ds FROM t),
+             |a AS (SELECT vec_id, emb,
+             |  CAST(array_position(ds, array_min(ds)) AS BIGINT) AS cell FROM dd),
+             |g AS (SELECT cell,
+             |  transform(sort_array(collect_list(struct(vec_id, emb))), s0 -> s0.emb) AS vecs
+             |  FROM a GROUP BY cell)
+             |SELECT cell, transform(sequence(1, $dim),
+             |  i -> aggregate(transform(vecs, v -> element_at(v, i)), CAST(0 AS DOUBLE),
+             |                 (acc, x0) -> acc + x0) / CAST(size(vecs) AS DOUBLE)) AS cemb
+             |FROM g""".stripMargin)
+          .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
+        cents = Array.tabulate(cents.length)(i => upd.getOrElse(i + 1, cents(i)))
+      }
+    }
+    centsLit
+  }
+
+  /** One Lloyd iteration in the oracle dialect: assign the training
+    * sample to `prev`'s centroids (argmin of the distance array), then
+    * per-cell sorted-fold means; empty cells keep the previous centroid. */
+  private def duckKmeansIter(it: Int, prev: String): String = {
+    val d = duck
+    s"""d$it AS (
+       |  SELECT t.vec_id, t.emb,
+       |    ${d.transform(d.ramp("len(c.cents)"), s"ci -> ${TextSim.dist2(d, "t.emb", "c.cents[ci]")}")} AS ds
+       |  FROM train t CROSS JOIN $prev c),
+       |a$it AS (SELECT vec_id, emb, CAST(list_position(ds, list_min(ds)) AS BIGINT) AS cell FROM d$it),
+       |g$it AS (SELECT cell, list(emb ORDER BY vec_id) AS vecs FROM a$it GROUP BY cell),
+       |n$it AS (
+       |  SELECT cell, list_transform(range(1, len(vecs[1]) + 1),
+       |    i -> list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(vecs, v -> v[i])),
+       |                     (acc, x0) -> acc + x0) / CAST(len(vecs) AS DOUBLE)) AS cemb
+       |  FROM g$it),
+       |r$it AS (SELECT unnest(range(1, (SELECT cells FROM m) + 1)) AS ci),
+       |e$it AS (
+       |  SELECT r$it.ci AS ci, coalesce(n$it.cemb, (SELECT cents FROM $prev)[r$it.ci]) AS cemb
+       |  FROM r$it LEFT JOIN n$it ON n$it.cell = r$it.ci),
+       |c$it AS (SELECT list(cemb ORDER BY ci) AS cents FROM e$it)""".stripMargin
+  }
+
+  /** The oracle's full centroid-training CTE chain (replays
+    * [[trainCentroidLiteral]]'s exact arithmetic as one pipeline);
+    * trained centroids land in CTE `c${TextSim.ivfLloydIters}`. */
+  private def duckKmeansCtes: String = {
+    val iters = (1 to TextSim.ivfLloydIters)
+      .map(it => duckKmeansIter(it, if (it == 1) "c0" else s"c${it - 1}")).mkString(",\n")
+    s"""cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |m AS (SELECT ${TextSim.ivfCells("n")} AS cells FROM cnt),
+       |train AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+       |  FROM embeddings WHERE vec_id < ${TextSim.ivfTrainPerCell} * (SELECT cells FROM m)),
+       |c0 AS (SELECT list(emb ORDER BY vec_id) AS cents FROM train
+       |       WHERE vec_id < (SELECT cells FROM m)),
+       |$iters""".stripMargin
+  }
+
+  /** Per-dimension affine int8 quantizer stats for t48/t49: (min, span)
+    * per dim — order-independent aggregates, one tiny collect (2·dim
+    * doubles). */
+  private def quantStats(s: SparkSession): (Array[Double], Array[Double]) = {
+    val stats = s.sql(
+      """SELECT pos, min(CAST(col AS DOUBLE)) AS mn, max(CAST(col AS DOUBLE)) AS mx
+        |FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, col
+        |GROUP BY pos ORDER BY pos""".stripMargin).collect()
+    (stats.map(_.getDouble(1)), stats.map(r => r.getDouble(2) - r.getDouble(1)))
+  }
+
+  /** The oracle's CTEs computing [[quantStats]]'s identical numbers
+    * (`arrs`: one row, `mns` + `spans` arrays). */
+  private def duckQuantCtes: String =
+    s"""ex AS (
+       |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+       |    unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+       |  FROM embeddings),
+       |st AS (SELECT i, min(val) AS mn, max(val) AS mx FROM ex GROUP BY i),
+       |arrs AS (SELECT list(mn ORDER BY i) AS mns, list(mx - mn ORDER BY i) AS spans FROM st)""".stripMargin
+
+  /** Affine int8 encode: per-dim code in [0,255] (zero-span dims → 0).
+    * Fixed-order double math, rendered identically on both engines;
+    * `mns`/`spans` are array exprs (broadcast literals on Spark, CTE
+    * columns in the oracle). */
+  private def qCodes(d: Dialect, emb: String, mns: String, spans: String, dim: String): String =
+    d.transform(d.ramp(dim),
+      s"i -> CASE WHEN ${d.at(spans, "i")} = 0.0 THEN CAST(0 AS BIGINT) " +
+        s"ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+        s"CAST(floor((CAST(${d.at(emb, "i")} AS DOUBLE) - ${d.at(mns, "i")}) " +
+        s"/ ${d.at(spans, "i")} * 255.0 + 0.5) AS BIGINT))) END")
+
+  /** Affine int8 decode (dequantize) — the scoring side reads ONLY this
+    * reconstruction, never the original floats, until the exact re-rank. */
+  private def qDequant(d: Dialect, codes: String, mns: String, spans: String, dim: String): String =
+    d.transform(d.ramp(dim),
+      s"i -> ${d.at(mns, "i")} + CAST(${d.at(codes, "i")} AS DOUBLE) / 255.0 * ${d.at(spans, "i")}")
+
   /** t41 — IVF ANN with TRAINED centroids and SCAN-SIDE assignment.
     *
     * Scale shape (the round-2 n×cells cross-join + full-corpus window is
@@ -428,19 +570,6 @@ object TrainingData {
     * IDENTICAL chain as one CTE pipeline. Doubles round-trip exactly
     * through the literal re-emission (Double.toString ↔ parse). */
   private val t41 = {
-    def litD(v: Double): String = {
-      val s0 = v.toString
-      if (s0.contains('.') || s0.contains('E')) s0 + "D" else s0 + ".0D"
-    }
-    // Top-3 nearest cells from a per-row distance array: sort (dist, idx)
-    // structs (ties break on idx, consistent with first-min assignment).
-    def top3(d: Dialect, ds: String): String =
-      if (d eq sprk)
-        s"transform(slice(array_sort(zip_with($ds, sequence(1, size($ds)), " +
-          s"(dd, ii) -> named_struct('d', dd, 'i', ii))), 1, 3), s0 -> CAST(s0.i AS BIGINT))"
-      else
-        s"list_transform(list_sort(list_transform(range(1, len($ds) + 1), " +
-          s"ii -> {'d': $ds[ii], 'i': ii}))[1:3], s0 -> CAST(s0.i AS BIGINT))"
     // Shared final stage: full-corpus scan-side assignment + bounded-query
     // multi-probe + top-3 by cosine. `centsRef` is the centroid array
     // expression: a broadcast literal on Spark, a 1-row CROSS JOIN column
@@ -454,7 +583,7 @@ object TrainingData {
          |  SELECT vec_id, embedding, n2,
          |    CAST(${if (d eq sprk) "array_position" else "list_position"}(ds, ${d.arrayMin}(ds)) AS BIGINT) AS cell
          |  FROM fd),
-         |q AS (SELECT vec_id, embedding, n2, ${top3(d, "ds")} AS probes
+         |q AS (SELECT vec_id, embedding, n2, ${top3Cells(d, "ds")} AS probes
          |      FROM fd WHERE vec_id % 100 = 0 AND vec_id < 2500),
          |qp AS (SELECT vec_id, embedding, n2, ${d.explode}(probes) AS cell FROM q),
          |scored AS (
@@ -469,81 +598,15 @@ object TrainingData {
          |SELECT query_id, neighbor_id, cell, cosine, rnk FROM ranked
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
-    // One Lloyd iteration in the oracle dialect: assign the training
-    // sample to `prev`'s centroids (argmin of the distance array), then
-    // per-cell sorted-fold means; empty cells keep the previous centroid.
-    def duckIter(it: Int, prev: String): String = {
-      val d = duck
-      s"""d$it AS (
-         |  SELECT t.vec_id, t.emb,
-         |    ${d.transform(d.ramp("len(c.cents)"), s"ci -> ${TextSim.dist2(d, "t.emb", "c.cents[ci]")}")} AS ds
-         |  FROM train t CROSS JOIN $prev c),
-         |a$it AS (SELECT vec_id, emb, CAST(list_position(ds, list_min(ds)) AS BIGINT) AS cell FROM d$it),
-         |g$it AS (SELECT cell, list(emb ORDER BY vec_id) AS vecs FROM a$it GROUP BY cell),
-         |n$it AS (
-         |  SELECT cell, list_transform(range(1, len(vecs[1]) + 1),
-         |    i -> list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(vecs, v -> v[i])),
-         |                     (acc, x0) -> acc + x0) / CAST(len(vecs) AS DOUBLE)) AS cemb
-         |  FROM g$it),
-         |r$it AS (SELECT unnest(range(1, (SELECT cells FROM m) + 1)) AS ci),
-         |e$it AS (
-         |  SELECT r$it.ci AS ci, coalesce(n$it.cemb, (SELECT cents FROM $prev)[r$it.ci]) AS cemb
-         |  FROM r$it LEFT JOIN n$it ON n$it.cell = r$it.ci),
-         |c$it AS (SELECT list(cemb ORDER BY ci) AS cents FROM e$it)""".stripMargin
-    }
-
     GQuery(
       fn = (s, dir) => {
         graft.functions.GraftFunctions.registerAll(s)
         Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
-        val d = sprk
-        val n = s.sql("SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings")
-          .collect()(0).getLong(0)
-        val k = TextSim.ivfCellsValue(n)
-        val cap = k.toLong * TextSim.ivfTrainPerCell
-        var cents: Array[Array[Double]] = s.sql(
-          s"""SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-             |FROM embeddings WHERE vec_id < $k ORDER BY vec_id""".stripMargin)
-          .collect().map(_.getSeq[Double](0).toArray)
-        def centsLit: String =
-          cents.map(_.map(litD).mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
-        if (cents.nonEmpty) {
-          val dim = cents(0).length
-          for (_ <- 1 to TextSim.ivfLloydIters) {
-            val upd = s.sql(
-              s"""WITH t AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-                 |           FROM embeddings WHERE vec_id < $cap),
-                 |dd AS (SELECT vec_id, emb,
-                 |  transform(sequence(1, ${cents.length}),
-                 |    ci -> ${TextSim.dist2(d, "emb", s"element_at($centsLit, ci)")}) AS ds FROM t),
-                 |a AS (SELECT vec_id, emb,
-                 |  CAST(array_position(ds, array_min(ds)) AS BIGINT) AS cell FROM dd),
-                 |g AS (SELECT cell,
-                 |  transform(sort_array(collect_list(struct(vec_id, emb))), s0 -> s0.emb) AS vecs
-                 |  FROM a GROUP BY cell)
-                 |SELECT cell, transform(sequence(1, $dim),
-                 |  i -> aggregate(transform(vecs, v -> element_at(v, i)), CAST(0 AS DOUBLE),
-                 |                 (acc, x0) -> acc + x0) / CAST(size(vecs) AS DOUBLE)) AS cemb
-                 |FROM g""".stripMargin)
-              .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
-            cents = Array.tabulate(cents.length)(i => upd.getOrElse(i + 1, cents(i)))
-          }
-        }
-        s.sql(s"WITH ${finalStage(d, "FROM embeddings", centsLit)}")
+        s.sql(s"WITH ${finalStage(sprk, "FROM embeddings", trainCentroidLiteral(s))}")
       },
       oracle = Some {
-        val d = duck
-        val iters = (1 to TextSim.ivfLloydIters)
-          .map(it => duckIter(it, if (it == 1) "c0" else s"c${it - 1}")).mkString(",\n")
-        s"""WITH cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
-           |m AS (SELECT ${TextSim.ivfCells("n")} AS cells FROM cnt),
-           |train AS (
-           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
-           |  FROM embeddings WHERE vec_id < ${TextSim.ivfTrainPerCell} * (SELECT cells FROM m)),
-           |c0 AS (SELECT list(emb ORDER BY vec_id) AS cents FROM train
-           |       WHERE vec_id < (SELECT cells FROM m)),
-           |$iters,
-           |${finalStage(d, s"FROM embeddings CROSS JOIN c${TextSim.ivfLloydIters} cj", "cj.cents")}""".stripMargin
+        s"""WITH $duckKmeansCtes,
+           |${finalStage(duck, s"FROM embeddings CROSS JOIN c${TextSim.ivfLloydIters} cj", "cj.cents")}""".stripMargin
       })
   }
 
@@ -802,32 +865,17 @@ object TrainingData {
         graft.functions.GraftFunctions.registerAll(s)
         Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
         val d = sprk
-        def litD(v: Double): String = {
-          val s0 = v.toString
-          if (s0.contains('.') || s0.contains('E')) s0 + "D" else s0 + ".0D"
-        }
-        val stats = s.sql(
-          """SELECT pos, min(CAST(col AS DOUBLE)) AS mn, max(CAST(col AS DOUBLE)) AS mx
-            |FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, col
-            |GROUP BY pos ORDER BY pos""".stripMargin).collect()
-        val mn = stats.map(_.getDouble(1))
-        val span = stats.map(r => r.getDouble(2) - r.getDouble(1))
-        val dim = mn.length
+        val (mn, span) = quantStats(s)
         def arr(a: Array[Double]) = a.map(litD).mkString("array(", ", ", ")")
-        val mnL = arr(mn); val spL = arr(span)
+        val mnL = arr(mn); val spL = arr(span); val dim = mn.length.toString
         s.sql(
           s"""WITH v AS (
              |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2,
-             |    transform(sequence(1, $dim), i ->
-             |      CASE WHEN element_at($spL, i) = 0.0 THEN CAST(0 AS BIGINT)
-             |           ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
-             |             CAST(floor((CAST(element_at(embedding, i) AS DOUBLE) - element_at($mnL, i))
-             |               / element_at($spL, i) * 255.0 + 0.5) AS BIGINT))) END) AS codes
+             |    ${qCodes(d, "embedding", mnL, spL, dim)} AS codes
              |  FROM embeddings),
              |w AS (
              |  SELECT vec_id, embedding, n2,
-             |    transform(sequence(1, $dim), i ->
-             |      element_at($mnL, i) + CAST(element_at(codes, i) AS DOUBLE) / 255.0 * element_at($spL, i)) AS dq
+             |    ${qDequant(d, "codes", mnL, spL, dim)} AS dq
              |  FROM v),
              |w2 AS (SELECT vec_id, n2, dq,
              |         ${TextSim.dotHof(d, "dq", "dq")} AS dqn2 FROM w),
@@ -840,25 +888,15 @@ object TrainingData {
       },
       oracle = Some {
         val d = duck
-        s"""WITH ex AS (
-           |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
-           |    unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
-           |  FROM embeddings),
-           |st AS (SELECT i, min(val) AS mn, max(val) AS mx FROM ex GROUP BY i),
-           |arrs AS (SELECT list(mn ORDER BY i) AS mns, list(mx - mn ORDER BY i) AS spans FROM st),
+        s"""WITH $duckQuantCtes,
            |v AS (
            |  SELECT e.vec_id, e.embedding, ${TextSim.norm2(d, "e.embedding")} AS n2,
-           |    list_transform(range(1, len(e.embedding) + 1), i ->
-           |      CASE WHEN a.spans[i] = 0.0 THEN CAST(0 AS BIGINT)
-           |           ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
-           |             CAST(floor((e.embedding[i]::DOUBLE - a.mns[i])
-           |               / a.spans[i] * 255.0 + 0.5) AS BIGINT))) END) AS codes,
+           |    ${qCodes(d, "e.embedding", "a.mns", "a.spans", "len(e.embedding)")} AS codes,
            |    a.mns AS mns, a.spans AS spans
            |  FROM embeddings e CROSS JOIN arrs a),
            |w AS (
            |  SELECT vec_id, embedding, n2,
-           |    list_transform(range(1, len(codes) + 1), i ->
-           |      mns[i] + CAST(codes[i] AS DOUBLE) / 255.0 * spans[i]) AS dq
+           |    ${qDequant(d, "codes", "mns", "spans", "len(codes)")} AS dq
            |  FROM v),
            |w2 AS (SELECT vec_id, n2, dq, ${TextSim.dotHof(d, "dq", "dq")} AS dqn2 FROM w),
            |qs AS (SELECT vec_id, embedding, n2 FROM w WHERE vec_id % 100 = 0 AND vec_id < 2500),
@@ -867,6 +905,85 @@ object TrainingData {
            |    ${TextSim.dotHof(d, "q.embedding", "c.dq")} / (sqrt(q.n2) * sqrt(c.dqn2)) AS approx_cosine
            |  FROM qs q JOIN w2 c ON c.vec_id <> q.vec_id),
            |${rankTail(d)}""".stripMargin
+      })
+  }
+
+  /** t49 — IVF-SQ8: t41's trained coarse quantizer COMPOSED with t48's
+    * int8 scalar quantization — the production ANN index shape (what
+    * FAISS calls `IVF<nlist>,SQ8`). The corpus is assigned to cells
+    * scan-side (argmin over the broadcast centroid literal) and stored
+    * as int8 codes; each query probes its 3 nearest cells and scores
+    * DEQUANTIZED CODES ONLY INSIDE THE PROBED CELLS — an equi-join on
+    * `cell` — then exact-re-ranks its top-10 approximate candidates to
+    * a final top-3.
+    *
+    * This removes t48's whole-corpus scoring scan and with it the
+    * bounded-query crutch: per-query scoring work is ~(3/cells)·n rows
+    * at 4× less memory traffic (8 bits/dim), so query count scales with
+    * cluster capacity rather than being capped by the flat-scan cost.
+    * The probe join is an equi-join on `cell` (plan-asserted: no
+    * corpus-wide nested loop); the exact re-rank touches ≤10 float rows
+    * per query. At 100 TB the `enc2` frame IS the persisted index
+    * (cell-partitioned parquet of codes); here it is built in-plan so
+    * the oracle can replay the identical arithmetic end-to-end. */
+  private val t49 = {
+    def stage(d: Dialect, fromV: String, cents: String, mns: String, spans: String): String = {
+      val pos = if (d eq sprk) "array_position" else "list_position"
+      s"""raw AS (SELECT vec_id, embedding, $cents AS cents_, $mns AS mns_, $spans AS spans_ $fromV),
+         |base AS (
+         |  SELECT vec_id, embedding, mns_, spans_, ${TextSim.norm2(d, "embedding")} AS n2,
+         |    ${d.transform(d.ramp(s"${d.size}(cents_)"), s"ci -> ${TextSim.dist2(d, "embedding", d.at("cents_", "ci"))}")} AS ds
+         |  FROM raw),
+         |enc AS (
+         |  SELECT vec_id, cell, ${qDequant(d, "codes", "mns_", "spans_", s"${d.size}(codes)")} AS dq
+         |  FROM (
+         |    SELECT vec_id, mns_, spans_,
+         |      CAST($pos(ds, ${d.arrayMin}(ds)) AS BIGINT) AS cell,
+         |      ${qCodes(d, "embedding", "mns_", "spans_", s"${d.size}(mns_)")} AS codes
+         |    FROM base) e0),
+         |enc2 AS (SELECT vec_id, cell, dq, ${TextSim.dotHof(d, "dq", "dq")} AS dqn2 FROM enc),
+         |q AS (SELECT vec_id, embedding, n2, ${top3Cells(d, "ds")} AS probes
+         |      FROM base WHERE vec_id % 100 = 0 AND vec_id < 2500),
+         |qp AS (SELECT vec_id, embedding, n2, ${d.explode}(probes) AS cell FROM q),
+         |scored AS (
+         |  SELECT qp.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell AS cell,
+         |    ${TextSim.dotHof(d, "qp.embedding", "c.dq")} / (sqrt(qp.n2) * sqrt(c.dqn2)) AS approx_cosine
+         |  FROM qp JOIN enc2 c ON c.cell = qp.cell AND c.vec_id <> qp.vec_id),
+         |cand AS (
+         |  SELECT query_id, neighbor_id, cell, approx_cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx_cosine DESC, neighbor_id) AS rka
+         |  FROM scored),
+         |rer AS (
+         |  SELECT c.query_id AS query_id, c.neighbor_id AS neighbor_id, c.cell AS cell,
+         |    c.approx_cosine AS approx_cosine,
+         |    ${TextSim.dot(d, "qe.embedding", "ne.embedding")} / (sqrt(qe.n2) * sqrt(ne.n2)) AS cosine
+         |  FROM cand c
+         |  JOIN base qe ON qe.vec_id = c.query_id
+         |  JOIN base ne ON ne.vec_id = c.neighbor_id
+         |  WHERE c.rka <= 10),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cell, approx_cosine, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM rer)
+         |SELECT query_id, neighbor_id, cell, approx_cosine, cosine, rnk FROM ranked
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+    }
+    GQuery(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+        val (mnA, spA) = quantStats(s)
+        def arr(a: Array[Double]) = a.map(litD).mkString("array(", ", ", ")")
+        s.sql(s"WITH ${stage(sprk, "FROM embeddings", trainCentroidLiteral(s), arr(mnA), arr(spA))}")
+      },
+      oracle = Some {
+        s"""WITH $duckKmeansCtes,
+           |$duckQuantCtes,
+           |${stage(duck,
+              s"FROM embeddings CROSS JOIN c${TextSim.ivfLloydIters} cj CROSS JOIN arrs a",
+              "cj.cents", "a.mns", "a.spans")}""".stripMargin
       })
   }
 
@@ -889,5 +1006,6 @@ object TrainingData {
     "t45_decontaminate" -> t45,
     "t46_repetition" -> t46,
     "t47_source_mix" -> t47,
-    "t48_quantized_ann" -> t48)
+    "t48_quantized_ann" -> t48,
+    "t49_ivf_sq8_ann" -> t49)
 }

@@ -60,7 +60,9 @@ class AnnRecallSpec extends SparkSpec {
     // cell-probe recall is inherently modest here; the floor pins
     // "multi-probe works and doesn't regress", not production quality.
     // Trained centroids (2 deterministic Lloyd iterations) lifted the
-    // round-2 seed-centroid floor from 0.4 to 0.5.
+    // round-2 seed-centroid floor from 0.4 to 0.5. Measured at sf0.01:
+    // 8/15 = 0.533 — the honest floor IS 0.5 (a 0.7 floor would need
+    // more probes or more Lloyd iterations, not better assertions).
     info(s"t41 recall@3: ${(truth & got).size}/${truth.size} = $recall")
     assert(recall >= 0.5, s"IVF 3-probe recall degraded: $recall")
   }
@@ -92,5 +94,35 @@ class AnnRecallSpec extends SparkSpec {
     // pool + exact re-rank should recover nearly all of the exact top-3.
     info(s"t48 recall@3: ${(truth & got).size}/${truth.size} = $recall")
     assert(recall >= 0.8, s"quantized re-rank recall degraded: $recall")
+  }
+
+  test("t49 IVF-SQ8 (cell probe + int8 scoring + re-rank) matches t41's recall floor") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    val d = sprk
+    val truth = spark.sql(
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2 FROM embeddings),
+         |q AS (SELECT * FROM v WHERE vec_id % 100 = 0 AND vec_id < 2500),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |    ${TextSim.dot(d, "q.embedding", "v.embedding")} / (sqrt(q.n2) * sqrt(v.n2)) AS cosine
+         |  FROM q JOIN v ON v.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) WHERE rnk <= 3""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("t49_ivf_sq8_ann")(spark, dir)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    CacheJanitor.drain()
+    assert(truth.nonEmpty)
+    val recall = (truth & got).size.toDouble / truth.size
+    // Candidate recall is bounded by the 3-cell probe (t41's limit); the
+    // int8 + top-10 re-rank inside the probed cells should cost almost
+    // nothing on top (t48 measured ~no loss from 8-bit scoring).
+    info(s"t49 recall@3: ${(truth & got).size}/${truth.size} = $recall")
+    assert(recall >= 0.5, s"IVF-SQ8 recall fell below t41's floor: $recall")
   }
 }

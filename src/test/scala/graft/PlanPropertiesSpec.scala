@@ -46,7 +46,7 @@ class PlanPropertiesSpec extends SparkSpec {
     // against the scan-side assignment — no corpus×corpus join survives
     // in any of them.
     Seq("t35_ngram_jaccard_dedup", "t36_minhash_lsh_dedup", "t37_simhash_dedup",
-      "t39_lsh_bucket_ann", "t41_ivf_ann").foreach { q =>
+      "t39_lsh_bucket_ann", "t41_ivf_ann", "t49_ivf_sq8_ann").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not cartesian-join:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must pair via equi-joins:\n$p")
@@ -62,6 +62,18 @@ class PlanPropertiesSpec extends SparkSpec {
     val windows = "(?m)^\\(\\d+\\) Window\\s*$".r.findAllIn(p).size
     assert(windows == 1, s"expected exactly the per-query ranking window, got $windows:\n$p")
     assert(!p.contains("SortMergeJoin"), s"probe join must broadcast:\n$p")
+  }
+
+  test("t49: SQ8 scoring joins on cell — no corpus-wide nested loop, only the two ranking windows") {
+    val p = plan("t49_ivf_sq8_ann")
+    // The whole point of composing IVF with SQ8: every scoring pair comes
+    // from the cell equi-join (probe side ≤ 3·queries rows), so the plan
+    // must contain no corpus×corpus nested loop, and the only Window
+    // nodes are the bounded per-query candidate + re-rank rankings.
+    assert(!p.contains("CartesianProduct"), s"t49 must not cartesian-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"t49 must score via the cell equi-join:\n$p")
+    val windows = "(?m)^\\(\\d+\\) Window\\s*$".r.findAllIn(p).size
+    assert(windows == 2, s"expected candidate + re-rank windows only, got $windows:\n$p")
   }
 
   test("q13: unpivot compiles to Expand (no join, no explode shuffle)") {
