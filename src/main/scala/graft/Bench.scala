@@ -60,7 +60,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case QRes(_, m, _, _, None) => m }.sum
     val nErr = results.count(_.err.nonEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}","errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}","errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}"""
+    println(json)
+    // The driver's tail-capture clips this (very long) line, so the
+    // committed artifact also lands in a file — the round record must be
+    // parseable from the repo alone (round-3 verdict "What's wrong" #1).
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+    }
     spark.stop()
   }
 }

@@ -220,17 +220,34 @@ object Relational {
   }
 
   /** Connected components over an undirected pair list `(a, b)` by
-    * iterative min-label propagation: every node starts as its own
-    * label; each round takes the min label over the CLOSED neighborhood
-    * (self-loops are added here, so one equi-join + partial-aggregated
-    * groupBy per round); the driver loops to a fixpoint checking one
-    * scalar count per round. Rounds track graph diameter — the shape
-    * that scales to corpus-sized graphs, unlike transitive closure
-    * (quadratic in component size). The edge set is hash-partitioned on
-    * the join key before caching, so only the label side moves per
-    * round. Returns one row per node: (node, label = min node id of its
-    * component). Deterministic at any partitioning (min is
-    * order-independent). */
+    * iterative min-label propagation WITH POINTER DOUBLING: every node
+    * starts as its own label; each round (1) takes the min label over
+    * the CLOSED neighborhood (self-loops are added here, so one
+    * equi-join + partial-aggregated groupBy), then — once
+    * [[ccDoubleAfter]] plain rounds haven't converged — (2) adopts its
+    * label's own label, the label-of-label shortcut that lets the min
+    * travel a doubling number of hops per round, so the round count is
+    * O(log diameter), not O(diameter) (a 1M-hop chain resolves in ~25
+    * rounds, within the default `maxRounds`). The doubling join is
+    * deferred because real near-dup graphs are shallow (t44 converges
+    * in ≤4 rounds) and the extra per-round self-join would be pure
+    * overhead there; only a pathologically deep graph pays for its own
+    * cure. The driver loops to a
+    * fixpoint checking one scalar count per round, and truncates plan
+    * lineage with `localCheckpoint` every [[ccCheckpointEvery]] rounds.
+    * The truncation is load-bearing, not hygiene: the doubling self-join
+    * references the round's propagation twice, so the LOGICAL PLAN TREE
+    * doubles per round — 2^k between truncations — and Spark's plan
+    * stringification (AQE logs it per stage) OOMs near k≈10 even though
+    * execution reuses the cached frames. Every 4 rounds caps the factor
+    * at 16× a checkpoint-rooted (constant-size) plan. The edge set is
+    * hash-partitioned on the join key before caching, so only the label
+    * side moves per round. Returns one row per node: (node, label = min
+    * node id of its component). Deterministic at any partitioning (min
+    * is order-independent). */
+  val ccCheckpointEvery = 4
+  val ccDoubleAfter = 6
+
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     val p2 = pairs.toDF("a", "b")
     val undirected = p2.union(p2.select(col("b"), col("a"))).toDF("src", "dst")
@@ -244,10 +261,23 @@ object Relational {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
+      val prop = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(edges("src").as("node")).agg(min(col("label")).as("label"))
+      // Pointer doubling (deferred): a label is itself a node, so look
+      // up ITS label from this round's propagation and adopt it.
+      // prop(label) <= label always (labels are monotone and the
+      // neighborhood is closed), so the adopted value never regresses
+      // correctness — it only jumps the min further in one round.
+      val doubled =
+        if (rounds < ccDoubleAfter) prop
+        else {
+          val hop = prop.select(col("node").as("hop_node"), col("label").as("hop_label"))
+          prop.join(hop, prop("label") === col("hop_node"))
+            .select(prop("node").as("node"), col("hop_label").as("label"))
+        }
       val next = graft.CacheJanitor.register(
-        edges.join(labels, edges("dst") === labels("node"))
-          .groupBy(edges("src").as("node")).agg(min(col("label")).as("label"))
-          .persist())
+        (if ((rounds + 1) % ccCheckpointEvery == 0) doubled.localCheckpoint()
+         else doubled.persist()))
       // Labels only ever decrease, so "any label strictly smaller than
       // before" is the full convergence test.
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))

@@ -86,6 +86,20 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents resolves a chain with diameter far beyond maxRounds (pointer doubling)") {
+    import graft.operators.Relational.connectedComponents
+    // A 200-hop path: plain one-hop propagation needs 200 rounds and
+    // would trip maxRounds=25; label-of-label doubling converges in
+    // O(log d) rounds. Also exercises the periodic localCheckpoint
+    // (rounds > ccCheckpointEvery would otherwise chain lineage).
+    val chain = (1L to 200L).map(i => (i, i + 1))
+    val got = connectedComponents(chain.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheJanitor.drain()
+    assert(got.keySet == (1L to 201L).toSet)
+    assert(got.values.forall(_ == 1L), s"all chain nodes must resolve to label 1: ${got.toSeq.sortBy(_._1).take(10)}")
+  }
+
   test("melt unpivots columns into (variable, value) rows") {
     val df = Seq((1, 10.0, 20.0)).toDF("id", "a", "b")
     val out = melt(Seq("id"), Seq("a", "b"), "variable", "value")(df)
