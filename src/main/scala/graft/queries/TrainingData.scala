@@ -908,6 +908,148 @@ object TrainingData {
       })
   }
 
+  /** t50 — decontamination REMOVAL (the act step on t45's report): drop
+    * every corpus document sharing a 3-word shingle with the eval set
+    * and emit the per-source before/after accounting a pipeline records
+    * with the cleaned snapshot. Contamination detection is t45's path
+    * verbatim — scan-side intersect against the broadcast eval
+    * shingle-set, so the drop set is identified in one linear pass —
+    * and removal is a left anti join of the corpus against that (small,
+    * ~1% at realistic rates) drop list: broadcastable at any corpus
+    * size, never a shuffle of the corpus itself. The `cleaned` frame is
+    * the operator's real product (at 100 TB it is written as the new
+    * snapshot); the registered result aggregates it to integer
+    * per-source counts — exact, order-independent, deterministic at any
+    * partitioning. Docs too short to shingle (<3 words) carry no
+    * contamination evidence and are kept, matching t45's definition. */
+  private val t50 = GQuery(
+    fn = (s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val d = sprk
+      val sh = graft.CacheJanitor.register(s.sql(shSql(d)).persist())
+      sh.createOrReplaceTempView("t50_sh")
+      s.sql("SELECT doc_id, explode(shs) AS h FROM t50_sh WHERE doc_id % 50 = 0")
+        .createOrReplaceTempView("t50_bench")
+      s.sql(
+        s"""WITH contam AS (
+           |  SELECT doc_id FROM t50_sh
+           |  WHERE doc_id % 50 <> 0
+           |    AND size(array_intersect(shs, (SELECT collect_set(h) FROM t50_bench))) >= 1),
+           |corpus AS (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 50 <> 0),
+           |cleaned AS (
+           |  SELECT c.doc_id, c.source, c.n_chars,
+           |    CASE WHEN k.doc_id IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS dropped
+           |  FROM corpus c LEFT JOIN contam k ON c.doc_id = k.doc_id)
+           |SELECT source,
+           |  CAST(count(*) AS BIGINT) AS n_docs_before,
+           |  CAST(sum(dropped) AS BIGINT) AS n_docs_dropped,
+           |  CAST(count(*) - sum(dropped) AS BIGINT) AS n_docs_after,
+           |  CAST(sum(n_chars) AS BIGINT) AS n_chars_before,
+           |  CAST(sum(n_chars * (1 - dropped)) AS BIGINT) AS n_chars_after
+           |FROM cleaned GROUP BY source ORDER BY source""".stripMargin)
+    },
+    oracle = Some {
+      val d = duck
+      s"""WITH sh AS (${shSql(d)}),
+         |bench AS (SELECT doc_id, ${d.explode}(shs) AS h FROM sh WHERE doc_id % 50 = 0),
+         |ce AS (SELECT doc_id, ${d.explode}(shs) AS h FROM sh WHERE doc_id % 50 <> 0),
+         |contam AS (SELECT DISTINCT c.doc_id AS doc_id FROM ce c JOIN bench b ON c.h = b.h),
+         |corpus AS (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 50 <> 0),
+         |cleaned AS (
+         |  SELECT c.doc_id, c.source, c.n_chars,
+         |    CASE WHEN k.doc_id IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS dropped
+         |  FROM corpus c LEFT JOIN contam k ON c.doc_id = k.doc_id)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs_before,
+         |  CAST(sum(dropped) AS BIGINT) AS n_docs_dropped,
+         |  CAST(count(*) - sum(dropped) AS BIGINT) AS n_docs_after,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_before,
+         |  CAST(sum(n_chars * (1 - dropped)) AS BIGINT) AS n_chars_after
+         |FROM cleaned GROUP BY source ORDER BY source""".stripMargin
+    })
+
+  /** t51 — CROSS-MODAL retrieval: text query → media neighbors. The
+    * media side goes through the REAL multimodal batch operator
+    * ([[graft.multimodal.Multimodal.decodeAll]]: per-partition decoder
+    * lifecycle, fixed-size batches, no shuffle) whose stub decoder
+    * emits deterministic 8-dim embeddings; the text side embeds
+    * in-plan with the codegen'd `graft_poly_hash` kernel. Retrieval is
+    * t39's scale-parameterized LSH bucketing verbatim — bucket ladder
+    * over the media count, Hamming-1 multi-probe from the query side,
+    * probe→bucket equi-join, exact cosine re-rank to top-3 — so the
+    * multimodal column rides the same sub-quadratic ANN path as text
+    * embeddings rather than being a parallel track.
+    *
+    * The oracle twin is expressible because the stub decoder is a
+    * deterministic byte-fold: for the (ASCII) corpus its UTF-8 byte
+    * hash equals the code-point PolyHash, so DuckDB replays embedding
+    * construction symbolically. A real CLIP-style encoder swaps in at
+    * [[graft.multimodal.Multimodal.MediaDecoder.decode]] without
+    * touching this plan. */
+  private val t51 = {
+    def stubEmb(d: Dialect, hExpr: String): String = {
+      val ramp0 = if (d eq sprk) "sequence(0, 7)" else "range(0, 8)"
+      d.transform(ramp0, s"dd -> CAST((($hExpr + dd * 131) % 1000) / 1000.0 AS FLOAT)")
+    }
+    def tail(d: Dialect): String = {
+      val probes = d.arrayOf("bucket" +: (0 until TextSim.lshPlanes)
+        .map(k => d.xor("bucket", (1L << k).toString)))
+      s"""p AS (SELECT doc_id, ${d.explode}($probes) AS probe FROM qv),
+         |cand AS (
+         |  SELECT DISTINCT p.doc_id AS query_id, mv.doc_id AS media_id
+         |  FROM p JOIN mv ON p.probe = mv.bucket AND p.doc_id <> mv.doc_id),
+         |scored AS (
+         |  SELECT c.query_id AS query_id, c.media_id AS media_id, b.bucket AS bucket,
+         |    ${TextSim.dot(d, "a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+         |  FROM cand c JOIN qv a ON c.query_id = a.doc_id JOIN mv b ON c.media_id = b.doc_id),
+         |ranked AS (
+         |  SELECT query_id, media_id, bucket, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, media_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, media_id, bucket, cosine, rnk FROM ranked
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+    }
+    GQuery(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        val docs = Tables.documents(s, dir)
+        docs.createOrReplaceTempView("documents")
+        graft.multimodal.Multimodal.decodeAll(
+          graft.multimodal.Multimodal.documentsAsMedia(docs),
+          new graft.multimodal.Multimodal.StubDecoder(8))
+          .createOrReplaceTempView("t51_media")
+        val d = sprk
+        s.sql(
+          s"""WITH cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t51_media),
+             |m AS (SELECT ${TextSim.lshMask("n")} AS mask FROM cnt),
+             |mv AS (
+             |  SELECT doc_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2,
+             |    ${TextSim.lshCode(d, "embedding")} % (SELECT mask FROM m) AS bucket
+             |  FROM t51_media),
+             |qv AS (
+             |  SELECT doc_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2,
+             |    ${TextSim.lshCode(d, "embedding")} % (SELECT mask FROM m) AS bucket
+             |  FROM (SELECT doc_id, ${stubEmb(d, TextSim.wordHash(d, "text"))} AS embedding
+             |        FROM documents WHERE doc_id % 50 = 0)),
+             |${tail(d)}""".stripMargin)
+      },
+      oracle = Some {
+        val d = duck
+        s"""WITH cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           |m AS (SELECT ${TextSim.lshMask("n")} AS mask FROM cnt),
+           |me AS (SELECT doc_id, ${stubEmb(d, TextSim.wordHash(d, "text"))} AS embedding
+           |       FROM documents),
+           |mv AS (
+           |  SELECT doc_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2,
+           |    ${TextSim.lshCode(d, "embedding")} % (SELECT mask FROM m) AS bucket
+           |  FROM me),
+           |qv AS (SELECT * FROM mv WHERE doc_id % 50 = 0),
+           |${tail(d)}""".stripMargin
+      })
+  }
+
   /** t49 — IVF-SQ8: t41's trained coarse quantizer COMPOSED with t48's
     * int8 scalar quantization — the production ANN index shape (what
     * FAISS calls `IVF<nlist>,SQ8`). The corpus is assigned to cells
@@ -1007,5 +1149,7 @@ object TrainingData {
     "t46_repetition" -> t46,
     "t47_source_mix" -> t47,
     "t48_quantized_ann" -> t48,
-    "t49_ivf_sq8_ann" -> t49)
+    "t49_ivf_sq8_ann" -> t49,
+    "t50_decontam_removal" -> t50,
+    "t51_crossmodal_ann" -> t51)
 }
