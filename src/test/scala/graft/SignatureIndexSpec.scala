@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import graft.operators.SignatureIndex
+
+/** Incremental maintenance contract for the near-dup signature index:
+  * batch 2 pays for the increment only (row counts + on-disk file
+  * fingerprints), and the accumulated per-batch deltas equal a
+  * from-scratch recompute over the union corpus. */
+class SignatureIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  // Batch A: one near-dup pair (1,2) and two singletons.
+  private val batchA = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog today",
+    2L -> "the quick brown fox jumps over the lazy cat today",
+    3L -> "completely different text about spark engines and parquet files",
+    7L -> "short doc") // <3 words after tokenization → no signature
+  // Batch B: a near-dup of A's pair (new-vs-old), an exact dup of doc 3
+  // (new-vs-old, jaccard 1.0), an unrelated doc, and a new-vs-new pair.
+  private val batchB = Seq(
+    4L -> "the quick brown fox jumps over the lazy dog yesterday",
+    5L -> "another unrelated document with entirely distinct words inside",
+    6L -> "completely different text about spark engines and parquet files",
+    8L -> "rain in spain falls mainly on the plain every year",
+    9L -> "rain in spain falls mainly on the plain every month")
+
+  private def parquetFiles(path: Path): Map[String, Long] =
+    Files.walk(path).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+      .toMap
+
+  test("batch 2 computes signatures only for the increment and leaves prior files untouched") {
+    val root = Files.createTempDirectory("graft_sigidx").toString
+    val b1 = SignatureIndex.ingest(spark, root, docs(batchA: _*))
+    assert(b1.newSigs.count() == 3) // doc 7 is too short to shingle
+    b1.deltaPairs.count() // materialize before fingerprinting
+    CacheJanitor.drain()
+    val filesAfter1 = parquetFiles(java.nio.file.Paths.get(root))
+    assert(filesAfter1.nonEmpty)
+
+    val b2 = SignatureIndex.ingest(spark, root, docs(batchB: _*))
+    // The increment side is exactly batch B — no corpus recompute.
+    assert(b2.newSigs.count() == batchB.size)
+    assert(b2.allSigs.count() == 3 + batchB.size)
+    CacheJanitor.drain()
+    // Append-only: every batch-1 file still present, byte-untouched.
+    val filesAfter2 = parquetFiles(java.nio.file.Paths.get(root))
+    filesAfter1.foreach { case (f, mtime) =>
+      assert(filesAfter2.get(f).contains(mtime), s"batch-1 file rewritten: $f")
+    }
+    assert(filesAfter2.size > filesAfter1.size, "batch 2 must add its own files")
+  }
+
+  test("accumulated per-batch deltas equal the from-scratch recompute on the union corpus") {
+    val root = Files.createTempDirectory("graft_sigidx2").toString
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val b1 = SignatureIndex.ingest(spark, root, docs(batchA: _*))
+    val d1 = pairSet(b1.deltaPairs)
+    val b2 = SignatureIndex.ingest(spark, root, docs(batchB: _*))
+    val d2 = pairSet(b2.deltaPairs)
+    // From-scratch: deltaPairs(all, all) IS the t35 batch pipeline.
+    val full = pairSet(SignatureIndex.deltaPairs(b2.allSigs, b2.allSigs))
+    CacheJanitor.drain()
+
+    assert(d1 == Set((1L, 2L)))
+    assert(d2.contains((3L, 6L)), "exact dup across batches must be a delta pair")
+    assert(d2.contains((8L, 9L)), "new-vs-new pair inside the increment must be found")
+    assert(d2.exists { case (a, b) => a <= 2 && b == 4L },
+      "near-dup of an old doc must be found as new-vs-old")
+    assert(d2.forall { case (a, b) => b >= 4L || a >= 4L },
+      "a delta must always touch an increment doc")
+    assert(d1 ++ d2 == full, s"incremental union ${d1 ++ d2} != full recompute $full")
+  }
+}
