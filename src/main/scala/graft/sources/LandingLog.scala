@@ -137,9 +137,13 @@ object LandingLog {
     // works when the partitioned table is the probe side; without the
     // hint a small-at-test-scale fact could be picked as the build side
     // and the dynamic filter would never apply.
+    // Compare mirror keys on an EXPLICIT canonical type: partition-column
+    // inference reads the digit-string __p_* directories back as INT, so
+    // a bare comparison would lean on implicit int<->string coercion and
+    // break under inference/ANSI setting changes.
     raw.join(broadcast(lookup),
         raw(joinCol) === lookup(lookupKey) &&
-          raw(s"__p_$joinCol") ===
+          raw(s"__p_$joinCol").cast("string") ===
             floor(lookup(lookupKey).cast("long") / rangeSize).cast("string"))
       .drop(raw.columns.filter(_.startsWith("__p_")).toSeq: _*)
   }

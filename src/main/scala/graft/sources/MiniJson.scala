@@ -87,6 +87,67 @@ object MiniJson {
     out.result()
   }
 
+  /** Parse a document that is either the flat shape itself or ONE flat
+    * object wrapped under a single top-level key — the reference's
+    * actual secret delivery (ingestion_lambda.py builds
+    * `json.loads('{' + secret + '}')['crigglestone']`, i.e. the payload
+    * arrives nested one level). Anything else — two wrapping keys,
+    * double nesting, arrays — still fails loudly with the FLAT parse's
+    * error, never a silent wrong answer. */
+  def parseFlatOrWrapped(s: String): Map[String, String] =
+    try parseFlat(s)
+    catch {
+      case e: IllegalArgumentException =>
+        unwrapSingleKey(s).map(parseFlat).getOrElse(throw e)
+    }
+
+  /** If `s` is exactly `{ "key" : { ... } }` (one key, object value,
+    * nothing after), return the inner object text; scanning is
+    * string-escape-aware so braces inside values can't fool it. */
+  private def unwrapSingleKey(s: String): Option[String] = {
+    var i = 0
+    def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def skipString(): Boolean = {
+      if (i >= s.length || s.charAt(i) != '"') return false
+      i += 1
+      while (i < s.length && s.charAt(i) != '"') {
+        if (s.charAt(i) == '\\') i += 2 else i += 1
+      }
+      if (i >= s.length) return false
+      i += 1; true
+    }
+    skipWs()
+    if (i >= s.length || s.charAt(i) != '{') return None
+    i += 1
+    skipWs()
+    if (!skipString()) return None // the single wrapping key
+    skipWs()
+    if (i >= s.length || s.charAt(i) != ':') return None
+    i += 1
+    skipWs()
+    if (i >= s.length || s.charAt(i) != '{') return None
+    val start = i
+    var depth = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => if (!skipString()) return None
+        case '{' => depth += 1; i += 1
+        case '}' =>
+          depth -= 1; i += 1
+          if (depth == 0) {
+            val inner = s.substring(start, i)
+            skipWs()
+            if (i >= s.length || s.charAt(i) != '}') return None
+            i += 1
+            skipWs()
+            return if (i == s.length) Some(inner) else None
+          }
+        case _ => i += 1
+      }
+    }
+    None
+  }
+
   /** Render a flat map as JSON with full escaping — the exact inverse of
     * [[parseFlat]] (round-trip asserted in SecretsSpec/StarPipelineSpec).
     * Keys sorted for stable diffs of the persisted state file. */

@@ -39,12 +39,16 @@ object Secrets {
     }
   }
 
-  /** Parse the flat JSON secret document (string values only — the exact
-    * shape the reference consumes). Escape-correct: a password containing
-    * `\"` or `{` parses to the literal characters; anything outside the
-    * flat string-to-string shape fails loudly rather than yielding wrong
-    * credentials. Same codec contract as WatermarkStore's state file. */
-  def parse(json: String): Map[String, String] = MiniJson.parseFlat(json)
+  /** Parse the JSON secret document (string values only — the exact
+    * shape the reference consumes), accepting BOTH delivery forms: the
+    * flat object itself, and the reference's wrapped form where the flat
+    * payload sits under a single top-level key (ingestion_lambda.py
+    * reads `json.loads('{' + secret + '}')['crigglestone']`).
+    * Escape-correct: a password containing `\"` or `{` parses to the
+    * literal characters; anything outside those two shapes fails loudly
+    * rather than yielding wrong credentials. Same codec contract as
+    * WatermarkStore's state file (which stays strictly flat). */
+  def parse(json: String): Map[String, String] = MiniJson.parseFlatOrWrapped(json)
 
   def fromJson(json: String): DbSecret = {
     val m = parse(json)

@@ -78,7 +78,10 @@ object Runner {
     * unchanged fact is ever rewritten). Pass `false` for the reference's
     * dense 1..n policy (parity mode), which forces every non-empty fact
     * to rebuild with dim_date — that renumbering-vs-stale-FK tradeoff is
-    * exactly why stable ids are the default. */
+    * exactly why stable ids are the default. Flipping the policy over an
+    * EXISTING snapshot is detected from the stored dim_date's id range
+    * and forces a one-time full fact rebuild, so pre-flip FKs can never
+    * dangle (the round-3 advisory's migration hazard). */
   def processBatch(
       spark: SparkSession,
       landingRoot: String,
@@ -107,6 +110,20 @@ object Runner {
       put("dim-transaction", StarSchema.dimTransaction(log("transaction")))
 
     if ((updates & factSources).nonEmpty) {
+      // One-time id-policy migration guard: if the STORED dim_date was
+      // built under the OTHER id policy (dense ids are 1..n < 10^7;
+      // stable ids are yyyymmdd >= 19700101), facts skipped by the
+      // selective rebuild would keep FKs minted under the old policy and
+      // their dim_date joins would silently go dangling. Detect the
+      // stored policy from max(date_id) (a one-row agg over the small
+      // dim) and force every non-empty fact to rebuild once; after that
+      // batch the snapshot is self-consistent and selective skipping
+      // resumes.
+      val storedPolicyMismatch =
+        LandingLog.readSnapshotIfExists(spark, processedRoot, "dim-date").exists { prev =>
+          val mx = prev.agg(max(col("date_id").cast("long"))).collect()(0)
+          !mx.isNullAt(0) && (mx.getLong(0) >= 10000000L) != stableDateIds
+        }
       // dim_date is built from the full current snapshots of all three fact
       // inputs, then cached: three fact builders each broadcast-join it.
       // One log replay + dedup per fact input, shared by dim_date and the
@@ -126,7 +143,7 @@ object Runner {
       // replay/downstream reads prune date directories, incl. via DPP
       // through the dim_date join).
       def fact(src: String, key: String, snap: DataFrame, build: => DataFrame): Unit =
-        if (updates(src) || (!stableDateIds && !snap.isEmpty))
+        if (updates(src) || ((!stableDateIds || storedPolicyMismatch) && !snap.isEmpty))
           put(key, build, partitionBy = Seq("created_date"))
       fact("payment", "fact-payment", pay, StarSchema.factPayment(pay, dates))
       fact("purchase_order", "fact-purchase_order", po, StarSchema.factPurchaseOrder(po, dates))
@@ -159,18 +176,24 @@ object Runner {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $warehouseDb")
     keys.map { key =>
       val table = key.replaceFirst("^dim-", "").replaceFirst("^fact-", "").replace("-", "_")
-      val df = LandingLog.readSnapshot(spark, processedRoot, key)
-      if (!df.isEmpty) {
-        df.write.mode("overwrite")
-          .option("path", s"$warehouseRoot/$table")
-          .format("parquet")
-          .saveAsTable(s"$warehouseDb.$table")
-        if (preview) {
-          previewTable(spark, table).show(truncate = false)
-          df.coalesce(1).write.mode("overwrite").option("header", "true")
-            .csv(s"$warehouseRoot/extracts/$table")
+      // One read shared by the emptiness probe, the warehouse write, and
+      // the preview export: the probe's partial scan and the write both
+      // populate the cache, so the CSV extract never re-reads the
+      // snapshot (previously preview mode read it twice end-to-end).
+      val df = LandingLog.readSnapshot(spark, processedRoot, key).persist()
+      try {
+        if (!df.isEmpty) {
+          df.write.mode("overwrite")
+            .option("path", s"$warehouseRoot/$table")
+            .format("parquet")
+            .saveAsTable(s"$warehouseDb.$table")
+          if (preview) {
+            previewTable(spark, table).show(truncate = false)
+            df.coalesce(1).write.mode("overwrite").option("header", "true")
+              .csv(s"$warehouseRoot/extracts/$table")
+          }
         }
-      }
+      } finally df.unpersist(blocking = false)
       table
     }
   }

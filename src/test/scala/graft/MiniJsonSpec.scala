@@ -41,6 +41,32 @@ class MiniJsonSpec extends AnyFunSuite {
     }
   }
 
+  test("reference-shaped wrapped secret (one key, nested flat object) unwraps") {
+    // ingestion_lambda.py delivers the payload nested one level:
+    // json.loads('{' + secret + '}')['crigglestone'].
+    val wrapped =
+      """{"crigglestone": {"host": "h", "dbname": "d", "username": "u",
+        |  "password": "p{w\"d}", "port": "5433"}}""".stripMargin
+    val m = MiniJson.parseFlatOrWrapped(wrapped)
+    assert(m("host") == "h" && m("password") == """p{w"d}""" && m("port") == "5433")
+    // The flat form still parses identically through the same entry point.
+    assert(MiniJson.parseFlatOrWrapped("""{"a": "b"}""") == Map("a" -> "b"))
+    // And Secrets consumes the wrapped form end-to-end.
+    val sec = Secrets.fromJson(wrapped)
+    assert(sec.url == "jdbc:postgresql://h:5433/d" && sec.properties.getProperty("password") == """p{w"d}""")
+  }
+
+  test("wrapped-form lookalikes still fail loudly") {
+    val bad = Seq(
+      """{"a": {"x": "y"}, "b": {"x": "y"}}""", // two wrapping keys
+      """{"a": {"x": {"y": "z"}}}""",           // double nesting
+      """{"a": ["x"]}""",                        // array value
+      """{"a": {"x": "y"}} trailing""")          // trailing content
+    bad.foreach { doc =>
+      intercept[IllegalArgumentException](MiniJson.parseFlatOrWrapped(doc))
+    }
+  }
+
   test("secret document with escaped quote in password yields exact credentials") {
     val s = Secrets.fromJson(
       """{"host": "h", "dbname": "d", "username": "u", "password": "p\"w{d}\\x"}""")

@@ -81,6 +81,37 @@ class StableIdRebuildSpec extends SparkSpec {
     assert(dates.contains(20250815L), "the new earlier date joined dim_date")
   }
 
+  test("id-policy flip over an existing snapshot forces one full fact rebuild, then skipping resumes") {
+    val root = Files.createTempDirectory("graft_migrate").toString
+    // Batch 1 under the reference's dense ids: facts hold dense FKs.
+    val w1 = runBatch(root, v2 = false, "2025-09-02 10:30:00.000", stable = false)
+    assert(w1.toSet == Set("dim-date", "fact-payment", "fact-sales_order"))
+
+    // Batch 2 flips to the stable default with only sales_order changed:
+    // the stored dim_date is detected as dense, so the UNCHANGED
+    // fact-payment must be rebuilt too — its stored FKs were minted
+    // under the old policy and would dangle otherwise.
+    val w2 = runBatch(root, v2 = true, "2025-09-02 11:30:00.000", stable = true)
+    assert(w2.toSet == Set("dim-date", "fact-payment", "fact-sales_order"),
+      s"policy flip must force a one-time full fact rebuild: $w2")
+    val dates = spark.read.parquet(s"$root/processed/dim-date")
+      .select("date_id").collect().map(_.getLong(0)).toSet
+    val payFk = graft.sources.LandingLog.readSnapshot(spark, s"$root/processed", "fact-payment")
+      .select("created_date").collect().map(_.getLong(0)).toSet
+    assert(payFk.subsetOf(dates), s"migrated FKs must resolve: $payFk vs $dates")
+    assert(payFk == Set(20250902L), "post-flip FKs are stable yyyymmdd ids")
+
+    // Batch 3 (still stable, another sales_order change): the snapshot is
+    // now self-consistent, so selective skipping resumes.
+    val store = new WatermarkStore(s"$root/state.json")
+    val src3 = Map("payment" -> paymentSrc, "sales_order" -> salesSrc(v2 = true)
+      .withColumn("last_updated", org.apache.spark.sql.functions.lit(ts("2025-09-02 12:00:00"))))
+    val updated3 = Runner.ingestOnce(src3, s"$root/landing", store, "2025-09-02 12:30:00.000")
+    val w3 = Runner.processBatch(spark, s"$root/landing", s"$root/processed", updated3.toSet, stableDateIds = true)
+    assert(w3.toSet == Set("dim-date", "fact-sales_order"),
+      s"after the one-time migration, unchanged facts are skipped again: $w3")
+  }
+
   test("dense ids (parity mode): a dim_date rebuild rewrites every non-empty fact") {
     val root = Files.createTempDirectory("graft_dense").toString
     val w1 = runBatch(root, v2 = false, "2025-09-02 10:30:00.000", stable = false)
