@@ -412,7 +412,7 @@ object TrainingData {
 
   /** Exact double literal: `Double.toString` round-trips bit-identically
     * through Spark's parser; the `D` suffix pins DOUBLE. */
-  private def litD(v: Double): String = {
+  private[graft] def litD(v: Double): String = {
     val s0 = v.toString
     if (s0.contains('.') || s0.contains('E')) s0 + "D" else s0 + ".0D"
   }
@@ -420,7 +420,7 @@ object TrainingData {
   /** Top-3 nearest cells from a per-row centroid-distance array: sorted
     * (dist, idx) structs (ties break on idx, consistent with first-min
     * cell assignment) — no window, no join. */
-  private def top3Cells(d: Dialect, ds: String): String =
+  private[graft] def top3Cells(d: Dialect, ds: String): String =
     if (d eq sprk)
       s"transform(slice(array_sort(zip_with($ds, sequence(1, size($ds)), " +
         s"(dd, ii) -> named_struct('d', dd, 'i', ii))), 1, 3), s0 -> CAST(s0.i AS BIGINT))"
@@ -436,27 +436,35 @@ object TrainingData {
     * scalar collect, like the two-pass id offsets). Returns the trained
     * centroid array as a broadcast-literal SQL expression — doubles
     * round-trip exactly through `Double.toString` ↔ parse. */
-  private def trainCentroidLiteral(s: SparkSession): String = {
+  private def trainCentroidLiteral(s: SparkSession): String =
+    centsLit(trainCentroids(s, "embeddings"))
+
+  /** Render a centroid array as the broadcast-literal expression. */
+  private[graft] def centsLit(cents: Array[Array[Double]]): String =
+    cents.map(_.map(litD).mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+
+  /** The trainer itself, over any `(vec_id, embedding)` view — also the
+    * quantizer-training entry point for the persisted incremental index
+    * (`operators.AnnIndex`). */
+  private[graft] def trainCentroids(s: SparkSession, view: String): Array[Array[Double]] = {
     val d = sprk
-    val n = s.sql("SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings")
+    val n = s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n FROM $view")
       .collect()(0).getLong(0)
     val k = TextSim.ivfCellsValue(n)
     val cap = k.toLong * TextSim.ivfTrainPerCell
     var cents: Array[Array[Double]] = s.sql(
       s"""SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-         |FROM embeddings WHERE vec_id < $k ORDER BY vec_id""".stripMargin)
+         |FROM $view WHERE vec_id < $k ORDER BY vec_id""".stripMargin)
       .collect().map(_.getSeq[Double](0).toArray)
-    def centsLit: String =
-      cents.map(_.map(litD).mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
     if (cents.nonEmpty) {
       val dim = cents(0).length
       for (_ <- 1 to TextSim.ivfLloydIters) {
         val upd = s.sql(
           s"""WITH t AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-             |           FROM embeddings WHERE vec_id < $cap),
+             |           FROM $view WHERE vec_id < $cap),
              |dd AS (SELECT vec_id, emb,
              |  transform(sequence(1, ${cents.length}),
-             |    ci -> ${TextSim.dist2(d, "emb", s"element_at($centsLit, ci)")}) AS ds FROM t),
+             |    ci -> ${TextSim.dist2(d, "emb", s"element_at(${centsLit(cents)}, ci)")}) AS ds FROM t),
              |a AS (SELECT vec_id, emb,
              |  CAST(array_position(ds, array_min(ds)) AS BIGINT) AS cell FROM dd),
              |g AS (SELECT cell,
@@ -470,7 +478,7 @@ object TrainingData {
         cents = Array.tabulate(cents.length)(i => upd.getOrElse(i + 1, cents(i)))
       }
     }
-    centsLit
+    cents
   }
 
   /** One Lloyd iteration in the oracle dialect: assign the training
@@ -515,11 +523,12 @@ object TrainingData {
   /** Per-dimension affine int8 quantizer stats for t48/t49: (min, span)
     * per dim — order-independent aggregates, one tiny collect (2·dim
     * doubles). */
-  private def quantStats(s: SparkSession): (Array[Double], Array[Double]) = {
+  private[graft] def quantStats(s: SparkSession, view: String = "embeddings")
+      : (Array[Double], Array[Double]) = {
     val stats = s.sql(
-      """SELECT pos, min(CAST(col AS DOUBLE)) AS mn, max(CAST(col AS DOUBLE)) AS mx
-        |FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, col
-        |GROUP BY pos ORDER BY pos""".stripMargin).collect()
+      s"""SELECT pos, min(CAST(col AS DOUBLE)) AS mn, max(CAST(col AS DOUBLE)) AS mx
+         |FROM $view LATERAL VIEW posexplode(embedding) t AS pos, col
+         |GROUP BY pos ORDER BY pos""".stripMargin).collect()
     (stats.map(_.getDouble(1)), stats.map(r => r.getDouble(2) - r.getDouble(1)))
   }
 
@@ -537,7 +546,7 @@ object TrainingData {
     * Fixed-order double math, rendered identically on both engines;
     * `mns`/`spans` are array exprs (broadcast literals on Spark, CTE
     * columns in the oracle). */
-  private def qCodes(d: Dialect, emb: String, mns: String, spans: String, dim: String): String =
+  private[graft] def qCodes(d: Dialect, emb: String, mns: String, spans: String, dim: String): String =
     d.transform(d.ramp(dim),
       s"i -> CASE WHEN ${d.at(spans, "i")} = 0.0 THEN CAST(0 AS BIGINT) " +
         s"ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), " +
@@ -546,7 +555,7 @@ object TrainingData {
 
   /** Affine int8 decode (dequantize) — the scoring side reads ONLY this
     * reconstruction, never the original floats, until the exact re-rank. */
-  private def qDequant(d: Dialect, codes: String, mns: String, spans: String, dim: String): String =
+  private[graft] def qDequant(d: Dialect, codes: String, mns: String, spans: String, dim: String): String =
     d.transform(d.ramp(dim),
       s"i -> ${d.at(mns, "i")} + CAST(${d.at(codes, "i")} AS DOUBLE) / 255.0 * ${d.at(spans, "i")}")
 
