@@ -1138,6 +1138,58 @@ object TrainingData {
       })
   }
 
+  /** t52 — deterministic STRATIFIED SAMPLING for mix rebalancing (the
+    * act step on t47's mix report: a training run wants languages at
+    * target proportions, not at crawl proportions). Inclusion is a pure
+    * hash decision — `polyhash(doc_id || salt) mod 1000 < per-lang
+    * permille` — so the sample is reproducible at any partitioning,
+    * needs no RNG state, and is a zero-shuffle scan-side filter at any
+    * corpus size (same contract as t43's split assignment). The report
+    * aggregates per-stratum before/after counts (integer sums only);
+    * the kept manifest is the same frame before aggregation. */
+  private val t52 = dual() { d =>
+    val idStr = if (d eq sprk) "CAST(doc_id AS STRING)" else "CAST(doc_id AS VARCHAR)"
+    val h = TextSim.wordHash(d, s"concat($idStr, ':mix')")
+    s"""WITH r AS (
+       |  SELECT doc_id, lang, $h % 1000 AS bucket,
+       |    CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 500 WHEN 'fr' THEN 500
+       |              WHEN 'es' THEN 500 ELSE 250 END AS target_permille
+       |  FROM documents)
+       |SELECT lang, CAST(target_permille AS BIGINT) AS target_permille,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN bucket < target_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM r GROUP BY lang, target_permille ORDER BY lang""".stripMargin
+  }
+
+  /** t53 — SEQUENCE PACKING (the training-loader shape: concatenate
+    * docs into fixed token-budget packs): per source, docs are packed
+    * in doc_id order by prefix-sum — `pack_id = prior_tokens div 256`
+    * — one window per source partition, no global sort, then a per-pack
+    * manifest. At 100 TB the partition key becomes (source, shard) with
+    * shard a hash bucket, so each prefix sum stays bounded while packs
+    * remain deterministic; the window is the standard distributed
+    * prefix-sum shape (cf. the two-pass surrogate id). */
+  private val t53 = dual() { d =>
+    val toks = TextSim.tokens(d, "text")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, CAST(${d.size}($toks) AS BIGINT) AS n_tokens FROM documents),
+       |p AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_tokens
+       |  FROM t),
+       |a AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(${d.intDiv("prior_tokens", "256")} AS BIGINT) AS pack_id
+       |  FROM p)
+       |SELECT source, pack_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+       |  CAST(max(doc_id) AS BIGINT) AS last_doc
+       |FROM a GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
+  }
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -1160,5 +1212,7 @@ object TrainingData {
     "t48_quantized_ann" -> t48,
     "t49_ivf_sq8_ann" -> t49,
     "t50_decontam_removal" -> t50,
-    "t51_crossmodal_ann" -> t51)
+    "t51_crossmodal_ann" -> t51,
+    "t52_stratified_sample" -> t52,
+    "t53_sequence_packing" -> t53)
 }
