@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.SignatureIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The streaming→dedup seam: a document stream maintains the persisted
+  * signature index through `foreachBatch` — the same composition
+  * StreamingStarSpec pins for the star layer. Each micro-batch pays for
+  * its increment only, and the accumulated per-batch delta pairs equal
+  * the from-scratch recompute over everything streamed so far. */
+class StreamingDedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a document stream maintains the signature index incrementally via foreachBatch") {
+    val root = Files.createTempDirectory("graft_stream_sig").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val newCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val b = SignatureIndex.ingest(spark, root, df)
+        newCounts += b.newSigs.count()
+        deltas ++= b.deltaPairs.select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        CacheJanitor.drain()
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      input.addData(
+        1L -> "the quick brown fox jumps over the lazy dog today",
+        2L -> "the quick brown fox jumps over the lazy cat today",
+        3L -> "completely different text about spark engines and parquet files")
+      q.processAllAvailable()
+      input.addData(
+        4L -> "the quick brown fox jumps over the lazy dog yesterday",
+        5L -> "another unrelated document with entirely distinct words inside",
+        6L -> "completely different text about spark engines and parquet files")
+      q.processAllAvailable()
+      // No new data → the checkpointed stream schedules no extra batch,
+      // so the index ingests nothing twice.
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(newCounts.toSeq == Seq(3L, 3L),
+      s"each micro-batch must encode exactly its increment: $newCounts")
+    val allSigs = spark.read.parquet(s"$root/signatures")
+    val full = SignatureIndex.deltaPairs(allSigs, allSigs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    CacheJanitor.drain()
+    assert(deltas.toSet == full,
+      s"streamed per-batch deltas ${deltas.toSet} != full recompute $full")
+    assert(full.contains((1L, 2L)) && full.contains((3L, 6L)),
+      "within-batch and cross-batch pairs must both be present")
+  }
+}
