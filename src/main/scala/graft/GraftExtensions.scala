@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, PolyHash}
+import graft.functions.{DotProduct, PolyHash, Sq8}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Spark extension point: registers the engine's native expressions at
@@ -14,5 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(PolyHash.description)
     ext.injectFunction(DotProduct.description)
+    ext.injectFunction(Sq8.dotDescription)
+    ext.injectFunction(Sq8.norm2Description)
   }
 }

@@ -9,5 +9,6 @@ object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     PolyHash.register(spark)
     DotProduct.register(spark)
+    Sq8.register(spark)
   }
 }

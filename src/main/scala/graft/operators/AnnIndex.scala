@@ -116,7 +116,6 @@ object AnnIndex {
       .getOrElse(sys.error(s"no ANN index at $root — ingest at least one batch first"))
     val d = sprk
     val cl = TrainingData.centsLit(cents)
-    val dim = mn.length.toString
     val qs = queries
       .selectExpr("query_id", "embedding",
         s"${TextSim.dotHof(d, "embedding", "embedding")} AS n2",
@@ -131,14 +130,15 @@ object AnnIndex {
     val codes = spark.read.parquet(s"$root/codes")
       .where(col("cell").isin(probed: _*))
       .withColumn("cell", col("cell").cast("long"))
-    val dq = codes
-      .selectExpr("vec_id", "cell",
-        s"${TrainingData.qDequant(d, "codes", arr(mn), arr(span), dim)} AS dq")
-      .selectExpr("vec_id", "cell", "dq", s"${TextSim.dotHof(d, "dq", "dq")} AS dqn2")
-    val scored = qp.join(dq, Seq("cell"))
+    // Scoring never materializes a dequantized array: the codegen'd SQ8
+    // kernels dequantize-and-fold in one tight loop per pair (the hot
+    // inner loop of the whole index at corpus scale).
+    val withNorm = codes.selectExpr("vec_id", "cell", "codes",
+      s"graft_sq8_norm2(codes, ${arr(mn)}, ${arr(span)}) AS dqn2")
+    val scored = qp.join(withNorm, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .selectExpr("query_id", "vec_id AS neighbor_id", "cell",
-        s"${TextSim.dotHof(d, "embedding", "dq")} / (sqrt(n2) * sqrt(dqn2)) AS approx_cosine")
+        s"graft_sq8_dot(embedding, codes, ${arr(mn)}, ${arr(span)}) / (sqrt(n2) * sqrt(dqn2)) AS approx_cosine")
     val byApprox = Window.partitionBy("query_id")
       .orderBy(col("approx_cosine").desc, col("neighbor_id"))
     rerank match {

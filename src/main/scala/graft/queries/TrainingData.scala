@@ -877,21 +877,22 @@ object TrainingData {
         val (mn, span) = quantStats(s)
         def arr(a: Array[Double]) = a.map(litD).mkString("array(", ", ", ")")
         val mnL = arr(mn); val spL = arr(span); val dim = mn.length.toString
+        // Spark scores through the codegen'd SQ8 kernels (one tight loop
+        // per pair, no dq array materialized); the oracle keeps the HOF
+        // rendering — the hash compare is the end-to-end bit-equality
+        // proof (the kernels replicate the fold order exactly).
         s.sql(
           s"""WITH v AS (
              |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2,
              |    ${qCodes(d, "embedding", mnL, spL, dim)} AS codes
              |  FROM embeddings),
-             |w AS (
-             |  SELECT vec_id, embedding, n2,
-             |    ${qDequant(d, "codes", mnL, spL, dim)} AS dq
-             |  FROM v),
-             |w2 AS (SELECT vec_id, n2, dq,
-             |         ${TextSim.dotHof(d, "dq", "dq")} AS dqn2 FROM w),
-             |qs AS (SELECT vec_id, embedding, n2 FROM w WHERE vec_id % 100 = 0 AND vec_id < 2500),
+             |w AS (SELECT vec_id, embedding, n2 FROM v),
+             |w2 AS (SELECT vec_id, codes,
+             |         graft_sq8_norm2(codes, $mnL, $spL) AS dqn2 FROM v),
+             |qs AS (SELECT vec_id, embedding, n2 FROM v WHERE vec_id % 100 = 0 AND vec_id < 2500),
              |scored AS (
              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             |    ${TextSim.dotHof(d, "q.embedding", "c.dq")} / (sqrt(q.n2) * sqrt(c.dqn2)) AS approx_cosine
+             |    graft_sq8_dot(q.embedding, c.codes, $mnL, $spL) / (sqrt(q.n2) * sqrt(c.dqn2)) AS approx_cosine
              |  FROM qs q JOIN w2 c ON c.vec_id <> q.vec_id),
              |${rankTail(d)}""".stripMargin)
       },
@@ -1080,25 +1081,39 @@ object TrainingData {
   private val t49 = {
     def stage(d: Dialect, fromV: String, cents: String, mns: String, spans: String): String = {
       val pos = if (d eq sprk) "array_position" else "list_position"
+      // Spark scores straight from the int8 codes through the codegen'd
+      // SQ8 kernels (`mns`/`spans` are broadcast literals there, so they
+      // inline into the kernel call); the oracle materializes dq and
+      // folds — same arithmetic in the same order, hash-equal results.
+      val sq8 = d eq sprk
+      val encPayload =
+        if (sq8) "codes"
+        else s"${qDequant(d, "codes", "mns_", "spans_", s"${d.size}(codes)")} AS dq"
+      val dqn2 =
+        if (sq8) s"graft_sq8_norm2(codes, $mns, $spans)"
+        else TextSim.dotHof(d, "dq", "dq")
+      val pairDot =
+        if (sq8) s"graft_sq8_dot(qp.embedding, c.codes, $mns, $spans)"
+        else TextSim.dotHof(d, "qp.embedding", "c.dq")
       s"""raw AS (SELECT vec_id, embedding, $cents AS cents_, $mns AS mns_, $spans AS spans_ $fromV),
          |base AS (
          |  SELECT vec_id, embedding, mns_, spans_, ${TextSim.norm2(d, "embedding")} AS n2,
          |    ${d.transform(d.ramp(s"${d.size}(cents_)"), s"ci -> ${TextSim.dist2(d, "embedding", d.at("cents_", "ci"))}")} AS ds
          |  FROM raw),
          |enc AS (
-         |  SELECT vec_id, cell, ${qDequant(d, "codes", "mns_", "spans_", s"${d.size}(codes)")} AS dq
+         |  SELECT vec_id, cell, $encPayload
          |  FROM (
          |    SELECT vec_id, mns_, spans_,
          |      CAST($pos(ds, ${d.arrayMin}(ds)) AS BIGINT) AS cell,
          |      ${qCodes(d, "embedding", "mns_", "spans_", s"${d.size}(mns_)")} AS codes
          |    FROM base) e0),
-         |enc2 AS (SELECT vec_id, cell, dq, ${TextSim.dotHof(d, "dq", "dq")} AS dqn2 FROM enc),
+         |enc2 AS (SELECT vec_id, cell, ${if (sq8) "codes" else "dq"}, $dqn2 AS dqn2 FROM enc),
          |q AS (SELECT vec_id, embedding, n2, ${top3Cells(d, "ds")} AS probes
          |      FROM base WHERE vec_id % 100 = 0 AND vec_id < 2500),
          |qp AS (SELECT vec_id, embedding, n2, ${d.explode}(probes) AS cell FROM q),
          |scored AS (
          |  SELECT qp.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell AS cell,
-         |    ${TextSim.dotHof(d, "qp.embedding", "c.dq")} / (sqrt(qp.n2) * sqrt(c.dqn2)) AS approx_cosine
+         |    $pairDot / (sqrt(qp.n2) * sqrt(c.dqn2)) AS approx_cosine
          |  FROM qp JOIN enc2 c ON c.cell = qp.cell AND c.vec_id <> qp.vec_id),
          |cand AS (
          |  SELECT query_id, neighbor_id, cell, approx_cosine,

@@ -27,11 +27,16 @@ class ExtensionsSpec extends SparkSpec {
       val r = s2.sql(
         """SELECT graft_poly_hash('abc') AS h,
           |       graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
-          |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d
+          |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+          |       graft_sq8_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |                     array(0L, 255L), array(0.0D, 0.0D), array(1.0D, 1.0D)) AS sd,
+          |       graft_sq8_norm2(array(255L, 255L), array(0.0D, 0.0D), array(1.0D, 1.0D)) AS sn
           |""".stripMargin).collect()(0)
       assert(r.getLong(0) == graft.functions.PolyHash.hash(
         org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
       assert(r.getDouble(1) == 11.0)
+      assert(r.getDouble(2) == 2.0) // 1*0 + 2*(255/255)
+      assert(r.getDouble(3) == 2.0) // 1^2 + 1^2
     } finally {
       // Hand the shared session back to the other suites (the fresh
       // session shares its SparkContext, so nothing is stopped here).

@@ -46,6 +46,45 @@ object KernelProps extends Properties("graft.kernels") {
         new GenericArrayData((a ++ Array(1f)).map(x => x: Any))) == null
     }
 
+  private val codesArr = Gen.listOfN(16,
+    Gen.frequency(8 -> Gen.chooseNum(0L, 255L), 1 -> Gen.const(0L), 1 -> Gen.const(255L)))
+    .map(_.toArray)
+  private val statArr = Gen.listOfN(16,
+    Gen.zip(Gen.chooseNum(-10.0, 10.0),
+      Gen.frequency(6 -> Gen.chooseNum(0.001, 20.0), 1 -> Gen.const(0.0))))
+    .map(_.toArray)
+
+  property("sq8 dot kernel equals the HOF-order dequantize-then-dot fold") =
+    forAll(floatArr, codesArr, statArr) { (q, c, st) =>
+      val mns = st.map(_._1); val spans = st.map(_._2)
+      val got = graft.functions.Sq8.dot(
+        new GenericArrayData(q.map(x => x: Any)),
+        new GenericArrayData(c.map(x => x: Any)),
+        new GenericArrayData(mns.map(x => x: Any)),
+        new GenericArrayData(spans.map(x => x: Any)))
+      var want = 0.0
+      var i = 0
+      while (i < q.length) {
+        want += q(i).toDouble * (mns(i) + c(i).toDouble / 255.0 * spans(i)); i += 1
+      }
+      java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(want)
+    }
+
+  property("sq8 norm2 kernel equals the HOF-order dequantized self-dot") =
+    forAll(codesArr, statArr) { (c, st) =>
+      val mns = st.map(_._1); val spans = st.map(_._2)
+      val got = graft.functions.Sq8.norm2(
+        new GenericArrayData(c.map(x => x: Any)),
+        new GenericArrayData(mns.map(x => x: Any)),
+        new GenericArrayData(spans.map(x => x: Any)))
+      var want = 0.0
+      var i = 0
+      while (i < c.length) {
+        val dq = mns(i) + c(i).toDouble / 255.0 * spans(i); want += dq * dq; i += 1
+      }
+      java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(want)
+    }
+
   private val tsGen: Gen[String] = for {
     y <- Gen.chooseNum(2020, 2030); mo <- Gen.chooseNum(1, 12); d <- Gen.chooseNum(1, 28)
     h <- Gen.chooseNum(0, 23); mi <- Gen.chooseNum(0, 59); s <- Gen.chooseNum(0, 59)
