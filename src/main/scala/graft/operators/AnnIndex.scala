@@ -96,7 +96,10 @@ object AnnIndex {
 
   /** One maintenance batch: encode `increment` ONLY (first batch also
     * trains the quantizer from it), append its code files under their
-    * `cell=` directories, return the new codes and the full index. */
+    * `cell=` directories, return the new codes and the full index. The
+    * increment must carry vec_ids not already indexed — keep-last dedup
+    * is the landing layer's job, upstream of this (same contract as
+    * [[SignatureIndex.ingest]]). */
   def ingest(spark: SparkSession, root: String, increment: DataFrame): Batch = {
     val (cents, mn, span) = loadOrTrain(spark, root, increment)
     val enc = graft.CacheJanitor.register(encode(increment, cents, mn, span).persist())
