@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, PolyHash, Sq8}
+import graft.functions.{Dist2, DotProduct, PolyHash, Sq8}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Spark extension point: registers the engine's native expressions at
@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(DotProduct.description)
     ext.injectFunction(Sq8.dotDescription)
     ext.injectFunction(Sq8.norm2Description)
+    ext.injectFunction(Dist2.description)
   }
 }

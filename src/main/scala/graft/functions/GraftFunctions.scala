@@ -10,5 +10,6 @@ object GraftFunctions {
     PolyHash.register(spark)
     DotProduct.register(spark)
     Sq8.register(spark)
+    Dist2.register(spark)
   }
 }

@@ -148,10 +148,12 @@ object TextSim {
   def norm2(d: Dialect, a: String): String = dot(d, a, a)
 
   /** Squared Euclidean distance, one left-to-right fold of (a_i-b_i)²
-    * (used by the IVF cell assignment — deterministic in both engines). */
+    * (used by the IVF cell assignment — deterministic in both engines).
+    * The Spark side is the codegen'd [[Dist2]] kernel; the HOF chain
+    * below is the portable form the DuckDB oracle runs — bit-identical
+    * by construction (KernelProps fuzz + the oracle hash compare). */
   def dist2(d: Dialect, a: String, b: String): String =
-    if (d eq spark)
-      s"aggregate(zip_with($a, $b, (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), cast(0 as double), (acc, v) -> acc + v)"
+    if (d eq spark) s"graft_dist2($a, $b)"
     else
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), (acc, v) -> acc + v)"
 

@@ -54,6 +54,21 @@ object KernelProps extends Properties("graft.kernels") {
       Gen.frequency(6 -> Gen.chooseNum(0.001, 20.0), 1 -> Gen.const(0.0))))
     .map(_.toArray)
 
+  private val doubleArr = Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0)).map(_.toArray)
+
+  property("dist2 kernel equals the HOF-order squared-difference fold, mixed element types") =
+    forAll(floatArr, doubleArr) { (a, b) =>
+      val got = graft.functions.Dist2.dist2(
+        new GenericArrayData(a.map(x => x: Any)), false,
+        new GenericArrayData(b.map(x => x: Any)), true)
+      var want = 0.0
+      var i = 0
+      while (i < a.length) {
+        val d0 = a(i).toDouble - b(i); want += d0 * d0; i += 1
+      }
+      java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(want)
+    }
+
   property("sq8 dot kernel equals the HOF-order dequantize-then-dot fold") =
     forAll(floatArr, codesArr, statArr) { (q, c, st) =>
       val mns = st.map(_._1); val spans = st.map(_._2)
