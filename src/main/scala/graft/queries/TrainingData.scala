@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reference's ELT surface (SURVEY.md §7.2 step 7):
   *
   *  - deduplication: exact (t34), n-gram Jaccard (t35), MinHash+LSH (t36),
-  *    SimHash (t37), cluster resolution over the pair graph (t44);
+  *    SimHash (t37), cluster resolution over the pair graph (t44),
+  *    embedding-cosine near-dup with keeper manifest (t54);
   *  - similarity search: brute-force cosine top-k (t38),
   *    hyperplane-LSH buckets (t39), trained IVF (t41), int8
   *    scalar-quantized index with exact re-rank (t48);
@@ -370,9 +371,21 @@ object TrainingData {
     * all 12 planes. Candidates via the probe→bucket equi-join, then
     * exact cosine ≥ 0.4. */
   private val t39 = dual() { d =>
+    s"""WITH ${lshPairCtes(d)}
+       |SELECT vec_a, vec_b, bucket, cosine FROM pairs
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** The hyperplane-LSH candidate/verify chain over `embeddings` as a
+    * CTE list ending in `pairs` = (vec_a, vec_b, bucket, cosine) with
+    * exact cosine ≥ 0.4 — shared by t39 (the pair report) and t54
+    * (dedup resolution over the pair graph). Candidates only ever come
+    * from the probe→bucket equi-join; no corpus×corpus join exists in
+    * the chain. */
+  private def lshPairCtes(d: Dialect): String = {
     val probes = d.arrayOf("bucket" +: (0 until TextSim.lshPlanes)
       .map(k => d.xor("bucket", (1L << k).toString)))
-    s"""WITH cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    s"""cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
        |m AS (SELECT ${TextSim.lshMask("n")} AS mask FROM cnt),
        |v AS (
        |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2,
@@ -382,12 +395,12 @@ object TrainingData {
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM p a JOIN v b ON a.probe = b.bucket AND a.vec_id < b.vec_id),
-       |pairs AS (
+       |scored AS (
        |  SELECT vec_a, vec_b, a.bucket AS bucket,
        |    ${TextSim.dot(d, "a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
-       |  FROM cand JOIN v a ON vec_a = a.vec_id JOIN v b ON vec_b = b.vec_id)
-       |SELECT vec_a, vec_b, bucket, cosine FROM pairs
-       |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+       |  FROM cand JOIN v a ON vec_a = a.vec_id JOIN v b ON vec_b = b.vec_id),
+       |pairs AS (SELECT vec_a, vec_b, bucket, cosine FROM scored WHERE cosine >= 0.4)"""
+      .stripMargin
   }
 
   /** t40 — multimodal plumbing: text → opaque binary payload column +
@@ -1205,6 +1218,61 @@ object TrainingData {
        |FROM a GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
   }
 
+  /** t54 — embedding-cosine NEAR-DUP DEDUP: the dedup family member that
+    * works on the vector column instead of the text — pairs from t39's
+    * hyperplane-LSH chain (probe→bucket equi-join, exact cosine ≥ 0.4
+    * verify), resolved to components ([[graft.operators.Relational
+    * .connectedComponents]], t44's min-label machinery), then a keeper
+    * manifest over the FULL corpus: every vector maps to its component's
+    * min id (itself when unduplicated). This is the act step on t39 the
+    * way t44 is on t36 and t50 is on t45 — report → resolution → usable
+    * mapping.
+    *
+    * Scale: candidate generation is t39's (corpus-scaled buckets, never
+    * all-pairs), resolution is t44's (O(log diameter) rounds of bounded
+    * equi-joins), and the final mapping is ONE left join of the corpus
+    * against the (tiny) duplicated-node label set — which Spark
+    * broadcasts. The DuckDB oracle resolves the same pair graph by
+    * recursive transitive closure (fine at oracle scale, the documented
+    * anti-pattern at 100 TB). */
+  private val t54 = GQuery(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.functions.GraftFunctions.registerAll(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+      val pairs = s.sql(
+        s"""WITH ${lshPairCtes(sprk)}
+           |SELECT vec_a, vec_b FROM pairs""".stripMargin)
+      val labels = graft.operators.Relational.connectedComponents(pairs)
+      s.table("embeddings").select(col("vec_id"))
+        .join(broadcast(labels), col("vec_id") === col("node"), "left")
+        .select(
+          col("vec_id"),
+          coalesce(col("label"), col("vec_id")).as("keeper_id"),
+          when(col("label").isNotNull && col("label") =!= col("vec_id"), 1L)
+            .otherwise(0L).as("is_dup"))
+        .orderBy("vec_id")
+    },
+    oracle = Some {
+      s"""WITH RECURSIVE ${lshPairCtes(duck)},
+         |edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+         |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT src AS vec_id, least(src, min(dst)) AS label
+         |  FROM reach GROUP BY src)
+         |SELECT e.vec_id,
+         |  coalesce(l.label, e.vec_id) AS keeper_id,
+         |  CAST(CASE WHEN l.label IS NOT NULL AND l.label <> e.vec_id
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+         |FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.vec_id
+         |ORDER BY e.vec_id""".stripMargin
+    })
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -1229,5 +1297,6 @@ object TrainingData {
     "t50_decontam_removal" -> t50,
     "t51_crossmodal_ann" -> t51,
     "t52_stratified_sample" -> t52,
-    "t53_sequence_packing" -> t53)
+    "t53_sequence_packing" -> t53,
+    "t54_embedding_dedup" -> t54)
 }

@@ -47,7 +47,7 @@ class PlanPropertiesSpec extends SparkSpec {
     // in any of them.
     Seq("t35_ngram_jaccard_dedup", "t36_minhash_lsh_dedup", "t37_simhash_dedup",
       "t39_lsh_bucket_ann", "t41_ivf_ann", "t49_ivf_sq8_ann", "t50_decontam_removal",
-      "t51_crossmodal_ann").foreach { q =>
+      "t51_crossmodal_ann", "t54_embedding_dedup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not cartesian-join:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must pair via equi-joins:\n$p")
