@@ -229,24 +229,43 @@ object Relational {
     * travel a doubling number of hops per round, so the round count is
     * O(log diameter), not O(diameter) (a 1M-hop chain resolves in ~25
     * rounds, within the default `maxRounds`). The doubling join is
-    * deferred because real near-dup graphs are shallow (t44 converges
-    * in ≤4 rounds) and the extra per-round self-join would be pure
-    * overhead there; only a pathologically deep graph pays for its own
-    * cure. The driver loops to a
-    * fixpoint checking one scalar count per round, and truncates plan
-    * lineage with `localCheckpoint` every [[ccCheckpointEvery]] rounds.
+    * deferred two rounds because shallow graphs (the common near-dup
+    * shape) converge before it would help and its self-join would be
+    * pure overhead there; deeper graphs — t54's cosine-chained
+    * components at sf0.1 run past 10 rounds plain — pay for their own
+    * cure early. The driver loops to a fixpoint with ONE light action
+    * per round: convergence is checked by comparing the exact
+    * decimal(38,0) SUM of all labels between rounds — labels are
+    * per-node monotone non-increasing, so the total strictly decreases
+    * iff any node changed; an overflow-free aggregate replaces the
+    * old per-round join-with-previous-labels + filter count (a second
+    * shuffle per round that dominated wall time on small graphs).
+    * Lineage is truncated with `localCheckpoint` every
+    * [[ccCheckpointEvery]] rounds (default: every round).
     * The truncation is load-bearing, not hygiene: the doubling self-join
     * references the round's propagation twice, so the LOGICAL PLAN TREE
-    * doubles per round — 2^k between truncations — and Spark's plan
-    * stringification (AQE logs it per stage) OOMs near k≈10 even though
-    * execution reuses the cached frames. Every 4 rounds caps the factor
-    * at 16× a checkpoint-rooted (constant-size) plan. The edge set is
+    * doubles per round — 2^k between truncations — and Catalyst
+    * re-analyzes/re-optimizes the whole tree at every action (measured:
+    * 3–5 s of pure DRIVER time per round by round 3 on a 245-edge
+    * graph), with plan stringification OOMing near k≈10. Truncating
+    * every round keeps each round's plan a constant-size join over
+    * checkpoint-rooted scans — the same materialize-per-iteration
+    * contract GraphX's Pregel runs under. The edge set is
     * hash-partitioned on the join key before caching, so only the label
     * side moves per round. Returns one row per node: (node, label = min
     * node id of its component). Deterministic at any partitioning (min
     * is order-independent). */
-  val ccCheckpointEvery = 4
-  val ccDoubleAfter = 6
+  val ccCheckpointEvery = 1
+  val ccDoubleAfter = 2
+
+  /** Exact sum of the label column as decimal(38,0) — overflow-free for
+    * any realistic node count, 0 for an empty frame. */
+  private def labelSum(labels: DataFrame): java.math.BigDecimal = {
+    val s = labels
+      .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .head.getDecimal(0)
+    if (s == null) java.math.BigDecimal.ZERO else s
+  }
 
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     val p2 = pairs.toDF("a", "b")
@@ -258,9 +277,14 @@ object Relational {
     var labels = graft.CacheJanitor.register(
       edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node")).persist())
-    var changed = 1L
+    val tInit = System.nanoTime()
+    var prevSum = labelSum(labels)
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(f"[cc] init ${(System.nanoTime() - tInit) / 1e9}%.2f s")
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
+    while (!converged && rounds < maxRounds) {
+      val tRound = System.nanoTime()
       val prop = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(edges("src").as("node")).agg(min(col("label")).as("label"))
       // Pointer doubling (deferred): a label is itself a node, so look
@@ -271,22 +295,31 @@ object Relational {
       val doubled =
         if (rounds < ccDoubleAfter) prop
         else {
-          val hop = prop.select(col("node").as("hop_node"), col("label").as("hop_label"))
-          prop.join(hop, prop("label") === col("hop_node"))
-            .select(prop("node").as("node"), col("hop_label").as("label"))
+          // The self-join references the round's propagation twice —
+          // persist it so the join's two sides share one computation
+          // (released by CacheJanitor at the driver's next barrier).
+          val p = graft.CacheJanitor.register(prop.persist())
+          val hop = p.select(col("node").as("hop_node"), col("label").as("hop_label"))
+          p.join(hop, p("label") === col("hop_node"))
+            .select(p("node").as("node"), col("hop_label").as("label"))
         }
       val next = graft.CacheJanitor.register(
         (if ((rounds + 1) % ccCheckpointEvery == 0) doubled.localCheckpoint()
          else doubled.persist()))
-      // Labels only ever decrease, so "any label strictly smaller than
-      // before" is the full convergence test.
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") < col("old")).count()
+      // Labels are per-node monotone non-increasing and the node set is
+      // fixed, so the exact label sum strictly decreases iff any node
+      // changed — one overflow-free aggregate is the full convergence
+      // test (and the action that materializes this round's cache).
+      val nextSum = labelSum(next)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round $rounds total ${(System.nanoTime() - tRound) / 1e9}%.2f s sum $nextSum")
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       rounds += 1
     }
-    require(changed == 0, s"label propagation did not converge within $rounds rounds")
+    require(converged, s"label propagation did not converge within $rounds rounds")
     labels
   }
 }

@@ -382,6 +382,10 @@ object TrainingData {
     * (dedup resolution over the pair graph). Candidates only ever come
     * from the probe→bucket equi-join; no corpus×corpus join exists in
     * the chain. */
+  /** Debug-only: the rendered Spark-side pair SQL (tools.Scratch). */
+  def debugLshPairsSql: String =
+    s"WITH ${lshPairCtes(sprk)}\nSELECT vec_a, vec_b FROM pairs"
+
   private def lshPairCtes(d: Dialect): String = {
     val probes = d.arrayOf("bucket" +: (0 until TextSim.lshPlanes)
       .map(k => d.xor("bucket", (1L << k).toString)))
@@ -709,7 +713,11 @@ object TrainingData {
   private val t44 = GQuery(
     fn = (s, dir) => {
       import org.apache.spark.sql.functions._
-      val pairs = minhashPairs(s, dir, "t44").select("doc_a", "doc_b")
+      // Persist the verified pair set: connectedComponents' first
+      // action would otherwise re-run the band join + Jaccard verify
+      // when materializing its edge cache.
+      val pairs = graft.CacheJanitor.register(
+        minhashPairs(s, dir, "t44").select("doc_a", "doc_b").persist())
       graft.operators.Relational.connectedComponents(pairs)
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
@@ -1240,9 +1248,12 @@ object TrainingData {
       import org.apache.spark.sql.functions._
       graft.functions.GraftFunctions.registerAll(s)
       Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
-      val pairs = s.sql(
+      // Persist the LSH pair set: connectedComponents' first action
+      // would otherwise re-run the whole candidate/verify pipeline when
+      // materializing its edge cache.
+      val pairs = graft.CacheJanitor.register(s.sql(
         s"""WITH ${lshPairCtes(sprk)}
-           |SELECT vec_a, vec_b FROM pairs""".stripMargin)
+           |SELECT vec_a, vec_b FROM pairs""".stripMargin).persist())
       val labels = graft.operators.Relational.connectedComponents(pairs)
       s.table("embeddings").select(col("vec_id"))
         .join(broadcast(labels), col("vec_id") === col("node"), "left")
@@ -1273,6 +1284,67 @@ object TrainingData {
          |ORDER BY e.vec_id""".stripMargin
     })
 
+  /** t55 — BOILERPLATE SEGMENT REMOVAL (the C4/RefinedWeb line-dedup
+    * shape, adapted to the corpus's single-line docs): split each doc
+    * into non-overlapping 8-word segments, count how many DISTINCT docs
+    * contain each segment, and REWRITE every doc with segments that
+    * appear in more than 2 docs removed (navigation chrome, license
+    * headers, templated footers at web scale). Output per doc: segment
+    * counts before/removed and the reassembled text.
+    *
+    * Scale: the inverted index is one partial-aggregated shuffle of
+    * (8-byte segment hash, doc_id); the boilerplate set (df > 2) is
+    * SMALL by definition — it rides back into the scan as a
+    * one-row scalar-subquery array, so the rewrite itself (filter the
+    * in-order segment array against the set, re-join with spaces) is
+    * pure scan-side projection work: the corpus is never exploded into
+    * a regroup shuffle and never leaves its input partitioning. Segment
+    * identity is the [[TextSim.wordHash]] polynomial hash (codegen'd
+    * `graft_poly_hash` on the Spark side), identical in both engines,
+    * so collision behavior — not just expected values — matches the
+    * oracle exactly. */
+  private val t55 = dual() { d =>
+    val ws = TextSim.tokens(d, "text")
+    def sliceSegs(arr: String) =
+      if (d eq sprk)
+        d.transform(d.ramp(d.intDiv(s"(size($arr) + 7)", "8")),
+          s"i -> array_join(slice($arr, (i - 1) * 8 + 1, 8), ' ')")
+      else
+        d.transform(d.ramp(d.intDiv(s"(len($arr) + 7)", "8")),
+          s"i -> array_to_string(list_slice($arr, (i - 1) * 8 + 1, i * 8), ' ')")
+    val joinFn = if (d eq sprk) "array_join" else "array_to_string"
+    val filterFn = if (d eq sprk) "filter" else "list_filter"
+    val containsFn = if (d eq sprk) "array_contains" else "list_contains"
+    val collectSet = if (d eq sprk) "collect_set(h)" else "list(DISTINCT h)"
+    // Sentinel −1 can never be a polynomial hash (they are ≥ 0): keeps
+    // the membership array non-NULL when no segment crosses the df
+    // threshold (DuckDB's list() over zero rows is NULL, and a NULL
+    // membership probe would silently drop every segment).
+    val boilArr = s"coalesce((SELECT bs FROM ba), ${d.arrayOf(Seq("CAST(-1 AS BIGINT)"))})"
+    s"""WITH s AS (
+       |  SELECT doc_id, source, ${sliceSegs(ws)} AS segs FROM documents),
+       |sh AS (
+       |  SELECT doc_id, source, segs,
+       |    ${d.transform("segs", s"g -> ${TextSim.wordHash(d, "g")}")} AS seg_hs
+       |  FROM s),
+       |ex AS (SELECT doc_id, ${d.explode}(seg_hs) AS h FROM sh),
+       |boil AS (
+       |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM ex GROUP BY h) bd
+       |  WHERE df > 2),
+       |ba AS (SELECT $collectSet AS bs FROM boil),
+       |k AS (
+       |  SELECT doc_id, source, segs,
+       |    ${d.transform(
+                s"$filterFn(${d.ramp(s"${d.size}(segs)")}, i -> NOT $containsFn($boilArr, ${d.at("seg_hs", "i")}))",
+                s"i -> ${d.at("segs", "i")}")} AS kept
+       |  FROM sh)
+       |SELECT doc_id, source,
+       |  CAST(${d.size}(segs) AS BIGINT) AS n_segs,
+       |  CAST(${d.size}(segs) - ${d.size}(kept) AS BIGINT) AS n_removed,
+       |  $joinFn(kept, ' ') AS kept_text
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -1298,5 +1370,6 @@ object TrainingData {
     "t51_crossmodal_ann" -> t51,
     "t52_stratified_sample" -> t52,
     "t53_sequence_packing" -> t53,
-    "t54_embedding_dedup" -> t54)
+    "t54_embedding_dedup" -> t54,
+    "t55_boilerplate_removal" -> t55)
 }
