@@ -1238,11 +1238,15 @@ object TrainingData {
     *
     * Scale: candidate generation is t39's (corpus-scaled buckets, never
     * all-pairs), resolution is t44's (O(log diameter) rounds of bounded
-    * equi-joins), and the final mapping is ONE left join of the corpus
-    * against the (tiny) duplicated-node label set — which Spark
-    * broadcasts. The DuckDB oracle resolves the same pair graph by
-    * recursive transitive closure (fine at oracle scale, the documented
-    * anti-pattern at 100 TB). */
+    * equi-joins), and the final mapping is ONE left equi-join of the
+    * corpus against the duplicated-node label set. The label set has one
+    * row per node of the dup-pair graph — corpus-dependent, NOT bounded
+    * by construction (a permissive threshold can label a large fraction
+    * of the corpus) — so the join carries no broadcast hint: AQE
+    * broadcasts it when its measured size is actually small and falls
+    * back to a shuffled hash join when it isn't. The DuckDB oracle
+    * resolves the same pair graph by recursive transitive closure (fine
+    * at oracle scale, the documented anti-pattern at 100 TB). */
   private val t54 = GQuery(
     fn = (s, dir) => {
       import org.apache.spark.sql.functions._
@@ -1256,7 +1260,7 @@ object TrainingData {
            |SELECT vec_a, vec_b FROM pairs""".stripMargin).persist())
       val labels = graft.operators.Relational.connectedComponents(pairs)
       s.table("embeddings").select(col("vec_id"))
-        .join(broadcast(labels), col("vec_id") === col("node"), "left")
+        .join(labels, col("vec_id") === col("node"), "left")
         .select(
           col("vec_id"),
           coalesce(col("label"), col("vec_id")).as("keeper_id"),
@@ -1294,8 +1298,9 @@ object TrainingData {
     *
     * Scale: the inverted index is one partial-aggregated shuffle of
     * (8-byte segment hash, doc_id); the boilerplate set (df > 2) is
-    * SMALL by definition — it rides back into the scan as a
-    * one-row scalar-subquery array, so the rewrite itself (filter the
+    * SMALL by definition — it rides back into the scan as a one-row
+    * CROSS JOIN (a broadcast of one array row), so the rewrite itself
+    * (filter the
     * in-order segment array against the set, re-join with spaces) is
     * pure scan-side projection work: the corpus is never exploded into
     * a regroup shuffle and never leaves its input partitioning. Segment
@@ -1318,9 +1323,12 @@ object TrainingData {
     val collectSet = if (d eq sprk) "collect_set(h)" else "list(DISTINCT h)"
     // Sentinel −1 can never be a polynomial hash (they are ≥ 0): keeps
     // the membership array non-NULL when no segment crosses the df
-    // threshold (DuckDB's list() over zero rows is NULL, and a NULL
-    // membership probe would silently drop every segment).
-    val boilArr = s"coalesce((SELECT bs FROM ba), ${d.arrayOf(Seq("CAST(-1 AS BIGINT)"))})"
+    // threshold (an aggregate over zero rows yields one row with NULL,
+    // and a NULL membership probe would silently drop every segment).
+    // `ba` is a 1-row frame, so it rides in via CROSS JOIN and the
+    // lambda references the plain column `bs` — Spark rejects
+    // subqueries inside higher-order-function lambdas.
+    val boilArr = s"coalesce(bs, ${d.arrayOf(Seq("CAST(-1 AS BIGINT)"))})"
     s"""WITH s AS (
        |  SELECT doc_id, source, ${sliceSegs(ws)} AS segs FROM documents),
        |sh AS (
@@ -1337,7 +1345,7 @@ object TrainingData {
        |    ${d.transform(
                 s"$filterFn(${d.ramp(s"${d.size}(segs)")}, i -> NOT $containsFn($boilArr, ${d.at("seg_hs", "i")}))",
                 s"i -> ${d.at("segs", "i")}")} AS kept
-       |  FROM sh)
+       |  FROM sh CROSS JOIN ba)
        |SELECT doc_id, source,
        |  CAST(${d.size}(segs) AS BIGINT) AS n_segs,
        |  CAST(${d.size}(segs) - ${d.size}(kept) AS BIGINT) AS n_removed,
