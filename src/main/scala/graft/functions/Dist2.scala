@@ -16,7 +16,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * HOF form's per-element arithmetic, so plans using it still hash-match
   * the DuckDB oracle's HOF rendering. Sides may independently be
   * ARRAY<FLOAT> (raw embeddings) or ARRAY<DOUBLE> (centroid literals /
-  * cast training vectors). Mismatched lengths yield NULL. */
+  * cast training vectors). Mismatched lengths yield NULL, and so does
+  * any NULL array element — matching the `aggregate(zip_with(...))`
+  * form, where a null element nulls the fold. */
 case class Dist2(left: Expression, right: Expression) extends BinaryExpression {
   private def elem(t: DataType): Option[DataType] = t match {
     case ArrayType(FloatType, _) => Some(FloatType)
@@ -65,6 +67,7 @@ object Dist2 {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
       val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
       val d = x - y

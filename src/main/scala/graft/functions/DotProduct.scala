@@ -51,13 +51,15 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
 object DotProduct {
   /** Static kernel — called from generated code. Returns null (boxed) on
-    * length mismatch to mirror zip_with padding semantics. */
+    * length mismatch (mirroring zip_with padding semantics) and on any
+    * NULL array element (mirroring the HOF fold, which nulls out). */
   def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }

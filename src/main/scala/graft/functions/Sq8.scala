@@ -21,7 +21,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * construction (fuzz-pinned in `Sq8KernelSpec`), so plans using them
   * still hash-match the DuckDB oracle's HOF rendering.
   *
-  * Mismatched lengths yield NULL (as zip_with's null padding would).
+  * Mismatched lengths yield NULL (as zip_with's null padding would),
+  * and so does any NULL array element — matching the HOF forms, where
+  * a null element nulls the fold.
   */
 case class Sq8Dot(first: Expression, second: Expression, third: Expression, fourth: Expression)
     extends QuaternaryExpression {
@@ -108,6 +110,7 @@ object Sq8 {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (q.isNullAt(i) || codes.isNullAt(i) || mns.isNullAt(i) || spans.isNullAt(i)) return null
       val dq = mns.getDouble(i) + codes.getLong(i).toDouble / 255.0 * spans.getDouble(i)
       acc += q.getFloat(i).toDouble * dq
       i += 1
@@ -122,6 +125,7 @@ object Sq8 {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (codes.isNullAt(i) || mns.isNullAt(i) || spans.isNullAt(i)) return null
       val dq = mns.getDouble(i) + codes.getLong(i).toDouble / 255.0 * spans.getDouble(i)
       acc += dq * dq
       i += 1

@@ -149,8 +149,11 @@ object AnnIndex {
         scored.withColumn("rnk", row_number().over(byApprox).cast("long"))
           .where(col("rnk") <= k)
       case Some(corpus) =>
+        // Pool never smaller than k: a k > rerankPool call must return k
+        // rows (short only when the probed cells hold fewer candidates),
+        // not silently cap at the default pool size.
         val pool = scored.withColumn("rka", row_number().over(byApprox))
-          .where(col("rka") <= rerankPool)
+          .where(col("rka") <= math.max(k, rerankPool))
         val vn = corpus.selectExpr("vec_id",
           "embedding", s"${TextSim.dotHof(d, "embedding", "embedding")} AS fn2")
         val qn = vn.toDF("q_id", "q_emb", "q_n2")

@@ -462,7 +462,14 @@ object TrainingData {
 
   /** The trainer itself, over any `(vec_id, embedding)` view — also the
     * quantizer-training entry point for the persisted incremental index
-    * (`operators.AnnIndex`). */
+    * (`operators.AnnIndex`). Seed and training sample are the k/cap
+    * SMALLEST vec_ids (`ORDER BY vec_id LIMIT …` — TakeOrderedAndProject,
+    * a distributed per-partition top-k, never a single-task window), not
+    * `vec_id < k`: ids are NOT assumed to start at 0, so an AnnIndex
+    * first batch whose ids begin at 1000+ trains the same quality
+    * quantizer instead of silently collecting an empty seed. On the
+    * oracle tables (contiguous ids from 0) the two forms select
+    * identical rows, so the DuckDB kmeans CTEs are unchanged. */
   private[graft] def trainCentroids(s: SparkSession, view: String): Array[Array[Double]] = {
     val d = sprk
     val n = s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n FROM $view")
@@ -471,14 +478,16 @@ object TrainingData {
     val cap = k.toLong * TextSim.ivfTrainPerCell
     var cents: Array[Array[Double]] = s.sql(
       s"""SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-         |FROM $view WHERE vec_id < $k ORDER BY vec_id""".stripMargin)
+         |FROM $view ORDER BY vec_id LIMIT $k""".stripMargin)
       .collect().map(_.getSeq[Double](0).toArray)
+    require(cents.length == math.min(k.toLong, n),
+      s"degenerate quantizer seed: collected ${cents.length} of $k centroids from $view (n=$n)")
     if (cents.nonEmpty) {
       val dim = cents(0).length
       for (_ <- 1 to TextSim.ivfLloydIters) {
         val upd = s.sql(
           s"""WITH t AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-             |           FROM $view WHERE vec_id < $cap),
+             |           FROM $view ORDER BY vec_id LIMIT $cap),
              |dd AS (SELECT vec_id, emb,
              |  transform(sequence(1, ${cents.length}),
              |    ci -> ${TextSim.dist2(d, "emb", s"element_at(${centsLit(cents)}, ci)")}) AS ds FROM t),

@@ -89,16 +89,21 @@ object MiniJson {
 
   /** Parse a document that is either the flat shape itself or ONE flat
     * object wrapped under a single top-level key — the reference's
-    * actual secret delivery (ingestion_lambda.py builds
-    * `json.loads('{' + secret + '}')['crigglestone']`, i.e. the payload
-    * arrives nested one level). Anything else — two wrapping keys,
-    * double nesting, arrays — still fails loudly with the FLAT parse's
-    * error, never a silent wrong answer. */
+    * actual secret delivery. The stored SecretString is BRACE-LESS
+    * (`"crigglestone": {...}`): ingestion_lambda.py builds
+    * `json.loads('{' + secret + '}')['crigglestone']`, so both the
+    * pre-braced wrapped form and the verbatim brace-less store form are
+    * accepted (the latter by applying the reference's own '{'+s+'}'
+    * re-bracing). Anything else — two wrapping keys, double nesting,
+    * arrays — still fails loudly with the FLAT parse's error, never a
+    * silent wrong answer. */
   def parseFlatOrWrapped(s: String): Map[String, String] =
     try parseFlat(s)
     catch {
       case e: IllegalArgumentException =>
-        unwrapSingleKey(s).map(parseFlat).getOrElse(throw e)
+        val braced =
+          if (s.dropWhile(_.isWhitespace).startsWith("{")) s else s"{$s}"
+        unwrapSingleKey(braced).map(parseFlat).getOrElse(throw e)
     }
 
   /** If `s` is exactly `{ "key" : { ... } }` (one key, object value,
