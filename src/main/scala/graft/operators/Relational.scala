@@ -254,7 +254,16 @@ object Relational {
     * hash-partitioned on the join key before caching, so only the label
     * side moves per round. Returns one row per node: (node, label = min
     * node id of its component). Deterministic at any partitioning (min
-    * is order-independent). */
+    * is order-independent).
+    *
+    * Durability: `localCheckpoint` stores the truncated blocks on
+    * executors — an executor loss mid-job discards them and FAILS the
+    * CC run (blocks are not recomputable once lineage is cut). Fine on
+    * local[32]; on a real cluster pass `checkpointDir = Some(path)`
+    * (HDFS/object store) to use reliable `checkpoint()` instead: each
+    * round's labels are written to the shared store, so the loop
+    * survives executor loss at the cost of one distributed write per
+    * round. Same plan-truncation contract either way. */
   val ccCheckpointEvery = 1
   val ccDoubleAfter = 2
 
@@ -267,7 +276,14 @@ object Relational {
     if (s == null) java.math.BigDecimal.ZERO else s
   }
 
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // Reliable checkpoint() writes to the shared checkpoint dir and
+    // survives executor loss; localCheckpoint() keeps blocks on
+    // executors (faster, not durable). Both truncate lineage eagerly.
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val p2 = pairs.toDF("a", "b")
     val undirected = p2.union(p2.select(col("b"), col("a"))).toDF("src", "dst")
     val edges = graft.CacheJanitor.register(
@@ -304,7 +320,7 @@ object Relational {
             .select(p("node").as("node"), col("hop_label").as("label"))
         }
       val next = graft.CacheJanitor.register(
-        (if ((rounds + 1) % ccCheckpointEvery == 0) doubled.localCheckpoint()
+        (if ((rounds + 1) % ccCheckpointEvery == 0) truncate(doubled)
          else doubled.persist()))
       // Labels are per-node monotone non-increasing and the node set is
       // fixed, so the exact label sum strictly decreases iff any node

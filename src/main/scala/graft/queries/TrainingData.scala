@@ -463,8 +463,10 @@ object TrainingData {
   /** The trainer itself, over any `(vec_id, embedding)` view — also the
     * quantizer-training entry point for the persisted incremental index
     * (`operators.AnnIndex`). Seed and training sample are the k/cap
-    * SMALLEST vec_ids (`ORDER BY vec_id LIMIT …` — TakeOrderedAndProject,
-    * a distributed per-partition top-k, never a single-task window), not
+    * SMALLEST vec_ids (`ORDER BY vec_id LIMIT …` — plans as
+    * TakeOrderedAndProject, a distributed per-partition top-k, while the
+    * limit stays under `spark.sql.execution.topKSortFallbackThreshold`;
+    * the `require` below pins cap within that bound), not
     * `vec_id < k`: ids are NOT assumed to start at 0, so an AnnIndex
     * first batch whose ids begin at 1000+ trains the same quality
     * quantizer instead of silently collecting an empty seed. On the
@@ -476,6 +478,11 @@ object TrainingData {
       .collect()(0).getLong(0)
     val k = TextSim.ivfCellsValue(n)
     val cap = k.toLong * TextSim.ivfTrainPerCell
+    // The non-terminal `ORDER BY vec_id LIMIT cap` below only plans as a
+    // distributed top-k while cap stays under the fallback threshold —
+    // beyond it Spark degrades to a global sort, silently.
+    require(cap <= s.conf.get("spark.sql.execution.topKSortFallbackThreshold").toLong,
+      s"kmeans training cap $cap exceeds topKSortFallbackThreshold — the LIMIT would plan as a global sort")
     var cents: Array[Array[Double]] = s.sql(
       s"""SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
          |FROM $view ORDER BY vec_id LIMIT $k""".stripMargin)

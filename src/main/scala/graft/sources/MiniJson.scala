@@ -101,9 +101,26 @@ object MiniJson {
     try parseFlat(s)
     catch {
       case e: IllegalArgumentException =>
-        val braced =
-          if (s.dropWhile(_.isWhitespace).startsWith("{")) s else s"{$s}"
-        unwrapSingleKey(braced).map(parseFlat).getOrElse(throw e)
+        val braceless = !s.dropWhile(_.isWhitespace).startsWith("{")
+        val braced = if (braceless) s"{$s}" else s
+        // Name every shape that was attempted — a malformed brace-less
+        // secret would otherwise surface only the flat error on the
+        // un-braced text ("expected {"), hiding that re-bracing +
+        // single-key unwrap were tried too. The most specific parse
+        // error (inner flat when the unwrap succeeded, outer flat
+        // otherwise) is chained as the cause.
+        val attempted =
+          if (braceless) "flat, then re-braced single-key wrapped"
+          else "flat, then single-key wrapped"
+        def fail(cause: Throwable): Nothing =
+          throw new IllegalArgumentException(
+            s"secret parses as neither shape (attempted: $attempted): ${cause.getMessage}", cause)
+        unwrapSingleKey(braced) match {
+          case None => fail(e)
+          case Some(inner) =>
+            try parseFlat(inner)
+            catch { case e2: IllegalArgumentException => fail(e2) }
+        }
     }
 
   /** If `s` is exactly `{ "key" : { ... } }` (one key, object value,

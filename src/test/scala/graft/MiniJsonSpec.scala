@@ -63,8 +63,14 @@ class MiniJsonSpec extends AnyFunSuite {
       """{"a": ["x"]}""",                        // array value
       """{"a": {"x": "y"}} trailing""")          // trailing content
     bad.foreach { doc =>
-      intercept[IllegalArgumentException](MiniJson.parseFlatOrWrapped(doc))
+      val e = intercept[IllegalArgumentException](MiniJson.parseFlatOrWrapped(doc))
+      // The diagnostic names every attempted shape and chains the flat
+      // parse error as the cause — not just "expected {".
+      assert(e.getMessage.contains("attempted") && e.getCause != null, doc)
     }
+    // Brace-less garbage reports that the re-braced unwrap was tried too.
+    val e2 = intercept[IllegalArgumentException](MiniJson.parseFlatOrWrapped("not json at all"))
+    assert(e2.getMessage.contains("re-braced"))
   }
 
   test("secret document with escaped quote in password yields exact credentials") {

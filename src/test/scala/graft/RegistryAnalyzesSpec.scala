@@ -17,7 +17,9 @@ class RegistryAnalyzesSpec extends SparkSpec {
         fn(spark, dir).queryExecution.analyzed
         None
       } catch {
-        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.take(3).mkString(" ")}")
+        // String.valueOf: getMessage can be null (NPE, some wrappers) and
+        // the diagnostic listing must survive that, not NPE in the catch.
+        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.take(3).mkString(" ")}")
       }
     }
     assert(failures.isEmpty, s"unplannable registered queries:\n${failures.mkString("\n")}")

@@ -100,6 +100,28 @@ class RelationalSpec extends SparkSpec {
     assert(got.values.forall(_ == 1L), s"all chain nodes must resolve to label 1: ${got.toSeq.sortBy(_._1).take(10)}")
   }
 
+  test("connectedComponents with a reliable checkpoint dir matches localCheckpoint mode") {
+    import graft.operators.Relational.connectedComponents
+    // Same chain as above, but truncating via reliable checkpoint() into
+    // a shared dir — the cluster-durable mode (executor loss discards
+    // localCheckpoint blocks and fails the job; checkpoint files survive).
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    try {
+      val chain = (1L to 60L).map(i => (i, i + 1))
+      val got = connectedComponents(chain.toDF("a", "b"), checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      CacheJanitor.drain()
+      assert(got.keySet == (1L to 61L).toSet)
+      assert(got.values.forall(_ == 1L))
+      // The reliable path actually wrote checkpoint state to the dir.
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable checkpoint mode must write to the checkpoint dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("melt unpivots columns into (variable, value) rows") {
     val df = Seq((1, 10.0, 20.0)).toDF("id", "a", "b")
     val out = melt(Seq("id"), Seq("a", "b"), "variable", "value")(df)
