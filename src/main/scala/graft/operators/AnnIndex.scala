@@ -40,6 +40,12 @@ import org.apache.spark.sql.functions._
   * optional exact re-rank joins the caller's float corpus for the final
   * ordering. Per-query cost is ~(probes/cells)·n code rows at 4× less
   * memory traffic; nothing scans the whole corpus.
+  *
+  * Deletion is tombstone-then-compact ([[Tombstones]], same shape as
+  * [[SignatureIndex]]): [[remove]] records vec_ids in a side table that
+  * [[topK]] and index reads anti-join; [[compact]] rewrites `codes/`
+  * minus tombstones under the unchanged frozen quantizer. Removal is
+  * O(removed ids); only compaction pays a rewrite.
   */
 object AnnIndex {
 
@@ -104,11 +110,39 @@ object AnnIndex {
     val (cents, mn, span) = loadOrTrain(spark, root, increment)
     val enc = graft.CacheJanitor.register(encode(increment, cents, mn, span).persist())
     enc.write.mode("append").partitionBy("cell").parquet(s"$root/codes")
-    // Partition-column inference reads `cell=` dirs back as INT; cast to
-    // the canonical type so readers never lean on implicit coercion.
-    val all = spark.read.parquet(s"$root/codes")
-      .withColumn("cell", col("cell").cast("long"))
-    Batch(enc, all)
+    Batch(enc, readCodes(spark, root))
+  }
+
+  /** Live code rows: the snapshot (cell cast back to its canonical
+    * BIGINT — partition-column inference reads `cell=` dirs as INT)
+    * minus tombstoned vec_ids. */
+  private def readCodes(spark: SparkSession, root: String): DataFrame =
+    Tombstones.exclude(
+      spark.read.parquet(s"$root/codes").withColumn("cell", col("cell").cast("long")),
+      root, "vec_id")
+
+  /** Tombstone vec_ids out of the index (takedowns, re-embeds, dedup
+    * keeper changes). Appends to the side table only — `cell=` code
+    * files stay byte-untouched (spec-pinned); the ids stop appearing as
+    * [[topK]] neighbors from this call on. The frozen quantizer is
+    * unaffected: removal never retrains (same contract as ingest). */
+  def remove(spark: SparkSession, root: String, ids: DataFrame): Unit =
+    Tombstones.append(root, ids, "vec_id")
+
+  def remove(spark: SparkSession, root: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    remove(spark, root, ids.toDF("vec_id"))
+  }
+
+  /** Rewrite `codes/` minus tombstones (same `cell=` layout, so the
+    * probed-partition-only read path is unchanged) and clear the side
+    * table. Content-identical to a frozen-quantizer [[encode]] of the
+    * surviving vectors (spec-pinned). */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val dest = s"$root/codes"
+    val tmp = s"$root/codes.__compact_tmp"
+    readCodes(spark, root).write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    Tombstones.commitCompaction(spark, root, tmp, dest)
   }
 
   /** Approximate (or exactly re-ranked) top-k neighbors for a
@@ -130,9 +164,14 @@ object AnnIndex {
     // Bounded collect (≤ probeCells·|Q| longs) → static partition filter:
     // only probed cell= directories are ever read.
     val probed = qp.select("cell").distinct().collect().map(_.getLong(0)).toSeq
-    val codes = spark.read.parquet(s"$root/codes")
-      .where(col("cell").isin(probed: _*))
-      .withColumn("cell", col("cell").cast("long"))
+    // Partition filter FIRST (on the raw inferred partition column, so
+    // the `cell=` pruning is static), then the tombstone anti-join —
+    // removed vec_ids must never surface as neighbors.
+    val codes = Tombstones.exclude(
+      spark.read.parquet(s"$root/codes")
+        .where(col("cell").isin(probed: _*))
+        .withColumn("cell", col("cell").cast("long")),
+      root, "vec_id")
     // Scoring never materializes a dequantized array: the codegen'd SQ8
     // kernels dequantize-and-fold in one tight loop per pair (the hot
     // inner loop of the whole index at corpus scale).

@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   * accumulation is the standard contract for incremental dedup indexes;
   * a from-scratch [[deltaPairs]](all, all) recompute is the escape
   * hatch when exact cap semantics matter.
+  *
+  * Deletion (takedowns, re-crawls, keeper changes) is tombstone-then-
+  * compact ([[Tombstones]]): [[remove]] records ids in a side table
+  * that every read anti-joins; [[compact]] folds them into a rewritten
+  * snapshot. Removal is O(removed ids) per batch; only compaction pays
+  * a corpus rewrite, on the operator's schedule.
   */
 object SignatureIndex {
 
@@ -69,8 +75,42 @@ object SignatureIndex {
     // delta join below reads it back instead of re-scanning the text.
     val newCached = graft.CacheJanitor.register(signatures(increment).persist())
     newCached.write.mode("append").parquet(path)
-    val all = spark.read.parquet(path)
+    val all = readIndex(spark, root, table)
     Batch(newCached, all, deltaPairs(all, newCached))
+  }
+
+  /** Live signature rows: the snapshot minus tombstoned doc_ids. Every
+    * read path goes through this, so a removed doc stops contributing
+    * postings, candidates, and exact-verify rows immediately — without
+    * touching the append-only snapshot files. */
+  def readIndex(spark: SparkSession, root: String, table: String = "signatures"): DataFrame =
+    Tombstones.exclude(spark.read.parquet(s"$root/$table"), root, "doc_id")
+
+  /** Tombstone doc_ids out of the index. Appends to the side table only
+    * — snapshot files stay byte-untouched (spec-pinned); the ids vanish
+    * from [[readIndex]]/[[deltaPairs]] results from this call on.
+    * Pair deltas ALREADY emitted in prior batches are the caller's
+    * accumulated table, not index state — filter them there or rerun
+    * `deltaPairs(all, all)` when retroactive exactness matters. */
+  def remove(spark: SparkSession, root: String, ids: DataFrame): Unit =
+    Tombstones.append(root, ids, "doc_id")
+
+  def remove(spark: SparkSession, root: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    remove(spark, root, ids.toDF("doc_id"))
+  }
+
+  /** Rewrite the snapshot minus tombstones and clear the side table.
+    * After this the on-disk state is content-identical to a
+    * from-scratch [[signatures]] build over the surviving docs
+    * (spec-pinned) — the reference's full-refresh end state
+    * (`src/warehousing_lambda.py:64-71`) at a schedule the operator
+    * chooses instead of per takedown. */
+  def compact(spark: SparkSession, root: String, table: String = "signatures"): Unit = {
+    val path = s"$root/$table"
+    val tmp = s"$path.__compact_tmp"
+    readIndex(spark, root, table).write.mode("overwrite").parquet(tmp)
+    Tombstones.commitCompaction(spark, root, tmp, path)
   }
 
   /** Near-dup pairs touching at least one `newSigs` doc: df-capped

@@ -1,0 +1,67 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deletion/retraction for the incremental index snapshots
+  * ([[SignatureIndex]], [[AnnIndex]]): the snapshots are append-only —
+  * a removal must not rewrite them, or batch cost stops being
+  * O(increment). The honest middle ground is the standard
+  * tombstone-then-compact shape (Delta/Iceberg delete files, Lucene
+  * deleted-docs bitmaps): [[append]] records removed ids in a small
+  * parquet side table under the snapshot root; every read path
+  * anti-joins it ([[exclude]]); a periodic [[SignatureIndex.compact]] /
+  * [[AnnIndex.compact]] rewrites the snapshot minus tombstones and
+  * clears the side table — after which the snapshot is byte-identical
+  * in content to a from-scratch build over the surviving set (spec-
+  * pinned).
+  *
+  * Scale: the tombstone table grows with the number of REMOVED ids,
+  * not corpus size, and the anti-join is a plain equi-join that AQE
+  * broadcasts while the set is small; compaction is the only full
+  * rewrite and is explicitly operator-scheduled, never implicit. The
+  * reference's only delete story is a full refresh
+  * (`src/warehousing_lambda.py:64-71`, `mode="overwrite"`); this keeps
+  * that end state (compaction == rebuild) without paying a rebuild per
+  * takedown. */
+private[graft] object Tombstones {
+
+  def dir(root: String): String = s"$root/tombstones"
+
+  /** Recorded tombstoned ids as a 1-column `(idCol)` BIGINT frame —
+    * empty (but correctly typed) when nothing was ever removed. */
+  def read(spark: SparkSession, root: String, idCol: String): DataFrame =
+    if (!Files.isDirectory(Paths.get(dir(root))))
+      spark.range(0).select(col("id").as(idCol))
+    else spark.read.parquet(dir(root)).select(col(idCol)).distinct()
+
+  /** Record ids as removed — appends a small file, never touches the
+    * snapshot (the append-only contract is what the fingerprint specs
+    * pin). Idempotent: re-removing an id is a no-op at read time
+    * (distinct on read). */
+  def append(root: String, ids: DataFrame, idCol: String): Unit =
+    ids.select(col(idCol).cast("long").as(idCol)).distinct()
+      .coalesce(1).write.mode("append").parquet(dir(root))
+
+  /** `df` minus tombstoned rows (anti-join on `idCol`). */
+  def exclude(df: DataFrame, root: String, idCol: String): DataFrame = {
+    val t = read(df.sparkSession, root, idCol)
+    df.join(t, Seq(idCol), "left_anti")
+  }
+
+  /** Atomically replace `dest` with the fully-written `tmp` directory
+    * and drop the tombstone table — the commit step of a compaction.
+    * Hadoop FileSystem API so the same code runs on HDFS/object-store
+    * roots, not just local disk. */
+  def commitCompaction(spark: SparkSession, root: String, tmp: String, dest: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new HPath(dest).getFileSystem(conf)
+    fs.delete(new HPath(dest), true)
+    require(fs.rename(new HPath(tmp), new HPath(dest)),
+      s"compaction commit failed: could not move $tmp into $dest")
+    fs.delete(new HPath(dir(root)), true)
+  }
+}

@@ -139,4 +139,57 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.toSeq == expected,
       s"topK(rerank) must equal the driver-side replica: got ${got.toSeq}, expected $expected")
   }
+
+  test("remove tombstones vec_ids out of topK without touching code files; compact == frozen re-encode") {
+    val root = Files.createTempDirectory("graft_annidx3").toString
+    AnnIndex.ingest(spark, root, vecs.where(col("vec_id") < 250))
+    AnnIndex.ingest(spark, root, vecs.where(col("vec_id") >= 250))
+    CacheJanitor.drain()
+    val before = files(s"$root/codes")
+
+    val queries = vecs.where(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def neighbors() = AnnIndex.topK(spark, root, queries, k = 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+
+    // (a) Tombstone the current top neighbors — they must vanish and be
+    // REPLACED (a full top-3 still comes back from the probed cells).
+    val firstTop = neighbors()
+    assert(firstTop.size == 3)
+    AnnIndex.remove(spark, root, firstTop.toSeq)
+    val afterRemove = neighbors()
+    CacheJanitor.drain()
+    assert(afterRemove.intersect(firstTop).isEmpty,
+      s"tombstoned ids $firstTop must not appear as neighbors: $afterRemove")
+    assert(afterRemove.size == 3, "topK must refill from surviving candidates")
+
+    // (c) Removal never rewrites `cell=` code files.
+    before.foreach { case (f, mtime) =>
+      assert(files(s"$root/codes").get(f).contains(mtime), s"remove() rewrote $f")
+    }
+
+    // (b) Compaction == one frozen-quantizer encode of the survivors;
+    // tombstone table cleared; quantizer untouched; results unchanged.
+    val quantBefore = files(s"$root/quantizer")
+    AnnIndex.compact(spark, root)
+    def codeSet(df: DataFrame) =
+      df.select("vec_id", "cell", "codes").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    val (cents, mn, span) = {
+      val c = spark.read.parquet(s"$root/quantizer/centroids")
+        .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+      val st = spark.read.parquet(s"$root/quantizer/stats").orderBy("pos").collect()
+      (c, st.map(_.getDouble(1)), st.map(_.getDouble(2)))
+    }
+    val surviving = vecs.where(!col("vec_id").isin(firstTop.toSeq: _*))
+    val rebuilt = codeSet(AnnIndex.encode(surviving, cents, mn, span))
+    val compacted = spark.read.parquet(s"$root/codes").withColumn("cell", col("cell").cast("long"))
+    assert(codeSet(compacted) == rebuilt,
+      "compacted codes must equal a frozen-quantizer encode of the surviving vectors")
+    assert(!Files.isDirectory(Paths.get(s"$root/tombstones")),
+      "compaction must clear the tombstone table")
+    assert(files(s"$root/quantizer") == quantBefore, "compaction must not touch the frozen quantizer")
+    assert(neighbors() == afterRemove, "topK must be identical before and after compaction")
+    CacheJanitor.drain()
+  }
 }

@@ -79,4 +79,50 @@ class SignatureIndexSpec extends SparkSpec {
       "a delta must always touch an increment doc")
     assert(d1 ++ d2 == full, s"incremental union ${d1 ++ d2} != full recompute $full")
   }
+
+  test("remove tombstones a doc out of pairs without touching snapshot files; compact == rebuild") {
+    val root = Files.createTempDirectory("graft_sigidx3").toString
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    SignatureIndex.ingest(spark, root, docs(batchA: _*))
+    CacheJanitor.drain()
+    val snapshotDir = java.nio.file.Paths.get(root, "signatures")
+    val before = parquetFiles(snapshotDir)
+
+    // (a) Removal: doc 2 (the near-dup of 1) disappears from reads and
+    // from every subsequent delta — including new-vs-old pairs it would
+    // otherwise have matched.
+    SignatureIndex.remove(spark, root, Seq(2L))
+    val live = SignatureIndex.readIndex(spark, root)
+    assert(live.where("doc_id = 2").count() == 0)
+    assert(live.count() == 2)
+    val b2 = SignatureIndex.ingest(spark, root, docs(batchB: _*))
+    val d2 = pairSet(b2.deltaPairs)
+    CacheJanitor.drain()
+    assert(!d2.exists { case (a, b) => a == 2L || b == 2L },
+      s"tombstoned doc 2 must not appear in any delta pair: $d2")
+    assert(d2.exists { case (a, b) => a == 1L && b == 4L },
+      "surviving near-dup pair (1,4) must still be found")
+
+    // (c) Tombstoning never rewrites snapshot files.
+    before.foreach { case (f, mtime) =>
+      assert(parquetFiles(snapshotDir).get(f).contains(mtime), s"remove() rewrote $f")
+    }
+
+    // (b) Compaction == from-scratch signatures over the surviving docs,
+    // and the tombstone side table is gone afterwards.
+    SignatureIndex.compact(spark, root)
+    def sigSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    val surviving = (batchA ++ batchB).filterNot(_._1 == 2L)
+    val rebuilt = sigSet(SignatureIndex.signatures(docs(surviving: _*)))
+    assert(sigSet(spark.read.parquet(s"$root/signatures")) == rebuilt,
+      "compacted snapshot must equal a from-scratch build on the surviving set")
+    assert(!Files.isDirectory(java.nio.file.Paths.get(root, "tombstones")),
+      "compaction must clear the tombstone table")
+    // Post-compaction reads no longer depend on the side table.
+    assert(SignatureIndex.readIndex(spark, root).count() == rebuilt.size)
+    CacheJanitor.drain()
+  }
 }
