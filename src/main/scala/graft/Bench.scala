@@ -29,9 +29,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // Optional comma-separated subset for targeted profiling runs; the
+    // round artifact is always a full (unfiltered) run.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.build("graft-bench")
     val loadStart = loadavg()
-    val results: Seq[QRes] = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results: Seq[QRes] = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
       var r = 0

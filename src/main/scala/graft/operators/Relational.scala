@@ -281,24 +281,34 @@ object Relational {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     // Reliable checkpoint() writes to the shared checkpoint dir and
     // survives executor loss; localCheckpoint() keeps blocks on
-    // executors (faster, not durable). Both truncate lineage eagerly.
+    // executors (faster, not durable). Both are requested LAZILY: the
+    // round's one labelSum action below materializes the checkpoint and
+    // computes the convergence sum in a single job — an eager
+    // checkpoint would spend a second job per round on a graph walk
+    // whose per-round cost is dominated by fixed job overhead.
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     val p2 = pairs.toDF("a", "b")
     val undirected = p2.union(p2.select(col("b"), col("a"))).toDF("src", "dst")
     val edges = graft.CacheJanitor.register(
       undirected
         .union(undirected.select(col("src"), col("src")).distinct().toDF("src", "dst"))
         .repartition(col("dst")).persist())
-    var labels = graft.CacheJanitor.register(
-      edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node")).persist())
+    // Round 0 fused into init: with identity starting labels and
+    // self-loops present, the first propagation is just min(dst) per
+    // src — no join, and its group keys ARE the node set, so the
+    // separate identity-labels distinct (a shuffle) and its own
+    // materializing action disappear. One action covers round-0 state
+    // + the starting convergence sum.
     val tInit = System.nanoTime()
+    var labels = graft.CacheJanitor.register(truncate(
+      edges.groupBy(col("src").as("node")).agg(min(col("dst")).as("label"))))
     var prevSum = labelSum(labels)
     if (sys.env.contains("GRAFT_CC_DEBUG"))
-      println(f"[cc] init ${(System.nanoTime() - tInit) / 1e9}%.2f s")
+      println(f"[cc] init+round0 ${(System.nanoTime() - tInit) / 1e9}%.2f s sum $prevSum")
     var converged = false
-    var rounds = 0
+    var rounds = 1
     while (!converged && rounds < maxRounds) {
       val tRound = System.nanoTime()
       val prop = edges.join(labels, edges("dst") === labels("node"))
