@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *  - deduplication: exact (t34), n-gram Jaccard (t35), MinHash+LSH (t36),
   *    SimHash (t37), cluster resolution over the pair graph (t44),
-  *    embedding-cosine near-dup with keeper manifest (t54);
+  *    embedding-cosine near-dup with keeper manifest (t54), SemDeDup
+  *    within-cluster semantic dedup (t56);
   *  - similarity search: brute-force cosine top-k (t38),
   *    hyperplane-LSH buckets (t39), trained IVF (t41), int8
   *    scalar-quantized index with exact re-rank (t48);
@@ -19,7 +20,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    language ID (t32), document fingerprinting (t33), repetition
   *    gate (t46);
   *  - corpus curation: composed filter pass (t42), deterministic split
-  *    (t43), benchmark decontamination (t45), source-mix report (t47);
+  *    (t43), benchmark decontamination (t45), source-mix report (t47),
+  *    deterministic shuffle-shard (t57), temperature mixing (t58);
   *  - multimodal: opaque binary payload + typed metadata extraction (t40).
   *
   * Each query is ONE SQL template rendered for Spark and for the DuckDB
@@ -1370,6 +1372,109 @@ object TrainingData {
        |FROM k ORDER BY doc_id""".stripMargin
   }
 
+  /** t56 — SemDeDup (the published semantic-dedup shape: k-means
+    * cluster, then dedup INSIDE each cluster only). Where t54 resolves
+    * the global LSH pair graph transitively, SemDeDup never builds a
+    * global graph: every vector is assigned to a coarse cluster (t41's
+    * trained quantizer, zero-shuffle scan-side argmin over the
+    * broadcast centroid literal), and a vector is a duplicate iff some
+    * LOWER-ID vector in the SAME cluster has cosine ≥ 0.4 — its keeper
+    * is the smallest such id (a min aggregate, no iteration). Output is
+    * the full manifest (vec_id, cell, keeper_id, is_dup).
+    *
+    * Scale: the only pair work is the within-cell self-equi-join, and
+    * cells are corpus-scaled (k = ivfCells(n) ≈ √n-scaled, so expected
+    * per-cell pair count stays bounded as n grows); the greedy
+    * non-transitive contract is exactly what makes the method one
+    * bounded join + one aggregate instead of a convergence loop —
+    * cross-cell chains are deliberately NOT merged (the published
+    * method's recall tradeoff, documented, not hidden). */
+  private val t56 = {
+    def stage(d: Dialect, fromV: String, centsCol: String): String =
+      s"""fd AS (
+         |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2,
+         |    ${d.transform(d.ramp(s"${d.size}(centsCol_)"), s"ci -> ${TextSim.dist2(d, "embedding", d.at("centsCol_", "ci"))}")} AS ds
+         |  FROM (SELECT vec_id, embedding, $centsCol AS centsCol_ $fromV)),
+         |assigned AS (
+         |  SELECT vec_id, embedding, n2,
+         |    CAST(${if (d eq sprk) "array_position" else "list_position"}(ds, ${d.arrayMin}(ds)) AS BIGINT) AS cell
+         |  FROM fd),
+         |dups AS (
+         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS keeper_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${TextSim.dot(d, "a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
+         |  GROUP BY b.vec_id)
+         |SELECT s.vec_id, s.cell,
+         |  coalesce(d0.keeper_id, s.vec_id) AS keeper_id,
+         |  CAST(CASE WHEN d0.keeper_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+         |FROM assigned s LEFT JOIN dups d0 ON s.vec_id = d0.vec_id
+         |ORDER BY s.vec_id""".stripMargin
+    GQuery(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+        s.sql(s"WITH ${stage(sprk, "FROM embeddings", trainCentroidLiteral(s))}")
+      },
+      oracle = Some {
+        s"""WITH $duckKmeansCtes,
+           |${stage(duck, s"FROM embeddings CROSS JOIN c${TextSim.ivfLloydIters} cj", "cj.cents")}""".stripMargin
+      })
+  }
+
+  /** t57 — deterministic global shuffle + sharding (the training-loader
+    * step after curation: examples must arrive in a reproducible
+    * pseudorandom order, split into a fixed number of shard files).
+    * Shard = salted polynomial hash of the doc id mod 16 (zero-shuffle
+    * scan-side, the same hash-gate contract as t43/t52); position
+    * within a shard = rank by (hash, doc_id) — a total order, so the
+    * permutation is identical at any partitioning and any cluster size.
+    *
+    * Scale: one hash shuffle on `shard` for the per-shard window; shard
+    * counts are hash-balanced by construction. At 100 TB the shard
+    * count rises with the target file size and each shard's rank can
+    * drop to the two-pass range-partition form (`Relational
+    * .sequentialId`) — the ORDER is already decided by the hash, so
+    * the operator parallelizes embarrassingly. */
+  private val t57 = dual() { d =>
+    val str = if (d eq sprk) "STRING" else "VARCHAR"
+    val hv = TextSim.wordHash(d, s"concat('shuffle42:', CAST(doc_id AS $str))")
+    s"""WITH h AS (SELECT doc_id, $hv AS hv FROM documents)
+       |SELECT doc_id, hv,
+       |  CAST(hv % 16 AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) AS BIGINT) AS pos
+       |FROM h ORDER BY shard, pos""".stripMargin
+  }
+
+  /** t58 — temperature-reweighted source mixing (the multilingual /
+    * multi-source sampling-weight step: p_i ∝ n_i^α with α = 1/2, the
+    * standard dampening that upsamples small sources without letting
+    * the head dominate). Emits per-source weights, per-100k target
+    * counts, and the effective boost over natural frequency.
+    *
+    * Determinism across engines: sqrt is IEEE-correctly-rounded in
+    * both, so per-source weights are exact; the one cross-source
+    * reduction (Σ√n_i) is a LEFT-TO-RIGHT fold over the source-sorted
+    * list — never a partial-aggregated double sum, whose order would
+    * be partition-dependent. The reduction input is one row per
+    * SOURCE (bounded ~100s), not per document, so the collect_list
+    * stays tiny at any corpus size. */
+  private val t58 = dual() { d =>
+    val wdArr =
+      if (d eq sprk) "transform(sort_array(collect_list(struct(source, wd))), s0 -> s0.wd)"
+      else "list(wd ORDER BY source)"
+    val wsum = d.foldDouble(wdArr, "(acc, x) -> acc + x")
+    s"""WITH counts AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+       |w AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS wd FROM counts),
+       |tot AS (SELECT $wsum AS wsum, CAST(sum(n_docs) AS BIGINT) AS n_total FROM w)
+       |SELECT source, n_docs,
+       |  wd / wsum AS weight,
+       |  CAST(floor(wd / wsum * 100000.0) AS BIGINT) AS target_per_100k,
+       |  (wd / wsum) / (CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)) AS boost
+       |FROM w CROSS JOIN tot ORDER BY source""".stripMargin
+  }
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -1396,5 +1501,8 @@ object TrainingData {
     "t52_stratified_sample" -> t52,
     "t53_sequence_packing" -> t53,
     "t54_embedding_dedup" -> t54,
-    "t55_boilerplate_removal" -> t55)
+    "t55_boilerplate_removal" -> t55,
+    "t56_semdedup" -> t56,
+    "t57_shuffle_shard" -> t57,
+    "t58_temperature_mix" -> t58)
 }

@@ -47,7 +47,7 @@ class PlanPropertiesSpec extends SparkSpec {
     // in any of them.
     Seq("t35_ngram_jaccard_dedup", "t36_minhash_lsh_dedup", "t37_simhash_dedup",
       "t39_lsh_bucket_ann", "t41_ivf_ann", "t49_ivf_sq8_ann", "t50_decontam_removal",
-      "t51_crossmodal_ann", "t54_embedding_dedup").foreach { q =>
+      "t51_crossmodal_ann", "t54_embedding_dedup", "t56_semdedup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not cartesian-join:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must pair via equi-joins:\n$p")
@@ -75,6 +75,24 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"t49 must score via the cell equi-join:\n$p")
     val windows = "(?m)^\\(\\d+\\) Window\\s*$".r.findAllIn(p).size
     assert(windows == 2, s"expected candidate + re-rank windows only, got $windows:\n$p")
+  }
+
+  test("t56: SemDeDup pairs come only from the within-cell self-equi-join") {
+    val p = plan("t56_semdedup")
+    // The published method's cost bound: pair generation is the cell
+    // equi-join of the scan-side assignment with itself — never a
+    // corpus×corpus comparison, and no iterative resolution loop.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t56 must pair via the cell equi-join:\n$p")
+    assert(!p.contains("Window"), s"t56 is one join + one aggregate, no window:\n$p")
+  }
+
+  test("t57: shard assignment is scan-side; the only shuffle partitioning is the per-shard rank") {
+    val p = plan("t57_shuffle_shard")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"), s"t57 must not join at all:\n$p")
+    val windows = "(?m)^\\(\\d+\\) Window\\s*$".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly the per-shard rank window, got $windows:\n$p")
   }
 
   test("q13: unpivot compiles to Expand (no join, no explode shuffle)") {
