@@ -18,7 +18,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    scalar-quantized index with exact re-rank (t48);
   *  - text analysis: token counting (t30), quality scoring (t31),
   *    language ID (t32), document fingerprinting (t33), repetition
-  *    gate (t46);
+  *    gate (t46), bigram-LM fluency scoring (t59), TF-IDF keyword
+  *    extraction (t61), PII redaction (t60);
   *  - corpus curation: composed filter pass (t42), deterministic split
   *    (t43), benchmark decontamination (t45), source-mix report (t47),
   *    deterministic shuffle-shard (t57), temperature mixing (t58);
@@ -1475,6 +1476,134 @@ object TrainingData {
        |FROM w CROSS JOIN tot ORDER BY source""".stripMargin
   }
 
+  /** t59 — bigram-LM fluency scoring (the CCNet-style model-based
+    * quality signal, next to t31's surface ratios): a bigram language
+    * model is "trained" on the corpus itself (bigram / prefix-unigram
+    * counts), and each document is scored by its average bigram
+    * conditional probability. Low scores flag documents made of rare
+    * word transitions (garbled text); high scores flag templated
+    * boilerplate — both ends of the distribution are curation signals.
+    *
+    * Determinism across engines, without logs: a perplexity uses
+    * libm `ln` (not bit-stable across engines), so the score is kept
+    * in probability space and every per-position term is an INTEGER —
+    * term = (1e6 * c(w1,w2)) div c(w1·) ≤ 1e6 — summed exactly
+    * (integer sums are order-independent at any partitioning); only
+    * the final per-doc average divides in double, in a fixed order.
+    * Bigrams are packed collision-free into one BIGINT
+    * (h1 * 2^30 + h2, both hashes < 1e9+7 < 2^30), so the prefix
+    * count is recovered by a shift — one exploded table serves both
+    * count aggregations.
+    *
+    * Scale: two hash aggregations and two equi-joins on bigram-sized
+    * keys (vocabulary-scaled frames, AQE-handled); signature work is
+    * scan-side; no driver-side staging, no iteration. */
+  private val t59 = dual() { d =>
+    val wh = TextSim.wordHashes(d, "text")
+    val B = 1L << 30
+    s"""WITH w AS (SELECT doc_id, $wh AS wh FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |    ${d.transform(d.ramp(s"${d.size}(wh) - 1"),
+                          s"i -> ${d.at("wh", "i")} * $B + ${d.at("wh", "i + 1")}")} AS bhs
+       |  FROM w WHERE ${d.size}(wh) >= 2),
+       |e AS (SELECT doc_id, ${d.explode}(bhs) AS bh FROM b),
+       |cb AS (SELECT bh, CAST(count(*) AS BIGINT) AS c2 FROM e GROUP BY bh),
+       |cu AS (SELECT ${d.intDiv("bh", B.toString)} AS h1, CAST(count(*) AS BIGINT) AS c1
+       |       FROM e GROUP BY 1),
+       |t AS (
+       |  SELECT e.doc_id, ${d.intDiv("(1000000 * cb.c2)", "cu.c1")} AS term
+       |  FROM e JOIN cb ON e.bh = cb.bh
+       |         JOIN cu ON ${d.intDiv("e.bh", B.toString)} = cu.h1)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(term) AS BIGINT) AS prob_ppm_sum,
+       |  CAST(sum(term) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS avg_bigram_prob
+       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** t60 — PII detection + redaction (the scrubbing act every released
+    * corpus runs: emails / phone numbers / long numeric identifiers →
+    * class tokens, with per-class counts for the audit report). The
+    * testdata carries no PII, so the operator first SHAPES a
+    * deterministic contact string per customer row in-query (name +
+    * synthetic mailbox + formatted phone + account number — stated
+    * fixture, not hidden), then runs the real scan-side redaction over
+    * it. Redaction order is fixed (email → phone → id-run) and the
+    * classes are disjoint by construction, so counts are exact.
+    *
+    * Cross-engine regex discipline: Java regex (Spark) and RE2
+    * (DuckDB) agree on character classes, alternation and bounded
+    * quantifiers but NOT on backslash escapes inside SQL string
+    * literals (Spark unescapes them, DuckDB does not) — so the
+    * patterns use ONLY bracket classes ([.] for a literal dot, [+]
+    * for a literal plus) and contain no backslash at all.
+    *
+    * Scale: pure scan-side regexp work, zero shuffles before the
+    * final ORDER BY; at 100 TB this pipelines with any other per-doc
+    * pass. */
+  private val t60 = {
+    def sql(d: Dialect): String = {
+      def rep(s: String, pat: String, repl: String) =
+        if (d eq sprk) s"regexp_replace($s, '$pat', '$repl')"
+        else s"regexp_replace($s, '$pat', '$repl', 'g')"
+      def cnt(s: String, pat: String) =
+        if (d eq sprk) s"regexp_count($s, '$pat')"
+        else s"len(regexp_extract_all($s, '$pat'))"
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+      val phone = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val idrun = "[0-9]{6,}"
+      val str = if (d eq sprk) "STRING" else "VARCHAR"
+      val raw =
+        s"""'contact ' || c_name || ' <user' || CAST(c_custkey AS $str) ||
+           |    '@example.com> tel +1-555-' || lpad(CAST(c_custkey % 1000 AS $str), 3, '0') ||
+           |    '-' || lpad(CAST(c_custkey % 10000 AS $str), 4, '0') ||
+           |    ' ref ' || CAST(10000000 + (c_custkey * 1000003) % 10000000 AS $str)""".stripMargin
+      s"""WITH raw AS (SELECT c_custkey, $raw AS txt FROM customer)
+         |SELECT c_custkey,
+         |  CAST(${cnt("txt", email)} AS BIGINT) AS n_emails,
+         |  CAST(${cnt("txt", phone)} AS BIGINT) AS n_phones,
+         |  CAST(${cnt("txt", idrun)} AS BIGINT) AS n_id_runs,
+         |  ${rep(rep(rep("txt", email, "[EMAIL]"), phone, "[PHONE]"), idrun, "[ID]")} AS redacted
+         |FROM raw ORDER BY c_custkey""".stripMargin
+    }
+    GQuery(
+      fn = (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        s.sql(sql(sprk))
+      },
+      oracle = Some(sql(duck)))
+  }
+
+  /** t61 — TF-IDF keyword extraction (per-document top-3 salient
+    * terms — the feature side of quality classifiers and topic
+    * reports). IDF is integer-exact: idf_ppm = (1e6 * N) div df, so
+    * score = tf * idf_ppm is a BIGINT and the cross-engine compare
+    * needs no float tolerance anywhere; rank ties break on the term
+    * string, making the top-3 fully deterministic.
+    *
+    * Scale: one aggregation per (doc, term) for tf, one per term for
+    * df (vocabulary-sized), the scalar doc count rides in via CROSS
+    * JOIN (one row), and the per-doc top-3 is a partitioned window —
+    * never a global sort. */
+  private val t61 = dual() { d =>
+    val toks = TextSim.tokens(d, "text")
+    s"""WITH e AS (SELECT doc_id, ${d.explode}($toks) AS w FROM documents),
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM e GROUP BY doc_id, w),
+       |df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM e GROUP BY w),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+       |    tf.tf * ${d.intDiv("(1000000 * n.n_docs)", "df.df")} AS score
+       |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, w, tf, df, score,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, w AS term, tf, df, CAST(score AS BIGINT) AS score
+       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+  }
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -1504,5 +1633,8 @@ object TrainingData {
     "t55_boilerplate_removal" -> t55,
     "t56_semdedup" -> t56,
     "t57_shuffle_shard" -> t57,
-    "t58_temperature_mix" -> t58)
+    "t58_temperature_mix" -> t58,
+    "t59_bigram_lm" -> t59,
+    "t60_pii_redaction" -> t60,
+    "t61_tfidf_keywords" -> t61)
 }
