@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    within-cluster semantic dedup (t56);
   *  - similarity search: brute-force cosine top-k (t38),
   *    hyperplane-LSH buckets (t39), trained IVF (t41), int8
-  *    scalar-quantized index with exact re-rank (t48);
+  *    scalar-quantized index with exact re-rank (t48), product
+  *    quantization with ADC scoring (t62);
   *  - text analysis: token counting (t30), quality scoring (t31),
   *    language ID (t32), document fingerprinting (t33), repetition
   *    gate (t46), bigram-LM fluency scoring (t59), TF-IDF keyword
@@ -1604,6 +1605,227 @@ object TrainingData {
        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   }
 
+  /** PQ geometry: m subspaces × k centroids each (4-bit codes — 8 codes
+    * replace 256 float bytes, the 64× compression step beyond t48's 4×).
+    * Training cap per subspace mirrors the IVF contract (k ·
+    * ivfTrainPerCell sample rows, ivfLloydIters Lloyd iterations). */
+  private val pqM = 8
+  private val pqK = 16
+  private val pqCap: Long = pqK.toLong * TextSim.ivfTrainPerCell
+
+  /** Driver-side PQ codebook training — [m][k][subDim] doubles. Every
+    * float op replays the EXACT fold orders of [[duckPqCtes]] (left
+    * fold dist2, first-position argmin, per-dim member sums in vec_id
+    * order, empty cells keep the previous centroid), so the trained
+    * codebooks are bit-identical to the oracle's CTE chain — the same
+    * contract [[trainCentroids]] keeps for IVF, just in Scala instead
+    * of staged SQL (the sample is ≤ pqCap rows, a bounded collect). */
+  private[graft] def trainPqCodebooks(s: SparkSession, view: String = "embeddings")
+      : Array[Array[Array[Double]]] = {
+    require(pqCap <= s.conf.get("spark.sql.execution.topKSortFallbackThreshold").toLong,
+      s"PQ training cap $pqCap exceeds topKSortFallbackThreshold — the LIMIT would plan as a global sort")
+    val sample: Array[Array[Double]] = s.sql(
+      s"""SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |FROM $view ORDER BY vec_id LIMIT $pqCap""".stripMargin)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= pqK, s"degenerate PQ seed: ${sample.length} sample rows < $pqK")
+    val dim = sample(0).length
+    require(dim % pqM == 0, s"embedding dim $dim not divisible by $pqM subspaces")
+    val sub = dim / pqM
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val t0 = a(i) - b(i); acc = acc + t0 * t0; i += 1 }
+      acc
+    }
+    Array.tabulate(pqM) { j =>
+      val vecs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      var cents = vecs.take(pqK).map(_.clone)
+      for (_ <- 1 to TextSim.ivfLloydIters) {
+        val cells = vecs.map { v =>
+          val ds = cents.map(c => dist2(v, c))
+          ds.indexOf(ds.min)
+        }
+        cents = Array.tabulate(pqK) { ci =>
+          val members = vecs.indices.filter(cells(_) == ci)
+          if (members.isEmpty) cents(ci)
+          else Array.tabulate(sub)(i0 =>
+            members.foldLeft(0.0)((acc, mi) => acc + vecs(mi)(i0)) / members.size.toDouble)
+        }
+      }
+      cents
+    }
+  }
+
+  /** Subvector j (1-based) of a double-array column, sub-dim as an
+    * expression so the oracle stays data-driven. */
+  private def pqSubvec(d: Dialect, emb: String, j: String): String =
+    if (d eq sprk) s"slice($emb, ($j - 1) * (size($emb) div $pqM) + 1, size($emb) div $pqM)"
+    else s"list_slice($emb, ($j - 1) * (len($emb) // $pqM) + 1, $j * (len($emb) // $pqM))"
+
+  /** One per-subspace Lloyd chain in the oracle dialect (subspace `j`,
+    * iteration `it`, previous codebook CTE `prev`). */
+  private def duckPqIter(j: Int, it: Int, prev: String): String = {
+    val d = duck
+    s"""pd${it}_$j AS (
+       |  SELECT t.vec_id, t.sub,
+       |    ${d.transform(d.ramp("len(c.cents)"), s"ci -> ${TextSim.dist2(d, "t.sub", "c.cents[ci]")}")} AS ds
+       |  FROM ptrain_$j t CROSS JOIN $prev c),
+       |pa${it}_$j AS (SELECT vec_id, sub, CAST(list_position(ds, list_min(ds)) AS BIGINT) AS cell FROM pd${it}_$j),
+       |pg${it}_$j AS (SELECT cell, list(sub ORDER BY vec_id) AS vecs FROM pa${it}_$j GROUP BY cell),
+       |pn${it}_$j AS (
+       |  SELECT cell, list_transform(range(1, len(vecs[1]) + 1),
+       |    i -> list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(vecs, v -> v[i])),
+       |                     (acc, x0) -> acc + x0) / CAST(len(vecs) AS DOUBLE)) AS cemb
+       |  FROM pg${it}_$j),
+       |pr${it}_$j AS (SELECT unnest(range(1, $pqK + 1)) AS ci),
+       |pe${it}_$j AS (
+       |  SELECT r0.ci AS ci, coalesce(n0.cemb, (SELECT cents FROM $prev)[r0.ci]) AS cemb
+       |  FROM pr${it}_$j r0 LEFT JOIN pn${it}_$j n0 ON n0.cell = r0.ci),
+       |pc${it}_$j AS (SELECT list(cemb ORDER BY ci) AS cents FROM pe${it}_$j)""".stripMargin
+  }
+
+  /** The oracle's full PQ training chain: per subspace, seed = first
+    * pqK sample subvectors, then ivfLloydIters Lloyd rounds; codebooks
+    * land in `pqcb.cbs` ([m][k][subDim]). Like the IVF oracle, the
+    * sample predicate `vec_id < pqCap` relies on the oracle tables'
+    * contiguous-from-0 ids (the Spark side orders-and-limits). */
+  private def duckPqCtes: String = {
+    val d = duck
+    val chains = (1 to pqM).map { j =>
+      val iters = (1 to TextSim.ivfLloydIters)
+        .map(it => duckPqIter(j, it, if (it == 1) s"pc0_$j" else s"pc${it - 1}_$j")).mkString(",\n")
+      s"""ptrain_$j AS (
+         |  SELECT vec_id, ${pqSubvec(d, "emb", j.toString)} AS sub FROM ptrain),
+         |pc0_$j AS (SELECT list(sub ORDER BY vec_id) AS cents FROM ptrain_$j WHERE vec_id < $pqK),
+         |$iters""".stripMargin
+    }.mkString(",\n")
+    val last = s"pc${TextSim.ivfLloydIters}"
+    val cbList = (1 to pqM).map(j => s"(SELECT cents FROM ${last}_$j)").mkString(", ")
+    s"""ptrain AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+       |  FROM embeddings WHERE vec_id < $pqCap),
+       |$chains,
+       |pqcb AS (SELECT list_value($cbList) AS cbs)""".stripMargin
+  }
+
+  /** t62 — PRODUCT-QUANTIZED ANN (the codebook companion to t48's
+    * scalar quantizer): each vector is encoded as pqM 4-bit codes
+    * (argmin sub-centroid per subspace — scan-side, zero shuffle) and
+    * scored ASYMMETRICALLY: per query, a LUT of query-subvector ×
+    * sub-centroid dot products is computed once (pqM·pqK doubles,
+    * scan-side), and each candidate's approximate dot is just pqM
+    * table lookups summed in a fixed-order fold — no float vector is
+    * touched until the exact top-25 re-rank (to top-3; the pool is
+    * wider than t48's top-10 because 4-bit ADC ranking is cruder — the
+    * standard PQ compensation, still O(1) per query). This is the
+    * classical ADC pipeline: at 100 TB the code table is 64× smaller
+    * than the float corpus, and scoring reads only codes + the
+    * per-query LUT, which is why PQ indexes fit in memory when float
+    * scans cannot.
+    *
+    * Approximate norms use the reconstruction: pn2 = Σ_j
+    * ‖cb[j][code_j]‖² — inlined as a driver-computed literal on the
+    * Spark side (pqM·pqK doubles), recomputed by the oracle from its
+    * CTE-trained codebooks. Bounded-query contract (25 probes), same
+    * as t38/t48.
+    *
+    * Scale: encode + LUT build are scan-side projections; scoring is
+    * the same bounded-query × corpus join as t48 but moving pqM
+    * BIGINTs per row instead of the dim-wide code array — the shuffle
+    * and memory story of a real PQ index. The codebook literal is
+    * pqM·pqK·subDim doubles (~1k) — broadcast-trivial. */
+  private val t62 = {
+    def rankTail(d: Dialect): String =
+      s"""cand AS (
+         |  SELECT query_id, neighbor_id, approx_cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx_cosine DESC, neighbor_id) AS rka
+         |  FROM scored),
+         |rer AS (
+         |  SELECT c.query_id AS query_id, c.neighbor_id AS neighbor_id,
+         |    c.approx_cosine AS approx_cosine,
+         |    ${TextSim.dot(d, "q.embedding", "n.embedding")} / (sqrt(q.n2) * sqrt(n.n2)) AS cosine
+         |  FROM cand c
+         |  JOIN w q ON q.vec_id = c.query_id
+         |  JOIN w n ON n.vec_id = c.neighbor_id
+         |  WHERE c.rka <= 25),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, approx_cosine, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM rer)
+         |SELECT query_id, neighbor_id, approx_cosine, cosine, rnk FROM ranked
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+    // Shared encode/score template. `cb` = codebook array expr
+    // ([m][k][subDim] doubles), `pn2s` = per-code reconstruction-norm²
+    // array expr ([m][k] doubles). On Spark both are driver-computed
+    // literals (so nothing rides through the row); in the oracle they
+    // are columns of the 1-row pqcb/pqn CTEs, CROSS JOINed in at v0
+    // and projected through every stage via `thru`.
+    def body(d: Dialect, cb: String, pn2s: String, from0: String, thru: String): String = {
+      val ve =
+        if (d eq sprk) "transform(embedding, x -> CAST(x AS DOUBLE))"
+        else "list_transform(embedding, x -> x::DOUBLE)"
+      val subj = pqSubvec(d, "ve", "j")
+      def dsExpr = d.transform(d.ramp(pqK.toString),
+        s"c -> ${TextSim.dist2(d, subj, d.at(d.at(cb, "j"), "c"))}")
+      val posFn = if (d eq sprk) "array_position" else "list_position"
+      val codesExpr = d.transform(d.ramp(pqM.toString),
+        s"j -> CAST($posFn($dsExpr, ${d.arrayMin}($dsExpr)) AS BIGINT)")
+      // Spark's element_at requires an INT index; the stored codes are
+      // BIGINT (oracle-parity type), so index exprs cast at use site.
+      def idx(e: String) = if (d eq sprk) s"CAST($e AS INT)" else e
+      val pn2Expr = d.foldDouble(
+        d.transform(d.ramp(pqM.toString), s"j -> ${d.at(d.at(pn2s, "j"), idx(d.at("codes", "j")))}"),
+        "(acc, x0) -> acc + x0")
+      val lutExpr = s"flatten(${d.transform(d.ramp(pqM.toString),
+        s"j -> ${d.transform(d.ramp(pqK.toString), s"c -> ${TextSim.dotHof(d, subj, d.at(d.at(cb, "j"), "c"))}")}")})"
+      val approxDot = d.foldDouble(
+        d.transform(d.ramp(pqM.toString),
+          s"j -> ${d.at("q.luts", idx(s"(j - 1) * $pqK + ${d.at("c.codes", "j")}"))}"),
+        "(acc, x0) -> acc + x0")
+      s"""v0 AS (SELECT vec_id, embedding, $ve AS ve$thru $from0),
+         |v1 AS (SELECT vec_id, embedding, ve$thru, $codesExpr AS codes FROM v0),
+         |enc AS (
+         |  SELECT vec_id, embedding, ve$thru, ${TextSim.norm2(d, "embedding")} AS n2, codes,
+         |    $pn2Expr AS pn2
+         |  FROM v1),
+         |w AS (SELECT vec_id, embedding, n2 FROM enc),
+         |qs AS (
+         |  SELECT vec_id, embedding, n2, $lutExpr AS luts
+         |  FROM enc WHERE vec_id % 100 = 0 AND vec_id < 2500),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $approxDot / (sqrt(q.n2) * sqrt(c.pn2)) AS approx_cosine
+         |  FROM qs q JOIN enc c ON c.vec_id <> q.vec_id),
+         |${rankTail(d)}""".stripMargin
+    }
+
+    GQuery(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+        val cb = trainPqCodebooks(s)
+        val cbL = cb.map(ck => ck.map(cv => cv.map(litD).mkString("array(", ", ", ")"))
+          .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+        // Reconstruction norms, same left fold the oracle's SQL runs.
+        val pn2 = cb.map(_.map(cv => cv.foldLeft(0.0)((acc, x0) => acc + x0 * x0)))
+        val pn2L = pn2.map(_.map(litD).mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+        s.sql(s"WITH ${body(sprk, cbL, pn2L, "FROM embeddings", "")}")
+      },
+      oracle = Some {
+        val d = duck
+        val pn2Cte =
+          s"""pqn AS (SELECT list_transform(cbs,
+             |  cbj -> list_transform(cbj, cv -> ${TextSim.dotHof(d, "cv", "cv")})) AS pn2s FROM pqcb)""".stripMargin
+        s"""WITH $duckPqCtes,
+           |$pn2Cte,
+           |${body(d, "cbs", "pn2s",
+                   "FROM embeddings CROSS JOIN pqcb CROSS JOIN pqn", ", cbs, pn2s")}""".stripMargin
+      })
+  }
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -1636,5 +1858,6 @@ object TrainingData {
     "t58_temperature_mix" -> t58,
     "t59_bigram_lm" -> t59,
     "t60_pii_redaction" -> t60,
-    "t61_tfidf_keywords" -> t61)
+    "t61_tfidf_keywords" -> t61,
+    "t62_pq_ann" -> t62)
 }
