@@ -256,6 +256,14 @@ object Relational {
     * node id of its component). Deterministic at any partitioning (min
     * is order-independent).
     *
+    * Hybrid: when the MEASURED undirected-edge count is at or below
+    * [[ccSmallGraphMaxEdges]], the graph is resolved by a driver-side
+    * union-find instead (milliseconds, vs rounds × fixed job overhead
+    * — the dominant cost on small graphs); larger graphs take the
+    * distributed loop below, unchanged. Both paths produce the
+    * identical (node, min-id label) frame (RelationalSpec pins the
+    * equality against a reference union-find on both).
+    *
     * Durability: `localCheckpoint` stores the truncated blocks on
     * executors — an executor loss mid-job discards them and FAILS the
     * CC run (blocks are not recomputable once lineage is cut). Fine on
@@ -276,8 +284,24 @@ object Relational {
     if (s == null) java.math.BigDecimal.ZERO else s
   }
 
+  /** Edge-count gate below which [[connectedComponents]] resolves the
+    * graph with a driver-side union-find instead of the distributed
+    * round loop. The loop pays ~1 job of fixed overhead PER ROUND
+    * (5+ rounds on typical near-dup graphs) regardless of data size —
+    * on a few-hundred-edge graph that overhead IS the cost. The gate is
+    * a MEASURED count of the (already-cached) edge frame, so the
+    * decision is size-honest: 1M undirected edges ≈ 16 MB of longs in
+    * driver memory (far under any driver heap), resolved in
+    * milliseconds; anything larger runs the distributed loop
+    * unchanged. This is the standard hybrid (GraphX/GraphFrames
+    * finish small residual graphs the same way), not a scale
+    * shortcut — at 100 TB the pair graph blows the gate and never
+    * collects. Set 0 to force the distributed loop (tests do). */
+  val ccSmallGraphMaxEdges: Long = 1000000L
+
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      smallGraphMaxEdges: Long = ccSmallGraphMaxEdges): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     // Reliable checkpoint() writes to the shared checkpoint dir and
     // survives executor loss; localCheckpoint() keeps blocks on
@@ -295,6 +319,40 @@ object Relational {
       undirected
         .union(undirected.select(col("src"), col("src")).distinct().toDF("src", "dst"))
         .repartition(col("dst")).persist())
+    // Size gate: the count is the action that materializes the edge
+    // cache (the loop would pay the same materialization in round 0),
+    // so the gate costs ~nothing on either path.
+    if (smallGraphMaxEdges > 0 && edges.count() <= smallGraphMaxEdges) {
+      val spark0 = pairs.sparkSession
+      val nodeType = p2.schema.head.dataType
+      val tUf = System.nanoTime()
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long")).collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        // Always attach the larger root under the smaller, so every
+        // root is the min node id of its component — the exact label
+        // contract of the distributed loop (min is order-independent,
+        // so the result is deterministic whatever the edge order).
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = parent.keysIterator.map(n => (n, find(n))).toSeq
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] small-graph union-find ${es.length} edges ${(System.nanoTime() - tUf) / 1e9}%.2f s")
+      import spark0.implicits._
+      return out.toDF("node", "label")
+        .select(col("node").cast(nodeType).as("node"), col("label").cast(nodeType).as("label"))
+    }
     // Round 0 fused into init: with identity starting labels and
     // self-loops present, the first propagation is just min(dst) per
     // src — no join, and its group keys ARE the node set, so the

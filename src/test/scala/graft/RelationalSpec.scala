@@ -79,10 +79,18 @@ class RelationalSpec extends SparkSpec {
       Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
     }
     cases.foreach { pairs =>
+      // Default gate: these graphs are small, so this exercises the
+      // driver union-find fast path...
       val got = connectedComponents(pairs.toDF("a", "b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       CacheJanitor.drain()
-      assert(got == unionFind(pairs), s"mismatch for ${pairs.take(10)}...")
+      assert(got == unionFind(pairs), s"fast-path mismatch for ${pairs.take(10)}...")
+      // ...and gate 0 forces the distributed round loop on the same
+      // graph — both paths must agree with the reference exactly.
+      val gotDist = connectedComponents(pairs.toDF("a", "b"), smallGraphMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      CacheJanitor.drain()
+      assert(gotDist == unionFind(pairs), s"distributed mismatch for ${pairs.take(10)}...")
     }
   }
 
@@ -93,7 +101,9 @@ class RelationalSpec extends SparkSpec {
     // O(log d) rounds. Also exercises the periodic localCheckpoint
     // (rounds > ccCheckpointEvery would otherwise chain lineage).
     val chain = (1L to 200L).map(i => (i, i + 1))
-    val got = connectedComponents(chain.toDF("a", "b"))
+    // Gate 0 forces the distributed loop — the doubling behavior under
+    // test lives there, not in the small-graph union-find.
+    val got = connectedComponents(chain.toDF("a", "b"), smallGraphMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     CacheJanitor.drain()
     assert(got.keySet == (1L to 201L).toSet)
@@ -108,7 +118,8 @@ class RelationalSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
     try {
       val chain = (1L to 60L).map(i => (i, i + 1))
-      val got = connectedComponents(chain.toDF("a", "b"), checkpointDir = Some(dir))
+      val got = connectedComponents(chain.toDF("a", "b"), checkpointDir = Some(dir),
+          smallGraphMaxEdges = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       CacheJanitor.drain()
       assert(got.keySet == (1L to 61L).toSet)
