@@ -300,32 +300,40 @@ object TrainingData {
         graft.functions.GraftFunctions.registerAll(s)
         Tables.documents(s, dir).createOrReplaceTempView("documents")
         val d = sprk
+        // The 30 simhash bit expressions each reference `wh`; as a plain
+        // projection Catalyst duplicates the hash pipeline into every
+        // one (measured 2.6 s vs 1.0 s at sf0.1) — persist the word-hash
+        // frame so each bit fold reads a cached column.
+        val wf = graft.CacheJanitor.register(s.sql(
+          s"SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents").persist())
+        wf.createOrReplaceTempView("t37_wh")
         val sig = s.sql(
           s"""SELECT doc_id, ${TextSim.simhash(d, "wh")} AS sim
-             |FROM (SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents)
-             |WHERE ${d.size}(wh) >= 1""".stripMargin).persist()
+             |FROM t37_wh WHERE ${d.size}(wh) >= 1""".stripMargin).persist()
         graft.CacheJanitor.register(sig)
         sig.createOrReplaceTempView("t37_sig")
         val blkCols = (0 until 6).map(b => s"${blkExpr(b)} AS blk$b").mkString(", ")
         val stackArgs = combos.zipWithIndex.map { case ((b1, b2, b3), t) =>
           s"$t, blk$b1 * 1024 + blk$b2 * 32 + blk$b3"
         }.mkString(", ")
+        // Bands carry the 8-byte signature itself, so the Hamming verify
+        // is a bit_count inside the band join — filtering BEFORE the
+        // distinct and sparing two candidate-sized joins back to the
+        // signature table (the candidate set is ~2.4× the output; at
+        // sf0.1 that's 2.3M joined rows × 2 avoided).
         s.sql(
-          s"""SELECT doc_id, stack(${combos.size}, $stackArgs) AS (tbl, bkey)
-             |FROM (SELECT doc_id, $blkCols FROM t37_sig)""".stripMargin)
+          s"""SELECT doc_id, sim, stack(${combos.size}, $stackArgs) AS (tbl, bkey)
+             |FROM (SELECT doc_id, sim, $blkCols FROM t37_sig)""".stripMargin)
           .createOrReplaceTempView("t37_bands")
         s.sql(
-          s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(bit_count(${d.xor("a.sim", "b.sim")}) AS BIGINT) AS hamming
              |FROM t37_bands a JOIN t37_bands b
-             |  ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin)
+             |  ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+             |WHERE bit_count(${d.xor("a.sim", "b.sim")}) <= 3""".stripMargin)
           .createOrReplaceTempView("t37_cand")
         s.sql(
-          s"""SELECT doc_a, doc_b,
-             |  CAST(bit_count(${d.xor("sa.sim", "sb.sim")}) AS BIGINT) AS hamming
-             |FROM t37_cand
-             |JOIN t37_sig sa ON doc_a = sa.doc_id
-             |JOIN t37_sig sb ON doc_b = sb.doc_id
-             |WHERE bit_count(${d.xor("sa.sim", "sb.sim")}) <= 3
+          s"""SELECT doc_a, doc_b, hamming FROM t37_cand
              |ORDER BY doc_a, doc_b""".stripMargin)
       },
       oracle = Some {
