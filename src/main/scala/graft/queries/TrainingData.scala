@@ -16,7 +16,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - similarity search: brute-force cosine top-k (t38),
   *    hyperplane-LSH buckets (t39), trained IVF (t41), int8
   *    scalar-quantized index with exact re-rank (t48), product
-  *    quantization with ADC scoring (t62);
+  *    quantization with ADC scoring (t62), IVF-PQ composition (t63);
   *  - text analysis: token counting (t30), quality scoring (t31),
   *    language ID (t32), document fingerprinting (t33), repetition
   *    gate (t46), bigram-LM fluency scoring (t59), TF-IDF keyword
@@ -1694,6 +1694,54 @@ object TrainingData {
     if (d eq sprk) s"slice($emb, ($j - 1) * (size($emb) div $pqM) + 1, size($emb) div $pqM)"
     else s"list_slice($emb, ($j - 1) * (len($emb) // $pqM) + 1, $j * (len($emb) // $pqM))"
 
+  // Shared PQ expression builders (t62 flat scan, t63 IVF-PQ). `cb` =
+  // codebook array expr ([m][k][subDim] doubles), `pn2s` = per-code
+  // reconstruction-norm² array expr ([m][k] doubles) — driver-computed
+  // literals on Spark, columns of 1-row CTEs in the oracle. All operate
+  // on a double-cast embedding column named by the caller (`ve`).
+
+  /** Double-cast of the float embedding column. */
+  private def pqVe(d: Dialect): String =
+    if (d eq sprk) "transform(embedding, x -> CAST(x AS DOUBLE))"
+    else "list_transform(embedding, x -> x::DOUBLE)"
+
+  /** Spark's element_at requires an INT index; stored codes are BIGINT
+    * (oracle-parity type), so index exprs cast at use site. */
+  private def pqIdx(d: Dialect, e: String): String =
+    if (d eq sprk) s"CAST($e AS INT)" else e
+
+  /** Per-subspace argmin codes ([m] BIGINTs in 1..k) over column `ve`. */
+  private def pqCodesExpr(d: Dialect, cb: String): String = {
+    val subj = pqSubvec(d, "ve", "j")
+    def dsExpr = d.transform(d.ramp(pqK.toString),
+      s"c -> ${TextSim.dist2(d, subj, d.at(d.at(cb, "j"), "c"))}")
+    val posFn = if (d eq sprk) "array_position" else "list_position"
+    d.transform(d.ramp(pqM.toString),
+      s"j -> CAST($posFn($dsExpr, ${d.arrayMin}($dsExpr)) AS BIGINT)")
+  }
+
+  /** Reconstruction norm² = Σ_j ‖cb[j][code_j]‖², from a codes column. */
+  private def pqPn2Expr(d: Dialect, pn2s: String, codes: String): String =
+    d.foldDouble(
+      d.transform(d.ramp(pqM.toString),
+        s"j -> ${d.at(d.at(pn2s, "j"), pqIdx(d, d.at(codes, "j")))}"),
+      "(acc, x0) -> acc + x0")
+
+  /** Flattened per-query LUT ([m·k] doubles): dot(q-subvector, each
+    * sub-centroid), over column `ve`. */
+  private def pqLutExpr(d: Dialect, cb: String): String = {
+    val subj = pqSubvec(d, "ve", "j")
+    s"flatten(${d.transform(d.ramp(pqM.toString),
+      s"j -> ${d.transform(d.ramp(pqK.toString), s"c -> ${TextSim.dotHof(d, subj, d.at(d.at(cb, "j"), "c"))}")}")})"
+  }
+
+  /** ADC approximate dot: Σ_j luts[(j-1)·k + code_j] — pqM lookups. */
+  private def pqApproxDot(d: Dialect, luts: String, codes: String): String =
+    d.foldDouble(
+      d.transform(d.ramp(pqM.toString),
+        s"j -> ${d.at(luts, pqIdx(d, s"(j - 1) * $pqK + ${d.at(codes, "j")}"))}"),
+      "(acc, x0) -> acc + x0")
+
   /** One per-subspace Lloyd chain in the oracle dialect (subspace `j`,
     * iteration `it`, previous codebook CTE `prev`). */
   private def duckPqIter(j: Int, it: Int, prev: String): String = {
@@ -1789,34 +1837,12 @@ object TrainingData {
          |SELECT query_id, neighbor_id, approx_cosine, cosine, rnk FROM ranked
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
-    // Shared encode/score template. `cb` = codebook array expr
-    // ([m][k][subDim] doubles), `pn2s` = per-code reconstruction-norm²
-    // array expr ([m][k] doubles). On Spark both are driver-computed
-    // literals (so nothing rides through the row); in the oracle they
-    // are columns of the 1-row pqcb/pqn CTEs, CROSS JOINed in at v0
-    // and projected through every stage via `thru`.
     def body(d: Dialect, cb: String, pn2s: String, from0: String, thru: String): String = {
-      val ve =
-        if (d eq sprk) "transform(embedding, x -> CAST(x AS DOUBLE))"
-        else "list_transform(embedding, x -> x::DOUBLE)"
-      val subj = pqSubvec(d, "ve", "j")
-      def dsExpr = d.transform(d.ramp(pqK.toString),
-        s"c -> ${TextSim.dist2(d, subj, d.at(d.at(cb, "j"), "c"))}")
-      val posFn = if (d eq sprk) "array_position" else "list_position"
-      val codesExpr = d.transform(d.ramp(pqM.toString),
-        s"j -> CAST($posFn($dsExpr, ${d.arrayMin}($dsExpr)) AS BIGINT)")
-      // Spark's element_at requires an INT index; the stored codes are
-      // BIGINT (oracle-parity type), so index exprs cast at use site.
-      def idx(e: String) = if (d eq sprk) s"CAST($e AS INT)" else e
-      val pn2Expr = d.foldDouble(
-        d.transform(d.ramp(pqM.toString), s"j -> ${d.at(d.at(pn2s, "j"), idx(d.at("codes", "j")))}"),
-        "(acc, x0) -> acc + x0")
-      val lutExpr = s"flatten(${d.transform(d.ramp(pqM.toString),
-        s"j -> ${d.transform(d.ramp(pqK.toString), s"c -> ${TextSim.dotHof(d, subj, d.at(d.at(cb, "j"), "c"))}")}")})"
-      val approxDot = d.foldDouble(
-        d.transform(d.ramp(pqM.toString),
-          s"j -> ${d.at("q.luts", idx(s"(j - 1) * $pqK + ${d.at("c.codes", "j")}"))}"),
-        "(acc, x0) -> acc + x0")
+      val ve = pqVe(d)
+      val codesExpr = pqCodesExpr(d, cb)
+      val pn2Expr = pqPn2Expr(d, pn2s, "codes")
+      val lutExpr = pqLutExpr(d, cb)
+      val approxDot = pqApproxDot(d, "q.luts", "c.codes")
       s"""v0 AS (SELECT vec_id, embedding, $ve AS ve$thru $from0),
          |v1 AS (SELECT vec_id, embedding, ve$thru, $codesExpr AS codes FROM v0),
          |enc AS (
@@ -1858,6 +1884,93 @@ object TrainingData {
       })
   }
 
+  /** t63 — IVF-PQ: t41's trained coarse quantizer COMPOSED with t62's
+    * product quantizer — the memory-extreme production index (FAISS
+    * `IVF<nlist>,PQ8`). The corpus is assigned to cells scan-side
+    * (argmin over the broadcast centroid literal) and stored as pqM
+    * 4-bit codes + a precomputed reconstruction norm; each query
+    * probes its 3 nearest cells and ADC-scores codes ONLY INSIDE THE
+    * PROBED CELLS — the same `cell` equi-join as t49, but each scored
+    * row moves 8 small codes instead of a 64-byte int8 array, and the
+    * scoring arithmetic is pqM LUT lookups instead of a dim-wide
+    * fold. Exact re-rank of the top-25 (t62's wider pool — 4-bit ADC
+    * ranking is cruder than SQ8's) to a final top-3.
+    *
+    * At 100 TB this is the index you build when even SQ8 codes don't
+    * fit cluster RAM: 64× smaller than floats, with the cell probe
+    * bounding per-query work at ~(3/cells)·n code rows. The `enc`
+    * frame IS the persistable index (cell-partitioned codes); built
+    * in-plan here so the oracle replays identical arithmetic. */
+  private val t63 = {
+    def stage(d: Dialect, fromV: String, cents: String, cb: String, pn2s: String): String = {
+      val pos = if (d eq sprk) "array_position" else "list_position"
+      s"""raw AS (SELECT vec_id, embedding, ${pqVe(d)} AS ve,
+         |          $cents AS cents_, $cb AS cbs_, $pn2s AS pn2s_ $fromV),
+         |base AS (
+         |  SELECT vec_id, embedding, ve, cbs_, pn2s_, ${TextSim.norm2(d, "embedding")} AS n2,
+         |    ${d.transform(d.ramp(s"${d.size}(cents_)"), s"ci -> ${TextSim.dist2(d, "embedding", d.at("cents_", "ci"))}")} AS ds
+         |  FROM raw),
+         |enc AS (
+         |  SELECT vec_id, cell, codes, ${pqPn2Expr(d, "pn2s_", "codes")} AS pn2
+         |  FROM (
+         |    SELECT vec_id, pn2s_,
+         |      CAST($pos(ds, ${d.arrayMin}(ds)) AS BIGINT) AS cell,
+         |      ${pqCodesExpr(d, "cbs_")} AS codes
+         |    FROM base) e0),
+         |q AS (SELECT vec_id, embedding, n2, ${top3Cells(d, "ds")} AS probes,
+         |        ${pqLutExpr(d, "cbs_")} AS luts
+         |      FROM base WHERE vec_id % 100 = 0 AND vec_id < 2500),
+         |qp AS (SELECT vec_id, embedding, n2, luts, ${d.explode}(probes) AS cell FROM q),
+         |scored AS (
+         |  SELECT qp.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell AS cell,
+         |    ${pqApproxDot(d, "qp.luts", "c.codes")} / (sqrt(qp.n2) * sqrt(c.pn2)) AS approx_cosine
+         |  FROM qp JOIN enc c ON c.cell = qp.cell AND c.vec_id <> qp.vec_id),
+         |cand AS (
+         |  SELECT query_id, neighbor_id, cell, approx_cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx_cosine DESC, neighbor_id) AS rka
+         |  FROM scored),
+         |rer AS (
+         |  SELECT c.query_id AS query_id, c.neighbor_id AS neighbor_id, c.cell AS cell,
+         |    c.approx_cosine AS approx_cosine,
+         |    ${TextSim.dot(d, "qe.embedding", "ne.embedding")} / (sqrt(qe.n2) * sqrt(ne.n2)) AS cosine
+         |  FROM cand c
+         |  JOIN base qe ON qe.vec_id = c.query_id
+         |  JOIN base ne ON ne.vec_id = c.neighbor_id
+         |  WHERE c.rka <= 25),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cell, approx_cosine, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM rer)
+         |SELECT query_id, neighbor_id, cell, approx_cosine, cosine, rnk FROM ranked
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+    }
+    GQuery(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+        val cbA = trainPqCodebooks(s)
+        val cbL = cbA.map(ck => ck.map(cv => cv.map(litD).mkString("array(", ", ", ")"))
+          .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+        val pn2 = cbA.map(_.map(cv => cv.foldLeft(0.0)((acc, x0) => acc + x0 * x0)))
+        val pn2L = pn2.map(_.map(litD).mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+        s.sql(s"WITH ${stage(sprk, "FROM embeddings", trainCentroidLiteral(s), cbL, pn2L)}")
+      },
+      oracle = Some {
+        val d = duck
+        val pn2Cte =
+          s"""pqn AS (SELECT list_transform(cbs,
+             |  cbj -> list_transform(cbj, cv -> ${TextSim.dotHof(d, "cv", "cv")})) AS pn2s FROM pqcb)""".stripMargin
+        s"""WITH $duckKmeansCtes,
+           |$duckPqCtes,
+           |$pn2Cte,
+           |${stage(d,
+              s"FROM embeddings CROSS JOIN c${TextSim.ivfLloydIters} cj CROSS JOIN pqcb CROSS JOIN pqn",
+              "cj.cents", "cbs", "pn2s")}""".stripMargin
+      })
+  }
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -1891,5 +2004,6 @@ object TrainingData {
     "t59_bigram_lm" -> t59,
     "t60_pii_redaction" -> t60,
     "t61_tfidf_keywords" -> t61,
-    "t62_pq_ann" -> t62)
+    "t62_pq_ann" -> t62,
+    "t63_ivf_pq_ann" -> t63)
 }

@@ -129,6 +129,37 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.35, s"PQ ADC recall degraded: $recall")
   }
 
+  test("t63 IVF-PQ (cell probe + ADC scoring + re-rank) holds a floor under both approximations") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    val d = sprk
+    val truth = spark.sql(
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2 FROM embeddings),
+         |q AS (SELECT * FROM v WHERE vec_id % 100 = 0 AND vec_id < 2500),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |    ${TextSim.dot(d, "q.embedding", "v.embedding")} / (sqrt(q.n2) * sqrt(v.n2)) AS cosine
+         |  FROM q JOIN v ON v.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) WHERE rnk <= 3""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("t63_ivf_pq_ann")(spark, dir)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    CacheJanitor.drain()
+    assert(truth.nonEmpty)
+    val recall = (truth & got).size.toDouble / truth.size
+    // Recall is bounded by BOTH approximations: the 3-cell probe (t41's
+    // 0.5 limit on this corpus) and 4-bit ADC ranking inside the probed
+    // cells (t62's crudeness, softened by the top-25 re-rank). The floor
+    // pins "the composition works", below either parent's alone.
+    info(s"t63 recall@3: ${(truth & got).size}/${truth.size} = $recall")
+    assert(recall >= 0.25, s"IVF-PQ recall degraded: $recall")
+  }
+
   test("t49 IVF-SQ8 (cell probe + int8 scoring + re-rank) matches t41's recall floor") {
     graft.functions.GraftFunctions.registerAll(spark)
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")

@@ -47,7 +47,8 @@ class PlanPropertiesSpec extends SparkSpec {
     // in any of them.
     Seq("t35_ngram_jaccard_dedup", "t36_minhash_lsh_dedup", "t37_simhash_dedup",
       "t39_lsh_bucket_ann", "t41_ivf_ann", "t49_ivf_sq8_ann", "t50_decontam_removal",
-      "t51_crossmodal_ann", "t54_embedding_dedup", "t56_semdedup").foreach { q =>
+      "t51_crossmodal_ann", "t54_embedding_dedup", "t56_semdedup",
+      "t63_ivf_pq_ann").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not cartesian-join:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must pair via equi-joins:\n$p")
@@ -73,6 +74,17 @@ class PlanPropertiesSpec extends SparkSpec {
     // nodes are the bounded per-query candidate + re-rank rankings.
     assert(!p.contains("CartesianProduct"), s"t49 must not cartesian-join:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"t49 must score via the cell equi-join:\n$p")
+    val windows = "(?m)^\\(\\d+\\) Window\\s*$".r.findAllIn(p).size
+    assert(windows == 2, s"expected candidate + re-rank windows only, got $windows:\n$p")
+  }
+
+  test("t63: PQ scoring joins on cell — no corpus-wide nested loop, only the two ranking windows") {
+    val p = plan("t63_ivf_pq_ann")
+    // Same contract as t49 with the PQ code table: scoring pairs come
+    // only from the cell equi-join, candidates + re-rank are the only
+    // windows. The ADC lookups live inside the join projection.
+    assert(!p.contains("CartesianProduct"), s"t63 must not cartesian-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"t63 must score via the cell equi-join:\n$p")
     val windows = "(?m)^\\(\\d+\\) Window\\s*$".r.findAllIn(p).size
     assert(windows == 2, s"expected candidate + re-rank windows only, got $windows:\n$p")
   }
