@@ -23,7 +23,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    extraction (t61), PII redaction (t60);
   *  - corpus curation: composed filter pass (t42), deterministic split
   *    (t43), benchmark decontamination (t45), source-mix report (t47),
-  *    deterministic shuffle-shard (t57), temperature mixing (t58);
+  *    deterministic shuffle-shard (t57), temperature mixing (t58),
+  *    sliding-window chunking (t64), per-source quality calibration
+  *    (t65);
   *  - multimodal: opaque binary payload + typed metadata extraction (t40).
   *
   * Each query is ONE SQL template rendered for Spark and for the DuckDB
@@ -1971,6 +1973,76 @@ object TrainingData {
       })
   }
 
+  /** t64 — sliding-window document CHUNKING (the pre-training step
+    * between curation and packing: long documents become fixed-size
+    * token windows with overlap so no training example spans a
+    * document boundary and boundary context isn't lost). Window 32
+    * tokens, stride 24 (8-token overlap); the final short window is
+    * kept iff the doc has a tail (standard remainder handling —
+    * ceil((n - window) / stride) + 1 chunks for n > window, 1 chunk
+    * otherwise).
+    *
+    * Scale: pure scan-side — the chunk ramp, slices and joins are
+    * per-row array ops; output rows ≈ n_tokens/stride × corpus, the
+    * unavoidable output size. No shuffle before the final ORDER BY
+    * (which a real pipeline replaces with a partitioned write). */
+  private val t64 = dual() { d =>
+    val win = 32; val stride = 24
+    val toks = TextSim.tokens(d, "text")
+    val joinFn = if (d eq sprk) "array_join" else "array_to_string"
+    def sliceExpr(arr: String, from: String, len: Int) =
+      if (d eq sprk) s"slice($arr, $from, $len)"
+      else s"list_slice($arr, $from, ($from) + ${len - 1})"
+    val nChunks =
+      s"(CASE WHEN n <= $win THEN 1 ELSE ${d.intDiv(s"(n - $win + $stride - 1)", stride.toString)} + 1 END)"
+    s"""WITH t AS (SELECT doc_id, source, $toks AS toks,
+       |             CAST(${d.size}($toks) AS BIGINT) AS n FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n, ${d.explode}(${d.ramp(nChunks)}) AS chunk_idx, toks
+       |  FROM t)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, source,
+       |  CAST(least(n - (chunk_idx - 1) * $stride, $win) AS BIGINT) AS n_tokens,
+       |  $joinFn(${sliceExpr("toks", s"(chunk_idx - 1) * $stride + 1", win)}, ' ') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  /** t65 — per-source QUALITY CALIBRATION (the step before threshold
+    * filtering: raw quality scores are not comparable across sources —
+    * a p25 cutoff must be a p25 WITHIN each source, or the filter
+    * silently drops whole sources). Recomputes t31's quality score,
+    * ranks it within each source (percent_rank, ties broken by the
+    * score itself — deterministic because scores are fixed-order
+    * double arithmetic), and emits the keep flag at the per-source
+    * p25 threshold plus the per-source quartiles a pipeline records.
+    *
+    * Scale: one shuffle on `source` for the rank window (sources are
+    * few; per-source partitions are the natural parallel unit — a
+    * skewed mega-source splits by adding a salt to the window key and
+    * merging rank offsets, the t57 two-pass form). */
+  private val t65 = dual() { d =>
+    val toks = TextSim.tokens(d, "text")
+    val filterFn = if (d eq sprk) "filter" else "list_filter"
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(${d.size}($toks) AS BIGINT) AS n_tokens,
+       |    CAST(${d.size}(${d.arrayDistinct}($toks)) AS BIGINT) AS n_distinct,
+       |    CAST(${d.size}($filterFn($toks, w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source,
+       |    CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5
+       |      + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+       |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, source, quality,
+       |    percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id) AS pr
+       |  FROM q)
+       |SELECT doc_id, source, quality, pr,
+       |  CAST(CASE WHEN pr >= 0.25 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -2005,5 +2077,7 @@ object TrainingData {
     "t60_pii_redaction" -> t60,
     "t61_tfidf_keywords" -> t61,
     "t62_pq_ann" -> t62,
-    "t63_ivf_pq_ann" -> t63)
+    "t63_ivf_pq_ann" -> t63,
+    "t64_doc_chunking" -> t64,
+    "t65_quality_calibration" -> t65)
 }
