@@ -1,0 +1,202 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import graft.functions.TextSim
+import graft.functions.TextSim.{spark => sprk}
+import graft.queries.TrainingData
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted, incrementally-maintained IVF-PQ ANN index — t63's plan
+  * shape as a stateful operator, maintained exactly like [[AnnIndex]]
+  * (which persists the IVF-SQ8 form): each landing batch encodes NEW
+  * vectors only; the quantizers are trained once and FROZEN.
+  *
+  * State layout under `root/`:
+  *  - `quantizer/centroids` — `(cell, centroid)` coarse cells, t41's
+  *    bounded deterministic k-means on the FIRST batch, frozen;
+  *  - `quantizer/codebooks` — `(subspace, code, centroid)` PQ
+  *    sub-centroids (pqM × pqK rows), trained per-subspace on the same
+  *    first batch (t62's bounded Lloyd contract), frozen;
+  *  - `codes/` — `cell=<id>/` partitioned parquet of
+  *    `(vec_id, codes, pn2)`: pqM 4-bit codes (stored as BIGINT
+  *    positions 1..pqK) plus the precomputed reconstruction norm² —
+  *    the ADC denominator, paid once at encode time, never at query
+  *    time. Append-only: an increment writes only its own files.
+  *
+  * Freezing both quantizers is what makes incrementality EXACT
+  * (spec-pinned: N batches produce byte-identical codes to one encode
+  * of the union), and the versioned-artifact contract a production
+  * index ships with — retraining means reindexing.
+  *
+  * Query path ([[topK]]): queries compute their pqM·pqK ADC LUT and 3
+  * probe cells scan-side; the probed cell set (≤ 3·|Q| values, a
+  * bounded collect) becomes a STATIC partition filter so only probed
+  * `cell=` directories are read at any index size; scoring is pqM
+  * lookups + a fold per candidate (8 small codes per row moved — the
+  * 64×-compressed regime where the index fits cluster RAM outright);
+  * optional exact re-rank (pool 25 — 4-bit ADC ranking is cruder than
+  * SQ8's, t62's compensation) joins the caller's float corpus.
+  *
+  * Deletion is tombstone-then-compact ([[Tombstones]], same shape as
+  * [[AnnIndex]]/[[SignatureIndex]]): removal is O(removed ids), code
+  * files stay byte-untouched until [[compact]] rewrites survivors
+  * under the unchanged frozen quantizers. The streaming composition
+  * is the same foreachBatch shape `StreamingAnnIndexSpec` pins for
+  * the SQ8 index (first micro-batch freezes, later ones append).
+  */
+object PqIndex {
+
+  val probeCells = 3
+  val rerankPool = 25
+
+  final case class Batch(newCodes: DataFrame, allCodes: DataFrame)
+
+  private def cbLit(cb: Array[Array[Array[Double]]]): String =
+    cb.map(ck => ck.map(cv => cv.map(TrainingData.litD).mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+
+  private def pn2Lit(cb: Array[Array[Array[Double]]]): String =
+    cb.map(_.map(cv => cv.foldLeft(0.0)((acc, x0) => acc + x0 * x0))
+      .map(TrainingData.litD).mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+
+  /** Load the frozen quantizers if present. */
+  private def loadQuantizer(spark: SparkSession, root: String)
+      : Option[(Array[Array[Double]], Array[Array[Array[Double]]])] =
+    if (!Files.isDirectory(Paths.get(s"$root/quantizer/centroids"))) None
+    else {
+      val cents = spark.read.parquet(s"$root/quantizer/centroids")
+        .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+      val rows = spark.read.parquet(s"$root/quantizer/codebooks")
+        .orderBy("subspace", "code").collect()
+      val cb = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray).toArray).toArray
+      Some((cents, cb))
+    }
+
+  /** First batch trains and persists both quantizers; later batches load. */
+  private def loadOrTrain(spark: SparkSession, root: String, increment: DataFrame)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    loadQuantizer(spark, root).getOrElse {
+      increment.createOrReplaceTempView("graft_pq_train")
+      val cents = TrainingData.trainCentroids(spark, "graft_pq_train")
+      val cb = TrainingData.trainPqCodebooks(spark, "graft_pq_train")
+      import spark.implicits._
+      cents.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/quantizer/centroids")
+      (for { j <- cb.indices; c <- cb(j).indices }
+        yield ((j + 1).toLong, (c + 1).toLong, cb(j)(c).toSeq))
+        .toDF("subspace", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/quantizer/codebooks")
+      (cents, cb)
+    }
+
+  /** Scan-side encode of a `(vec_id, embedding)` frame under frozen
+    * quantizers: cell argmin + pqM code positions + reconstruction
+    * norm². Pure projection — no shuffle, no corpus reads. */
+  def encode(vecs: DataFrame, cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val d = sprk
+    val cl = TrainingData.centsLit(cents)
+    vecs
+      .selectExpr("vec_id", "embedding", s"${TrainingData.pqVe(d)} AS ve",
+        s"transform(sequence(1, ${cents.length}), ci -> ${TextSim.dist2(d, "embedding", s"element_at($cl, ci)")}) AS ds")
+      .selectExpr("vec_id",
+        "CAST(array_position(ds, array_min(ds)) AS BIGINT) AS cell",
+        s"${TrainingData.pqCodesExpr(d, cbLit(cb))} AS codes")
+      .selectExpr("vec_id", "cell", "codes",
+        s"${TrainingData.pqPn2Expr(d, pn2Lit(cb), "codes")} AS pn2")
+  }
+
+  /** One maintenance batch — same contract as [[AnnIndex.ingest]]: the
+    * increment must carry vec_ids not already indexed. */
+  def ingest(spark: SparkSession, root: String, increment: DataFrame): Batch = {
+    val (cents, cb) = loadOrTrain(spark, root, increment)
+    val enc = graft.CacheJanitor.register(encode(increment, cents, cb).persist())
+    enc.write.mode("append").partitionBy("cell").parquet(s"$root/codes")
+    Batch(enc, readCodes(spark, root))
+  }
+
+  /** Live code rows: snapshot minus tombstoned vec_ids. */
+  private def readCodes(spark: SparkSession, root: String): DataFrame =
+    Tombstones.exclude(
+      spark.read.parquet(s"$root/codes").withColumn("cell", col("cell").cast("long")),
+      root, "vec_id")
+
+  /** Tombstone vec_ids out of the index — code files stay byte-untouched;
+    * the frozen quantizers are never retrained. */
+  def remove(spark: SparkSession, root: String, ids: DataFrame): Unit =
+    Tombstones.append(root, ids, "vec_id")
+
+  def remove(spark: SparkSession, root: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    remove(spark, root, ids.toDF("vec_id"))
+  }
+
+  /** Rewrite `codes/` minus tombstones (same `cell=` layout) and clear
+    * the side table — content-identical to a frozen-quantizer
+    * [[encode]] of the survivors (spec-pinned). */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val dest = s"$root/codes"
+    val tmp = s"$root/codes.__compact_tmp"
+    readCodes(spark, root).write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    Tombstones.commitCompaction(spark, root, tmp, dest)
+  }
+
+  /** ADC top-k neighbors for a `(query_id, embedding)` frame against the
+    * persisted index; optional exact re-rank against a float corpus. */
+  def topK(spark: SparkSession, root: String, queries: DataFrame, k: Int = 3,
+      rerank: Option[DataFrame] = None): DataFrame = {
+    val (cents, cb) = loadQuantizer(spark, root)
+      .getOrElse(sys.error(s"no PQ index at $root — ingest at least one batch first"))
+    val d = sprk
+    val cl = TrainingData.centsLit(cents)
+    val qs = queries
+      .selectExpr("query_id", "embedding", s"${TrainingData.pqVe(d)} AS ve",
+        s"${TextSim.dotHof(d, "embedding", "embedding")} AS n2",
+        s"transform(sequence(1, ${cents.length}), ci -> ${TextSim.dist2(d, "embedding", s"element_at($cl, ci)")}) AS ds")
+      .selectExpr("query_id", "embedding", "n2",
+        s"${TrainingData.pqLutExpr(d, cbLit(cb))} AS luts",
+        s"${TrainingData.top3Cells(d, "ds")} AS probes")
+    val qp = graft.CacheJanitor.register(
+      qs.selectExpr("query_id", "embedding", "n2", "luts", "explode(probes) AS cell").persist())
+    // Bounded collect (≤ probeCells·|Q| longs) → static partition filter.
+    val probed = qp.select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    val codes = Tombstones.exclude(
+      spark.read.parquet(s"$root/codes")
+        .where(col("cell").isin(probed: _*))
+        .withColumn("cell", col("cell").cast("long")),
+      root, "vec_id")
+    val scored = qp.join(codes, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id AS neighbor_id", "cell",
+        s"${TrainingData.pqApproxDot(d, "luts", "codes")} / (sqrt(n2) * sqrt(pn2)) AS approx_cosine")
+    val byApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx_cosine").desc, col("neighbor_id"))
+    rerank match {
+      case None =>
+        scored.withColumn("rnk", row_number().over(byApprox).cast("long"))
+          .where(col("rnk") <= k)
+      case Some(corpus) =>
+        val pool = scored.withColumn("rka", row_number().over(byApprox))
+          .where(col("rka") <= math.max(k, rerankPool))
+        val vn = corpus.selectExpr("vec_id",
+          "embedding", s"${TextSim.dotHof(d, "embedding", "embedding")} AS fn2")
+        val qn = vn.toDF("q_id", "q_emb", "q_n2")
+        val nn = vn.toDF("n_id", "n_emb", "n_n2")
+        val exact = pool
+          .join(qn, pool("query_id") === qn("q_id"))
+          .join(nn, pool("neighbor_id") === nn("n_id"))
+          .selectExpr("query_id", "neighbor_id", "cell", "approx_cosine",
+            s"${TextSim.dotHof(d, "q_emb", "n_emb")} / (sqrt(q_n2) * sqrt(n_n2)) AS cosine")
+        val byExact = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        exact.withColumn("rnk", row_number().over(byExact).cast("long"))
+          .where(col("rnk") <= k)
+    }
+  }
+}

@@ -1643,9 +1643,9 @@ object TrainingData {
     * replace 256 float bytes, the 64× compression step beyond t48's 4×).
     * Training cap per subspace mirrors the IVF contract (k ·
     * ivfTrainPerCell sample rows, ivfLloydIters Lloyd iterations). */
-  private val pqM = 8
-  private val pqK = 16
-  private val pqCap: Long = pqK.toLong * TextSim.ivfTrainPerCell
+  private[graft] val pqM = 8
+  private[graft] val pqK = 16
+  private[graft] val pqCap: Long = pqK.toLong * TextSim.ivfTrainPerCell
 
   /** Driver-side PQ codebook training — [m][k][subDim] doubles. Every
     * float op replays the EXACT fold orders of [[duckPqCtes]] (left
@@ -1692,7 +1692,7 @@ object TrainingData {
 
   /** Subvector j (1-based) of a double-array column, sub-dim as an
     * expression so the oracle stays data-driven. */
-  private def pqSubvec(d: Dialect, emb: String, j: String): String =
+  private[graft] def pqSubvec(d: Dialect, emb: String, j: String): String =
     if (d eq sprk) s"slice($emb, ($j - 1) * (size($emb) div $pqM) + 1, size($emb) div $pqM)"
     else s"list_slice($emb, ($j - 1) * (len($emb) // $pqM) + 1, $j * (len($emb) // $pqM))"
 
@@ -1703,17 +1703,17 @@ object TrainingData {
   // on a double-cast embedding column named by the caller (`ve`).
 
   /** Double-cast of the float embedding column. */
-  private def pqVe(d: Dialect): String =
+  private[graft] def pqVe(d: Dialect): String =
     if (d eq sprk) "transform(embedding, x -> CAST(x AS DOUBLE))"
     else "list_transform(embedding, x -> x::DOUBLE)"
 
   /** Spark's element_at requires an INT index; stored codes are BIGINT
     * (oracle-parity type), so index exprs cast at use site. */
-  private def pqIdx(d: Dialect, e: String): String =
+  private[graft] def pqIdx(d: Dialect, e: String): String =
     if (d eq sprk) s"CAST($e AS INT)" else e
 
   /** Per-subspace argmin codes ([m] BIGINTs in 1..k) over column `ve`. */
-  private def pqCodesExpr(d: Dialect, cb: String): String = {
+  private[graft] def pqCodesExpr(d: Dialect, cb: String): String = {
     val subj = pqSubvec(d, "ve", "j")
     def dsExpr = d.transform(d.ramp(pqK.toString),
       s"c -> ${TextSim.dist2(d, subj, d.at(d.at(cb, "j"), "c"))}")
@@ -1723,7 +1723,7 @@ object TrainingData {
   }
 
   /** Reconstruction norm² = Σ_j ‖cb[j][code_j]‖², from a codes column. */
-  private def pqPn2Expr(d: Dialect, pn2s: String, codes: String): String =
+  private[graft] def pqPn2Expr(d: Dialect, pn2s: String, codes: String): String =
     d.foldDouble(
       d.transform(d.ramp(pqM.toString),
         s"j -> ${d.at(d.at(pn2s, "j"), pqIdx(d, d.at(codes, "j")))}"),
@@ -1731,14 +1731,14 @@ object TrainingData {
 
   /** Flattened per-query LUT ([m·k] doubles): dot(q-subvector, each
     * sub-centroid), over column `ve`. */
-  private def pqLutExpr(d: Dialect, cb: String): String = {
+  private[graft] def pqLutExpr(d: Dialect, cb: String): String = {
     val subj = pqSubvec(d, "ve", "j")
     s"flatten(${d.transform(d.ramp(pqM.toString),
       s"j -> ${d.transform(d.ramp(pqK.toString), s"c -> ${TextSim.dotHof(d, subj, d.at(d.at(cb, "j"), "c"))}")}")})"
   }
 
   /** ADC approximate dot: Σ_j luts[(j-1)·k + code_j] — pqM lookups. */
-  private def pqApproxDot(d: Dialect, luts: String, codes: String): String =
+  private[graft] def pqApproxDot(d: Dialect, luts: String, codes: String): String =
     d.foldDouble(
       d.transform(d.ramp(pqM.toString),
         s"j -> ${d.at(luts, pqIdx(d, s"(j - 1) * $pqK + ${d.at(codes, "j")}"))}"),
