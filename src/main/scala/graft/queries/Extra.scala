@@ -597,6 +597,66 @@ object Extra {
       FROM grid LEFT JOIN agg ON grid.event_type = agg.event_type AND grid.h = agg.h
       ORDER BY 1, 2""")
 
+  /** e28 — GROUPING SETS with grouping() disambiguation: order counts
+    * by (segment, nation), by segment alone, and the grand total in one
+    * pass (one shuffle; Spark plans an Expand over the grouping sets,
+    * not three scans). grouping() markers distinguish "NULL because
+    * rolled up" from a genuinely NULL group key — the correctness trap
+    * grouping-set reports hit in production. */
+  private val e28 = q()(
+    sparkSql = """
+      SELECT c_mktsegment, c_nationkey,
+        CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+        CAST(grouping(c_nationkey) AS BIGINT) AS g_nat,
+        CAST(count(*) AS BIGINT) AS n
+      FROM customer
+      GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+      ORDER BY g_seg, g_nat, c_mktsegment, c_nationkey""",
+    duckSql = """
+      SELECT c_mktsegment, c_nationkey,
+        CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+        CAST(grouping(c_nationkey) AS BIGINT) AS g_nat,
+        CAST(count(*) AS BIGINT) AS n
+      FROM customer
+      GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+      ORDER BY g_seg, g_nat, c_mktsegment, c_nationkey""")
+
+  /** e29 — error-tolerant parsing with try_cast: the dirty-input
+    * contract (a malformed value yields NULL, never a failed job — at
+    * 100 TB a single bad row must not kill a stage). The fixture derives
+    * a sometimes-unparseable string from order ids deterministically;
+    * the report counts parsed/failed per bucket and aggregates only the
+    * parsed values. */
+  private val e29 = q()(
+    sparkSql = """
+      WITH raw AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN concat('x', CAST(o_orderkey AS STRING))
+               ELSE CAST(o_orderkey % 1000 AS STRING) END AS val_str
+        FROM orders),
+      p AS (SELECT o_orderkey, val_str, try_cast(val_str AS BIGINT) AS v FROM raw)
+      SELECT CAST(o_orderkey % 10 AS BIGINT) AS bucket,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(v) AS BIGINT) AS n_parsed,
+        CAST(count(*) - count(v) AS BIGINT) AS n_failed,
+        CAST(sum(v) AS BIGINT) AS parsed_sum
+      FROM p GROUP BY o_orderkey % 10
+      ORDER BY bucket""",
+    duckSql = """
+      WITH raw AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN concat('x', CAST(o_orderkey AS VARCHAR))
+               ELSE CAST(o_orderkey % 1000 AS VARCHAR) END AS val_str
+        FROM orders),
+      p AS (SELECT o_orderkey, val_str, try_cast(val_str AS BIGINT) AS v FROM raw)
+      SELECT CAST(o_orderkey % 10 AS BIGINT) AS bucket,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(v) AS BIGINT) AS n_parsed,
+        CAST(count(*) - count(v) AS BIGINT) AS n_failed,
+        CAST(sum(v) AS BIGINT) AS parsed_sum
+      FROM p GROUP BY o_orderkey % 10
+      ORDER BY bucket""")
+
   val all: Map[String, GQuery] = Map(
     "e01_pivot" -> e01,
     "e02_cube" -> e02,
@@ -624,5 +684,7 @@ object Extra {
     "e24_lateral_explode" -> e24,
     "e25_ts_extract" -> e25,
     "e26_correlated_subquery" -> e26,
-    "e27_resample_gapfill" -> e27)
+    "e27_resample_gapfill" -> e27,
+    "e28_grouping_sets" -> e28,
+    "e29_try_cast" -> e29)
 }
