@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Dist2, DotProduct, PolyHash, Sq8}
+import graft.functions.{Dist2, DotProduct, LshCode, PolyHash, Sq8}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Spark extension point: registers the engine's native expressions at
@@ -17,5 +17,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(Sq8.dotDescription)
     ext.injectFunction(Sq8.norm2Description)
     ext.injectFunction(Dist2.description)
+    ext.injectFunction(LshCode.description)
   }
 }

@@ -11,5 +11,6 @@ object GraftFunctions {
     DotProduct.register(spark)
     Sq8.register(spark)
     Dist2.register(spark)
+    LshCode.register(spark)
   }
 }

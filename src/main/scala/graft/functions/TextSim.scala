@@ -166,9 +166,18 @@ object TextSim {
   /** Random-hyperplane sign code over `lshPlanes` planes. The FULL code is
     * always computed; callers take `code % mask` to use however many low
     * planes the corpus size warrants ([[lshMask]]) — the masked-off planes
-    * cost nothing extra and keep the template static. */
+    * cost nothing extra and keep the template static. The Spark side is
+    * the codegen'd [[LshCode]] kernel (ONE pass over the array for all
+    * planes instead of 12 interpreted folds); the HOF form below is the
+    * portable twin the DuckDB oracle runs — bit-identical by
+    * construction (KernelProps fuzz + the oracle hash compare through
+    * t39/t51/t54). */
   val lshPlanes = 12
   def lshCode(d: Dialect, emb: String): String =
+    if (d eq spark) s"graft_lsh_code($emb)" else lshCodeHof(d, emb)
+
+  /** The HOF form of [[lshCode]] (oracle + equivalence spec). */
+  def lshCodeHof(d: Dialect, emb: String): String =
     (0 until lshPlanes).map { j =>
       val proj = d.foldDouble(
         d.transform(

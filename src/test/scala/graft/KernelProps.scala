@@ -69,6 +69,28 @@ object KernelProps extends Properties("graft.kernels") {
       java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(want)
     }
 
+  property("lsh-code kernel equals the per-plane HOF projection folds") =
+    forAll(floatArr) { a =>
+      val got = graft.functions.LshCode.code(
+        new GenericArrayData(a.map(x => x: Any)), false)
+      // Replica of the HOF form: per plane, a strict left-to-right fold
+      // of element::DOUBLE × LCG-weight::DOUBLE, then the sign-bit sum.
+      var want = 0L
+      var j = 0
+      while (j < graft.functions.TextSim.lshPlanes) {
+        var acc = 0.0
+        var i = 0
+        while (i < a.length) {
+          val w = ((1103515245L * (j * 64 + i) + 12345L) % 2001L) - 1000L
+          acc += a(i).toDouble * w.toDouble
+          i += 1
+        }
+        if (acc >= 0) want += (1L << j)
+        j += 1
+      }
+      got == want
+    }
+
   property("sq8 dot kernel equals the HOF-order dequantize-then-dot fold") =
     forAll(floatArr, codesArr, statArr) { (q, c, st) =>
       val mns = st.map(_._1); val spans = st.map(_._2)
