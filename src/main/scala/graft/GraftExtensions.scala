@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Dist2, DotProduct, LshCode, PolyHash, Sq8}
+import graft.functions.{Dist2, DotProduct, InterCount, LshCode, PolyHash, Sq8}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Spark extension point: registers the engine's native expressions at
@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(Sq8.norm2Description)
     ext.injectFunction(Dist2.description)
     ext.injectFunction(LshCode.description)
+    ext.injectFunction(InterCount.description)
   }
 }

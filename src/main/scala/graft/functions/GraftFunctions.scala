@@ -12,5 +12,6 @@ object GraftFunctions {
     Sq8.register(spark)
     Dist2.register(spark)
     LshCode.register(spark)
+    InterCount.register(spark)
   }
 }

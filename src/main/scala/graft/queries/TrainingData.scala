@@ -137,24 +137,39 @@ object TrainingData {
     * set (the expensive scan-side computation — built once, PERSISTED on
     * the Spark side so self-joins reuse it instead of recomputing). */
   private def shSql(d: Dialect): String =
-    s"""SELECT doc_id, ${d.arrayDistinct}(${TextSim.shingleHashes(d, "wh")}) AS shs
-       |FROM (SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents)
-       |WHERE ${d.size}(wh) >= 3""".stripMargin
+    {
+      // Shingle sets are SORTED at build time (once per document) so the
+      // pair-verify path can count overlap with the two-pointer
+      // graft_inter_count kernel instead of a per-pair hash build; the
+      // oracle's list_intersect is order-insensitive, so sorting changes
+      // no value on either side.
+      val sortFn = if (d eq sprk) "sort_array" else "list_sort"
+      s"""SELECT doc_id, $sortFn(${d.arrayDistinct}(${TextSim.shingleHashes(d, "wh")})) AS shs
+         |FROM (SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents)
+         |WHERE ${d.size}(wh) >= 3""".stripMargin
+    }
 
   /** Candidate-pair + exact-verify tail shared by t35/t36: exact Jaccard
     * (intersection over union of the FULL shingle sets) computed once per
     * candidate pair, threshold 0.5. `sh`/`cand` are views (Spark) or CTEs
     * (DuckDB). */
-  private def verifyTail(d: Dialect, sh: String, cand: String): String =
+  private def verifyTail(d: Dialect, sh: String, cand: String): String = {
+    // Spark counts overlap with the codegen'd two-pointer kernel over
+    // the build-time-sorted sets; the oracle keeps the order-insensitive
+    // built-in — identical counts, hash-equal jaccard.
+    val inter =
+      if (d eq sprk) "graft_inter_count(sa.shs, sb.shs)"
+      else s"CAST(${d.size}(${d.arrayIntersect}(sa.shs, sb.shs)) AS BIGINT)"
     s"""SELECT doc_a, doc_b,
        |  CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) AS jaccard
        |FROM (
        |  SELECT doc_a, doc_b,
-       |    CAST(${d.size}(${d.arrayIntersect}(sa.shs, sb.shs)) AS BIGINT) AS c,
+       |    $inter AS c,
        |    CAST(${d.size}(sa.shs) AS BIGINT) AS na, CAST(${d.size}(sb.shs) AS BIGINT) AS nb
        |  FROM $cand JOIN $sh sa ON doc_a = sa.doc_id JOIN $sh sb ON doc_b = sb.doc_id)
        |WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Hot-shingle document-frequency cap for candidate generation (t35):
     * shingles appearing in more than this many documents generate no
@@ -215,10 +230,15 @@ object TrainingData {
     val mhCols = TextSim.minhashCoeffs.zipWithIndex
       .map { case ((a, b), i) => s"${TextSim.minhash(d, "shs", a, b)} AS mh${i + 1}" }
       .mkString(", ")
+    // Persist the shingle frame BEFORE the 16 minhash projections: each
+    // minhash references `shs`, and over a plain subquery Catalyst
+    // inlines the whole shingle pipeline into every one (the t37/t59
+    // lambda-inlining trap — 16× recompute of the per-doc hash work).
+    val sh = graft.CacheJanitor.register(s.sql(shSql(d)).persist())
+    sh.createOrReplaceTempView(s"${pfx}_sh") // verifyTail needs (doc_id, shs)
     val sig = graft.CacheJanitor.register(
-      s.sql(s"SELECT doc_id, shs, $mhCols FROM (${shSql(d)})").persist())
+      s.sql(s"SELECT doc_id, shs, $mhCols FROM ${pfx}_sh").persist())
     sig.createOrReplaceTempView(s"${pfx}_sig")
-    sig.createOrReplaceTempView(s"${pfx}_sh") // verifyTail needs (doc_id, shs)
     val stackArgs = (0 until 4).map { b =>
       s"${b + 1}, mh${4 * b + 1}, mh${4 * b + 2}, mh${4 * b + 3}, mh${4 * b + 4}"
     }.mkString(", ")

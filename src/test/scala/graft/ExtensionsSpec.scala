@@ -33,7 +33,8 @@ class ExtensionsSpec extends SparkSpec {
           |       graft_sq8_norm2(array(255L, 255L), array(0.0D, 0.0D), array(1.0D, 1.0D)) AS sn,
           |       graft_dist2(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
           |                   array(3.0D, 4.0D)) AS d2,
-          |       graft_lsh_code(array(CAST(0.0 AS FLOAT))) AS lc
+          |       graft_lsh_code(array(CAST(0.0 AS FLOAT))) AS lc,
+          |       graft_inter_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS ic
           |""".stripMargin).collect()(0)
       assert(r.getLong(0) == graft.functions.PolyHash.hash(
         org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
@@ -44,6 +45,7 @@ class ExtensionsSpec extends SparkSpec {
       // 0.0 contributes 0 to every plane's projection; 0.0 >= 0 sets all
       // 12 sign bits — the HOF form's exact edge semantics.
       assert(r.getLong(5) == (1L << graft.functions.TextSim.lshPlanes) - 1)
+      assert(r.getLong(6) == 2L) // {3, 5}
     } finally {
       // Hand the shared session back to the other suites (the fresh
       // session shares its SparkContext, so nothing is stopped here).

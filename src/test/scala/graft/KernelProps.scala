@@ -91,6 +91,16 @@ object KernelProps extends Properties("graft.kernels") {
       got == want
     }
 
+  property("inter-count kernel equals the built-in intersect size on sorted distinct arrays") =
+    forAll(Gen.listOf(Gen.chooseNum(0L, 60L)), Gen.listOf(Gen.chooseNum(0L, 60L))) { (a0, b0) =>
+      val a = a0.distinct.sorted.toArray
+      val b = b0.distinct.sorted.toArray
+      val got = graft.functions.InterCount.count(
+        new GenericArrayData(a.map(x => x: Any)),
+        new GenericArrayData(b.map(x => x: Any)))
+      got == a.toSet.intersect(b.toSet).size.toLong
+    }
+
   property("sq8 dot kernel equals the HOF-order dequantize-then-dot fold") =
     forAll(floatArr, codesArr, statArr) { (q, c, st) =>
       val mns = st.map(_._1); val spans = st.map(_._2)
