@@ -508,7 +508,6 @@ object TrainingData {
     * oracle tables (contiguous ids from 0) the two forms select
     * identical rows, so the DuckDB kmeans CTEs are unchanged. */
   private[graft] def trainCentroids(s: SparkSession, view: String): Array[Array[Double]] = {
-    val d = sprk
     val n = s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n FROM $view")
       .collect()(0).getLong(0)
     val k = TextSim.ivfCellsValue(n)
@@ -518,32 +517,40 @@ object TrainingData {
     // beyond it Spark degrades to a global sort, silently.
     require(cap <= s.conf.get("spark.sql.execution.topKSortFallbackThreshold").toLong,
       s"kmeans training cap $cap exceeds topKSortFallbackThreshold — the LIMIT would plan as a global sort")
-    var cents: Array[Array[Double]] = s.sql(
+    // The Lloyd rounds run DRIVER-SIDE over the one collected sample
+    // (≤ cap rows — the same bounded-collect contract as
+    // [[trainPqCodebooks]]): one Spark job total instead of one per
+    // round. Every float op replays the oracle CTE chain's exact fold
+    // orders — left-fold dist2, first-position argmin, per-dim member
+    // sums in vec_id order (the sample arrives vec_id-sorted), empty
+    // cells keep the previous centroid — so the trained centroids stay
+    // bit-identical to [[duckKmeansCtes]] (t41/t48/t49/t56/t63
+    // hash-match the oracle THROUGH this trainer).
+    val sample: Array[Array[Double]] = s.sql(
       s"""SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-         |FROM $view ORDER BY vec_id LIMIT $k""".stripMargin)
+         |FROM $view ORDER BY vec_id LIMIT $cap""".stripMargin)
       .collect().map(_.getSeq[Double](0).toArray)
+    var cents = sample.take(k).map(_.clone)
     require(cents.length == math.min(k.toLong, n),
       s"degenerate quantizer seed: collected ${cents.length} of $k centroids from $view (n=$n)")
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val t0 = a(i) - b(i); acc = acc + t0 * t0; i += 1 }
+      acc
+    }
     if (cents.nonEmpty) {
       val dim = cents(0).length
       for (_ <- 1 to TextSim.ivfLloydIters) {
-        val upd = s.sql(
-          s"""WITH t AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-             |           FROM $view ORDER BY vec_id LIMIT $cap),
-             |dd AS (SELECT vec_id, emb,
-             |  transform(sequence(1, ${cents.length}),
-             |    ci -> ${TextSim.dist2(d, "emb", s"element_at(${centsLit(cents)}, ci)")}) AS ds FROM t),
-             |a AS (SELECT vec_id, emb,
-             |  CAST(array_position(ds, array_min(ds)) AS BIGINT) AS cell FROM dd),
-             |g AS (SELECT cell,
-             |  transform(sort_array(collect_list(struct(vec_id, emb))), s0 -> s0.emb) AS vecs
-             |  FROM a GROUP BY cell)
-             |SELECT cell, transform(sequence(1, $dim),
-             |  i -> aggregate(transform(vecs, v -> element_at(v, i)), CAST(0 AS DOUBLE),
-             |                 (acc, x0) -> acc + x0) / CAST(size(vecs) AS DOUBLE)) AS cemb
-             |FROM g""".stripMargin)
-          .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
-        cents = Array.tabulate(cents.length)(i => upd.getOrElse(i + 1, cents(i)))
+        val cells = sample.map { v =>
+          val ds = cents.map(c => dist2(v, c))
+          ds.indexOf(ds.min)
+        }
+        cents = Array.tabulate(cents.length) { ci =>
+          val members = sample.indices.filter(cells(_) == ci)
+          if (members.isEmpty) cents(ci)
+          else Array.tabulate(dim)(i0 =>
+            members.foldLeft(0.0)((acc, mi) => acc + sample(mi)(i0)) / members.size.toDouble)
+        }
       }
     }
     cents
