@@ -96,6 +96,33 @@ object EventsStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream INTERVAL JOIN — each click attributed to
+    * the same user's purchases within the next `horizonMinutes` (the
+    * classic attribution shape; a self-join of the one event stream
+    * split by type). Both sides carry watermarks and the join condition
+    * bounds purchase_ts to [click_ts, click_ts + horizon], so Spark can
+    * evict buffered state on BOTH sides: a click past
+    * watermark + horizon can never match a future purchase, and an
+    * unmatched purchase evicts at its own watermark — without the time
+    * bound the join state grows forever on an unbounded stream. Append
+    * mode; works identically on a batch frame (watermarks are no-ops
+    * there), which is what the spec's batch-twin equality pins. */
+  def attributeWithin(events: DataFrame, horizonMinutes: Int = 30): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      expr(s"""c_user = p_user AND purchase_ts >= click_ts
+              | AND purchase_ts <= click_ts + interval $horizonMinutes minutes""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Streaming landing sink: append the (deduped) stream as parquet under
     * the landing root with an exactly-once checkpoint — the streaming
     * form of the reference's ingest stage (S3 + S14 collapse into the

@@ -75,6 +75,42 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"each key exactly once: ${ids.toSeq}")
   }
 
+  test("stream-stream interval join attributes clicks to purchases, equal to its batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.attributeWithin(input.toDF(), horizonMinutes = 30)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+
+    val events = Seq(
+      Event(1, 10, "click", 1.0, ts("2024-01-01 10:00:00")),
+      Event(2, 10, "purchase", 9.0, ts("2024-01-01 10:10:00")), // within 30m → attributed
+      Event(3, 10, "purchase", 9.0, ts("2024-01-01 11:30:00")), // outside horizon
+      Event(4, 11, "purchase", 5.0, ts("2024-01-01 10:05:00")), // no click for user 11
+      Event(5, 12, "click", 1.0, ts("2024-01-01 10:20:00")),
+      Event(6, 12, "purchase", 2.0, ts("2024-01-01 10:50:00"))) // exactly at +30m → attributed
+    input.addData(events: _*)
+    q.processAllAvailable()
+    // Advance the watermark past every buffered row so append mode emits
+    // all matches (join state for the earlier rows is evictable).
+    input.addData(Event(7, 99, "view", 0.0, ts("2024-01-01 20:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("attr_out")
+      .select("user_id", "click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Batch twin: identical code path over a batch frame (watermarks are
+    // no-ops there) — streamed attribution must equal the batch join.
+    val batch = EventsStream.attributeWithin(
+        (events :+ Event(7, 99, "view", 0.0, ts("2024-01-01 20:00:00"))).toDF(),
+        horizonMinutes = 30)
+      .select("user_id", "click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    assert(streamed == Set((10L, 1L, 2L), (12L, 5L, 6L)))
+  }
+
   test("streaming landing sink is exactly-once across re-runs (checkpointed)") {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_land")
     val (src, land, ckpt) = (s"$root/src", s"$root/landing", s"$root/ckpt")
