@@ -324,7 +324,9 @@ object Relational {
     // so the gate costs ~nothing on either path.
     if (smallGraphMaxEdges > 0 && edges.count() <= smallGraphMaxEdges) {
       val spark0 = pairs.sparkSession
-      val nodeType = p2.schema.head.dataType
+      // Output dtype must match the distributed path's: the union-coerced
+      // edge type (a (INT, BIGINT) pair frame coerces src to BIGINT).
+      val nodeType = edges.schema.head.dataType
       val tUf = System.nanoTime()
       val es = edges.select(col("src").cast("long"), col("dst").cast("long")).collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
