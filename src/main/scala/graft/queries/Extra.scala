@@ -657,6 +657,44 @@ object Extra {
       FROM p GROUP BY o_orderkey % 10
       ORDER BY bucket""")
 
+  /** e30 — SCD Type-2 dimension history: the events stream of per-user
+    * attribute updates becomes validity-interval rows (valid_from /
+    * valid_to, version, is_current) with no-change updates collapsed —
+    * the warehouse-history capability the reference's overwrite-only
+    * star (SCD-0/1) lacks. Change detection is lag() per user in event
+    * time (event_id tie-break → fully deterministic); intervals come
+    * from lead() over the surviving change rows. One shuffle on
+    * user_id; both windows share the partitioning. */
+  private val e30 = q()(
+    sparkSql = """
+      WITH u AS (
+        SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS v,
+          lag(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+        FROM events WHERE event_type = 'signup'),
+      c AS (SELECT user_id, event_id, ts, v FROM u WHERE prev_v IS NULL OR v <> prev_v),
+      h AS (
+        SELECT user_id, v, ts AS valid_from,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+        FROM c)
+      SELECT user_id, version, v AS value, valid_from, valid_to,
+        CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      FROM h ORDER BY user_id, version""",
+    duckSql = """
+      WITH u AS (
+        SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS v,
+          lag(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+        FROM events WHERE event_type = 'signup'),
+      c AS (SELECT user_id, event_id, ts, v FROM u WHERE prev_v IS NULL OR v <> prev_v),
+      h AS (
+        SELECT user_id, v, ts AS valid_from,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+        FROM c)
+      SELECT user_id, version, v AS value, valid_from, valid_to,
+        CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      FROM h ORDER BY user_id, version""")
+
   val all: Map[String, GQuery] = Map(
     "e01_pivot" -> e01,
     "e02_cube" -> e02,
@@ -686,5 +724,6 @@ object Extra {
     "e26_correlated_subquery" -> e26,
     "e27_resample_gapfill" -> e27,
     "e28_grouping_sets" -> e28,
-    "e29_try_cast" -> e29)
+    "e29_try_cast" -> e29,
+    "e30_scd2_history" -> e30)
 }

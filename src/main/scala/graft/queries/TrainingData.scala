@@ -2070,6 +2070,114 @@ object TrainingData {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** t66 — CURATION v2: the modern filter pass as ONE declarative plan,
+    * composing the round's model-based signals with the classic gates —
+    * surface quality (t31's formula) calibrated per source (t65's
+    * percent_rank), bigram-LM fluency (t59), internal repetition
+    * (t46's dup ratio), benchmark decontamination (t45's shared-shingle
+    * evidence against the held-out eval slice, doc_id % 50 = 0), and a
+    * length floor — emitting the per-doc keep decision WITH its reason
+    * flags (the audit trail a released corpus ships with).
+    *
+    * Scale: every signal is scan-side or vocabulary-sized exactly as in
+    * its standalone operator; the joins are doc-keyed equi-joins and
+    * the only new shuffle is the per-source rank window. Spark persists
+    * the word-hash, bigram and shingle frames once (the t37/t59
+    * lambda-inlining lesson); the oracle replays the same chain as
+    * CTEs. */
+  private val t66 = {
+    val B = 1L << 30
+    def whS(d: Dialect): String =
+      s"SELECT doc_id, source, ${TextSim.wordHashes(d, "text")} AS wh FROM documents"
+    def eS(d: Dialect, w: String): String =
+      s"""SELECT doc_id, ${d.explode}(bhs) AS bh FROM (
+         |  SELECT doc_id,
+         |    ${d.transform(d.ramp(s"${d.size}(wh) - 1"),
+                            s"i -> ${d.at("wh", "i")} * $B + ${d.at("wh", "i + 1")}")} AS bhs
+         |  FROM $w WHERE ${d.size}(wh) >= 2) b0""".stripMargin
+    def shS(d: Dialect, w: String): String =
+      s"""SELECT doc_id, ${TextSim.shingleHashes(d, "wh")} AS shs
+         |FROM $w WHERE ${d.size}(wh) >= 3""".stripMargin
+    def tail(d: Dialect, e: String, sh: String): String = {
+      val toks = TextSim.tokens(d, "text")
+      val filterFn = if (d eq sprk) "filter" else "list_filter"
+      val containsProbe =
+        if (d eq sprk) "size(array_intersect(s.shs, ev.es)) >= 1"
+        else "len(list_intersect(s.shs, ev.es)) >= 1"
+      val collectSet = if (d eq sprk) "collect_set(h)" else "list(DISTINCT h)"
+      s"""base AS (
+         |  SELECT doc_id, source,
+         |    CAST(${d.size}($toks) AS BIGINT) AS n_tokens,
+         |    CAST(${d.size}(${d.arrayDistinct}($toks)) AS BIGINT) AS n_distinct,
+         |    CAST(${d.size}($filterFn($toks, w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+         |  FROM documents WHERE doc_id % 50 <> 0),
+         |q0 AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5
+         |      + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+         |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality
+         |  FROM base),
+         |cb AS (SELECT bh, CAST(count(*) AS BIGINT) AS c2 FROM $e GROUP BY bh),
+         |cu AS (SELECT ${d.intDiv("bh", B.toString)} AS h1, CAST(sum(c2) AS BIGINT) AS c1
+         |       FROM cb GROUP BY 1),
+         |tm AS (
+         |  SELECT e0.doc_id, ${d.intDiv("(1000000 * cb.c2)", "cu.c1")} AS term
+         |  FROM $e e0 JOIN cb ON e0.bh = cb.bh
+         |         JOIN cu ON ${d.intDiv("e0.bh", B.toString)} = cu.h1),
+         |fl AS (
+         |  SELECT doc_id,
+         |    CAST(sum(term) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS fluency
+         |  FROM tm GROUP BY doc_id),
+         |rep AS (
+         |  SELECT doc_id,
+         |    1.0 - CAST(${d.size}(${d.arrayDistinct}(shs_)) AS DOUBLE)
+         |        / CAST(${d.size}(shs_) AS DOUBLE) AS dup_ratio
+         |  FROM (SELECT doc_id, shs AS shs_ FROM $sh) r0),
+         |ev AS (
+         |  SELECT $collectSet AS es
+         |  FROM (SELECT ${d.explode}(shs) AS h FROM $sh WHERE doc_id % 50 = 0) x0),
+         |cont AS (
+         |  SELECT s.doc_id,
+         |    CAST(CASE WHEN $containsProbe THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |  FROM $sh s CROSS JOIN ev WHERE s.doc_id % 50 <> 0),
+         |r AS (
+         |  SELECT q0.doc_id, q0.source, q0.n_tokens, q0.quality,
+         |    coalesce(fl.fluency, 0.0) AS fluency,
+         |    coalesce(rep.dup_ratio, 0.0) AS dup_ratio,
+         |    coalesce(cont.contaminated, CAST(0 AS BIGINT)) AS contaminated
+         |  FROM q0 LEFT JOIN fl ON q0.doc_id = fl.doc_id
+         |          LEFT JOIN rep ON q0.doc_id = rep.doc_id
+         |          LEFT JOIN cont ON q0.doc_id = cont.doc_id),
+         |rk AS (
+         |  SELECT r.*, percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id) AS q_rank
+         |  FROM r)
+         |SELECT doc_id, source, n_tokens, quality, q_rank, fluency, dup_ratio, contaminated,
+         |  CAST(CASE WHEN q_rank >= 0.25 AND fluency >= 0.001 AND dup_ratio <= 0.6
+         |              AND contaminated = 0 AND n_tokens >= 5
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM rk ORDER BY doc_id""".stripMargin
+    }
+    GQuery(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        Tables.documents(s, dir).createOrReplaceTempView("documents")
+        val w = graft.CacheJanitor.register(s.sql(whS(sprk)).persist())
+        w.createOrReplaceTempView("t66_w")
+        val e = graft.CacheJanitor.register(s.sql(eS(sprk, "t66_w")).persist())
+        e.createOrReplaceTempView("t66_e")
+        val sh = graft.CacheJanitor.register(s.sql(shS(sprk, "t66_w")).persist())
+        sh.createOrReplaceTempView("t66_sh")
+        s.sql(s"WITH ${tail(sprk, "t66_e", "t66_sh")}")
+      },
+      oracle = Some {
+        val d = duck
+        s"""WITH w0 AS (${whS(d)}),
+           |e AS (${eS(d, "w0")}),
+           |sh AS (${shS(d, "w0")}),
+           |${tail(d, "e", "sh")}""".stripMargin
+      })
+  }
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -2106,5 +2214,6 @@ object TrainingData {
     "t62_pq_ann" -> t62,
     "t63_ivf_pq_ann" -> t63,
     "t64_doc_chunking" -> t64,
-    "t65_quality_calibration" -> t65)
+    "t65_quality_calibration" -> t65,
+    "t66_curation_v2" -> t66)
 }
