@@ -29,6 +29,17 @@ object Profile {
       println(s"[profile] n_labeled=${l.count()}"); l
     }
     time("full t54 (cold caches)") { q.fn(spark, dir).collect().length }
+    // The two remaining slowest registered queries (both output-bound at
+    // sf0.1 — see SCALE.md): time them whole so a regression in either
+    // is visible from the same entry point.
+    graft.CacheJanitor.drain()
+    for (name <- Seq("t37_simhash_dedup", "t35_ngram_jaccard_dedup", "t66_curation_v2")) {
+      time(s"full $name") {
+        println(s"[profile] ${name}_rows=" +
+          graft.queries.TrainingData.all(name).fn(spark, dir).collect().length)
+      }
+      graft.CacheJanitor.drain()
+    }
     spark.stop()
   }
 }
