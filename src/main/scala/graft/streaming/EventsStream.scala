@@ -107,7 +107,8 @@ object EventsStream {
     * bound the join state grows forever on an unbounded stream. Append
     * mode; works identically on a batch frame (watermarks are no-ops
     * there), which is what the spec's batch-twin equality pins. */
-  def attributeWithin(events: DataFrame, horizonMinutes: Int = 30): DataFrame = {
+  def attributeWithin(events: DataFrame, horizonMinutes: Int = 30,
+      joinType: String = "inner"): DataFrame = {
     val clicks = events.where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("click_ts"))
@@ -116,9 +117,16 @@ object EventsStream {
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "1 hour")
+    // joinType "left_outer": a click with no purchase in its horizon is
+    // still emitted (purchase columns NULL) — but only once the
+    // watermark has passed click_ts + horizon, when Spark can PROVE no
+    // future purchase can match. The unmatched-conversion report every
+    // attribution pipeline also needs, and the semantics that only
+    // watermarked state eviction makes possible on an unbounded stream.
     clicks.join(purchases,
       expr(s"""c_user = p_user AND purchase_ts >= click_ts
-              | AND purchase_ts <= click_ts + interval $horizonMinutes minutes""".stripMargin))
+              | AND purchase_ts <= click_ts + interval $horizonMinutes minutes""".stripMargin),
+      joinType)
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"))
   }

@@ -111,6 +111,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Set((10L, 1L, 2L), (12L, 5L, 6L)))
   }
 
+  test("left-outer interval join emits unmatched clicks once the watermark proves no match can come") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.attributeWithin(input.toDF(), horizonMinutes = 30,
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      Event(1, 10, "click", 1.0, ts("2024-01-01 10:00:00")),
+      Event(2, 10, "purchase", 9.0, ts("2024-01-01 10:10:00")), // matched
+      Event(3, 11, "click", 1.0, ts("2024-01-01 10:05:00")))    // never converts
+    q.processAllAvailable()
+    // Before the watermark passes 10:05 + 30m (+ the 1h watermark delay),
+    // the unmatched click for user 11 must NOT have been emitted — Spark
+    // cannot yet prove a matching purchase won't arrive.
+    val early = spark.table("attr_outer_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!early.contains((11L, 3L)),
+      s"unmatched click emitted before the watermark could prove no-match: $early")
+    // Advance event time far past every horizon + watermark delay. The
+    // advancing rows must reach BOTH join sides: each side's watermark
+    // tracks its own filtered stream, so a row of any other event_type
+    // (filtered out upstream) would advance neither.
+    input.addData(
+      Event(4, 99, "click", 0.0, ts("2024-01-02 00:00:00")),
+      Event(5, 99, "purchase", 0.0, ts("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    // Outer-side null rows flush on the trigger AFTER the watermark
+    // moves — give the stream one more batch to close out.
+    input.addData(
+      Event(6, 98, "click", 0.0, ts("2024-01-03 00:00:00")),
+      Event(7, 98, "purchase", 0.0, ts("2024-01-03 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("attr_outer_out")
+      .select("user_id", "click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(Set((10L, 1L, 2L), (11L, 3L, -1L)).subsetOf(out),
+      s"expected the matched pair plus the null-extended unmatched click: $out")
+  }
+
   test("streaming landing sink is exactly-once across re-runs (checkpointed)") {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_land")
     val (src, land, ckpt) = (s"$root/src", s"$root/landing", s"$root/ckpt")
