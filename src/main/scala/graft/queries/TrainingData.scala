@@ -1407,8 +1407,11 @@ object TrainingData {
        |SELECT doc_id, source,
        |  CAST(${d.size}(segs) AS BIGINT) AS n_segs,
        |  CAST(${d.size}(segs) - ${d.size}(kept) AS BIGINT) AS n_removed,
-       |  $joinFn(kept, ' ') AS kept_text
+       |  coalesce($joinFn(kept, ' '), '') AS kept_text
        |FROM k ORDER BY doc_id""".stripMargin
+    // ^ coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    // array_join([]) is '' — divergent only for a 100%-boilerplate doc
+    // (first seen at sf0.1; the sf0.001/sf0.01 corpora never hit it).
   }
 
   /** t56 — SemDeDup (the published semantic-dedup shape: k-means
