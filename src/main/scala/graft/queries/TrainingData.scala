@@ -2181,6 +2181,43 @@ object TrainingData {
       })
   }
 
+  /** t67 — INCREMENTAL cross-corpus dedup, oracle-checked: the exact
+    * pair semantics [[graft.operators.SignatureIndex.deltaPairs]]
+    * maintains incrementally (pairs touching at least one NEW doc —
+    * new-vs-old and new-vs-new, never old-vs-old), run here through the
+    * OPERATOR ITSELF on a parity split of the corpus (odd doc_ids =
+    * the increment) and replayed by the oracle as one CTE chain. The
+    * operator's other guarantees (O(increment) batches, append-only
+    * files, tombstones) are spec-pinned in `SignatureIndexSpec`; this
+    * query adds the hash-compare proof of WHAT it computes.
+    *
+    * Scale: identical to t35's inverted-index story with the increment
+    * on one join side — candidate count is bounded by |increment| ×
+    * dfCap per posting, independent of the full corpus size. */
+  private val t67 = GQuery(
+    fn = (s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      val sigs = graft.CacheJanitor.register(
+        graft.operators.SignatureIndex.signatures(Tables.documents(s, dir)).persist())
+      graft.operators.SignatureIndex
+        .deltaPairs(sigs, sigs.where("doc_id % 2 = 1"))
+        .orderBy("doc_a", "doc_b")
+    },
+    oracle = Some {
+      val d = duck
+      s"""WITH sh AS (${shSql(d)}),
+         |post AS (SELECT doc_id, ${d.explode}(shs) AS h FROM sh),
+         |keep AS (SELECT h FROM post GROUP BY h HAVING count(*) <= $dfCap),
+         |postf AS (SELECT post.doc_id, post.h FROM post JOIN keep ON post.h = keep.h),
+         |newpost AS (SELECT doc_id AS new_id, h FROM postf WHERE doc_id % 2 = 1),
+         |cand AS (
+         |  SELECT DISTINCT least(new_id, doc_id) AS doc_a,
+         |    greatest(new_id, doc_id) AS doc_b
+         |  FROM newpost JOIN postf ON newpost.h = postf.h
+         |  WHERE new_id <> doc_id)
+         |${verifyTail(d, "sh", "cand")}""".stripMargin
+    })
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -2218,5 +2255,6 @@ object TrainingData {
     "t63_ivf_pq_ann" -> t63,
     "t64_doc_chunking" -> t64,
     "t65_quality_calibration" -> t65,
-    "t66_curation_v2" -> t66)
+    "t66_curation_v2" -> t66,
+    "t67_incremental_dedup" -> t67)
 }
