@@ -1,0 +1,143 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained near-dup CLUSTER LABELS — the resolution
+  * half of the incremental dedup story [[SignatureIndex]] starts: the
+  * index makes PAIR detection O(increment) per batch (t67 proves the
+  * semantics); this operator turns each batch's delta pairs into an
+  * updated `(doc_id, label)` assignment WITHOUT rerunning connected
+  * components over the full accumulated pair graph.
+  *
+  * The trick is that a committed label is itself a certificate of
+  * connectivity: `label(d) = min doc_id of d's component`, so the edge
+  * `(d, label(d))` reconstructs the old component exactly. A batch
+  * therefore resolves CC over only
+  *
+  *   delta pairs  ∪  (doc_id, label) edges of components the delta touches
+  *
+  * — O(increment ∪ touched components) rows, never the full graph. New
+  * docs with no pair become their own singleton cluster. Untouched
+  * components keep their rows bit-identically (spec-pinned).
+  *
+  * Persistence is the same append-only shape as [[SignatureIndex]]: each
+  * batch appends only the rows it (re)defines, stamped with a monotone
+  * batch number; [[read]] folds the log keep-last per doc (one shuffle on
+  * doc_id); [[compact]] rewrites the fold and atomically swaps it in (the
+  * same Hadoop-FS rename commit as [[Tombstones.commitCompaction]]).
+  * Batch write cost is O(changed rows); only compaction pays a corpus
+  * rewrite, on the operator's schedule.
+  *
+  * Correctness contract (ClusterLabelsSpec pins it per batch): after any
+  * sequence of merges, [[read]] equals from-scratch
+  * [[Relational.connectedComponents]] over ALL accumulated pairs, plus
+  * `label = doc_id` for every ingested doc in no pair.
+  */
+object ClusterLabels {
+
+  def dir(root: String): String = s"$root/labels"
+
+  private def emptyLabels(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("doc_id"), col("id").as("label"))
+
+  /** Current labels `(doc_id, label)`: keep-last per doc over the
+    * append-only delta log (later batches win). Empty frame when no
+    * batch was ever merged. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    if (!Files.isDirectory(Paths.get(dir(root)))) emptyLabels(spark)
+    else {
+      val log = spark.read.parquet(dir(root))
+      log.groupBy(col("doc_id"))
+        .agg(max_by(col("label"), col("batch")).as("label"))
+    }
+
+  /** Pure-frame merge (no I/O — also the form t68's oracle query runs):
+    * the FULL new label table from the old one plus one batch of delta
+    * pairs `(doc_a, doc_b)` and the batch's ingested doc ids. */
+  def mergeFrames(old: DataFrame, pairs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val parts = mergeParts(old, pairs, newDocs)
+    parts.untouched.unionByName(parts.delta)
+  }
+
+  /** The split the persisted path needs: `delta` = rows this batch
+    * (re)defines (relabeled members of touched components + new docs),
+    * `untouched` = old rows in components the batch never touches. */
+  private final case class Parts(untouched: DataFrame, delta: DataFrame)
+
+  private def mergeParts(old: DataFrame, pairs: DataFrame, newDocs: DataFrame): Parts = {
+    val p = pairs.select(col("doc_a").cast("long").as("doc_a"),
+      col("doc_b").cast("long").as("doc_b"))
+    val o = old.select(col("doc_id").cast("long").as("doc_id"),
+      col("label").cast("long").as("label"))
+    val touched = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b").as("doc_id"))).distinct()
+    // Labels of every component the batch touches (a join against the
+    // increment-sized touched set — broadcastable), then ALL members of
+    // those components: the only old rows that can possibly relabel.
+    val touchedLabels = o.join(touched, "doc_id").select("label").distinct()
+    val members = o.join(touchedLabels, "label").select(col("doc_id"), col("label"))
+    // CC input: delta pairs ∪ old-label edges of touched components.
+    // label(d) is the min doc_id of d's old component, so (d, label(d))
+    // is a real doc-doc edge and the resolved label is the min doc_id
+    // over the merged component — the exact contract of a from-scratch
+    // run over all accumulated pairs.
+    val edges = p.union(members.select(col("doc_id"), col("label")))
+    val relabeled = Relational.connectedComponents(edges)
+      .select(col("node").cast("long").as("doc_id"), col("label").cast("long").as("label"))
+    val singletons = newDocs.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      .join(relabeled.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(o.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    val untouched = o.join(touchedLabels, Seq("label"), "left_anti")
+      .select(col("doc_id"), col("label"))
+    Parts(untouched, relabeled.unionByName(singletons))
+  }
+
+  /** One maintenance batch: resolve this batch's `pairs` (e.g.
+    * [[SignatureIndex.deltaPairs]] output) against the persisted labels
+    * and APPEND only the changed/new rows. Returns the updated full
+    * label table as read back from the log. */
+  def merge(spark: SparkSession, root: String, pairs: DataFrame,
+      newDocs: DataFrame): DataFrame = {
+    val old = graft.CacheJanitor.register(read(spark, root).persist())
+    val delta = graft.CacheJanitor.register(
+      mergeParts(old, pairs, newDocs).delta.persist())
+    val nextBatch = {
+      val d = Paths.get(dir(root))
+      if (!Files.isDirectory(d)) 1L
+      else {
+        val r = spark.read.parquet(dir(root)).agg(max(col("batch"))).head
+        if (r.isNullAt(0)) 1L else r.getLong(0) + 1L
+      }
+    }
+    delta.withColumn("batch", lit(nextBatch))
+      .write.mode("append").parquet(dir(root))
+    read(spark, root)
+  }
+
+  /** Keeper manifest under the engine's min-id policy (t34/t42/t54):
+    * `keep` iff the doc IS its component's label. */
+  def keeperManifest(labels: DataFrame): DataFrame =
+    labels.select(col("doc_id"), col("label"),
+      (col("doc_id") === col("label")).as("keep"))
+
+  /** Fold the delta log to one row per doc and atomically swap it in —
+    * the end state is identical to [[read]] (and to a from-scratch
+    * resolve), with the log's history dropped. Same stage-then-rename
+    * commit as snapshot compaction. */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val dest = dir(root)
+    val tmp = s"$dest.__compact_tmp"
+    read(spark, root).withColumn("batch", lit(1L))
+      .write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new HPath(dest).getFileSystem(conf)
+    fs.delete(new HPath(dest), true)
+    require(fs.rename(new HPath(tmp), new HPath(dest)),
+      s"label compaction commit failed: could not move $tmp into $dest")
+  }
+}

@@ -95,10 +95,76 @@ object LandingLog {
     * directory count, and a repartition on the mirror key bounds files
     * per directory to ~1 (without it every task writes a file into every
     * directory it touches — measured 190 s vs 13 s for the sf0.1 fact
-    * rebuild). A reader filtering on the key prunes whole ranges. */
+    * rebuild). A reader filtering on the key prunes whole ranges.
+    *
+    * ATOMIC COMMIT: the reference gets overwrite atomicity for free from
+    * a single-object S3 PUT (src/process_lambda.py:59-66, one
+    * `{table}.parquet` key); a multi-file directory overwrite has no such
+    * guarantee — a crash mid-write would leave a half-deleted snapshot
+    * the next read happily scans. So a snapshot write here is
+    * stage-then-commit: [[stageSnapshot]] writes the data into a fresh
+    * versioned directory (`_versions/<n>`) that NO reader resolves, and
+    * [[commitSnapshot]] publishes it with one atomic marker-file rename.
+    * A crash anywhere before the commit leaves the previous version the
+    * current one; a retry restages the same version number (overwrite
+    * clears the partial). On HDFS the marker rename is atomic natively;
+    * on S3 the marker becomes a single-object PUT — the same primitive
+    * the reference relies on, now carrying a pointer instead of data. */
   def writeSnapshot(df: DataFrame, root: String, table: String,
-      partitionBy: Seq[String] = Nil, rangeSize: Long = 100): Unit =
-    if (partitionBy.isEmpty) df.write.mode("overwrite").parquet(s"$root/$table")
+      partitionBy: Seq[String] = Nil, rangeSize: Long = 100): Unit = {
+    val v = stageSnapshot(df, root, table, partitionBy, rangeSize)
+    commitSnapshot(root, table, v)
+  }
+
+  private def vname(v: Long): String = f"$v%08d"
+  private def versionDir(root: String, table: String, v: Long): Path =
+    Paths.get(s"$root/$table/_versions/${vname(v)}")
+  private def commitsDir(root: String, table: String): Path =
+    Paths.get(s"$root/$table/_commits")
+
+  /** Highest committed snapshot version (0 = never written): max marker
+    * in `_commits/` whose data directory exists. Markers are zero-padded
+    * so lexicographic = numeric. Both bookkeeping dirs are
+    * underscore-prefixed, so a NAIVE `spark.read.parquet(tableDir)` sees
+    * no data files and fails loudly — it can never silently union
+    * versions; readers resolve through [[snapshotDataDir]]. */
+  def currentVersion(root: String, table: String): Long = {
+    val c = commitsDir(root, table)
+    if (!Files.isDirectory(c)) 0L
+    else ls(c).map(_.getFileName.toString)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .filter(v => Files.isDirectory(versionDir(root, table, v)))
+      .sorted.lastOption.getOrElse(0L)
+  }
+
+  /** Resolve the directory holding the CURRENT committed snapshot data:
+    * the newest committed version dir, or (legacy/unversioned layout —
+    * snapshots written by hand or by older builds) the table directory
+    * itself when it holds data files directly. None = never written. */
+  def snapshotDataDir(root: String, table: String): Option[String] = {
+    val v = currentVersion(root, table)
+    if (v > 0) Some(versionDir(root, table, v).toString)
+    else {
+      val dir = Paths.get(s"$root/$table")
+      if (Files.isDirectory(dir) && ls(dir).exists { p =>
+        val n = p.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      }) Some(s"$root/$table")
+      else None
+    }
+  }
+
+  /** Stage (but do not publish) the next snapshot version: the full data
+    * write, into a version directory invisible to readers. Returns the
+    * staged version number for [[commitSnapshot]]. Crash-safe by
+    * construction: the staged dir is resolved by nobody until its commit
+    * marker lands, and a retry after a crash restages the SAME version
+    * (mode overwrite clears any partial files). */
+  def stageSnapshot(df: DataFrame, root: String, table: String,
+      partitionBy: Seq[String] = Nil, rangeSize: Long = 100): Long = {
+    val next = currentVersion(root, table) + 1
+    val dest = versionDir(root, table, next).toString
+    if (partitionBy.isEmpty) df.write.mode("overwrite").parquet(dest)
     else {
       val mirrors = partitionBy.map(c => s"__p_$c")
       val withKeys = partitionBy.zip(mirrors).foldLeft(df) { case (d, (c, m)) =>
@@ -106,15 +172,47 @@ object LandingLog {
       }
       withKeys
         .repartition(mirrors.map(col): _*)
-        .write.mode("overwrite").partitionBy(mirrors: _*).parquet(s"$root/$table")
+        .write.mode("overwrite").partitionBy(mirrors: _*).parquet(dest)
     }
+    next
+  }
+
+  /** Publish a staged version: ONE atomic rename of a marker file into
+    * `_commits/` (java.nio ATOMIC_MOVE locally; HDFS rename / S3 PUT in
+    * production — see [[writeSnapshot]]). Everything after the rename is
+    * best-effort GC of superseded versions; a crash mid-GC only leaves
+    * orphan directories the next commit's GC removes. */
+  def commitSnapshot(root: String, table: String, version: Long): Unit = {
+    val cdir = commitsDir(root, table)
+    Files.createDirectories(cdir)
+    val tmp = cdir.resolve(s".tmp_${vname(version)}")
+    Files.write(tmp, vname(version).getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+    Files.move(tmp, cdir.resolve(vname(version)),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // GC (single-writer contract): every version dir except the one just
+    // committed — older committed versions AND crashed/abandoned stages —
+    // plus their markers.
+    val vdir = versionDir(root, table, version).getParent
+    ls(vdir).filter(_.getFileName.toString != vname(version)).foreach(deleteRecursively)
+    ls(cdir).filter(_.getFileName.toString != vname(version)).foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) ls(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
 
   /** Snapshot read; mirror partition keys are dropped so the frame is
     * schema-identical to what [[writeSnapshot]] was given, whatever the
-    * physical layout. Pruning readers scan the path directly and filter
-    * on `__p_*` before the drop. */
+    * physical layout. Pruning readers scan the resolved version dir
+    * directly and filter on `__p_*` before the drop. */
   def readSnapshot(spark: SparkSession, root: String, table: String): DataFrame = {
-    val raw = spark.read.parquet(s"$root/$table")
+    val dir = snapshotDataDir(root, table)
+      .getOrElse(sys.error(s"no committed snapshot for $table under $root"))
+    val raw = spark.read.parquet(dir)
     raw.drop(raw.columns.filter(_.startsWith("__p_")).toSeq: _*)
   }
 
@@ -131,7 +229,9 @@ object LandingLog {
   def readSnapshotRangeJoined(spark: SparkSession, root: String, table: String,
       joinCol: String, lookup: DataFrame, lookupKey: String,
       rangeSize: Long = 100): DataFrame = {
-    val raw = spark.read.parquet(s"$root/$table")
+    val dir = snapshotDataDir(root, table)
+      .getOrElse(sys.error(s"no committed snapshot for $table under $root"))
+    val raw = spark.read.parquet(dir)
     // The lookup is the broadcast side BY CONTRACT (dimension-sized) —
     // DPP prunes the scan side from the broadcast result, which only
     // works when the partitioned table is the probe side; without the
@@ -152,11 +252,15 @@ object LandingLog {
     * been written (the reference's head_object → 404 → None path,
     * src/process_lambda.py:69-88). */
   def readSnapshotIfExists(spark: SparkSession, root: String, table: String): Option[DataFrame] =
-    if (Files.isDirectory(Paths.get(s"$root/$table"))) Some(readSnapshot(spark, root, table))
-    else None
+    snapshotDataDir(root, table).map { dir =>
+      val raw = spark.read.parquet(dir)
+      raw.drop(raw.columns.filter(_.startsWith("__p_")).toSeq: _*)
+    }
 
-  /** List all written snapshot keys (C4: the manual-trigger full scan of
-    * the processed store, src/warehousing_lambda.py:130-134). */
+  /** List all COMMITTED snapshot keys (C4: the manual-trigger full scan
+    * of the processed store, src/warehousing_lambda.py:130-134). A table
+    * directory whose only content is a crashed, never-committed stage is
+    * not a snapshot and is not listed. */
   def listSnapshots(root: String): Seq[String] = {
     val p = Paths.get(root)
     if (!Files.isDirectory(p)) Seq.empty
@@ -164,6 +268,7 @@ object LandingLog {
       .filter(Files.isDirectory(_))
       .map(_.getFileName.toString)
       .filterNot(_.startsWith("."))
+      .filter(t => snapshotDataDir(root, t).isDefined)
       .sorted
   }
 }

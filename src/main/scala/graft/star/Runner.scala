@@ -38,6 +38,33 @@ object Runner {
 
   val factSources = Set("payment", "purchase_order", "sales_order")
 
+  /** Row bound under which the preview CSV extract is a single file
+    * (the reference's S13 shape); above it the export is a directory of
+    * part files — never one task for a fact-sized table. */
+  val singleFileExportMaxRows: Long = 1000000L
+
+  /** Combined landing-log byte size of the fact inputs under which
+    * processBatch caches its deduped fact snapshots in memory
+    * (MEMORY_AND_DISK). Above it, the shared-read optimization keeps
+    * only DISK_ONLY persistence: three builders still share one log
+    * replay + dedup, but a 100 TB replay never competes with shuffle
+    * memory — spill would make the default level safe, not fast. The
+    * log size is a MEASURED driver-side listing (the honest proxy for
+    * the deduped snapshot, which is never larger). */
+  val factCacheMemoryBoundBytes: Long = 8L << 30
+
+  /** Total on-disk bytes of a landing-log table directory (0 if absent). */
+  private def logBytes(landingRoot: String, table: String): Long = {
+    val dir = java.nio.file.Paths.get(s"$landingRoot/$table")
+    if (!java.nio.file.Files.isDirectory(dir)) 0L
+    else {
+      val s = java.nio.file.Files.walk(dir)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
   /** Stage 1 — ingest: for each source relation, gate on max(last_updated)
     * vs the stored watermark, extract the strict increment, land it as an
     * immutable CSV batch, bump the watermark. Returns updated tables. */
@@ -87,7 +114,8 @@ object Runner {
       landingRoot: String,
       processedRoot: String,
       updates: Set[String],
-      stableDateIds: Boolean = true): Seq[String] = {
+      stableDateIds: Boolean = true,
+      cacheMemoryBound: Long = factCacheMemoryBoundBytes): Seq[String] = {
     def log(table: String): DataFrame =
       LandingLog.readLog(spark, landingRoot, table, Schemas.sources(table)._1)
 
@@ -128,9 +156,17 @@ object Runner {
       // inputs, then cached: three fact builders each broadcast-join it.
       // One log replay + dedup per fact input, shared by dim_date and the
       // fact builders (the log replay is the dominant read at scale).
-      val pay = StarSchema.currentSnapshot("payment")(log("payment")).cache()
-      val po = StarSchema.currentSnapshot("purchase_order")(log("purchase_order")).cache()
-      val so = StarSchema.currentSnapshot("sales_order")(log("sales_order")).cache()
+      // The persistence LEVEL is size-gated on the measured landing-log
+      // bytes: in-memory while the inputs fit comfortably, DISK_ONLY
+      // beyond the bound — the shared-read structure survives either way,
+      // but a 100 TB replay never claims executor memory from shuffles.
+      val factLevel =
+        if (factSources.toSeq.map(logBytes(landingRoot, _)).sum <= cacheMemoryBound)
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        else org.apache.spark.storage.StorageLevel.DISK_ONLY
+      val pay = StarSchema.currentSnapshot("payment")(log("payment")).persist(factLevel)
+      val po = StarSchema.currentSnapshot("purchase_order")(log("purchase_order")).persist(factLevel)
+      val so = StarSchema.currentSnapshot("sales_order")(log("sales_order")).persist(factLevel)
       val dates = StarSchema.dimDate(pay, po, so, stableDateIds).cache()
       put("dim-date", dates)
       // Dense (reference) date ids renumber when a rebuild discovers a new
@@ -189,7 +225,14 @@ object Runner {
             .saveAsTable(s"$warehouseDb.$table")
           if (preview) {
             previewTable(spark, table).show(truncate = false)
-            df.coalesce(1).write.mode("overwrite").option("header", "true")
+            // Single-file CSV only for dimension-sized tables (measured on
+            // the cached frame — free here); a fact table exports as a
+            // DIRECTORY of part files at full parallelism. The reference's
+            // one-file extract is faithful at its scale but funnels the
+            // whole table through one task at 100× — the one remaining
+            // scale-killer the round-6 audit flagged.
+            val out = if (df.count() <= singleFileExportMaxRows) df.coalesce(1) else df
+            out.write.mode("overwrite").option("header", "true")
               .csv(s"$warehouseRoot/extracts/$table")
           }
         }

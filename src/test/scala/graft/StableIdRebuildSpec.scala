@@ -73,7 +73,7 @@ class StableIdRebuildSpec extends SparkSpec {
     assert(fileStamps(payDir) == before, "fact-payment files must be byte-untouched")
 
     // The skipped fact's FKs still resolve: ids are value-determined.
-    val dates = spark.read.parquet(s"$root/processed/dim-date")
+    val dates = graft.sources.LandingLog.readSnapshot(spark, s"$root/processed", "dim-date")
       .select("date_id").collect().map(_.getLong(0)).toSet
     val payFk = graft.sources.LandingLog.readSnapshot(spark, s"$root/processed", "fact-payment")
       .select("created_date").collect().map(_.getLong(0)).toSet
@@ -94,7 +94,7 @@ class StableIdRebuildSpec extends SparkSpec {
     val w2 = runBatch(root, v2 = true, "2025-09-02 11:30:00.000", stable = true)
     assert(w2.toSet == Set("dim-date", "fact-payment", "fact-sales_order"),
       s"policy flip must force a one-time full fact rebuild: $w2")
-    val dates = spark.read.parquet(s"$root/processed/dim-date")
+    val dates = graft.sources.LandingLog.readSnapshot(spark, s"$root/processed", "dim-date")
       .select("date_id").collect().map(_.getLong(0)).toSet
     val payFk = graft.sources.LandingLog.readSnapshot(spark, s"$root/processed", "fact-payment")
       .select("created_date").collect().map(_.getLong(0)).toSet

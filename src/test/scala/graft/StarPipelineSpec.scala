@@ -137,7 +137,11 @@ class StarPipelineSpec extends SparkSpec {
   }
 
   test("fact snapshots are date-partitioned and a partition filter prunes the scan") {
-    val raw = spark.read.parquet(s"$processed/fact-sales_order")
+    // Pruning readers resolve the committed version dir explicitly (a
+    // naive read of the table dir fails loudly by design — the
+    // bookkeeping dirs are underscore-hidden).
+    val dataDir = graft.sources.LandingLog.snapshotDataDir(processed, "fact-sales_order").get
+    val raw = spark.read.parquet(dataDir)
     assert(raw.columns.contains("__p_created_date"), "fact snapshot carries the partition mirror key")
     // Snapshot read-back drops the mirror key -> schema identical to the builder output.
     val snap = graft.sources.LandingLog.readSnapshot(spark, processed, "fact-sales_order")
@@ -153,6 +157,31 @@ class StarPipelineSpec extends SparkSpec {
     }
     assert(scans.nonEmpty && scans.head.selectedPartitions.partitionCount == 1,
       "exactly one date directory survives pruning")
+  }
+
+  test("preview mode exports a readable CSV extract (directory contract)") {
+    // Re-load with preview on: the extract is a CSV DIRECTORY (single
+    // part file only under the measured dimension-size bound — never a
+    // forced one-task funnel for fact-sized tables).
+    Runner.loadWarehouse(spark, processed, warehouse, Seq("fact-sales_order"), preview = true)
+    val extracted = spark.read.option("header", "true").csv(s"$warehouse/extracts/sales_order")
+    assert(extracted.count() == spark.read.parquet(s"$warehouse/sales_order").count(),
+      "CSV extract directory round-trips the full table")
+  }
+
+  test("fact caches are size-gated: DISK_ONLY above the bound, same results") {
+    // Force the gate both ways over the same landing log: a 1-byte bound
+    // → DISK_ONLY; the default bound → MEMORY_AND_DISK. Both must produce
+    // the identical snapshot (the gate changes persistence, not the plan).
+    val out1 = Files.createTempDirectory("graft_gate_lo").toString
+    val out2 = Files.createTempDirectory("graft_gate_hi").toString
+    Runner.processBatch(spark, landing, out1, Set("sales_order"), cacheMemoryBound = 1L)
+    Runner.processBatch(spark, landing, out2, Set("sales_order"))
+    val lo = graft.sources.LandingLog.readSnapshot(spark, out1, "fact-sales_order")
+      .orderBy("sales_record_id").collect().map(_.toString).toSeq
+    val hi = graft.sources.LandingLog.readSnapshot(spark, out2, "fact-sales_order")
+      .orderBy("sales_record_id").collect().map(_.toString).toSeq
+    assert(lo.nonEmpty && lo == hi, "gated persistence level must not change results")
   }
 
   test("multi-file backfill increments replay identically to single-file increments") {

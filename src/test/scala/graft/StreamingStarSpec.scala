@@ -67,7 +67,7 @@ class StreamingStarSpec extends SparkSpec {
     assert(spark.read.parquet(streamed).count() == 1)
     val w1 = runBatch("2025-09-01 10:00:00.000")
     assert(w1.toSet == Set("dim-date", "fact-sales_order"), s"batch 1 wrote: $w1")
-    val f1 = spark.read.parquet(s"$processed/fact-sales_order").collect()
+    val f1 = graft.sources.LandingLog.readSnapshot(spark, processed, "fact-sales_order").collect()
     assert(f1.length == 1 && f1(0).getAs[Int]("units_sold") == 100)
 
     // Batch 2: two more rows stream in (an update of 101 + new 102); the
@@ -78,7 +78,7 @@ class StreamingStarSpec extends SparkSpec {
     assert(spark.read.parquet(streamed).count() == 3, "only the new rows were streamed")
     val w2 = runBatch("2025-09-01 11:30:00.000")
     assert(w2.toSet == Set("dim-date", "fact-sales_order"), s"batch 2 wrote: $w2")
-    val f2 = spark.read.parquet(s"$processed/fact-sales_order")
+    val f2 = graft.sources.LandingLog.readSnapshot(spark, processed, "fact-sales_order")
       .orderBy("sales_order_id").collect()
     assert(f2.map(_.getAs[Int]("sales_order_id")).toSeq == Seq(101, 102))
     assert(f2(0).getAs[Int]("units_sold") == 120, "keep-last version feeds the fact")
