@@ -2218,6 +2218,84 @@ object TrainingData {
          |${verifyTail(d, "sh", "cand")}""".stripMargin
     })
 
+  /** t68 — INCREMENTAL cluster RESOLUTION, oracle-checked: two
+    * maintenance batches (even doc_ids land first, odd doc_ids are the
+    * increment) run through the OPERATORS themselves —
+    * [[graft.operators.SignatureIndex.deltaPairs]] for each batch's
+    * pairs, [[graft.operators.ClusterLabels.mergeFrames]] to fold them
+    * into the persisted-label shape — and the final assignment is
+    * hash-compared against a DuckDB from-scratch resolve (recursive
+    * transitive closure over the union of both batches' pairs, t44's
+    * machinery). This is the proof that merging per-batch deltas into a
+    * label table IS connected components over the accumulated graph:
+    * the batch-2 merge re-resolves only delta pairs ∪ touched old
+    * components, never the full graph (ClusterLabelsSpec pins the
+    * O(changed) append; this pins WHAT the merge computes).
+    *
+    * Scale: batch pairs are t67's O(increment) story; the merge's CC
+    * input is increment ∪ touched components — the from-scratch closure
+    * the ORACLE runs is exactly what does not scale, and exactly what
+    * the operator avoids. */
+  private val t68 = GQuery(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.functions.GraftFunctions.registerAll(s)
+      val sigs = graft.CacheJanitor.register(
+        graft.operators.SignatureIndex.signatures(Tables.documents(s, dir)).persist())
+      val even = sigs.where("doc_id % 2 = 0")
+      val odd = sigs.where("doc_id % 2 = 1")
+      val none = s.range(0).select(col("id").as("doc_id"), col("id").as("label"))
+      val pairs1 = graft.operators.SignatureIndex.deltaPairs(even, even)
+        .select("doc_a", "doc_b")
+      val labels1 = graft.CacheJanitor.register(
+        graft.operators.ClusterLabels.mergeFrames(none, pairs1, even.select("doc_id"))
+          .persist())
+      val pairs2 = graft.operators.SignatureIndex.deltaPairs(sigs, odd)
+        .select("doc_a", "doc_b")
+      val labels2 = graft.operators.ClusterLabels
+        .mergeFrames(labels1, pairs2, odd.select("doc_id"))
+      labels2.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+        .orderBy("cluster_id")
+    },
+    oracle = Some {
+      val d = duck
+      s"""WITH RECURSIVE sh AS (${shSql(d)}),
+         |post1 AS (SELECT doc_id, ${d.explode}(shs) AS h FROM sh WHERE doc_id % 2 = 0),
+         |keep1 AS (SELECT h FROM post1 GROUP BY h HAVING count(*) <= $dfCap),
+         |postf1 AS (SELECT post1.doc_id, post1.h FROM post1 JOIN keep1 ON post1.h = keep1.h),
+         |cand1 AS (
+         |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+         |    greatest(a.doc_id, b.doc_id) AS doc_b
+         |  FROM postf1 a JOIN postf1 b ON a.h = b.h WHERE a.doc_id <> b.doc_id),
+         |p1 AS (${verifyTail(d, "sh", "cand1")}),
+         |post2 AS (SELECT doc_id, ${d.explode}(shs) AS h FROM sh),
+         |keep2 AS (SELECT h FROM post2 GROUP BY h HAVING count(*) <= $dfCap),
+         |postf2 AS (SELECT post2.doc_id, post2.h FROM post2 JOIN keep2 ON post2.h = keep2.h),
+         |newpost2 AS (SELECT doc_id AS new_id, h FROM postf2 WHERE doc_id % 2 = 1),
+         |cand2 AS (
+         |  SELECT DISTINCT least(new_id, doc_id) AS doc_a,
+         |    greatest(new_id, doc_id) AS doc_b
+         |  FROM newpost2 JOIN postf2 ON newpost2.h = postf2.h WHERE new_id <> doc_id),
+         |p2 AS (${verifyTail(d, "sh", "cand2")}),
+         |pairs AS (SELECT doc_a, doc_b FROM p1 UNION SELECT doc_a, doc_b FROM p2),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS label FROM reach GROUP BY src),
+         |labels AS (
+         |  SELECT sh.doc_id, coalesce(lab.label, sh.doc_id) AS label
+         |  FROM sh LEFT JOIN lab ON sh.doc_id = lab.doc_id)
+         |SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  max(doc_id) AS max_member
+         |FROM labels GROUP BY label ORDER BY cluster_id""".stripMargin
+    })
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -2256,5 +2334,6 @@ object TrainingData {
     "t64_doc_chunking" -> t64,
     "t65_quality_calibration" -> t65,
     "t66_curation_v2" -> t66,
-    "t67_incremental_dedup" -> t67)
+    "t67_incremental_dedup" -> t67,
+    "t68_incremental_clusters" -> t68)
 }
