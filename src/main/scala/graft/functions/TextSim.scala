@@ -213,10 +213,23 @@ object TextSim {
     if (n < 256) 8 else if (n < 1024) 16 else if (n < 4096) 32
     else if (n < 16384) 64 else if (n < 65536) 128 else 256
 
-  /** IVF k-means training-sample bound: centroids are trained on the
-    * first `cells * ivfTrainPerCell` vectors (deterministic, bounded —
-    * the standard train-on-a-sample contract; the full corpus is only
-    * ever ASSIGNED, never iterated over). */
+  /** Deterministic id scramble for UNBIASED bounded training samples: a
+    * multiplicative permutation mod P, `(id mod P) · 1103515245 mod P`.
+    * An id-ordered PREFIX is a biased sample whenever ids correlate with
+    * source or time — at 100 TB they always do, and a source-skewed
+    * quantizer degrades cell balance and recall silently. Ordering by
+    * this scramble picks a systematic sample spread across the id space:
+    * seeded, deterministic, oracle-replayable, and EXACT in both engines
+    * — the product is < 2^62 (both factors < 2^31.4), so int64 never
+    * overflows, and no engine-specific hash() is involved. The same SQL
+    * text renders for both dialects. */
+  def idShuffle(id: String): String = s"((($id % $P) * 1103515245) % $P)"
+
+  /** IVF k-means training-sample bound: centroids are trained on
+    * `cells * ivfTrainPerCell` vectors sampled by [[idShuffle]] order
+    * (deterministic, bounded, unbiased — the standard
+    * train-on-a-sample contract; the full corpus is only ever
+    * ASSIGNED, never iterated over). */
   val ivfTrainPerCell = 16
 
   /** Deterministic Lloyd iterations for the IVF coarse quantizer. */

@@ -491,22 +491,31 @@ object TrainingData {
   private def trainCentroidLiteral(s: SparkSession): String =
     centsLit(trainCentroids(s, "embeddings"))
 
+  /** Scala mirror of [[TextSim.idShuffle]] — the driver-side trainers
+    * rank seed rows by the same scramble the SQL sample uses. */
+  private[graft] def shuffleVal(id: Long): Long =
+    ((id % TextSim.P) * 1103515245L) % TextSim.P
+
   /** Render a centroid array as the broadcast-literal expression. */
   private[graft] def centsLit(cents: Array[Array[Double]]): String =
     cents.map(_.map(litD).mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
 
   /** The trainer itself, over any `(vec_id, embedding)` view — also the
     * quantizer-training entry point for the persisted incremental index
-    * (`operators.AnnIndex`). Seed and training sample are the k/cap
-    * SMALLEST vec_ids (`ORDER BY vec_id LIMIT …` — plans as
-    * TakeOrderedAndProject, a distributed per-partition top-k, while the
-    * limit stays under `spark.sql.execution.topKSortFallbackThreshold`;
-    * the `require` below pins cap within that bound), not
-    * `vec_id < k`: ids are NOT assumed to start at 0, so an AnnIndex
-    * first batch whose ids begin at 1000+ trains the same quality
-    * quantizer instead of silently collecting an empty seed. On the
-    * oracle tables (contiguous ids from 0) the two forms select
-    * identical rows, so the DuckDB kmeans CTEs are unchanged. */
+    * (`operators.AnnIndex`). The training sample is the `cap` rows with
+    * the smallest [[TextSim.idShuffle]] values (an UNBIASED systematic
+    * sample across the id space — an id-ordered prefix silently skews
+    * the quantizer whenever ids correlate with source or time, which at
+    * scale they always do), collected in vec_id order so every
+    * downstream fold replays the oracle's exact arithmetic. The
+    * hash-ordered `LIMIT` plans as TakeOrderedAndProject (a distributed
+    * per-partition top-k) while cap stays under
+    * `spark.sql.execution.topKSortFallbackThreshold`; the `require`
+    * below pins cap within that bound. The seed is the k smallest
+    * vec_ids WITHIN the sample — ids are NOT assumed contiguous or
+    * 0-based, so an AnnIndex first batch whose ids begin at 1000+
+    * trains the same quality quantizer. The DuckDB kmeans CTEs select
+    * the identical rows by the identical scramble. */
   private[graft] def trainCentroids(s: SparkSession, view: String): Array[Array[Double]] = {
     val n = s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n FROM $view")
       .collect()(0).getLong(0)
@@ -526,11 +535,20 @@ object TrainingData {
     // cells keep the previous centroid — so the trained centroids stay
     // bit-identical to [[duckKmeansCtes]] (t41/t48/t49/t56/t63
     // hash-match the oracle THROUGH this trainer).
-    val sample: Array[Array[Double]] = s.sql(
-      s"""SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-         |FROM $view ORDER BY vec_id LIMIT $cap""".stripMargin)
-      .collect().map(_.getSeq[Double](0).toArray)
-    var cents = sample.take(k).map(_.clone)
+    val rows = s.sql(
+      s"""SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |  transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM (
+         |  SELECT vec_id, embedding FROM $view
+         |  ORDER BY ${TextSim.idShuffle("vec_id")}, vec_id LIMIT $cap)
+         |ORDER BY vec_id""".stripMargin).collect()
+    val ids: Array[Long] = rows.map(_.getLong(0))
+    val sample: Array[Array[Double]] = rows.map(_.getSeq[Double](1).toArray)
+    // Seed = the k rows with the smallest idShuffle values, IN that
+    // order — an id-ordered seed would re-introduce the source bias the
+    // sampled selection just removed (all k seeds from the
+    // lowest-id source → Lloyd never spreads to the others).
+    val seedIdx = ids.indices.sortBy(i => (shuffleVal(ids(i)), ids(i))).take(k)
+    var cents = seedIdx.map(i => sample(i).clone).toArray
     require(cents.length == math.min(k.toLong, n),
       s"degenerate quantizer seed: collected ${cents.length} of $k centroids from $view (n=$n)")
     def dist2(a: Array[Double], b: Array[Double]): Double = {
@@ -585,13 +603,21 @@ object TrainingData {
   private def duckKmeansCtes: String = {
     val iters = (1 to TextSim.ivfLloydIters)
       .map(it => duckKmeansIter(it, if (it == 1) "c0" else s"c${it - 1}")).mkString(",\n")
+    // Training sample and seed replay the Spark trainer's selection
+    // exactly: cap rows by idShuffle order (the unbiased systematic
+    // sample), seed = the `cells` smallest vec_ids WITHIN the sample.
     s"""cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
        |m AS (SELECT ${TextSim.ivfCells("n")} AS cells FROM cnt),
-       |train AS (
-       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
-       |  FROM embeddings WHERE vec_id < ${TextSim.ivfTrainPerCell} * (SELECT cells FROM m)),
-       |c0 AS (SELECT list(emb ORDER BY vec_id) AS cents FROM train
-       |       WHERE vec_id < (SELECT cells FROM m)),
+       |train0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
+       |    row_number() OVER (ORDER BY ${TextSim.idShuffle("vec_id")}, vec_id) AS rn
+       |  FROM embeddings),
+       |train AS (SELECT vec_id, emb FROM train0
+       |          WHERE rn <= ${TextSim.ivfTrainPerCell} * (SELECT cells FROM m)),
+       |seed AS (SELECT vec_id, emb,
+       |    row_number() OVER (ORDER BY ${TextSim.idShuffle("vec_id")}, vec_id) AS rs FROM train),
+       |c0 AS (SELECT list(emb ORDER BY rs) AS cents FROM seed
+       |       WHERE rs <= (SELECT cells FROM m)),
        |$iters""".stripMargin
   }
 
@@ -1688,11 +1714,18 @@ object TrainingData {
       : Array[Array[Array[Double]]] = {
     require(pqCap <= s.conf.get("spark.sql.execution.topKSortFallbackThreshold").toLong,
       s"PQ training cap $pqCap exceeds topKSortFallbackThreshold — the LIMIT would plan as a global sort")
-    val sample: Array[Array[Double]] = s.sql(
-      s"""SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-         |FROM $view ORDER BY vec_id LIMIT $pqCap""".stripMargin)
-      .collect().map(_.getSeq[Double](0).toArray)
+    val rows = s.sql(
+      s"""SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |  transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM (
+         |  SELECT vec_id, embedding FROM $view
+         |  ORDER BY ${TextSim.idShuffle("vec_id")}, vec_id LIMIT $pqCap)
+         |ORDER BY vec_id""".stripMargin).collect()
+    val ids: Array[Long] = rows.map(_.getLong(0))
+    val sample: Array[Array[Double]] = rows.map(_.getSeq[Double](1).toArray)
     require(sample.length >= pqK, s"degenerate PQ seed: ${sample.length} sample rows < $pqK")
+    // Seed rows ranked by idShuffle, like the IVF trainer — see
+    // trainCentroids for why an id-ordered seed re-biases the quantizer.
+    val seedIdx = ids.indices.sortBy(i => (shuffleVal(ids(i)), ids(i))).take(pqK)
     val dim = sample(0).length
     require(dim % pqM == 0, s"embedding dim $dim not divisible by $pqM subspaces")
     val sub = dim / pqM
@@ -1703,7 +1736,7 @@ object TrainingData {
     }
     Array.tabulate(pqM) { j =>
       val vecs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
-      var cents = vecs.take(pqK).map(_.clone)
+      var cents = seedIdx.map(i => vecs(i).clone).toArray
       for (_ <- 1 to TextSim.ivfLloydIters) {
         val cells = vecs.map { v =>
           val ds = cents.map(c => dist2(v, c))
@@ -1796,11 +1829,11 @@ object TrainingData {
        |pc${it}_$j AS (SELECT list(cemb ORDER BY ci) AS cents FROM pe${it}_$j)""".stripMargin
   }
 
-  /** The oracle's full PQ training chain: per subspace, seed = first
-    * pqK sample subvectors, then ivfLloydIters Lloyd rounds; codebooks
-    * land in `pqcb.cbs` ([m][k][subDim]). Like the IVF oracle, the
-    * sample predicate `vec_id < pqCap` relies on the oracle tables'
-    * contiguous-from-0 ids (the Spark side orders-and-limits). */
+  /** The oracle's full PQ training chain: per subspace, seed = the pqK
+    * smallest vec_ids WITHIN the sample, then ivfLloydIters Lloyd
+    * rounds; codebooks land in `pqcb.cbs` ([m][k][subDim]). Like the
+    * IVF oracle, the sample is the pqCap rows by idShuffle order — the
+    * exact selection the Spark trainer collects. */
   private def duckPqCtes: String = {
     val d = duck
     val chains = (1 to pqM).map { j =>
@@ -1808,14 +1841,18 @@ object TrainingData {
         .map(it => duckPqIter(j, it, if (it == 1) s"pc0_$j" else s"pc${it - 1}_$j")).mkString(",\n")
       s"""ptrain_$j AS (
          |  SELECT vec_id, ${pqSubvec(d, "emb", j.toString)} AS sub FROM ptrain),
-         |pc0_$j AS (SELECT list(sub ORDER BY vec_id) AS cents FROM ptrain_$j WHERE vec_id < $pqK),
+         |pseed_$j AS (SELECT vec_id, sub,
+         |  row_number() OVER (ORDER BY ${TextSim.idShuffle("vec_id")}, vec_id) AS rs FROM ptrain_$j),
+         |pc0_$j AS (SELECT list(sub ORDER BY rs) AS cents FROM pseed_$j WHERE rs <= $pqK),
          |$iters""".stripMargin
     }.mkString(",\n")
     val last = s"pc${TextSim.ivfLloydIters}"
     val cbList = (1 to pqM).map(j => s"(SELECT cents FROM ${last}_$j)").mkString(", ")
-    s"""ptrain AS (
-       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
-       |  FROM embeddings WHERE vec_id < $pqCap),
+    s"""ptrain0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
+       |    row_number() OVER (ORDER BY ${TextSim.idShuffle("vec_id")}, vec_id) AS rn
+       |  FROM embeddings),
+       |ptrain AS (SELECT vec_id, emb FROM ptrain0 WHERE rn <= $pqCap),
        |$chains,
        |pqcb AS (SELECT list_value($cbList) AS cbs)""".stripMargin
   }

@@ -60,9 +60,11 @@ class AnnRecallSpec extends SparkSpec {
     // cell-probe recall is inherently modest here; the floor pins
     // "multi-probe works and doesn't regress", not production quality.
     // Trained centroids (2 deterministic Lloyd iterations) lifted the
-    // round-2 seed-centroid floor from 0.4 to 0.5. Measured at sf0.01:
-    // 8/15 = 0.533 — the honest floor IS 0.5 (a 0.7 floor would need
-    // more probes or more Lloyd iterations, not better assertions).
+    // round-2 seed-centroid floor from 0.4 to 0.5; the r7 unbiased
+    // idShuffle sample+seed lifted the measured value again, 0.533 →
+    // 12/15 = 0.8 at sf0.01. The floor stays at the honest 0.5 —
+    // recall on a near-random corpus is partly seed geometry, and the
+    // floor should survive a retuned scramble constant.
     info(s"t41 recall@3: ${(truth & got).size}/${truth.size} = $recall")
     assert(recall >= 0.5, s"IVF 3-probe recall degraded: $recall")
   }
@@ -123,8 +125,9 @@ class AnnRecallSpec extends SparkSpec {
     // synthetic embeddings are near-random (PQ's worst case: no subspace
     // structure to exploit), so the floor is deliberately modest — it pins
     // "ADC ranking carries signal and the re-rank works", not production
-    // recall. Measured at sf0.01: 7/15 = 0.467 with the top-25 re-rank
-    // pool (top-10 measured 0.267 — the wider pool is load-bearing).
+    // recall. Measured at sf0.01: 10/15 = 0.667 with the r7 unbiased
+    // sample+seed (was 0.467 on the id-prefix sample; top-10 re-rank
+    // measured 0.267 — the wider top-25 pool is load-bearing).
     info(s"t62 recall@3: ${(truth & got).size}/${truth.size} = $recall")
     assert(recall >= 0.35, s"PQ ADC recall degraded: $recall")
   }
@@ -158,6 +161,51 @@ class AnnRecallSpec extends SparkSpec {
     // pins "the composition works", below either parent's alone.
     info(s"t63 recall@3: ${(truth & got).size}/${truth.size} = $recall")
     assert(recall >= 0.25, s"IVF-PQ recall degraded: $recall")
+  }
+
+  test("quantizer training sample is unbiased on a source-clustered corpus") {
+    // Ids grouped by source — the 100 TB reality an id-ordered prefix
+    // sample gets wrong: the first `cap` ids would all come from source
+    // 0, the quantizer would never see sources 1–3, and 75% of the
+    // corpus would cram into a couple of cells. The idShuffle sample
+    // must (a) span every source and (b) keep full-corpus cell
+    // assignment balanced.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 64; val perSource = 125; val nSources = 4
+    val rows = (0 until nSources * perSource).map { id =>
+      val src = id / perSource // ids strictly grouped by source
+      val center = Array.tabulate(dim)(i => math.sin(src * 37.0 + i).toFloat * 10f)
+      (id.toLong, center.map(c => c + rnd.nextFloat() - 0.5f).toSeq)
+    }
+    rows.toDF("vec_id", "embedding").createOrReplaceTempView("clustered_embeddings")
+
+    val n = nSources * perSource
+    val k = TextSim.ivfCellsValue(n)
+    val cap = k * TextSim.ivfTrainPerCell
+    val sampleSources = spark.sql(
+      s"""SELECT DISTINCT CAST(vec_id DIV $perSource AS INT) AS src FROM (
+         |  SELECT vec_id FROM clustered_embeddings
+         |  ORDER BY ${TextSim.idShuffle("vec_id")}, vec_id LIMIT $cap)""".stripMargin)
+      .collect().map(_.getInt(0)).toSet
+    assert(sampleSources === (0 until nSources).toSet,
+      s"training sample must span every source, saw $sampleSources")
+
+    val cents = graft.queries.TrainingData.trainCentroids(spark, "clustered_embeddings")
+    assert(cents.length === k)
+    // Assign the full corpus to the trained cells driver-side (500 rows).
+    def dist2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => { val t = a(i) - b(i); acc + t * t })
+    val vecs = spark.sql(
+      "SELECT transform(embedding, x -> CAST(x AS DOUBLE)) FROM clustered_embeddings")
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cellSizes = vecs.map { v =>
+      val ds = cents.map(c => dist2(v, c)); ds.indexOf(ds.min)
+    }.groupBy(identity).map(_._2.length)
+    val maxShare = cellSizes.max.toDouble / n
+    info(s"clustered-fixture max cell share: $maxShare (cells used: ${cellSizes.size}/$k)")
+    assert(maxShare <= 0.40,
+      s"cell assignment collapsed on a source-clustered corpus: max share $maxShare")
   }
 
   test("t49 IVF-SQ8 (cell probe + int8 scoring + re-rank) matches t41's recall floor") {
