@@ -63,7 +63,17 @@ object InterCount {
 
   val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_inter_count"),
-    new ExpressionInfo(classOf[InterCount].getName, "graft_inter_count"),
+    // The precondition lives in the registered usage string, not only in
+    // caller discipline: the function is session-visible via
+    // GraftExtensions, and unsorted/duplicated/null-element inputs give a
+    // silently wrong count (a two-pointer merge, like a sort-merge join).
+    new ExpressionInfo(classOf[InterCount].getName, null, "graft_inter_count",
+      "_FUNC_(a, b) - Intersection count of two SORTED, duplicate-free " +
+        "ARRAY<BIGINT> with no NULL elements (two-pointer merge). " +
+        "PRECONDITION: both arrays ascending-sorted and distinct — e.g. " +
+        "sort_array(array_distinct(x)); unsorted or duplicated input " +
+        "returns a silently wrong count. Equals " +
+        "size(array_intersect(a, b)) when the precondition holds.", ""),
     (children: Seq[Expression]) => InterCount(children(0), children(1)))
 
   def register(spark: SparkSession): Unit =

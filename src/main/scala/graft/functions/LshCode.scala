@@ -21,7 +21,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   *
   * Null/edge parity with the HOF form: a NULL element nulls every
   * plane's fold, and `CASE WHEN NULL >= 0` takes the ELSE — code 0; an
-  * empty array folds to 0.0 per plane and 0.0 >= 0 sets every bit. */
+  * empty array folds to 0.0 per plane and 0.0 >= 0 sets every bit
+  * (both pinned by KernelProps).
+  *
+  * PRECONDITION — finite elements: on a NaN projection (an Inf or NaN
+  * embedding element) Java's `proj >= 0` is false, while Spark SQL and
+  * DuckDB both ORDER NaN above all doubles, so their `CASE WHEN proj >=
+  * 0` sets the bit — the one input class where kernel and HOF twin
+  * diverge. Embeddings are finite by construction everywhere this
+  * engine produces them (parquet floats through arithmetic that cannot
+  * overflow); feed the kernel external vectors only after a
+  * finiteness check. */
 case class LshCode(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

@@ -289,11 +289,13 @@ object Relational {
     * round loop. The loop pays ~1 job of fixed overhead PER ROUND
     * (5+ rounds on typical near-dup graphs) regardless of data size —
     * on a few-hundred-edge graph that overhead IS the cost. The gate is
-    * a MEASURED count of the (already-cached) edge frame, so the
-    * decision is size-honest: 1M undirected edges ≈ 16 MB of longs in
-    * driver memory (far under any driver heap), resolved in
-    * milliseconds; anything larger runs the distributed loop
-    * unchanged. This is the standard hybrid (GraphX/GraphFrames
+    * a MEASURED count of the (already-cached) SYMMETRIZED edge frame —
+    * both directions plus one self-loop per node, ≈ 2·|pairs| + |nodes|,
+    * duplicates included — so the fast path engages at roughly 500k
+    * input pairs, and the collect it bounds is the same frame: 1M such
+    * rows ≈ 16 MB of longs in driver memory (far under any driver
+    * heap), resolved in milliseconds; anything larger runs the
+    * distributed loop unchanged. This is the standard hybrid (GraphX/GraphFrames
     * finish small residual graphs the same way), not a scale
     * shortcut — at 100 TB the pair graph blows the gate and never
     * collects. Set 0 to force the distributed loop (tests do). */

@@ -1620,8 +1620,12 @@ object TrainingData {
     * deterministic contact string per customer row in-query (name +
     * synthetic mailbox + formatted phone + account number — stated
     * fixture, not hidden), then runs the real scan-side redaction over
-    * it. Redaction order is fixed (email → phone → id-run) and the
-    * classes are disjoint by construction, so counts are exact.
+    * it. Redaction order is fixed (email → phone → id-run) and each
+    * class is counted on the PREVIOUS stage's output — the same string
+    * its replacement actually scans — so every count equals exactly the
+    * substitutions its stage performed (an id-run embedded in an email
+    * local-part is the email stage's, never double-audited as an
+    * id-run).
     *
     * Cross-engine regex discipline: Java regex (Spark) and RE2
     * (DuckDB) agree on character classes, alternation and bounded
@@ -1650,13 +1654,15 @@ object TrainingData {
            |    '@example.com> tel +1-555-' || lpad(CAST(c_custkey % 1000 AS $str), 3, '0') ||
            |    '-' || lpad(CAST(c_custkey % 10000 AS $str), 4, '0') ||
            |    ' ref ' || CAST(10000000 + (c_custkey * 1000003) % 10000000 AS $str)""".stripMargin
-      s"""WITH raw AS (SELECT c_custkey, $raw AS txt FROM customer)
+      s"""WITH raw AS (SELECT c_custkey, $raw AS txt FROM customer),
+         |s1 AS (SELECT c_custkey, txt, ${rep("txt", email, "[EMAIL]")} AS txt_e FROM raw),
+         |s2 AS (SELECT c_custkey, txt, txt_e, ${rep("txt_e", phone, "[PHONE]")} AS txt_p FROM s1)
          |SELECT c_custkey,
          |  CAST(${cnt("txt", email)} AS BIGINT) AS n_emails,
-         |  CAST(${cnt("txt", phone)} AS BIGINT) AS n_phones,
-         |  CAST(${cnt("txt", idrun)} AS BIGINT) AS n_id_runs,
-         |  ${rep(rep(rep("txt", email, "[EMAIL]"), phone, "[PHONE]"), idrun, "[ID]")} AS redacted
-         |FROM raw ORDER BY c_custkey""".stripMargin
+         |  CAST(${cnt("txt_e", phone)} AS BIGINT) AS n_phones,
+         |  CAST(${cnt("txt_p", idrun)} AS BIGINT) AS n_id_runs,
+         |  ${rep("txt_p", idrun, "[ID]")} AS redacted
+         |FROM s2 ORDER BY c_custkey""".stripMargin
     }
     GQuery(
       fn = (s, dir) => {
@@ -1906,28 +1912,31 @@ object TrainingData {
          |SELECT query_id, neighbor_id, approx_cosine, cosine, rnk FROM ranked
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
-    def body(d: Dialect, cb: String, pn2s: String, from0: String, thru: String): String = {
+    // The PQ ENCODE (argmin over m·k sub-centroid dist2 folds per row)
+    // feeds three consumers (w, qs, scored) — plain WITH subqueries
+    // would let Catalyst's CTE inlining recompute it once per consumer
+    // (the t59/t66 inlining trap), so the Spark side materializes `enc`
+    // as a persisted view and the tail reads it; DuckDB materializes
+    // multiply-referenced CTEs natively, so the oracle keeps one chain.
+    def encCtes(d: Dialect, cb: String, pn2s: String, from0: String, thru: String): String = {
       val ve = pqVe(d)
-      val codesExpr = pqCodesExpr(d, cb)
-      val pn2Expr = pqPn2Expr(d, pn2s, "codes")
-      val lutExpr = pqLutExpr(d, cb)
-      val approxDot = pqApproxDot(d, "q.luts", "c.codes")
       s"""v0 AS (SELECT vec_id, embedding, $ve AS ve$thru $from0),
-         |v1 AS (SELECT vec_id, embedding, ve$thru, $codesExpr AS codes FROM v0),
+         |v1 AS (SELECT vec_id, embedding, ve$thru, ${pqCodesExpr(d, cb)} AS codes FROM v0),
          |enc AS (
          |  SELECT vec_id, embedding, ve$thru, ${TextSim.norm2(d, "embedding")} AS n2, codes,
-         |    $pn2Expr AS pn2
-         |  FROM v1),
-         |w AS (SELECT vec_id, embedding, n2 FROM enc),
+         |    ${pqPn2Expr(d, pn2s, "codes")} AS pn2
+         |  FROM v1)""".stripMargin
+    }
+    def tailCtes(d: Dialect, enc: String, cb: String): String =
+      s"""w AS (SELECT vec_id, embedding, n2 FROM $enc),
          |qs AS (
-         |  SELECT vec_id, embedding, n2, $lutExpr AS luts
-         |  FROM enc WHERE vec_id % 100 = 0 AND vec_id < 2500),
+         |  SELECT vec_id, embedding, n2, ${pqLutExpr(d, cb)} AS luts
+         |  FROM $enc WHERE vec_id % 100 = 0 AND vec_id < 2500),
          |scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    $approxDot / (sqrt(q.n2) * sqrt(c.pn2)) AS approx_cosine
-         |  FROM qs q JOIN enc c ON c.vec_id <> q.vec_id),
+         |    ${pqApproxDot(d, "q.luts", "c.codes")} / (sqrt(q.n2) * sqrt(c.pn2)) AS approx_cosine
+         |  FROM qs q JOIN $enc c ON c.vec_id <> q.vec_id),
          |${rankTail(d)}""".stripMargin
-    }
 
     GQuery(
       fn = (s, dir) => {
@@ -1939,7 +1948,10 @@ object TrainingData {
         // Reconstruction norms, same left fold the oracle's SQL runs.
         val pn2 = cb.map(_.map(cv => cv.foldLeft(0.0)((acc, x0) => acc + x0 * x0)))
         val pn2L = pn2.map(_.map(litD).mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
-        s.sql(s"WITH ${body(sprk, cbL, pn2L, "FROM embeddings", "")}")
+        val enc = s.sql(
+          s"WITH ${encCtes(sprk, cbL, pn2L, "FROM embeddings", "")} SELECT * FROM enc")
+        graft.CacheJanitor.register(enc.persist()).createOrReplaceTempView("t62_enc")
+        s.sql(s"WITH ${tailCtes(sprk, "t62_enc", cbL)}")
       },
       oracle = Some {
         val d = duck
@@ -1948,8 +1960,9 @@ object TrainingData {
              |  cbj -> list_transform(cbj, cv -> ${TextSim.dotHof(d, "cv", "cv")})) AS pn2s FROM pqcb)""".stripMargin
         s"""WITH $duckPqCtes,
            |$pn2Cte,
-           |${body(d, "cbs", "pn2s",
-                   "FROM embeddings CROSS JOIN pqcb CROSS JOIN pqn", ", cbs, pn2s")}""".stripMargin
+           |${encCtes(d, "cbs", "pn2s",
+                      "FROM embeddings CROSS JOIN pqcb CROSS JOIN pqn", ", cbs, pn2s")},
+           |${tailCtes(d, "enc", "cbs")}""".stripMargin
       })
   }
 
@@ -1971,24 +1984,34 @@ object TrainingData {
     * frame IS the persistable index (cell-partitioned codes); built
     * in-plan here so the oracle replays identical arithmetic. */
   private val t63 = {
-    def stage(d: Dialect, fromV: String, cents: String, cb: String, pn2s: String): String = {
-      val pos = if (d eq sprk) "array_position" else "list_position"
+    // `base` (norms + per-cell distance array) feeds FOUR consumers
+    // (enc, q, and the re-rank's two self-joins) — the same CTE-inlining
+    // trap t62 documents, with the dist2 ladder recomputed per consumer.
+    // The Spark side persists base as a view WITHOUT the codebook
+    // columns (they are literals there — caching them per row would
+    // bloat the cache for no reuse); the oracle threads them through as
+    // CTE columns, since DuckDB materializes shared CTEs natively.
+    def baseCtes(d: Dialect, fromV: String, cents: String,
+        carryDef: String, carryCols: String): String =
       s"""raw AS (SELECT vec_id, embedding, ${pqVe(d)} AS ve,
-         |          $cents AS cents_, $cb AS cbs_, $pn2s AS pn2s_ $fromV),
+         |          $cents AS cents_$carryDef $fromV),
          |base AS (
-         |  SELECT vec_id, embedding, ve, cbs_, pn2s_, ${TextSim.norm2(d, "embedding")} AS n2,
+         |  SELECT vec_id, embedding, ve$carryCols, ${TextSim.norm2(d, "embedding")} AS n2,
          |    ${d.transform(d.ramp(s"${d.size}(cents_)"), s"ci -> ${TextSim.dist2(d, "embedding", d.at("cents_", "ci"))}")} AS ds
-         |  FROM raw),
-         |enc AS (
-         |  SELECT vec_id, cell, codes, ${pqPn2Expr(d, "pn2s_", "codes")} AS pn2
+         |  FROM raw)""".stripMargin
+    def tailCtes(d: Dialect, base: String, cb: String, pn2s: String,
+        e0Carry: String): String = {
+      val pos = if (d eq sprk) "array_position" else "list_position"
+      s"""enc AS (
+         |  SELECT vec_id, cell, codes, ${pqPn2Expr(d, pn2s, "codes")} AS pn2
          |  FROM (
-         |    SELECT vec_id, pn2s_,
+         |    SELECT vec_id$e0Carry,
          |      CAST($pos(ds, ${d.arrayMin}(ds)) AS BIGINT) AS cell,
-         |      ${pqCodesExpr(d, "cbs_")} AS codes
-         |    FROM base) e0),
+         |      ${pqCodesExpr(d, cb)} AS codes
+         |    FROM $base) e0),
          |q AS (SELECT vec_id, embedding, n2, ${top3Cells(d, "ds")} AS probes,
-         |        ${pqLutExpr(d, "cbs_")} AS luts
-         |      FROM base WHERE vec_id % 100 = 0 AND vec_id < 2500),
+         |        ${pqLutExpr(d, cb)} AS luts
+         |      FROM $base WHERE vec_id % 100 = 0 AND vec_id < 2500),
          |qp AS (SELECT vec_id, embedding, n2, luts, ${d.explode}(probes) AS cell FROM q),
          |scored AS (
          |  SELECT qp.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell AS cell,
@@ -2004,8 +2027,8 @@ object TrainingData {
          |    c.approx_cosine AS approx_cosine,
          |    ${TextSim.dot(d, "qe.embedding", "ne.embedding")} / (sqrt(qe.n2) * sqrt(ne.n2)) AS cosine
          |  FROM cand c
-         |  JOIN base qe ON qe.vec_id = c.query_id
-         |  JOIN base ne ON ne.vec_id = c.neighbor_id
+         |  JOIN $base qe ON qe.vec_id = c.query_id
+         |  JOIN $base ne ON ne.vec_id = c.neighbor_id
          |  WHERE c.rka <= 25),
          |ranked AS (
          |  SELECT query_id, neighbor_id, cell, approx_cosine, cosine,
@@ -2024,7 +2047,11 @@ object TrainingData {
           .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
         val pn2 = cbA.map(_.map(cv => cv.foldLeft(0.0)((acc, x0) => acc + x0 * x0)))
         val pn2L = pn2.map(_.map(litD).mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
-        s.sql(s"WITH ${stage(sprk, "FROM embeddings", trainCentroidLiteral(s), cbL, pn2L)}")
+        val base = s.sql(
+          s"""WITH ${baseCtes(sprk, "FROM embeddings", trainCentroidLiteral(s), "", "")}
+             |SELECT * FROM base""".stripMargin)
+        graft.CacheJanitor.register(base.persist()).createOrReplaceTempView("t63_base")
+        s.sql(s"WITH ${tailCtes(sprk, "t63_base", cbL, pn2L, "")}")
       },
       oracle = Some {
         val d = duck
@@ -2034,9 +2061,10 @@ object TrainingData {
         s"""WITH $duckKmeansCtes,
            |$duckPqCtes,
            |$pn2Cte,
-           |${stage(d,
+           |${baseCtes(d,
               s"FROM embeddings CROSS JOIN c${TextSim.ivfLloydIters} cj CROSS JOIN pqcb CROSS JOIN pqn",
-              "cj.cents", "cbs", "pn2s")}""".stripMargin
+              "cj.cents", ", cbs AS cbs_, pn2s AS pn2s_", ", cbs_, pn2s_")},
+           |${tailCtes(d, "base", "cbs_", "pn2s_", ", pn2s_")}""".stripMargin
       })
   }
 

@@ -28,7 +28,8 @@ object Profile {
       val l = graft.operators.Relational.connectedComponents(pairs.select("vec_a", "vec_b"))
       println(s"[profile] n_labeled=${l.count()}"); l
     }
-    time("full t54 (cold caches)") { q.fn(spark, dir).collect().length }
+    // count(), never collect(): the tool must profile big outputs, not OOM on them
+    time("full t54 (cold caches)") { q.fn(spark, dir).count() }
     // The two remaining slowest registered queries (both output-bound at
     // sf0.1 — see SCALE.md): time them whole so a regression in either
     // is visible from the same entry point.
@@ -36,7 +37,7 @@ object Profile {
     for (name <- Seq("t37_simhash_dedup", "t35_ngram_jaccard_dedup", "t66_curation_v2")) {
       time(s"full $name") {
         println(s"[profile] ${name}_rows=" +
-          graft.queries.TrainingData.all(name).fn(spark, dir).collect().length)
+          graft.queries.TrainingData.all(name).fn(spark, dir).count())
       }
       graft.CacheJanitor.drain()
     }

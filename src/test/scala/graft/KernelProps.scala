@@ -69,8 +69,13 @@ object KernelProps extends Properties("graft.kernels") {
       java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(want)
     }
 
+  // Variable length INCLUDING empty — an empty embedding folds to 0.0
+  // per plane and 0.0 >= 0 sets every bit (the pinned HOF edge case).
+  private val lshArr = Gen.choose(0, 32)
+    .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-100f, 100f))).map(_.toArray)
+
   property("lsh-code kernel equals the per-plane HOF projection folds") =
-    forAll(floatArr) { a =>
+    forAll(lshArr) { a =>
       val got = graft.functions.LshCode.code(
         new GenericArrayData(a.map(x => x: Any)), false)
       // Replica of the HOF form: per plane, a strict left-to-right fold

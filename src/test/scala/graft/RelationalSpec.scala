@@ -133,6 +133,46 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("a killed run restarts from stored labels instead of from scratch") {
+    import graft.operators.Relational.connectedComponents
+    // The failure-recovery recipe for the distributed loop: labels are
+    // durable state (checkpointed per round; persisted by ClusterLabels
+    // between batches), and a label is a connectivity certificate
+    // (node—label(node) is a real edge), so a restarted driver resumes
+    // by running CC over pairs ∪ stored-label edges — it must converge
+    // in O(1) rounds where a cold start needs the full O(log diameter).
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_resume_ckpt").toString
+    val store = java.nio.file.Files.createTempDirectory("graft_cc_resume").toString + "/labels"
+    try {
+      val chain = (1L to 60L).map(i => (i, i + 1))
+      // Run 1 (the run that will "crash"): reliable checkpoints on; its
+      // label state lands in durable storage (parquet here — the same
+      // round-trip a restarted driver performs).
+      connectedComponents(chain.toDF("a", "b"), checkpointDir = Some(ckpt),
+        smallGraphMaxEdges = 0L).write.parquet(store)
+      CacheJanitor.drain()
+      // A COLD restart limited to 3 rounds cannot finish a 60-chain
+      // (convergence needs ~8 rounds even with pointer doubling)...
+      val cold = intercept[IllegalArgumentException] {
+        connectedComponents(chain.toDF("a", "b"), maxRounds = 3, smallGraphMaxEdges = 0L)
+      }
+      assert(cold.getMessage.contains("did not converge"))
+      CacheJanitor.drain()
+      // ...but the SAME budget resumes fine from the stored labels.
+      val stored = spark.read.parquet(store)
+      val resumed = connectedComponents(
+        chain.toDF("a", "b").union(stored.toDF("a", "b")),
+        maxRounds = 3, smallGraphMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      CacheJanitor.drain()
+      assert(resumed.keySet == (1L to 61L).toSet)
+      assert(resumed.values.forall(_ == 1L),
+        s"resumed labels must match the finished run: ${resumed.toSeq.sortBy(_._1).take(5)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   test("melt unpivots columns into (variable, value) rows") {
     val df = Seq((1, 10.0, 20.0)).toDF("id", "a", "b")
     val out = melt(Seq("id"), Seq("a", "b"), "variable", "value")(df)
