@@ -60,4 +60,58 @@ class StreamingDedupIndexSpec extends SparkSpec {
     assert(full.contains((1L, 2L)) && full.contains((3L, 6L)),
       "within-batch and cross-batch pairs must both be present")
   }
+
+  test("a document stream resolves clusters incrementally alongside the index") {
+    // The complete incremental dedup story in one stream: each micro-batch
+    // appends signatures, detects its delta pairs, AND folds them into the
+    // persisted label table (ClusterLabels.merge — CC over the delta ∪
+    // touched components only). The final labels must equal a from-scratch
+    // resolve over everything streamed.
+    val root = Files.createTempDirectory("graft_stream_labels").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val b = SignatureIndex.ingest(spark, root, df)
+        graft.operators.ClusterLabels.merge(spark, root,
+          b.deltaPairs.select("doc_a", "doc_b"), b.newSigs.select("doc_id"))
+        CacheJanitor.drain()
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      input.addData(
+        1L -> "the quick brown fox jumps over the lazy dog today",
+        2L -> "the quick brown fox jumps over the lazy cat today",
+        3L -> "completely different text about spark engines and parquet files")
+      q.processAllAvailable()
+      // Batch 2: doc 4 near-dups batch 1's cluster (cross-batch MERGE into
+      // an existing component), doc 6 duplicates doc 3, doc 5 is a
+      // singleton.
+      input.addData(
+        4L -> "the quick brown fox jumps over the lazy dog yesterday",
+        5L -> "another unrelated document with entirely distinct words inside",
+        6L -> "completely different text about spark engines and parquet files")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = graft.operators.ClusterLabels.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // From-scratch oracle: CC over ALL pairs of the full corpus plus
+    // self-labels for pairless docs with signatures.
+    val allSigs = spark.read.parquet(s"$root/signatures")
+    val pairs = SignatureIndex.deltaPairs(allSigs, allSigs).select("doc_a", "doc_b")
+    val cc = graft.operators.Relational.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = allSigs.select("doc_id").collect().map(_.getLong(0))
+    CacheJanitor.drain()
+    val want = docs.map(d => d -> cc.getOrElse(d, d)).toMap
+    assert(got === want, s"streamed labels $got != from-scratch resolve $want")
+    assert(got(4L) === got(1L) && got(6L) === got(3L),
+      "cross-batch merge and duplicate must share their cluster labels")
+    assert(got(5L) === 5L, "pairless doc stays a singleton cluster")
+  }
 }
