@@ -69,8 +69,14 @@ object ClusterLabels {
   private final case class Parts(untouched: DataFrame, delta: DataFrame)
 
   private def mergeParts(old: DataFrame, pairs: DataFrame, newDocs: DataFrame): Parts = {
-    val p = pairs.select(col("doc_a").cast("long").as("doc_a"),
-      col("doc_b").cast("long").as("doc_b"))
+    // Persist the pair frame: it is referenced by `touched` (twice, via
+    // the union) and by `edges`, and a caller typically hands us the
+    // UNMATERIALIZED output of SignatureIndex.deltaPairs — without the
+    // persist each reference re-runs the whole posting-join + Jaccard
+    // verify (measured 2.9 s/recompute at sf0.1; t68 spent 27 s here).
+    val p = graft.CacheJanitor.register(
+      pairs.select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b")).persist())
     val o = old.select(col("doc_id").cast("long").as("doc_id"),
       col("label").cast("long").as("label"))
     val touched = p.select(col("doc_a").as("doc_id"))
@@ -124,6 +130,24 @@ object ClusterLabels {
   def keeperManifest(labels: DataFrame): DataFrame =
     labels.select(col("doc_id"), col("label"),
       (col("doc_id") === col("label")).as("keep"))
+
+  /** Highest merged batch number (0 = never merged). */
+  def latestBatch(spark: SparkSession, root: String): Long =
+    if (!Files.isDirectory(Paths.get(dir(root)))) 0L
+    else {
+      val r = spark.read.parquet(dir(root)).agg(max(col("batch"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+
+  /** The keeper-manifest DELTA of one merge batch: keep/demote flags for
+    * exactly the rows that batch (re)defined — what a downstream
+    * manifest consumer applies incrementally (a keeper that loses its
+    * component-min status on a merge shows up here with `keep = false`,
+    * without rescanning the corpus manifest). O(changed rows): the log
+    * is batch-stamped, so this is one filtered read. */
+  def keeperDelta(spark: SparkSession, root: String, batch: Long): DataFrame =
+    keeperManifest(spark.read.parquet(dir(root))
+      .where(col("batch") === batch).select(col("doc_id"), col("label")))
 
   /** Fold the delta log to one row per doc and atomically swap it in —
     * the end state is identical to [[read]] (and to a from-scratch

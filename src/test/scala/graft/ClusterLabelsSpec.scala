@@ -53,6 +53,15 @@ class ClusterLabelsSpec extends SparkSpec {
     assert(labelMap(l3) === fromScratch(p1 ++ p2 ++ p3, d1 ++ d2 ++ d3))
     assert(labelMap(l3) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
       5L -> 1L, 6L -> 1L, 7L -> 7L, 8L -> 4L))
+
+    // Keeper-manifest delta of the merge batch: doc 5 LOST keeper status
+    // when its component merged into label 1 — the demotion event a
+    // downstream manifest consumer applies without a corpus rescan.
+    assert(ClusterLabels.latestBatch(spark, root) === 3L)
+    val kd = ClusterLabels.keeperDelta(spark, root, 3L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(kd(5L) === false && kd(1L) === true && kd(4L) === true && kd(8L) === false)
+    assert(!kd.contains(7L), "untouched singleton must not appear in the delta")
   }
 
   test("a batch appends no rows for components it does not touch") {
