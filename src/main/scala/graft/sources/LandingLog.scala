@@ -111,9 +111,10 @@ object LandingLog {
     * on S3 the marker becomes a single-object PUT — the same primitive
     * the reference relies on, now carrying a pointer instead of data. */
   def writeSnapshot(df: DataFrame, root: String, table: String,
-      partitionBy: Seq[String] = Nil, rangeSize: Long = 100): Unit = {
+      partitionBy: Seq[String] = Nil, rangeSize: Long = 100,
+      keepVersions: Int = 1): Unit = {
     val v = stageSnapshot(df, root, table, partitionBy, rangeSize)
-    commitSnapshot(root, table, v)
+    commitSnapshot(root, table, v, keepVersions)
   }
 
   private def vname(v: Long): String = f"$v%08d"
@@ -180,9 +181,18 @@ object LandingLog {
   /** Publish a staged version: ONE atomic rename of a marker file into
     * `_commits/` (java.nio ATOMIC_MOVE locally; HDFS rename / S3 PUT in
     * production — see [[writeSnapshot]]). Everything after the rename is
-    * best-effort GC of superseded versions; a crash mid-GC only leaves
-    * orphan directories the next commit's GC removes. */
-  def commitSnapshot(root: String, table: String, version: Long): Unit = {
+    * best-effort GC; a crash mid-GC only leaves orphan directories the
+    * next commit's GC removes.
+    *
+    * `keepVersions` (default 1) is the TIME-TRAVEL retention knob: the
+    * newest k committed versions survive GC and stay readable via
+    * [[readSnapshotAt]] — snapshot-level reproducibility ("the corpus
+    * exactly as training run X saw it") for the cost of k× storage,
+    * bounded and operator-chosen. Crashed/abandoned stages are removed
+    * regardless of retention. */
+  def commitSnapshot(root: String, table: String, version: Long,
+      keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val cdir = commitsDir(root, table)
     Files.createDirectories(cdir)
     val tmp = cdir.resolve(s".tmp_${vname(version)}")
@@ -192,12 +202,35 @@ object LandingLog {
     Files.move(tmp, cdir.resolve(vname(version)),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // GC (single-writer contract): every version dir except the one just
-    // committed — older committed versions AND crashed/abandoned stages —
-    // plus their markers.
+    // GC (single-writer contract): keep the newest `keepVersions`
+    // committed versions; everything else — older versions AND
+    // crashed/abandoned unmarked stages — goes, dirs and markers both.
+    val keep = listVersions(root, table).takeRight(keepVersions)
+      .map(vname).toSet + vname(version)
     val vdir = versionDir(root, table, version).getParent
-    ls(vdir).filter(_.getFileName.toString != vname(version)).foreach(deleteRecursively)
-    ls(cdir).filter(_.getFileName.toString != vname(version)).foreach(deleteRecursively)
+    ls(vdir).filterNot(p => keep(p.getFileName.toString)).foreach(deleteRecursively)
+    ls(cdir).filterNot(p => keep(p.getFileName.toString)).foreach(deleteRecursively)
+  }
+
+  /** All committed, still-present versions of a snapshot, ascending. */
+  def listVersions(root: String, table: String): Seq[Long] = {
+    val c = commitsDir(root, table)
+    if (!Files.isDirectory(c)) Seq.empty
+    else ls(c).map(_.getFileName.toString)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .filter(v => Files.isDirectory(versionDir(root, table, v)))
+      .sorted
+  }
+
+  /** Time-travel read of a specific committed version (must still be
+    * within the writer's `keepVersions` retention). */
+  def readSnapshotAt(spark: SparkSession, root: String, table: String,
+      version: Long): DataFrame = {
+    require(listVersions(root, table).contains(version),
+      s"version $version of $table is not committed (or was GC'd); " +
+        s"available: ${listVersions(root, table).mkString(", ")}")
+    val raw = spark.read.parquet(versionDir(root, table, version).toString)
+    raw.drop(raw.columns.filter(_.startsWith("__p_")).toSeq: _*)
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -84,6 +84,25 @@ class SnapshotAtomicitySpec extends SparkSpec {
     assert(LandingLog.currentVersion(root, "f") === 2L)
   }
 
+  test("time travel: keepVersions retains readable history, GC respects it") {
+    val root = Files.createTempDirectory("snap_atomic").toString
+    def df(tag: String) = Seq((1L, tag)).toDF("id", "v")
+    LandingLog.writeSnapshot(df("v1"), root, "t", keepVersions = 2)
+    LandingLog.writeSnapshot(df("v2"), root, "t", keepVersions = 2)
+    assert(LandingLog.listVersions(root, "t") === Seq(1L, 2L))
+    assert(rows(LandingLog.readSnapshot(spark, root, "t")) === rows(df("v2")))
+    assert(rows(LandingLog.readSnapshotAt(spark, root, "t", 1L)) === rows(df("v1")),
+      "the previous version stays readable under retention")
+
+    // A third write under keepVersions=2 GCs v1 but keeps v2.
+    LandingLog.writeSnapshot(df("v3"), root, "t", keepVersions = 2)
+    assert(LandingLog.listVersions(root, "t") === Seq(2L, 3L))
+    assert(rows(LandingLog.readSnapshotAt(spark, root, "t", 2L)) === rows(df("v2")))
+    intercept[IllegalArgumentException](
+      LandingLog.readSnapshotAt(spark, root, "t", 1L))
+    assert(!Files.exists(Paths.get(s"$root/t/_versions/00000001")))
+  }
+
   test("legacy unversioned layout still resolves") {
     val root = Files.createTempDirectory("snap_atomic").toString
     val a = Seq((7L, "x")).toDF("id", "v")
