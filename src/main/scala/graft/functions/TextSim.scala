@@ -198,6 +198,17 @@ object TextSim {
        | WHEN $n < 2048 THEN 128 WHEN $n < 4096 THEN 256 WHEN $n < 8192 THEN 512
        | WHEN $n < 16384 THEN 1024 WHEN $n < 32768 THEN 2048 ELSE 4096 END""".stripMargin
 
+  /** Scala mirror of [[lshMask]] — the incremental cosine-dedup index
+    * freezes its bucket mask from the FIRST batch's count (codes must
+    * keep their meaning across appends), so it needs the ladder as a
+    * value; the DuckDB oracle evaluates the SQL form over the same
+    * count. A divergence breaks t69 parity, which the oracle compare
+    * catches. */
+  def lshMaskValue(n: Long): Int =
+    if (n < 256) 16 else if (n < 512) 32 else if (n < 1024) 64
+    else if (n < 2048) 128 else if (n < 4096) 256 else if (n < 8192) 512
+    else if (n < 16384) 1024 else if (n < 32768) 2048 else 4096
+
   /** IVF cell count ladder over corpus size `n` — tracks ~sqrt(n) (the
     * classical nlist choice balancing probe cost against cell size),
     * clamped to [8, 256]. */

@@ -1,0 +1,136 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import graft.functions.TextSim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained EMBEDDING-COSINE near-dup index — t54's
+  * vector-column dedup under [[SignatureIndex]]'s maintenance contract,
+  * completing the incremental story for every dedup family member: a
+  * landing increment pays for LSH codes of NEW vectors only, never a
+  * recompute (or re-bucketing) of the corpus.
+  *
+  * Persisted state is one parquet directory of `(vec_id, embedding, n2,
+  * bucket)` rows: the random-hyperplane sign code (codegen'd
+  * `graft_lsh_code`) masked to the index's bucket count, plus the norm
+  * the exact-cosine verify needs. The BUCKET MASK IS FROZEN at the first
+  * batch (stored in `meta/`, the same freeze discipline as AnnIndex's
+  * quantizer): bucket membership must keep its meaning across appends,
+  * so later batches reuse it even as the corpus grows past the ladder
+  * step the mask was chosen at. The honest cost is bucket occupancy
+  * drifting above the ~16-vectors/bucket design point as the corpus
+  * outgrows the first batch; the escape hatch is a rebuild at the new
+  * ladder step ([[compact]] keeps the mask; a re-ingest from scratch
+  * re-freezes it) — exactly FAISS's retrain-when-distribution-shifts
+  * contract.
+  *
+  * [[deltaPairs]] finds the batch's near-dup pairs from the NEW side's
+  * probes only: Hamming≤1 bucket probing is symmetric (a probes b's
+  * bucket iff their codes differ in ≤1 active plane iff b probes a's),
+  * so new-probes ⋈ all-buckets yields exactly the pairs touching an
+  * increment vector — new-vs-old and new-vs-new, never old-vs-old. The
+  * accumulated pair table is the union of per-batch deltas, and
+  * [[ClusterLabels.merge]] folds each delta into cluster assignments
+  * (the composition `CosineDedupIndexSpec` pins end-to-end).
+  *
+  * Scale shape: codes are scan-side (one kernel pass per vector, no
+  * shuffle); the probe join is an equi-join on integer bucket keys with
+  * ~16 vectors/bucket by construction, so candidates are bounded by
+  * |increment| × 13 probes × occupancy, independent of corpus size; the
+  * snapshot is the big side and never moves. Deletion is
+  * tombstone-then-compact ([[Tombstones]]), O(removed) per batch.
+  */
+object CosineDedupIndex {
+
+  /** Exact-cosine keeper threshold (t39/t54's verify stage). */
+  val cosineMin = 0.4
+
+  private def codesDir(root: String): String = s"$root/codes"
+  private def metaDir(root: String): String = s"$root/meta"
+
+  /** The frozen bucket mask, or None before the first batch. */
+  def frozenMask(spark: SparkSession, root: String): Option[Long] =
+    if (!Files.isDirectory(Paths.get(metaDir(root)))) None
+    else Some(spark.read.parquet(metaDir(root)).head.getLong(0))
+
+  /** Scan-side code frame `(vec_id, embedding, n2, bucket)` for a
+    * `(vec_id, embedding)` frame under a given mask — pure (t69's
+    * oracle query replays it without touching disk). */
+  def encode(vectors: DataFrame, mask: Long): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(vectors.sparkSession)
+    vectors.selectExpr(
+      "vec_id", "embedding",
+      s"${TextSim.norm2(TextSim.spark, "embedding")} AS n2",
+      s"${TextSim.lshCode(TextSim.spark, "embedding")} % ${mask}L AS bucket")
+  }
+
+  final case class Batch(newCodes: DataFrame, allCodes: DataFrame, deltaPairs: DataFrame)
+
+  /** One maintenance batch: freeze the mask on the first call (ladder
+    * over the first increment's count), encode the increment ONLY,
+    * append, and detect the batch's delta pairs. Increment vec_ids must
+    * be new to the index (keep-last dedup is the landing layer's job). */
+  def ingest(spark: SparkSession, root: String, increment: DataFrame): Batch = {
+    val mask = frozenMask(spark, root).getOrElse {
+      val m = TextSim.lshMaskValue(increment.count()).toLong
+      import spark.implicits._
+      Seq(m).toDF("mask").coalesce(1).write.mode("overwrite").parquet(metaDir(root))
+      m
+    }
+    // Cache BEFORE the write so the append populates the cache and the
+    // delta join reads it back instead of re-encoding.
+    val newCached = graft.CacheJanitor.register(encode(increment, mask).persist())
+    newCached.write.mode("append").parquet(codesDir(root))
+    val all = readIndex(spark, root)
+    Batch(newCached, all, deltaPairs(all, newCached))
+  }
+
+  /** Live code rows: the snapshot minus tombstoned vec_ids. */
+  def readIndex(spark: SparkSession, root: String): DataFrame =
+    Tombstones.exclude(spark.read.parquet(codesDir(root)), root, "vec_id")
+
+  /** Tombstone vec_ids out of the index — snapshot files stay
+    * byte-untouched; the ids vanish from reads and deltas immediately. */
+  def remove(spark: SparkSession, root: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    Tombstones.append(root, ids.toDF("vec_id"), "vec_id")
+  }
+
+  /** Rewrite the snapshot minus tombstones (mask unchanged — codes keep
+    * their meaning) and clear the side table; content-identical to a
+    * from-scratch encode of the survivors under the frozen mask. */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val path = codesDir(root)
+    val tmp = s"$path.__compact_tmp"
+    readIndex(spark, root).write.mode("overwrite").parquet(tmp)
+    Tombstones.commitCompaction(spark, root, tmp, path)
+  }
+
+  /** Near-dup pairs touching at least one `newCodes` vector: Hamming≤1
+    * probe equi-join → normalized distinct candidates → exact cosine ≥
+    * [[cosineMin]] on the stored embeddings. With `newCodes == allCodes`
+    * this is the from-scratch t54 pair pipeline under the given mask. */
+  def deltaPairs(allCodes: DataFrame, newCodes: DataFrame): DataFrame = {
+    val d = TextSim.spark
+    val probes = d.arrayOf("bucket" +: (0 until TextSim.lshPlanes)
+      .map(k => d.xor("bucket", (1L << k).toString)))
+    val newP = newCodes.selectExpr("vec_id", s"explode($probes) AS probe")
+    val cand = newP.join(
+        allCodes.select(col("vec_id").as("other_id"), col("bucket")),
+        newP("probe") === col("bucket") && newP("vec_id") =!= col("other_id"))
+      .select(least(col("vec_id"), col("other_id")).as("vec_a"),
+        greatest(col("vec_id"), col("other_id")).as("vec_b"))
+      .distinct()
+    val ea = allCodes.select(col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("n2").as("n2_a"))
+    val eb = allCodes.select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("n2").as("n2_b"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .withColumn("cosine",
+        expr(s"${TextSim.dot(d, "emb_a", "emb_b")} / (sqrt(n2_a) * sqrt(n2_b))"))
+      .where(col("cosine") >= cosineMin)
+      .select("vec_a", "vec_b", "cosine")
+  }
+}

@@ -2361,6 +2361,68 @@ object TrainingData {
          |FROM labels GROUP BY label ORDER BY cluster_id""".stripMargin
     })
 
+  /** t69 — INCREMENTAL embedding-cosine dedup, oracle-checked: the
+    * exact pair semantics [[graft.operators.CosineDedupIndex]]
+    * maintains — t67's proof, on the vector column. Two batches on the
+    * parity split run through the operator's own `encode`/`deltaPairs`
+    * (mask FROZEN from the first batch's count, the index's freeze
+    * discipline), and the oracle replays both batches as one CTE chain:
+    * batch 1 probes within the even half, batch 2 probes the odd
+    * increment against the full corpus, both under the batch-1 mask.
+    * The on-disk guarantees (append-only files, frozen-mask reuse,
+    * tombstones, compaction) are spec-pinned in `CosineDedupIndexSpec`;
+    * this adds the hash-compare proof of WHAT a batch computes.
+    *
+    * Scale: candidates are bounded by |increment| × 13 probes ×
+    * ~16/bucket occupancy — independent of corpus size; the oracle's
+    * from-scratch replay is what the operator avoids paying per batch. */
+  private val t69 = GQuery(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.functions.GraftFunctions.registerAll(s)
+      val emb = Tables.embeddings(s, dir)
+      // Frozen mask = ladder over the FIRST batch's count (a bounded
+      // 1-row agg — the same staging contract as t41's cell count).
+      val mask = TextSim.lshMaskValue(emb.where("vec_id % 2 = 0").count()).toLong
+      val allCodes = graft.CacheJanitor.register(
+        graft.operators.CosineDedupIndex.encode(emb, mask).persist())
+      val evenCodes = allCodes.where("vec_id % 2 = 0")
+      val oddCodes = allCodes.where("vec_id % 2 = 1")
+      val pairs1 = graft.operators.CosineDedupIndex.deltaPairs(evenCodes, evenCodes)
+      val pairs2 = graft.operators.CosineDedupIndex.deltaPairs(allCodes, oddCodes)
+      pairs1.unionByName(pairs2).orderBy(col("vec_a"), col("vec_b"))
+    },
+    oracle = Some {
+      val d = duck
+      val probes = d.arrayOf("bucket" +: (0 until TextSim.lshPlanes)
+        .map(k => d.xor("bucket", (1L << k).toString)))
+      s"""WITH cnt1 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings WHERE vec_id % 2 = 0),
+         |m AS (SELECT ${TextSim.lshMask("n")} AS mask FROM cnt1),
+         |v AS (
+         |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2,
+         |    ${TextSim.lshCode(d, "embedding")} % (SELECT mask FROM m) AS bucket
+         |  FROM embeddings),
+         |p1 AS (SELECT vec_id, ${d.explode}($probes) AS probe FROM v WHERE vec_id % 2 = 0),
+         |cand1 AS (
+         |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+         |    greatest(a.vec_id, b.vec_id) AS vec_b
+         |  FROM p1 a JOIN v b ON a.probe = b.bucket
+         |    AND b.vec_id % 2 = 0 AND a.vec_id <> b.vec_id),
+         |p2 AS (SELECT vec_id, ${d.explode}($probes) AS probe FROM v WHERE vec_id % 2 = 1),
+         |cand2 AS (
+         |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+         |    greatest(a.vec_id, b.vec_id) AS vec_b
+         |  FROM p2 a JOIN v b ON a.probe = b.bucket AND a.vec_id <> b.vec_id),
+         |candu AS (SELECT vec_a, vec_b FROM cand1 UNION SELECT vec_a, vec_b FROM cand2),
+         |scored AS (
+         |  SELECT vec_a, vec_b,
+         |    ${TextSim.dot(d, "a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+         |  FROM candu JOIN v a ON vec_a = a.vec_id JOIN v b ON vec_b = b.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
+    })
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -2400,5 +2462,6 @@ object TrainingData {
     "t65_quality_calibration" -> t65,
     "t66_curation_v2" -> t66,
     "t67_incremental_dedup" -> t67,
-    "t68_incremental_clusters" -> t68)
+    "t68_incremental_clusters" -> t68,
+    "t69_incremental_cosine" -> t69)
 }
