@@ -41,6 +41,10 @@ import org.apache.spark.sql.functions._
   * |increment| × 13 probes × occupancy, independent of corpus size; the
   * snapshot is the big side and never moves. Deletion is
   * tombstone-then-compact ([[Tombstones]]), O(removed) per batch.
+  *
+  * Give each index family its OWN root: the tombstone side table lives
+  * at `root/tombstones`, so a [[SignatureIndex]] sharing this root
+  * would share (and corrupt) the removal state.
   */
 object CosineDedupIndex {
 

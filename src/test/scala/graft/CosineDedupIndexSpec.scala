@@ -107,6 +107,38 @@ class CosineDedupIndexSpec extends SparkSpec {
     assert(got(4L) == 1L && got(9L) == 8L && got(5L) == 5L)
   }
 
+  test("an embedding stream maintains the index incrementally via foreachBatch") {
+    val root = Files.createTempDirectory("graft_cosidx_stream").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = CosineDedupIndex.ingest(spark, root, df)
+        deltas ++= b.deltaPairs.select("vec_a", "vec_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        CacheJanitor.drain()
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      input.addData(batchA.map { case (id, v) => (id, v.toSeq) }: _*)
+      q.processAllAvailable()
+      input.addData(batchB.map { case (id, v) => (id, v.toSeq) }: _*)
+      q.processAllAvailable()
+      q.processAllAvailable() // checkpointed no-op: nothing ingests twice
+    } finally q.stop()
+
+    assert(spark.read.parquet(s"$root/codes").count() == batchA.size + batchB.size,
+      "checkpointed re-run must not re-ingest")
+    val all = CosineDedupIndex.readIndex(spark, root)
+    val full = pairSet(CosineDedupIndex.deltaPairs(all, all))
+    CacheJanitor.drain()
+    assert(deltas.toSet === full, s"streamed deltas ${deltas.toSet} != full recompute $full")
+  }
+
   test("tombstoned vectors vanish from deltas; compact folds them out, mask survives") {
     val root = Files.createTempDirectory("graft_cosidx").toString
     CosineDedupIndex.ingest(spark, root, vecs(batchA: _*))
