@@ -52,13 +52,19 @@ object SignatureIndex {
   val jaccardMin = 0.5
 
   /** Scan-side signature frame `(doc_id, shs)` from a `(doc_id, text)`
-    * frame; docs with <3 words have no shingles and produce no row. */
+    * frame; docs with <3 words have no shingles and produce no row.
+    * Shingle sets are SORTED at build time (once per document, same as
+    * t35's pipeline) so the pair-verify path can count overlap with the
+    * two-pointer `graft_inter_count` kernel instead of a per-pair hash
+    * build — the value is order-insensitive, so nothing downstream
+    * changes except the verify cost. */
   def signatures(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.registerAll(docs.sparkSession)
     docs
       .selectExpr("doc_id", s"${TextSim.wordHashes(sprk, "text")} AS wh")
       .where("size(wh) >= 3")
-      .selectExpr("doc_id", s"array_distinct(${TextSim.shingleHashes(sprk, "wh")}) AS shs")
+      .selectExpr("doc_id",
+        s"sort_array(array_distinct(${TextSim.shingleHashes(sprk, "wh")})) AS shs")
   }
 
   /** One maintenance batch: signatures for `increment` ONLY, appended to
@@ -132,8 +138,11 @@ object SignatureIndex {
       .distinct()
     val sa = allSigs.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"))
     val sb = allSigs.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"))
+    graft.functions.GraftFunctions.registerAll(allSigs.sparkSession)
+    // Two-pointer kernel over the build-time-sorted sets (precondition
+    // held by [[signatures]]); same count as size(array_intersect).
     cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("c", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("c", expr("graft_inter_count(shs_a, shs_b)"))
       .withColumn("jaccard",
         col("c").cast("double") /
           (size(col("shs_a")).cast("long") + size(col("shs_b")).cast("long") - col("c")).cast("double"))
