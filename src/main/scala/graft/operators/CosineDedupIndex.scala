@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
-
 import graft.functions.TextSim
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -52,12 +50,16 @@ object CosineDedupIndex {
   val cosineMin = 0.4
 
   private def codesDir(root: String): String = s"$root/codes"
-  private def metaDir(root: String): String = s"$root/meta"
 
-  /** The frozen bucket mask, or None before the first batch. */
+  /** The frozen bucket mask, or None before the first batch. Stored
+    * through the atomic snapshot protocol (`LandingLog.writeSnapshot`):
+    * a crash mid-write of the 1-row meta can never leave a torn state
+    * the next ingest misreads — it either sees the committed mask or
+    * none at all (and re-freezes identically from the same first
+    * batch). */
   def frozenMask(spark: SparkSession, root: String): Option[Long] =
-    if (!Files.isDirectory(Paths.get(metaDir(root)))) None
-    else Some(spark.read.parquet(metaDir(root)).head.getLong(0))
+    graft.sources.LandingLog.readSnapshotIfExists(spark, root, "meta")
+      .map(_.head.getLong(0))
 
   /** Scan-side code frame `(vec_id, embedding, n2, bucket)` for a
     * `(vec_id, embedding)` frame under a given mask — pure (t69's
@@ -80,7 +82,8 @@ object CosineDedupIndex {
     val mask = frozenMask(spark, root).getOrElse {
       val m = TextSim.lshMaskValue(increment.count()).toLong
       import spark.implicits._
-      Seq(m).toDF("mask").coalesce(1).write.mode("overwrite").parquet(metaDir(root))
+      graft.sources.LandingLog.writeSnapshot(
+        Seq(m).toDF("mask").coalesce(1), root, "meta")
       m
     }
     // Cache BEFORE the write so the append populates the cache and the
