@@ -103,23 +103,68 @@ object ClusterLabels {
     Parts(untouched, relabeled.unionByName(singletons))
   }
 
+  /** Keep-last fold of a (doc_id, label, batch) row subset. */
+  private def currentOf(rows: DataFrame): DataFrame =
+    rows.groupBy(col("doc_id"))
+      .agg(max_by(col("label"), col("batch")).as("label"))
+
   /** One maintenance batch: resolve this batch's `pairs` (e.g.
     * [[SignatureIndex.deltaPairs]] output) against the persisted labels
     * and APPEND only the changed/new rows. Returns the updated full
-    * label table as read back from the log. */
+    * label table (LAZY — materializing it costs the full [[read]] fold;
+    * a caller that only maintains state never pays it).
+    *
+    * Unlike [[mergeFrames]] (which takes the full old table), the
+    * persisted path never folds the whole log: it keep-last-folds ONLY
+    * rows semi-joined to the batch — touched docs, then rows carrying a
+    * touched-component label. The label filter is sound because RETIRED
+    * LABEL VALUES NEVER RETURN: a label is the min doc_id of its
+    * component, components only ever merge (per-doc labels are monotone
+    * non-increasing), so when a component is absorbed its old label
+    * value stops being ANY doc's current label forever. A doc whose
+    * STALE row matched the filter would have left that label behind in
+    * a merge — retiring it — contradicting the label being in the
+    * touched set (which holds only CURRENT labels). So every matched
+    * doc's LATEST row is in the filtered subset, and the keep-last fold
+    * yields exactly the touched components' current membership
+    * (ClusterLabelsSpec pins equality with a from-scratch resolve,
+    * including re-touching a component that holds stale retired-label
+    * rows). Per-batch shuffle is therefore O(increment ∪ touched
+    * components' history), never the corpus; the log is only ever
+    * SCANNED (for the semi-joins and the 1-row max-batch agg). */
   def merge(spark: SparkSession, root: String, pairs: DataFrame,
       newDocs: DataFrame): DataFrame = {
-    val old = graft.CacheJanitor.register(read(spark, root).persist())
+    val p = graft.CacheJanitor.register(
+      pairs.select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b")).persist())
+    val hasLog = Files.isDirectory(Paths.get(dir(root)))
+    val log =
+      if (hasLog) spark.read.parquet(dir(root))
+      else spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("label"), col("id").as("batch"))
+    val touched = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b").as("doc_id"))).distinct()
+    val touchedLabels = currentOf(log.join(touched, Seq("doc_id"), "left_semi"))
+      .select("label").distinct()
+    val members = currentOf(log.join(touchedLabels, Seq("label"), "left_semi"))
+    val edges = p.union(members.select(col("doc_id"), col("label")))
+    val relabeled = Relational.connectedComponents(edges)
+      .select(col("node").cast("long").as("doc_id"), col("label").cast("long").as("label"))
+    val nd = newDocs.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    val knownNew = log.join(nd, Seq("doc_id"), "left_semi")
+      .select("doc_id").distinct()
+    val singletons = nd
+      .join(relabeled.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(knownNew, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
     val delta = graft.CacheJanitor.register(
-      mergeParts(old, pairs, newDocs).delta.persist())
-    val nextBatch = {
-      val d = Paths.get(dir(root))
-      if (!Files.isDirectory(d)) 1L
+      relabeled.unionByName(singletons).persist())
+    val nextBatch =
+      if (!hasLog) 1L
       else {
-        val r = spark.read.parquet(dir(root)).agg(max(col("batch"))).head
+        val r = log.agg(max(col("batch"))).head
         if (r.isNullAt(0)) 1L else r.getLong(0) + 1L
       }
-    }
     delta.withColumn("batch", lit(nextBatch))
       .write.mode("append").parquet(dir(root))
     read(spark, root)

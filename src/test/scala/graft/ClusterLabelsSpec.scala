@@ -64,6 +64,25 @@ class ClusterLabelsSpec extends SparkSpec {
     assert(!kd.contains(7L), "untouched singleton must not appear in the delta")
   }
 
+  test("re-touching a component with stale retired-label rows resolves correctly") {
+    // The adversarial case for the pruned-fold merge: batch 1 labels
+    // {5,6} as 5; batch 2 merges them into {1,...} (label 5 RETIRED —
+    // stale rows (5→5), (6→5) remain in the log); batch 3 touches the
+    // merged component via doc 6. The label-filtered fold must resolve
+    // membership from current labels only — stale label-5 rows must
+    // neither resurface nor confuse the merge.
+    val root = Files.createTempDirectory("graft_labels").toString
+    ClusterLabels.merge(spark, root,
+      Seq((5L, 6L)).toDF("doc_a", "doc_b"), Seq(5L, 6L).toDF("doc_id"))
+    ClusterLabels.merge(spark, root,
+      Seq((1L, 5L)).toDF("doc_a", "doc_b"), Seq(1L).toDF("doc_id"))
+    val l3 = ClusterLabels.merge(spark, root,
+      Seq((2L, 6L)).toDF("doc_a", "doc_b"), Seq(2L).toDF("doc_id"))
+    assert(labelMap(l3) === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L))
+    assert(labelMap(l3) === fromScratch(
+      Seq((5L, 6L), (1L, 5L), (2L, 6L)), Seq(1L, 2L, 5L, 6L)))
+  }
+
   test("a batch appends no rows for components it does not touch") {
     val root = Files.createTempDirectory("graft_labels").toString
     ClusterLabels.merge(spark, root,
