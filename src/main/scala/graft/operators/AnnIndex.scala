@@ -116,10 +116,12 @@ object AnnIndex {
   /** Live code rows: the snapshot (cell cast back to its canonical
     * BIGINT — partition-column inference reads `cell=` dirs as INT)
     * minus tombstoned vec_ids. */
-  private def readCodes(spark: SparkSession, root: String): DataFrame =
+  private def readCodes(spark: SparkSession, root: String): DataFrame = {
+    Tombstones.recoverCompaction(spark, root, s"$root/codes.__compact_tmp", s"$root/codes")
     Tombstones.exclude(
       spark.read.parquet(s"$root/codes").withColumn("cell", col("cell").cast("long")),
       root, "vec_id")
+  }
 
   /** Tombstone vec_ids out of the index (takedowns, re-embeds, dedup
     * keeper changes). Appends to the side table only — `cell=` code

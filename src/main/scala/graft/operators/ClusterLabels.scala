@@ -44,16 +44,42 @@ object ClusterLabels {
   private def emptyLabels(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id").as("doc_id"), col("id").as("label"))
 
+  /** Crash recovery for [[compact]]'s swap window — MANDATORY before
+    * any existence probe of the label dir: "dir missing" normally means
+    * "no labels yet" (an EMPTY state), so a compaction that died
+    * between its delete and rename would otherwise read as silent data
+    * loss, not an error. The window is unambiguous (tmp is fully
+    * written before the delete runs): dest missing ∧ tmp present →
+    * adopt tmp; both present → tmp is an abandoned stage, drop it. */
+  private def recover(root: String): Unit = {
+    val dest = Paths.get(dir(root))
+    val tmp = Paths.get(s"${dir(root)}.__compact_tmp")
+    if (Files.isDirectory(tmp)) {
+      if (!Files.isDirectory(dest)) Files.move(tmp, dest)
+      else deleteRecursively(tmp)
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(deleteRecursively(_)) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
   /** Current labels `(doc_id, label)`: keep-last per doc over the
     * append-only delta log (later batches win). Empty frame when no
     * batch was ever merged. */
-  def read(spark: SparkSession, root: String): DataFrame =
+  def read(spark: SparkSession, root: String): DataFrame = {
+    recover(root)
     if (!Files.isDirectory(Paths.get(dir(root)))) emptyLabels(spark)
     else {
       val log = spark.read.parquet(dir(root))
       log.groupBy(col("doc_id"))
         .agg(max_by(col("label"), col("batch")).as("label"))
     }
+  }
 
   /** Pure-frame merge (no I/O — also the form t68's oracle query runs):
     * the FULL new label table from the old one plus one batch of delta
@@ -134,6 +160,7 @@ object ClusterLabels {
     * SCANNED (for the semi-joins and the 1-row max-batch agg). */
   def merge(spark: SparkSession, root: String, pairs: DataFrame,
       newDocs: DataFrame): DataFrame = {
+    recover(root)
     val p = graft.CacheJanitor.register(
       pairs.select(col("doc_a").cast("long").as("doc_a"),
         col("doc_b").cast("long").as("doc_b")).persist())
@@ -177,12 +204,14 @@ object ClusterLabels {
       (col("doc_id") === col("label")).as("keep"))
 
   /** Highest merged batch number (0 = never merged). */
-  def latestBatch(spark: SparkSession, root: String): Long =
+  def latestBatch(spark: SparkSession, root: String): Long = {
+    recover(root)
     if (!Files.isDirectory(Paths.get(dir(root)))) 0L
     else {
       val r = spark.read.parquet(dir(root)).agg(max(col("batch"))).head
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
+  }
 
   /** The keeper-manifest DELTA of one merge batch: keep/demote flags for
     * exactly the rows that batch (re)defined — what a downstream

@@ -94,9 +94,13 @@ object CosineDedupIndex {
     Batch(newCached, all, deltaPairs(all, newCached))
   }
 
-  /** Live code rows: the snapshot minus tombstoned vec_ids. */
-  def readIndex(spark: SparkSession, root: String): DataFrame =
+  /** Live code rows: the snapshot minus tombstoned vec_ids (compaction
+    * crash-recovery probed first — see [[Tombstones.recoverCompaction]]). */
+  def readIndex(spark: SparkSession, root: String): DataFrame = {
+    Tombstones.recoverCompaction(spark, root,
+      s"${codesDir(root)}.__compact_tmp", codesDir(root))
     Tombstones.exclude(spark.read.parquet(codesDir(root)), root, "vec_id")
+  }
 
   /** Tombstone vec_ids out of the index — snapshot files stay
     * byte-untouched; the ids vanish from reads and deltas immediately. */

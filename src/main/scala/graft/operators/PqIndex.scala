@@ -122,10 +122,12 @@ object PqIndex {
   }
 
   /** Live code rows: snapshot minus tombstoned vec_ids. */
-  private def readCodes(spark: SparkSession, root: String): DataFrame =
+  private def readCodes(spark: SparkSession, root: String): DataFrame = {
+    Tombstones.recoverCompaction(spark, root, s"$root/codes.__compact_tmp", s"$root/codes")
     Tombstones.exclude(
       spark.read.parquet(s"$root/codes").withColumn("cell", col("cell").cast("long")),
       root, "vec_id")
+  }
 
   /** Tombstone vec_ids out of the index — code files stay byte-untouched;
     * the frozen quantizers are never retrained. */

@@ -89,8 +89,10 @@ object SignatureIndex {
     * read path goes through this, so a removed doc stops contributing
     * postings, candidates, and exact-verify rows immediately — without
     * touching the append-only snapshot files. */
-  def readIndex(spark: SparkSession, root: String, table: String = "signatures"): DataFrame =
+  def readIndex(spark: SparkSession, root: String, table: String = "signatures"): DataFrame = {
+    Tombstones.recoverCompaction(spark, root, s"$root/$table.__compact_tmp", s"$root/$table")
     Tombstones.exclude(spark.read.parquet(s"$root/$table"), root, "doc_id")
+  }
 
   /** Tombstone doc_ids out of the index. Appends to the side table only
     * — snapshot files stay byte-untouched (spec-pinned); the ids vanish

@@ -52,10 +52,19 @@ private[graft] object Tombstones {
     df.join(t, Seq(idCol), "left_anti")
   }
 
-  /** Atomically replace `dest` with the fully-written `tmp` directory
-    * and drop the tombstone table — the commit step of a compaction.
-    * Hadoop FileSystem API so the same code runs on HDFS/object-store
-    * roots, not just local disk. */
+  /** Replace `dest` with the fully-written `tmp` directory and drop the
+    * tombstone table — the commit step of a compaction. Hadoop
+    * FileSystem API so the same code runs on HDFS/object-store roots,
+    * not just local disk.
+    *
+    * The delete→rename pair has a crash window (dest briefly absent);
+    * [[recoverCompaction]] closes it on the READ side, and the window
+    * is unambiguous by construction: `tmp` is only ever deleted or
+    * renamed AFTER its write fully completed, so `dest missing ∧ tmp
+    * present` always means "crashed between delete and rename — adopt
+    * tmp", and `dest present ∧ tmp present` always means "crashed
+    * before the delete — tmp is an abandoned (possibly partial) stage,
+    * drop it". */
   def commitCompaction(spark: SparkSession, root: String, tmp: String, dest: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new HPath(dest).getFileSystem(conf)
@@ -63,5 +72,23 @@ private[graft] object Tombstones {
     require(fs.rename(new HPath(tmp), new HPath(dest)),
       s"compaction commit failed: could not move $tmp into $dest")
     fs.delete(new HPath(dir(root)), true)
+  }
+
+  /** Crash recovery for [[commitCompaction]]'s swap window — call
+    * before reading `dest`. Completes a commit that died between its
+    * delete and rename (adopt tmp, clear the side table exactly as the
+    * commit would have), and clears an abandoned stage left by a crash
+    * mid-tmp-write. Idempotent and cheap (two existence probes). */
+  def recoverCompaction(spark: SparkSession, root: String, tmp: String, dest: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new HPath(dest).getFileSystem(conf)
+    val destP = new HPath(dest); val tmpP = new HPath(tmp)
+    if (fs.exists(tmpP)) {
+      if (!fs.exists(destP)) {
+        require(fs.rename(tmpP, destP),
+          s"compaction recovery failed: could not adopt $tmp as $dest")
+        fs.delete(new HPath(dir(root)), true)
+      } else fs.delete(tmpP, true)
+    }
   }
 }

@@ -105,6 +105,26 @@ class ClusterLabelsSpec extends SparkSpec {
     assert(keep === Map(2L -> true, 5L -> false, 9L -> false, 11L -> true))
   }
 
+  test("a compaction killed mid-swap recovers on the next read — never silent-empty") {
+    val root = Files.createTempDirectory("graft_labels").toString
+    ClusterLabels.merge(spark, root,
+      Seq((1L, 2L)).toDF("doc_a", "doc_b"), Seq(1L, 2L, 3L).toDF("doc_id"))
+    val before = labelMap(ClusterLabels.read(spark, root))
+    // Crash between compact's delete and rename: dest gone, tmp complete.
+    // Without recovery, read() would see "no labels yet" — SILENT loss.
+    val dest = java.nio.file.Paths.get(ClusterLabels.dir(root))
+    val tmp = java.nio.file.Paths.get(ClusterLabels.dir(root) + ".__compact_tmp")
+    Files.move(dest, tmp)
+    assert(labelMap(ClusterLabels.read(spark, root)) === before,
+      "read must complete the crashed swap and return the full state")
+    assert(Files.isDirectory(dest) && !Files.exists(tmp))
+    // Crash mid-tmp-write (both present): tmp is an abandoned stage.
+    Files.createDirectories(tmp)
+    Files.write(tmp.resolve("part-junk.parquet"), Array[Byte](1))
+    assert(labelMap(ClusterLabels.read(spark, root)) === before)
+    assert(!Files.exists(tmp), "abandoned stage must be cleared")
+  }
+
   test("compact folds the log to one row per doc with identical state") {
     val root = Files.createTempDirectory("graft_labels").toString
     ClusterLabels.merge(spark, root,

@@ -139,6 +139,21 @@ class CosineDedupIndexSpec extends SparkSpec {
     assert(deltas.toSet === full, s"streamed deltas ${deltas.toSet} != full recompute $full")
   }
 
+  test("a compaction killed mid-swap recovers on the next read") {
+    val root = Files.createTempDirectory("graft_cosidx").toString
+    CosineDedupIndex.ingest(spark, root, vecs(batchA: _*))
+    val before = CosineDedupIndex.readIndex(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+    val dest = java.nio.file.Paths.get(s"$root/codes")
+    val tmp = java.nio.file.Paths.get(s"$root/codes.__compact_tmp")
+    Files.move(dest, tmp) // = crashed between delete and rename
+    val after = CosineDedupIndex.readIndex(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+    CacheJanitor.drain()
+    assert(after === before, "read must adopt the completed tmp")
+    assert(Files.isDirectory(dest) && !Files.exists(tmp))
+  }
+
   test("tombstoned vectors vanish from deltas; compact folds them out, mask survives") {
     val root = Files.createTempDirectory("graft_cosidx").toString
     CosineDedupIndex.ingest(spark, root, vecs(batchA: _*))
