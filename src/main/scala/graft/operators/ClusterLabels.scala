@@ -219,9 +219,11 @@ object ClusterLabels {
     * component-min status on a merge shows up here with `keep = false`,
     * without rescanning the corpus manifest). O(changed rows): the log
     * is batch-stamped, so this is one filtered read. */
-  def keeperDelta(spark: SparkSession, root: String, batch: Long): DataFrame =
+  def keeperDelta(spark: SparkSession, root: String, batch: Long): DataFrame = {
+    recover(root)
     keeperManifest(spark.read.parquet(dir(root))
       .where(col("batch") === batch).select(col("doc_id"), col("label")))
+  }
 
   /** Fold the delta log to one row per doc and atomically swap it in —
     * the end state is identical to [[read]] (and to a from-scratch
