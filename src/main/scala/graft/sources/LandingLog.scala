@@ -189,7 +189,16 @@ object LandingLog {
     * [[readSnapshotAt]] — snapshot-level reproducibility ("the corpus
     * exactly as training run X saw it") for the cost of k× storage,
     * bounded and operator-chosen. Crashed/abandoned stages are removed
-    * regardless of retention. */
+    * regardless of retention.
+    *
+    * READER-vs-GC RACE: at `keepVersions = 1` version N's directory is
+    * deleted the instant N+1 commits, so a reader that resolved N via
+    * [[snapshotDataDir]] and is still scanning loses files mid-job
+    * (FileNotFoundException — loud, never wrong data). The single-writer
+    * contract does NOT imply single-reader: any deployment where readers
+    * overlap commits (a training job scanning while the maintenance loop
+    * runs) must set `keepVersions >= 2` so the previous version outlives
+    * in-flight scans for one full commit interval. */
   def commitSnapshot(root: String, table: String, version: Long,
       keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
@@ -311,6 +320,21 @@ object LandingLog {
   * src/ingestion_lambda.py:121,177-201). Real timestamps, not the
   * reference's lexicographic string compare (P2): the sentinel is epoch 0.
   * In a streaming deployment this becomes the checkpoint offset log.
+  *
+  * ATOMIC UPDATE: the reference's state file goes up as a single S3 PUT
+  * (atomic by the store's contract, src/ingestion_lambda.py:227-232); a
+  * local/HDFS file truncated in place is NOT — a crash mid-write leaves
+  * a torn JSON that halts the pipeline until manual repair. So [[update]]
+  * writes the merged state to a sibling `.tmp` and publishes it with one
+  * `ATOMIC_MOVE` rename — the same commit primitive as
+  * [[LandingLog.commitSnapshot]]. A crash at ANY point leaves either the
+  * previous complete state or the new complete state on disk, never a
+  * torn file; an abandoned `.tmp` is overwritten by the next update and
+  * never read. Torn bytes arriving some OTHER way (manual edit, a
+  * non-atomic copy) still fail loudly in [[read]] before any extract
+  * runs. Updates are `synchronized` so per-table bumps from concurrent
+  * ingest gates cannot lose each other's merge (single-process writer
+  * contract, same as the reference's single Lambda).
   */
 final class WatermarkStore(path: String) {
   val sentinel = "1970-01-01 00:00:00.000000"
@@ -328,14 +352,18 @@ final class WatermarkStore(path: String) {
 
   def watermark(table: String): String = read().getOrElse(table, sentinel)
 
-  def update(updates: Map[String, String]): Unit = {
+  def update(updates: Map[String, String]): Unit = this.synchronized {
     val merged = read() ++ updates
     val json = MiniJson.renderFlat(merged)
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)
-    Files.write(p, json.getBytes("UTF-8"),
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp, json.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
+    Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 }
 

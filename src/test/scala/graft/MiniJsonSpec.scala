@@ -93,4 +93,43 @@ class MiniJsonSpec extends AnyFunSuite {
     Files.writeString(f, """{"t": "v", garbage}""")
     intercept[IllegalArgumentException](new WatermarkStore(f.toString).read())
   }
+
+  test("watermark update publishes via tmp + atomic rename, no residue") {
+    val f = Files.createTempDirectory("graft_wm3").resolve("state.json")
+    val store = new WatermarkStore(f.toString)
+    store.update(Map("a" -> "1"))
+    store.update(Map("b" -> "2"))
+    assert(store.read() == Map("a" -> "1", "b" -> "2"))
+    // The swap leaves no staging residue next to the state file.
+    assert(!Files.exists(f.resolveSibling("state.json.tmp")))
+  }
+
+  test("crash before the watermark rename leaves the previous state intact") {
+    val f = Files.createTempDirectory("graft_wm4").resolve("state.json")
+    val store = new WatermarkStore(f.toString)
+    store.update(Map("t" -> "2026-01-01 00:00:00.000000"))
+    // Simulate a crash mid-update: the merged next state was fully (or
+    // partially — same outcome) written to .tmp but never renamed.
+    Files.writeString(f.resolveSibling("state.json.tmp"), """{"t": "torn""")
+    // Reads resolve only the committed file: previous state, not the tmp.
+    assert(store.watermark("t") == "2026-01-01 00:00:00.000000")
+    // The next update overwrites the abandoned tmp and commits normally.
+    store.update(Map("u" -> "2026-02-02 00:00:00.000000"))
+    assert(store.read() == Map(
+      "t" -> "2026-01-01 00:00:00.000000",
+      "u" -> "2026-02-02 00:00:00.000000"))
+    assert(!Files.exists(f.resolveSibling("state.json.tmp")))
+  }
+
+  test("torn watermark state file halts loudly before any extract could run") {
+    val f = Files.createTempDirectory("graft_wm5").resolve("state.json")
+    val store = new WatermarkStore(f.toString)
+    store.update(Map("t" -> "2026-01-01 00:00:00.000000"))
+    // A torn file can no longer be produced by update() (the rename is
+    // atomic); simulate one arriving some other way — truncation must
+    // fail the read, not bootstrap from the sentinel and re-ingest.
+    val full = Files.readString(f)
+    Files.writeString(f, full.substring(0, full.length / 2))
+    intercept[IllegalArgumentException](store.watermark("t"))
+  }
 }
