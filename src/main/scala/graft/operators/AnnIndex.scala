@@ -106,10 +106,16 @@ object AnnIndex {
     * increment must carry vec_ids not already indexed — keep-last dedup
     * is the landing layer's job, upstream of this (same contract as
     * [[SignatureIndex.ingest]]). */
-  def ingest(spark: SparkSession, root: String, increment: DataFrame): Batch = {
+  def ingest(spark: SparkSession, root: String, increment: DataFrame,
+      batchKey: Option[String] = None): Batch = {
     val (cents, mn, span) = loadOrTrain(spark, root, increment)
     val enc = graft.CacheJanitor.register(encode(increment, cents, mn, span).persist())
-    enc.write.mode("append").partitionBy("cell").parquet(s"$root/codes")
+    // Batch-keyed append ([[BatchLog]]): `batch_key=<key>/cell=<id>/`
+    // directories, so a caller-keyed batch replayed after a crash
+    // replaces its own files instead of double-appending, and the
+    // `cell=` static pruning below is unchanged (cell stays a partition
+    // column, one level down).
+    BatchLog.append(enc, s"$root/codes", batchKey, "AnnIndex", partitionBy = Seq("cell"))
     Batch(enc, readCodes(spark, root))
   }
 
@@ -119,9 +125,15 @@ object AnnIndex {
   private def readCodes(spark: SparkSession, root: String): DataFrame = {
     Tombstones.recoverCompaction(spark, root, s"$root/codes.__compact_tmp", s"$root/codes")
     Tombstones.exclude(
-      spark.read.parquet(s"$root/codes").withColumn("cell", col("cell").cast("long")),
+      BatchLog.read(spark, s"$root/codes", "AnnIndex")
+        .withColumn("cell", col("cell").cast("long")),
       root, "vec_id")
   }
+
+  /** One-time upgrade of a legacy flat-append root into the batch-keyed
+    * layout (rows unchanged; `cell=` partitioning preserved). */
+  def migrateLegacy(spark: SparkSession, root: String): Unit =
+    BatchLog.adoptLegacy(spark, s"$root/codes", partitionBy = Seq("cell"))
 
   /** Tombstone vec_ids out of the index (takedowns, re-embeds, dedup
     * keeper changes). Appends to the side table only — `cell=` code
@@ -143,7 +155,7 @@ object AnnIndex {
   def compact(spark: SparkSession, root: String): Unit = {
     val dest = s"$root/codes"
     val tmp = s"$root/codes.__compact_tmp"
-    readCodes(spark, root).write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    BatchLog.stage(readCodes(spark, root), tmp, partitionBy = Seq("cell"))
     Tombstones.commitCompaction(spark, root, tmp, dest)
   }
 
@@ -167,12 +179,15 @@ object AnnIndex {
     // only probed cell= directories are ever read.
     val probed = qp.select("cell").distinct().collect().map(_.getLong(0)).toSeq
     // Partition filter FIRST (on the raw inferred partition column, so
-    // the `cell=` pruning is static), then the tombstone anti-join —
+    // the `cell=` pruning is static — batch_key dirs above it prune
+    // per-batch, cells prune within), then the tombstone anti-join —
     // removed vec_ids must never surface as neighbors.
+    BatchLog.requireFormat(spark, s"$root/codes", "AnnIndex")
     val codes = Tombstones.exclude(
       spark.read.parquet(s"$root/codes")
         .where(col("cell").isin(probed: _*))
-        .withColumn("cell", col("cell").cast("long")),
+        .withColumn("cell", col("cell").cast("long"))
+        .drop("batch_key"),
       root, "vec_id")
     // Scoring never materializes a dequantized array: the codegen'd SQ8
     // kernels dequantize-and-fold in one tight loop per pair (the hot

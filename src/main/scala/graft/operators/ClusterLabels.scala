@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -50,35 +48,32 @@ object ClusterLabels {
     * between its delete and rename would otherwise read as silent data
     * loss, not an error. The window is unambiguous (tmp is fully
     * written before the delete runs): dest missing ∧ tmp present →
-    * adopt tmp; both present → tmp is an abandoned stage, drop it. */
-  private def recover(root: String): Unit = {
-    val dest = Paths.get(dir(root))
-    val tmp = Paths.get(s"${dir(root)}.__compact_tmp")
-    if (Files.isDirectory(tmp)) {
-      if (!Files.isDirectory(dest)) Files.move(tmp, dest)
-      else deleteRecursively(tmp)
+    * adopt tmp; both present → tmp is an abandoned stage, drop it.
+    * Hadoop FileSystem API throughout (probes AND moves), matching
+    * [[compact]]'s commit — a mixed nio/Hadoop pair would make recovery
+    * silently no-op on any non-local root. */
+  private def recover(spark: SparkSession, root: String): Unit = {
+    val dest = new HPath(dir(root))
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new HPath(s"${dir(root)}.__compact_tmp")
+    if (fs.exists(tmp)) {
+      if (!fs.exists(dest))
+        require(fs.rename(tmp, dest),
+          s"label compaction recovery failed: could not adopt $tmp as $dest")
+      else fs.delete(tmp, true)
     }
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.forEach(deleteRecursively(_)) finally s.close()
-    }
-    Files.deleteIfExists(p)
   }
 
   /** Current labels `(doc_id, label)`: keep-last per doc over the
     * append-only delta log (later batches win). Empty frame when no
     * batch was ever merged. */
   def read(spark: SparkSession, root: String): DataFrame = {
-    recover(root)
-    if (!Files.isDirectory(Paths.get(dir(root)))) emptyLabels(spark)
-    else {
-      val log = spark.read.parquet(dir(root))
-      log.groupBy(col("doc_id"))
+    recover(spark, root)
+    if (!BatchLog.hasData(spark, dir(root))) emptyLabels(spark)
+    else
+      BatchLog.read(spark, dir(root), "ClusterLabels")
+        .groupBy(col("doc_id"))
         .agg(max_by(col("label"), col("batch")).as("label"))
-    }
   }
 
   /** Pure-frame merge (no I/O — also the form t68's oracle query runs):
@@ -157,16 +152,28 @@ object ClusterLabels {
     * including re-touching a component that holds stale retired-label
     * rows). Per-batch shuffle is therefore O(increment ∪ touched
     * components' history), never the corpus; the log is only ever
-    * SCANNED (for the semi-joins and the 1-row max-batch agg). */
+    * SCANNED (for the semi-joins and the 1-row max-batch agg).
+    *
+    * `batchKey` is the replay-idempotence handle ([[BatchLog]]): the
+    * delta lands under `batch_key=<key>` and the state computation
+    * EXCLUDES any rows already stored under that key, so a
+    * crash-after-commit retry of the same landing batch reproduces the
+    * pre-append state exactly — same delta, same batch number,
+    * overwriting itself. `None` mints a fresh auto key (not
+    * replay-idempotent, the pre-change behavior). */
   def merge(spark: SparkSession, root: String, pairs: DataFrame,
-      newDocs: DataFrame): DataFrame = {
-    recover(root)
+      newDocs: DataFrame, batchKey: Option[String] = None): DataFrame = {
+    recover(spark, root)
+    BatchLog.requireFormat(spark, dir(root), "ClusterLabels")
+    val key = BatchLog.resolveKey(spark, dir(root), batchKey)
     val p = graft.CacheJanitor.register(
       pairs.select(col("doc_a").cast("long").as("doc_a"),
         col("doc_b").cast("long").as("doc_b")).persist())
-    val hasLog = Files.isDirectory(Paths.get(dir(root)))
+    val hasLog = BatchLog.hasData(spark, dir(root))
     val log =
-      if (hasLog) spark.read.parquet(dir(root))
+      if (hasLog)
+        spark.read.parquet(dir(root))
+          .where(col("batch_key") =!= lit(key)).drop("batch_key")
       else spark.range(0).select(col("id").as("doc_id"),
         col("id").as("label"), col("id").as("batch"))
     val touched = p.select(col("doc_a").as("doc_id"))
@@ -186,14 +193,16 @@ object ClusterLabels {
       .select(col("doc_id"), col("doc_id").as("label"))
     val delta = graft.CacheJanitor.register(
       relabeled.unionByName(singletons).persist())
+    // Max over the log MINUS this key's own rows: a replay computes the
+    // same next batch number its first run did.
     val nextBatch =
       if (!hasLog) 1L
       else {
         val r = log.agg(max(col("batch"))).head
         if (r.isNullAt(0)) 1L else r.getLong(0) + 1L
       }
-    delta.withColumn("batch", lit(nextBatch))
-      .write.mode("append").parquet(dir(root))
+    BatchLog.appendResolved(delta.withColumn("batch", lit(nextBatch)),
+      dir(root), key, "ClusterLabels")
     read(spark, root)
   }
 
@@ -205,10 +214,11 @@ object ClusterLabels {
 
   /** Highest merged batch number (0 = never merged). */
   def latestBatch(spark: SparkSession, root: String): Long = {
-    recover(root)
-    if (!Files.isDirectory(Paths.get(dir(root)))) 0L
+    recover(spark, root)
+    if (!BatchLog.hasData(spark, dir(root))) 0L
     else {
-      val r = spark.read.parquet(dir(root)).agg(max(col("batch"))).head
+      val r = BatchLog.read(spark, dir(root), "ClusterLabels")
+        .agg(max(col("batch"))).head
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
   }
@@ -220,8 +230,8 @@ object ClusterLabels {
     * without rescanning the corpus manifest). O(changed rows): the log
     * is batch-stamped, so this is one filtered read. */
   def keeperDelta(spark: SparkSession, root: String, batch: Long): DataFrame = {
-    recover(root)
-    keeperManifest(spark.read.parquet(dir(root))
+    recover(spark, root)
+    keeperManifest(BatchLog.read(spark, dir(root), "ClusterLabels")
       .where(col("batch") === batch).select(col("doc_id"), col("label")))
   }
 
@@ -232,8 +242,7 @@ object ClusterLabels {
   def compact(spark: SparkSession, root: String): Unit = {
     val dest = dir(root)
     val tmp = s"$dest.__compact_tmp"
-    read(spark, root).withColumn("batch", lit(1L))
-      .write.mode("overwrite").parquet(tmp)
+    BatchLog.stage(read(spark, root).withColumn("batch", lit(1L)), tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new HPath(dest).getFileSystem(conf)
     fs.delete(new HPath(dest), true)

@@ -77,8 +77,12 @@ object CosineDedupIndex {
   /** One maintenance batch: freeze the mask on the first call (ladder
     * over the first increment's count), encode the increment ONLY,
     * append, and detect the batch's delta pairs. Increment vec_ids must
-    * be new to the index (keep-last dedup is the landing layer's job). */
-  def ingest(spark: SparkSession, root: String, increment: DataFrame): Batch = {
+    * be new to the index (keep-last dedup is the landing layer's job).
+    * `batchKey` is the replay-idempotence handle ([[BatchLog]]): pass
+    * the landing batch id and a crash-after-commit retry replaces its
+    * own files instead of double-appending. */
+  def ingest(spark: SparkSession, root: String, increment: DataFrame,
+      batchKey: Option[String] = None): Batch = {
     val mask = frozenMask(spark, root).getOrElse {
       val m = TextSim.lshMaskValue(increment.count()).toLong
       import spark.implicits._
@@ -89,7 +93,7 @@ object CosineDedupIndex {
     // Cache BEFORE the write so the append populates the cache and the
     // delta join reads it back instead of re-encoding.
     val newCached = graft.CacheJanitor.register(encode(increment, mask).persist())
-    newCached.write.mode("append").parquet(codesDir(root))
+    BatchLog.append(newCached, codesDir(root), batchKey, "CosineDedupIndex")
     val all = readIndex(spark, root)
     Batch(newCached, all, deltaPairs(all, newCached))
   }
@@ -99,8 +103,14 @@ object CosineDedupIndex {
   def readIndex(spark: SparkSession, root: String): DataFrame = {
     Tombstones.recoverCompaction(spark, root,
       s"${codesDir(root)}.__compact_tmp", codesDir(root))
-    Tombstones.exclude(spark.read.parquet(codesDir(root)), root, "vec_id")
+    Tombstones.exclude(BatchLog.read(spark, codesDir(root), "CosineDedupIndex"),
+      root, "vec_id")
   }
+
+  /** One-time upgrade of a legacy flat-append root into the batch-keyed
+    * layout (rows unchanged — codes carry no ordering precondition). */
+  def migrateLegacy(spark: SparkSession, root: String): Unit =
+    BatchLog.adoptLegacy(spark, codesDir(root))
 
   /** Tombstone vec_ids out of the index — snapshot files stay
     * byte-untouched; the ids vanish from reads and deltas immediately. */
@@ -115,7 +125,7 @@ object CosineDedupIndex {
   def compact(spark: SparkSession, root: String): Unit = {
     val path = codesDir(root)
     val tmp = s"$path.__compact_tmp"
-    readIndex(spark, root).write.mode("overwrite").parquet(tmp)
+    BatchLog.stage(readIndex(spark, root), tmp)
     Tombstones.commitCompaction(spark, root, tmp, path)
   }
 

@@ -113,11 +113,13 @@ object PqIndex {
   }
 
   /** One maintenance batch — same contract as [[AnnIndex.ingest]]: the
-    * increment must carry vec_ids not already indexed. */
-  def ingest(spark: SparkSession, root: String, increment: DataFrame): Batch = {
+    * increment must carry vec_ids not already indexed. `batchKey` is
+    * the replay-idempotence handle ([[BatchLog]]). */
+  def ingest(spark: SparkSession, root: String, increment: DataFrame,
+      batchKey: Option[String] = None): Batch = {
     val (cents, cb) = loadOrTrain(spark, root, increment)
     val enc = graft.CacheJanitor.register(encode(increment, cents, cb).persist())
-    enc.write.mode("append").partitionBy("cell").parquet(s"$root/codes")
+    BatchLog.append(enc, s"$root/codes", batchKey, "PqIndex", partitionBy = Seq("cell"))
     Batch(enc, readCodes(spark, root))
   }
 
@@ -125,9 +127,15 @@ object PqIndex {
   private def readCodes(spark: SparkSession, root: String): DataFrame = {
     Tombstones.recoverCompaction(spark, root, s"$root/codes.__compact_tmp", s"$root/codes")
     Tombstones.exclude(
-      spark.read.parquet(s"$root/codes").withColumn("cell", col("cell").cast("long")),
+      BatchLog.read(spark, s"$root/codes", "PqIndex")
+        .withColumn("cell", col("cell").cast("long")),
       root, "vec_id")
   }
+
+  /** One-time upgrade of a legacy flat-append root into the batch-keyed
+    * layout (rows unchanged; `cell=` partitioning preserved). */
+  def migrateLegacy(spark: SparkSession, root: String): Unit =
+    BatchLog.adoptLegacy(spark, s"$root/codes", partitionBy = Seq("cell"))
 
   /** Tombstone vec_ids out of the index — code files stay byte-untouched;
     * the frozen quantizers are never retrained. */
@@ -145,7 +153,7 @@ object PqIndex {
   def compact(spark: SparkSession, root: String): Unit = {
     val dest = s"$root/codes"
     val tmp = s"$root/codes.__compact_tmp"
-    readCodes(spark, root).write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    BatchLog.stage(readCodes(spark, root), tmp, partitionBy = Seq("cell"))
     Tombstones.commitCompaction(spark, root, tmp, dest)
   }
 
@@ -168,10 +176,12 @@ object PqIndex {
       qs.selectExpr("query_id", "embedding", "n2", "luts", "explode(probes) AS cell").persist())
     // Bounded collect (≤ probeCells·|Q| longs) → static partition filter.
     val probed = qp.select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    BatchLog.requireFormat(spark, s"$root/codes", "PqIndex")
     val codes = Tombstones.exclude(
       spark.read.parquet(s"$root/codes")
         .where(col("cell").isin(probed: _*))
-        .withColumn("cell", col("cell").cast("long")),
+        .withColumn("cell", col("cell").cast("long"))
+        .drop("batch_key"),
       root, "vec_id")
     val scored = qp.join(codes, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))

@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * The persisted state is one parquet directory of `(doc_id, shs)`
   * signature rows (distinct 3-word shingle hashes per doc, the same
   * scan-side signature t35 computes). [[ingest]] appends the
-  * increment's signatures — APPEND, not overwrite, so prior rows stay
-  * byte-untouched on disk and batch cost is O(increment), which
-  * `SignatureIndexSpec` pins with row counts and on-disk file
-  * fingerprints. Pair detection for the batch ([[deltaPairs]]) joins
+  * increment's signatures into its own `batch_key=` directory
+  * ([[BatchLog]]) — prior rows stay byte-untouched on disk, batch cost
+  * is O(increment) (pinned by `SignatureIndexSpec` row counts and
+  * on-disk file fingerprints), and a caller-keyed batch replayed after
+  * a crash replaces itself instead of double-appending. Pair detection for the batch ([[deltaPairs]]) joins
   * only the NEW side's df-capped postings against the full posting
   * list, yielding exactly the pairs that touch an increment doc
   * (new-vs-old + new-vs-new) — the accumulated pair table is the union
@@ -74,13 +75,17 @@ object SignatureIndex {
     * (keep-last dedup is the landing layer's job, upstream of this). */
   final case class Batch(newSigs: DataFrame, allSigs: DataFrame, deltaPairs: DataFrame)
 
+  /** `batchKey` is the replay-idempotence handle ([[BatchLog]]): pass
+    * the landing batch id and a crash-after-commit retry of the same
+    * batch REPLACES its own files instead of double-appending; `None`
+    * mints a fresh auto key (not replay-idempotent). */
   def ingest(spark: SparkSession, root: String, increment: DataFrame,
-      table: String = "signatures"): Batch = {
+      table: String = "signatures", batchKey: Option[String] = None): Batch = {
     val path = s"$root/$table"
     // Cache BEFORE the write so the append populates the cache and the
     // delta join below reads it back instead of re-scanning the text.
     val newCached = graft.CacheJanitor.register(signatures(increment).persist())
-    newCached.write.mode("append").parquet(path)
+    BatchLog.append(newCached, path, batchKey, "SignatureIndex")
     val all = readIndex(spark, root, table)
     Batch(newCached, all, deltaPairs(all, newCached))
   }
@@ -88,11 +93,21 @@ object SignatureIndex {
   /** Live signature rows: the snapshot minus tombstoned doc_ids. Every
     * read path goes through this, so a removed doc stops contributing
     * postings, candidates, and exact-verify rows immediately — without
-    * touching the append-only snapshot files. */
+    * touching the append-only snapshot files. A pre-batch-format root is
+    * refused here (its arrays predate the sorted-at-build contract the
+    * intersect kernel needs) — [[migrateLegacy]] upgrades it in place. */
   def readIndex(spark: SparkSession, root: String, table: String = "signatures"): DataFrame = {
     Tombstones.recoverCompaction(spark, root, s"$root/$table.__compact_tmp", s"$root/$table")
-    Tombstones.exclude(spark.read.parquet(s"$root/$table"), root, "doc_id")
+    Tombstones.exclude(BatchLog.read(spark, s"$root/$table", "SignatureIndex"), root, "doc_id")
   }
+
+  /** One-time upgrade of a legacy flat-append root: re-sorts every
+    * stored shingle array (pre-change rows were `array_distinct` order,
+    * which the two-pointer kernel would silently miscount) and rewrites
+    * into the batch-keyed layout with an atomic swap. */
+  def migrateLegacy(spark: SparkSession, root: String, table: String = "signatures"): Unit =
+    BatchLog.adoptLegacy(spark, s"$root/$table",
+      _.select(col("doc_id"), sort_array(col("shs")).as("shs")))
 
   /** Tombstone doc_ids out of the index. Appends to the side table only
     * — snapshot files stay byte-untouched (spec-pinned); the ids vanish
@@ -117,7 +132,7 @@ object SignatureIndex {
   def compact(spark: SparkSession, root: String, table: String = "signatures"): Unit = {
     val path = s"$root/$table"
     val tmp = s"$path.__compact_tmp"
-    readIndex(spark, root, table).write.mode("overwrite").parquet(tmp)
+    BatchLog.stage(readIndex(spark, root, table), tmp)
     Tombstones.commitCompaction(spark, root, tmp, path)
   }
 

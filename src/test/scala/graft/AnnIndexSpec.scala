@@ -90,13 +90,22 @@ class AnnIndexSpec extends SparkSpec {
     val codeScans = allScans(executed)
       .filter(_.metadata.get("Location").exists(_.contains("codes")))
     assert(codeScans.nonEmpty, s"no codes scan found:\n$executed")
+    // Leaf partitions are (batch_key, cell) pairs since the batch-keyed
+    // layout: pruning must still select only the probed CELLS — at most
+    // probeCells per batch directory, out of all cells the index holds.
     val scanned = codeScans.map(_.selectedPartitions.partitionCount).max
-    val totalCellDirs = Files.list(Paths.get(s"$root/codes")).iterator().asScala
-      .count(p => p.getFileName.toString.startsWith("cell="))
-    assert(totalCellDirs > AnnIndex.probeCells,
-      s"fixture must have more cells than probes to make pruning observable ($totalCellDirs)")
-    assert(scanned <= AnnIndex.probeCells,
-      s"codes scan read $scanned partitions, expected <= ${AnnIndex.probeCells} probed of $totalCellDirs")
+    val cellDirs = Files.walk(Paths.get(s"$root/codes")).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("cell="))
+      .map(_.getFileName.toString).toSeq
+    val distinctCells = cellDirs.distinct.size
+    val batchDirs = Files.list(Paths.get(s"$root/codes")).iterator().asScala
+      .count(p => p.getFileName.toString.startsWith("batch_key="))
+    assert(distinctCells > AnnIndex.probeCells,
+      s"fixture must have more cells than probes to make pruning observable ($distinctCells)")
+    assert(scanned <= AnnIndex.probeCells * batchDirs,
+      s"codes scan read $scanned leaf partitions, expected <= " +
+        s"${AnnIndex.probeCells} probed cells x $batchDirs batch dirs " +
+        s"of ${cellDirs.size} total")
 
     // --- exactness: replicate the probed-cell pipeline driver-side.
     val (cents, mn, span) = {
@@ -183,7 +192,8 @@ class AnnIndexSpec extends SparkSpec {
     }
     val surviving = vecs.where(!col("vec_id").isin(firstTop.toSeq: _*))
     val rebuilt = codeSet(AnnIndex.encode(surviving, cents, mn, span))
-    val compacted = spark.read.parquet(s"$root/codes").withColumn("cell", col("cell").cast("long"))
+    val compacted = spark.read.parquet(s"$root/codes")
+      .withColumn("cell", col("cell").cast("long")).drop("batch_key")
     assert(codeSet(compacted) == rebuilt,
       "compacted codes must equal a frozen-quantizer encode of the surviving vectors")
     assert(!Files.isDirectory(Paths.get(s"$root/tombstones")),

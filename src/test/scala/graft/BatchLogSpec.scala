@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.operators.{AnnIndex, BatchLog, ClusterLabels, CosineDedupIndex, PqIndex, SignatureIndex}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Replay idempotence of the batch-keyed index logs: a driver that dies
+  * AFTER a batch's append committed and then replays the batch (the
+  * standard at-least-once retry) must leave every index byte-equivalent
+  * to a single ingest — no duplicate signature/code rows, no inflated
+  * delta pairs or stats, no burned label batch numbers. Plus the legacy
+  * (pre-batch-format) layout gate: unversioned roots are refused loudly
+  * and migrate in place. */
+class BatchLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private val batchA = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog today",
+    2L -> "the quick brown fox jumps over the lazy cat today",
+    3L -> "completely different text about spark engines and parquet files")
+  private val batchB = Seq(
+    4L -> "the quick brown fox jumps over the lazy dog yesterday",
+    5L -> "another unrelated document with entirely distinct words inside",
+    6L -> "completely different text about spark engines and parquet files")
+
+  private def batchDirs(path: String): Seq[String] =
+    if (!Files.isDirectory(Paths.get(path))) Seq.empty
+    else Files.list(Paths.get(path)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("batch_key=")).toSeq.sorted
+
+  private def pairSet(df: DataFrame) =
+    df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("signature index: replaying a keyed batch replaces itself — state equals a single ingest") {
+    val root = Files.createTempDirectory("graft_bk_sig").toString
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("b1"))
+    val b2 = SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("b2"))
+    val wantPairs = pairSet(b2.deltaPairs)
+    val wantRows = SignatureIndex.readIndex(spark, root)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    CacheJanitor.drain()
+
+    // Crash-after-commit retry: same increment, same key.
+    val replay = SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("b2"))
+    val replayPairs = pairSet(replay.deltaPairs)
+    val gotRows = SignatureIndex.readIndex(spark, root)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    CacheJanitor.drain()
+
+    assert(gotRows == wantRows, "replay must not add rows")
+    assert(SignatureIndex.readIndex(spark, root).count() == wantRows.size,
+      "no duplicate physical rows after replay")
+    assert(replayPairs == wantPairs, "replayed delta pairs must equal the original batch's")
+    assert(batchDirs(s"$root/signatures") == Seq("batch_key=bb1", "batch_key=bb2"),
+      "replay must reuse its own batch directory, not append a third")
+  }
+
+  test("cluster labels: a replayed merge reproduces its own batch number and state") {
+    val root = Files.createTempDirectory("graft_bk_lbl").toString
+    def labelMap() = ClusterLabels.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    ClusterLabels.merge(spark, root,
+      Seq((1L, 2L)).toDF("doc_a", "doc_b"),
+      Seq(1L, 2L, 3L).toDF("doc_id"), batchKey = Some("b1"))
+    ClusterLabels.merge(spark, root,
+      Seq((2L, 4L)).toDF("doc_a", "doc_b"),
+      Seq(4L, 5L).toDF("doc_id"), batchKey = Some("b2"))
+    CacheJanitor.drain()
+    val want = labelMap()
+    val wantBatch = ClusterLabels.latestBatch(spark, root)
+    val wantLogRows = spark.read.parquet(ClusterLabels.dir(root)).count()
+
+    // Replay batch 2 after a simulated crash-after-commit.
+    ClusterLabels.merge(spark, root,
+      Seq((2L, 4L)).toDF("doc_a", "doc_b"),
+      Seq(4L, 5L).toDF("doc_id"), batchKey = Some("b2"))
+    CacheJanitor.drain()
+
+    assert(labelMap() == want, "labels must be unchanged by the replay")
+    assert(ClusterLabels.latestBatch(spark, root) == wantBatch,
+      "replay must not burn a batch number")
+    assert(spark.read.parquet(ClusterLabels.dir(root)).count() == wantLogRows,
+      "replay must not grow the label log")
+    assert(batchDirs(ClusterLabels.dir(root)) == Seq("batch_key=bb1", "batch_key=bb2"))
+    // keeperDelta of the replayed batch is still one coherent delta.
+    assert(ClusterLabels.keeperDelta(spark, root, wantBatch).count() > 0)
+  }
+
+  test("cosine index: replayed ingest leaves codes, deltas, and mask as a single ingest") {
+    val root = Files.createTempDirectory("graft_bk_cos").toString
+    def vec(seed: Long) = Array.tabulate(8)(i => if (i == (seed % 8).toInt) 1.0f else 0.0f)
+    val va = (0L until 40L).map(i => (i, vec(i).toSeq)).toDF("vec_id", "embedding")
+    val vb = (40L until 60L).map(i => (i, vec(i).toSeq)).toDF("vec_id", "embedding")
+
+    CosineDedupIndex.ingest(spark, root, va, batchKey = Some("b1"))
+    val b2 = CosineDedupIndex.ingest(spark, root, vb, batchKey = Some("b2"))
+    val wantPairs = b2.deltaPairs.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantCount = CosineDedupIndex.readIndex(spark, root).count()
+    val mask = CosineDedupIndex.frozenMask(spark, root).get
+    CacheJanitor.drain()
+
+    val replay = CosineDedupIndex.ingest(spark, root, vb, batchKey = Some("b2"))
+    val gotPairs = replay.deltaPairs.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    CacheJanitor.drain()
+
+    assert(CosineDedupIndex.readIndex(spark, root).count() == wantCount)
+    assert(gotPairs == wantPairs)
+    assert(CosineDedupIndex.frozenMask(spark, root).contains(mask))
+    assert(batchDirs(s"$root/codes") == Seq("batch_key=bb1", "batch_key=bb2"))
+  }
+
+  test("ANN indexes: replayed ingest leaves codes identical to a single ingest") {
+    val dir0 = "/root/testdata/sf0.01"
+    val vecs = Tables.embeddings(spark, dir0).select("vec_id", "embedding")
+    def codeSet(df: DataFrame) =
+      df.select("vec_id", "cell", "codes").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+
+    val rootA = Files.createTempDirectory("graft_bk_ann").toString
+    AnnIndex.ingest(spark, rootA, vecs.where(col("vec_id") < 250), batchKey = Some("b1"))
+    val b2 = AnnIndex.ingest(spark, rootA, vecs.where(col("vec_id") >= 250), batchKey = Some("b2"))
+    val want = codeSet(b2.allCodes); CacheJanitor.drain()
+    val rep = AnnIndex.ingest(spark, rootA, vecs.where(col("vec_id") >= 250), batchKey = Some("b2"))
+    assert(codeSet(rep.allCodes) == want)
+    assert(rep.allCodes.count() == want.size, "no duplicate rows after replay")
+    CacheJanitor.drain()
+    assert(batchDirs(s"$rootA/codes") == Seq("batch_key=bb1", "batch_key=bb2"))
+
+    val rootP = Files.createTempDirectory("graft_bk_pq").toString
+    PqIndex.ingest(spark, rootP, vecs.where(col("vec_id") < 250), batchKey = Some("b1"))
+    val p2 = PqIndex.ingest(spark, rootP, vecs.where(col("vec_id") >= 250), batchKey = Some("b2"))
+    val wantP = codeSet(p2.allCodes); CacheJanitor.drain()
+    val repP = PqIndex.ingest(spark, rootP, vecs.where(col("vec_id") >= 250), batchKey = Some("b2"))
+    assert(codeSet(repP.allCodes) == wantP)
+    assert(repP.allCodes.count() == wantP.size, "no duplicate rows after replay")
+    CacheJanitor.drain()
+  }
+
+  test("keyless ingests still accumulate distinct auto-keyed batches") {
+    val root = Files.createTempDirectory("graft_bk_auto").toString
+    SignatureIndex.ingest(spark, root, docs(batchA: _*))
+    SignatureIndex.ingest(spark, root, docs(batchB: _*))
+    CacheJanitor.drain()
+    assert(batchDirs(s"$root/signatures") == Seq("batch_key=a00001", "batch_key=a00002"))
+    assert(SignatureIndex.readIndex(spark, root).count() == 6)
+    CacheJanitor.drain()
+  }
+
+  test("a legacy flat-append root is refused loudly and migrates in place") {
+    val root = Files.createTempDirectory("graft_bk_legacy").toString
+    // Simulate a pre-change index: flat parquet files, UNSORTED shingle
+    // arrays (array_distinct order), no format marker.
+    val legacyRows = SignatureIndex.signatures(docs(batchA: _*))
+      .select(col("doc_id"), reverse(col("shs")).as("shs"))
+    legacyRows.write.mode("append").parquet(s"$root/signatures")
+
+    val e = intercept[IllegalArgumentException](
+      SignatureIndex.readIndex(spark, root).collect())
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      SignatureIndex.ingest(spark, root, docs(batchB: _*)))
+    assert(e2.getMessage.contains("legacy"), e2.getMessage)
+    CacheJanitor.drain()
+
+    // Migration re-sorts rows (the intersect kernel's precondition) and
+    // adopts the batch-keyed layout; ingest then proceeds normally.
+    SignatureIndex.migrateLegacy(spark, root)
+    val migrated = SignatureIndex.readIndex(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(migrated.keySet == Set(1L, 2L, 3L))
+    assert(migrated.values.forall(s => s == s.sorted), "migration must re-sort signatures")
+    val b2 = SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("b2"))
+    // Post-migration pair detection is exact: the cross-batch exact dup
+    // (3,6) at jaccard 1.0 must surface — it is precisely the pair an
+    // unsorted legacy row would have silently dropped.
+    assert(pairSet(b2.deltaPairs).contains((3L, 6L)))
+    CacheJanitor.drain()
+  }
+}

@@ -98,13 +98,22 @@ class PqIndexSpec extends SparkSpec {
     val codeScans = allScans(executed)
       .filter(_.metadata.get("Location").exists(_.contains("codes")))
     assert(codeScans.nonEmpty, s"no codes scan found:\n$executed")
+    // Leaf partitions are (batch_key, cell) pairs since the batch-keyed
+    // layout: pruning must still select only the probed CELLS — at most
+    // probeCells per batch directory, out of all cells the index holds.
     val scanned = codeScans.map(_.selectedPartitions.partitionCount).max
-    val totalCellDirs = Files.list(Paths.get(s"$root/codes")).iterator().asScala
-      .count(p => p.getFileName.toString.startsWith("cell="))
-    assert(totalCellDirs > PqIndex.probeCells,
-      s"fixture must have more cells than probes to make pruning observable ($totalCellDirs)")
-    assert(scanned <= PqIndex.probeCells,
-      s"codes scan read $scanned partitions, expected <= ${PqIndex.probeCells} probed of $totalCellDirs")
+    val cellDirs = Files.walk(Paths.get(s"$root/codes")).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("cell="))
+      .map(_.getFileName.toString).toSeq
+    val distinctCells = cellDirs.distinct.size
+    val batchDirs = Files.list(Paths.get(s"$root/codes")).iterator().asScala
+      .count(p => p.getFileName.toString.startsWith("batch_key="))
+    assert(distinctCells > PqIndex.probeCells,
+      s"fixture must have more cells than probes to make pruning observable ($distinctCells)")
+    assert(scanned <= PqIndex.probeCells * batchDirs,
+      s"codes scan read $scanned leaf partitions, expected <= " +
+        s"${PqIndex.probeCells} probed cells x $batchDirs batch dirs " +
+        s"of ${cellDirs.size} total")
 
     // --- exactness: replicate the probed-cell ADC pipeline driver-side
     // with the same fold orders (left-to-right everywhere).
