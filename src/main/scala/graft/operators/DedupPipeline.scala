@@ -14,15 +14,26 @@ import org.apache.spark.sql.functions._
   *      cluster assignment (CC over delta ∪ touched components only);
   *      every increment doc gets a label, including unshingleable ones
   *      (singletons by definition — a doc with no signature can never
-  *      pair);
-  *   3. an ATOMIC refresh of the `keeper_manifest` snapshot
-  *      ([[LandingLog.writeSnapshot]] stage-then-commit), the table a
-  *      downstream training-data reader anti-joins to drop near-dups.
+  *      pair).
   *
-  * Per-batch cost is O(increment ∪ touched components) compute plus one
-  * manifest rewrite (corpus-row-sized but tiny rows; retention/time
-  * travel available via the snapshot layer). [[ClusterLabels.keeperDelta]]
-  * serves consumers that apply keeper changes incrementally instead.
+  * The keeper manifest is NOT a third persisted table: `keep` is a pure
+  * function of the label table (`doc_id == label` under the engine's
+  * min-id keeper policy), and the label log ALREADY is an append-only
+  * keep-last log of exactly the rows each batch (re)defines. So
+  * [[keeperManifest]] derives the manifest from
+  * [[ClusterLabels.read]]'s fold, [[ClusterLabels.keeperDelta]] serves
+  * consumers applying keeper changes incrementally, and per-batch write
+  * cost is O(increment ∪ touched components) — nothing corpus-sized is
+  * written on the batch path (pre-round-8 this rewrote a corpus-row
+  * manifest snapshot every batch, the one write that grew with the
+  * corpus instead of the increment). [[snapshotManifest]] still
+  * materializes a pinned, versioned manifest snapshot — on the
+  * operator's compaction/retention schedule ("the corpus exactly as
+  * training run X saw it"), not per batch.
+  *
+  * `batchKey` threads the landing batch id through both index appends
+  * ([[BatchLog]]): a crash-after-commit replay of the same batch leaves
+  * every persisted state identical to a single run.
   */
 object DedupPipeline {
 
@@ -33,25 +44,45 @@ object DedupPipeline {
     * must be new to the index (keep-last dedup is the landing layer's
     * job, as in the star pipeline). Returns the batch's observable
     * counts (all metadata-scale aggregates). */
-  def runOnce(spark: SparkSession, root: String, increment: DataFrame): BatchStats = {
-    val b = SignatureIndex.ingest(spark, root, increment)
-    val labels = ClusterLabels.merge(spark, root,
-      b.deltaPairs.select(col("doc_a"), col("doc_b")),
-      increment.select(col("doc_id")))
-    val manifest = graft.CacheJanitor.register(
-      ClusterLabels.keeperManifest(labels).persist())
-    LandingLog.writeSnapshot(manifest, root, "keeper_manifest")
+  def runOnce(spark: SparkSession, root: String, increment: DataFrame,
+      batchKey: Option[String] = None): BatchStats = {
+    val b = SignatureIndex.ingest(spark, root, increment, batchKey = batchKey)
+    // One materialization of the batch's pairs, shared by the label
+    // merge and the stats count — without it the count re-runs the
+    // whole posting-join + Jaccard verify (measured ~2.9 s/recompute
+    // at sf0.1).
+    val pairs = graft.CacheJanitor.register(
+      b.deltaPairs.select(col("doc_a"), col("doc_b")).persist())
+    val labels = graft.CacheJanitor.register(
+      ClusterLabels.merge(spark, root, pairs,
+        increment.select(col("doc_id")), batchKey).persist())
     val stats = BatchStats(
       newDocs = increment.count(),
-      deltaPairs = b.deltaPairs.count(),
-      clusters = manifest.select("label").distinct().count(),
-      keepers = manifest.where(col("keep")).count())
+      deltaPairs = pairs.count(),
+      clusters = labels.select("label").distinct().count(),
+      keepers = labels.where(col("doc_id") === col("label")).count())
     graft.CacheJanitor.drain()
     stats
   }
 
-  /** The current keeper manifest (atomic snapshot read). */
+  /** The LIVE keeper manifest `(doc_id, label, keep)`: derived from the
+    * label log's keep-last fold — always current, no per-batch
+    * materialization to go stale or to pay for. */
   def keeperManifest(spark: SparkSession, root: String): DataFrame =
+    ClusterLabels.keeperManifest(ClusterLabels.read(spark, root))
+
+  /** Materialize a PINNED manifest snapshot through the atomic
+    * versioned-snapshot protocol — the scheduled (compaction-cadence)
+    * operation for consumers that need reproducibility or a plain-scan
+    * read path; `keepVersions >= 2` retains history for time travel
+    * (and for readers overlapping the next refresh). */
+  def snapshotManifest(spark: SparkSession, root: String,
+      keepVersions: Int = 1): Unit =
+    LandingLog.writeSnapshot(keeperManifest(spark, root), root,
+      "keeper_manifest", keepVersions = keepVersions)
+
+  /** Read back the newest pinned snapshot from [[snapshotManifest]]. */
+  def pinnedManifest(spark: SparkSession, root: String): DataFrame =
     LandingLog.readSnapshot(spark, root, "keeper_manifest")
 
   /** Deduplicate a corpus frame against the manifest: keep exactly the

@@ -49,4 +49,81 @@ class DedupPipelineSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 3L, 5L, 7L, 99L))
   }
+
+  test("a batch writes O(increment) bytes — never a corpus-sized manifest") {
+    import scala.jdk.CollectionConverters._
+    def gen(i: Long) = i ->
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
+    def allFiles(root: String): Map[String, (Long, Long)] =
+      Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
+        .map(p => p.toString ->
+          (Files.getLastModifiedTime(p).toMillis, Files.size(p))).toMap
+
+    // Same 2-doc increment against a 200-doc corpus and a 10-doc corpus:
+    // the bytes a batch writes must not scale with corpus size.
+    val bigRoot = Files.createTempDirectory("graft_dp_big").toString
+    val smallRoot = Files.createTempDirectory("graft_dp_small").toString
+    DedupPipeline.runOnce(spark, bigRoot, docs((1L to 200L).map(gen): _*),
+      batchKey = Some("b1"))
+    DedupPipeline.runOnce(spark, smallRoot, docs((1L to 10L).map(gen): _*),
+      batchKey = Some("b1"))
+    val bigAfter1 = allFiles(bigRoot)
+    val smallAfter1 = allFiles(smallRoot)
+    val increment = docs(501L -> gen(5L)._2, 502L -> gen(501L)._2)
+    DedupPipeline.runOnce(spark, bigRoot, increment, batchKey = Some("b2"))
+    DedupPipeline.runOnce(spark, smallRoot, increment, batchKey = Some("b2"))
+    val bigAfter2 = allFiles(bigRoot)
+    val smallAfter2 = allFiles(smallRoot)
+
+    // Batch-1 state is byte-untouched; batch 2 only ADDS files.
+    bigAfter1.foreach { case (f, sig) =>
+      assert(bigAfter2.get(f).contains(sig), s"batch 2 rewrote $f")
+    }
+    // No corpus-row manifest is materialized on the batch path at all.
+    assert(!Files.exists(java.nio.file.Paths.get(s"$bigRoot/keeper_manifest")),
+      "runOnce must not write a manifest snapshot per batch")
+    // The bytes batch 2 added over the 200-doc corpus match the bytes
+    // the SAME increment added over the 10-doc corpus (2x slack for
+    // nondeterministic file splits): per-batch write cost tracks the
+    // increment, not the corpus.
+    def newBytes(before: Map[String, (Long, Long)], after: Map[String, (Long, Long)]) =
+      after.filterNot { case (f, _) => before.contains(f) }.values.map(_._2).sum
+    val bigNew = newBytes(bigAfter1, bigAfter2)
+    val smallNew = newBytes(smallAfter1, smallAfter2)
+    assert(bigNew <= 2 * smallNew,
+      s"batch-2 bytes over 200-doc corpus ($bigNew) must track the increment " +
+        s"(10-doc corpus wrote $smallNew)")
+    // And the live manifest over the big corpus is still correct: the
+    // exact dup of doc 5 lost to the min-id keeper.
+    val m = DedupPipeline.keeperManifest(spark, bigRoot)
+      .where($"doc_id" === 501L).collect()
+    assert(m.length == 1 && !m(0).getBoolean(2) && m(0).getLong(1) == 5L)
+  }
+
+  test("pinned snapshot: scheduled materialization, stale until refreshed") {
+    val root = Files.createTempDirectory("graft_dp_pin").toString
+    DedupPipeline.runOnce(spark, root, docs(batchA: _*), batchKey = Some("b1"))
+    DedupPipeline.snapshotManifest(spark, root, keepVersions = 2)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val pinned1 = asMap(DedupPipeline.pinnedManifest(spark, root))
+    assert(pinned1 === asMap(DedupPipeline.keeperManifest(spark, root)),
+      "a fresh pin equals the live manifest")
+
+    DedupPipeline.runOnce(spark, root, docs(batchB: _*), batchKey = Some("b2"))
+    // The pin is reproducible state: batch 2 must NOT move it...
+    assert(asMap(DedupPipeline.pinnedManifest(spark, root)) === pinned1)
+    // ...while the live manifest reflects the merge immediately.
+    assert(asMap(DedupPipeline.keeperManifest(spark, root)) !== pinned1)
+    // A scheduled refresh re-pins; the previous version stays readable
+    // under keepVersions = 2 (time travel / overlapping readers).
+    DedupPipeline.snapshotManifest(spark, root, keepVersions = 2)
+    assert(asMap(DedupPipeline.pinnedManifest(spark, root)) ===
+      asMap(DedupPipeline.keeperManifest(spark, root)))
+    val versions = graft.sources.LandingLog.listVersions(root, "keeper_manifest")
+    assert(versions.size == 2, s"two retained versions expected: $versions")
+    assert(asMap(graft.sources.LandingLog.readSnapshotAt(spark, root,
+      "keeper_manifest", versions.head)) === pinned1)
+  }
 }
