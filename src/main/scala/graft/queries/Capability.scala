@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{GQuery, Tables}
+import graft.functions.TextSim
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 
@@ -9,8 +10,11 @@ import org.apache.spark.sql.functions._
   * an oracle on their RAW estimates (engine-specific sketch internals),
   * so each emits exact companions plus a published-bound check the
   * oracle pins as having held — a real red/green driver signal instead
-  * of `no_oracle`. Only c02 stays rows-only (its decoder is an
-  * engine-internal stub; MultimodalSpec pins its semantics).
+  * of `no_oracle`. c02's decode runs the stub codec, but the stub is a
+  * DETERMINISTIC byte-fold the oracle replays symbolically (the same
+  * replay t51's oracle already hash-matches), so its per-media_type
+  * aggregates get a full rows+schema+hash oracle too — no registry row
+  * is `no_oracle` anymore.
   */
 object Capability {
 
@@ -43,7 +47,14 @@ object Capability {
   /** c02 — multimodal decode pipeline end-to-end: documents → binary
     * payloads → batched per-partition stub decode → feature aggregation.
     * Exercises the mapPartitions batch contract through the driver
-    * harness (no oracle — the stub codec is engine-internal). */
+    * harness. The oracle replays the stub decoder's byte-fold
+    * symbolically: the checksum is the same `h = (h*31 + byte) % P`
+    * fold as `graft_poly_hash` over the whole text (UTF-8 bytes ==
+    * code points on the ASCII corpus — the identity t51's oracle
+    * already hash-matches end-to-end), `n_bytes` is the text length,
+    * and `n_frames` its 64-byte frame count. A decoder drift now turns
+    * this row red in the driver artifact instead of hiding behind
+    * `no_oracle`; `MultimodalSpec` still pins the batching contract. */
   private val c02 = GQuery(
     fn = (s, dir) => {
       val media = Multimodal.documentsAsMedia(Tables.documents(s, dir))
@@ -56,7 +67,13 @@ object Capability {
           max(col("checksum")).as("max_checksum"))
         .orderBy(col("media_type"))
     },
-    oracle = None)
+    oracle = Some(
+      s"""SELECT 'image/stub' AS media_type,
+         |  CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+         |  CAST(sum(length(text) // 64) AS BIGINT) AS total_frames,
+         |  CAST(max(${TextSim.wordHash(TextSim.duck, "text")}) AS BIGINT) AS max_checksum
+         |FROM documents ORDER BY media_type""".stripMargin))
 
   /** c03 — sampled quantile sketch: approx percentiles via Spark's
     * Greenwald-Khanna sketch (mergeable; the scale path when exact
