@@ -108,6 +108,7 @@ object AnnIndex {
     * [[SignatureIndex.ingest]]). */
   def ingest(spark: SparkSession, root: String, increment: DataFrame,
       batchKey: Option[String] = None): Batch = {
+    refreezeRecover(spark, root)
     val (cents, mn, span) = loadOrTrain(spark, root, increment)
     val enc = graft.CacheJanitor.register(encode(increment, cents, mn, span).persist())
     // Batch-keyed append ([[BatchLog]]): `batch_key=<key>/cell=<id>/`
@@ -123,6 +124,7 @@ object AnnIndex {
     * BIGINT — partition-column inference reads `cell=` dirs as INT)
     * minus tombstoned vec_ids. */
   private def readCodes(spark: SparkSession, root: String): DataFrame = {
+    refreezeRecover(spark, root)
     Tombstones.recoverCompaction(spark, root, s"$root/codes.__compact_tmp", s"$root/codes")
     Tombstones.exclude(
       BatchLog.read(spark, s"$root/codes", "AnnIndex")
@@ -140,8 +142,10 @@ object AnnIndex {
     * files stay byte-untouched (spec-pinned); the ids stop appearing as
     * [[topK]] neighbors from this call on. The frozen quantizer is
     * unaffected: removal never retrains (same contract as ingest). */
-  def remove(spark: SparkSession, root: String, ids: DataFrame): Unit =
+  def remove(spark: SparkSession, root: String, ids: DataFrame): Unit = {
+    refreezeRecover(ids.sparkSession, root)
     Tombstones.append(root, ids, "vec_id")
+  }
 
   def remove(spark: SparkSession, root: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
@@ -159,10 +163,81 @@ object AnnIndex {
     Tombstones.commitCompaction(spark, root, tmp, dest)
   }
 
+  // ---------------------------------------------------------------- refreeze
+
+  private def codesRefreezeTmp(root: String): String = s"$root/codes.__refreeze_tmp"
+  private def quantRefreezeTmp(root: String): String = s"$root/quantizer.__refreeze_tmp"
+
+  /** Ladder-step migration — the escape hatch for a quantizer frozen on
+    * a first batch the corpus has long outgrown (cells sized for the
+    * wrong √n, per-dim ranges clamping too much mass). Retrains the
+    * coarse + scalar quantizers on the SURVIVING vectors (`corpus` must
+    * supply `(vec_id, embedding)` floats for at least the live ids —
+    * int8 codes are lossy, so retraining needs the originals; same as
+    * FAISS re-indexing), re-encodes every survivor, folds tombstones
+    * out, and atomically swaps BOTH the quantizer and the codes.
+    * Afterwards the state is content-identical to a from-scratch first
+    * ingest of the survivors, and [[topK]] semantics carry over with
+    * the new cell geometry.
+    *
+    * Crash safety: quantizer then codes are FULLY staged, a completion
+    * marker lands last, then the commit swaps quantizer first, codes
+    * second. [[refreezeRecover]] (probed by every entry point)
+    * completes a marked commit idempotently — the quantizer swap is
+    * skipped when its tmp is already gone — and drops an unmarked
+    * partial stage, so readers can never see a new quantizer with old
+    * codes or vice versa. */
+  def refreeze(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
+    refreezeRecover(spark, root)
+    val liveIds = readCodes(spark, root).select("vec_id")
+    val survivors = graft.CacheJanitor.register(
+      corpus.select(col("vec_id"), col("embedding"))
+        .join(liveIds, Seq("vec_id"), "left_semi").persist())
+    survivors.createOrReplaceTempView("graft_ann_refreeze")
+    val cents = TrainingData.trainCentroids(spark, "graft_ann_refreeze")
+    val (mn, span) = TrainingData.quantStats(spark, "graft_ann_refreeze")
+    import spark.implicits._
+    val qtmp = quantRefreezeTmp(root)
+    RefreezeProtocol.deleteIfExists(spark, qtmp)
+    cents.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$qtmp/centroids")
+    mn.indices.map(i => (i.toLong, mn(i), span(i)))
+      .toDF("pos", "mn", "span")
+      .coalesce(1).write.mode("overwrite").parquet(s"$qtmp/stats")
+    val ctmp = codesRefreezeTmp(root)
+    BatchLog.stage(encode(survivors, cents, mn, span), ctmp, partitionBy = Seq("cell"))
+    RefreezeProtocol.writeMarker(spark, ctmp, "ann")
+    commitRefreeze(spark, root)
+    graft.CacheJanitor.drain()
+  }
+
+  private def commitRefreeze(spark: SparkSession, root: String): Unit = {
+    RefreezeProtocol.swapIfStaged(spark, quantRefreezeTmp(root), s"$root/quantizer")
+    Tombstones.commitCompaction(spark, root, codesRefreezeTmp(root), s"$root/codes")
+  }
+
+  /** Complete or abandon a crashed [[refreeze]] — see its scaladoc. */
+  private def refreezeRecover(spark: SparkSession, root: String): Unit = {
+    val ctmp = codesRefreezeTmp(root)
+    if (RefreezeProtocol.exists(spark, ctmp)) {
+      if (RefreezeProtocol.readMarker(spark, ctmp).isDefined)
+        commitRefreeze(spark, root)
+      else {
+        RefreezeProtocol.deleteIfExists(spark, ctmp)
+        RefreezeProtocol.deleteIfExists(spark, quantRefreezeTmp(root))
+      }
+    } else
+      // A quantizer tmp without a codes tmp is a stage that died before
+      // the codes were staged — never committable.
+      RefreezeProtocol.deleteIfExists(spark, quantRefreezeTmp(root))
+  }
+
   /** Approximate (or exactly re-ranked) top-k neighbors for a
     * `(query_id, embedding)` frame against the persisted index. */
   def topK(spark: SparkSession, root: String, queries: DataFrame, k: Int = 3,
       rerank: Option[DataFrame] = None): DataFrame = {
+    refreezeRecover(spark, root)
     val (cents, mn, span) = loadQuantizer(spark, root)
       .getOrElse(sys.error(s"no ANN index at $root — ingest at least one batch first"))
     val d = sprk

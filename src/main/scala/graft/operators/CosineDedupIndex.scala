@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   * so later batches reuse it even as the corpus grows past the ladder
   * step the mask was chosen at. The honest cost is bucket occupancy
   * drifting above the ~16-vectors/bucket design point as the corpus
-  * outgrows the first batch; the escape hatch is a rebuild at the new
-  * ladder step ([[compact]] keeps the mask; a re-ingest from scratch
-  * re-freezes it) — exactly FAISS's retrain-when-distribution-shifts
-  * contract.
+  * outgrows the first batch; [[refreeze]] is the ladder-step migration
+  * that pays it down — re-derive the mask from the live count,
+  * re-encode survivors, atomic swap ([[occupancy]] is the drift signal
+  * to schedule it on) — exactly FAISS's
+  * retrain-when-distribution-shifts contract.
   *
   * [[deltaPairs]] finds the batch's near-dup pairs from the NEW side's
   * probes only: Hamming≤1 bucket probing is symmetric (a probes b's
@@ -83,6 +84,7 @@ object CosineDedupIndex {
     * own files instead of double-appending. */
   def ingest(spark: SparkSession, root: String, increment: DataFrame,
       batchKey: Option[String] = None): Batch = {
+    refreezeRecover(spark, root)
     val mask = frozenMask(spark, root).getOrElse {
       val m = TextSim.lshMaskValue(increment.count()).toLong
       import spark.implicits._
@@ -101,6 +103,7 @@ object CosineDedupIndex {
   /** Live code rows: the snapshot minus tombstoned vec_ids (compaction
     * crash-recovery probed first — see [[Tombstones.recoverCompaction]]). */
   def readIndex(spark: SparkSession, root: String): DataFrame = {
+    refreezeRecover(spark, root)
     Tombstones.recoverCompaction(spark, root,
       s"${codesDir(root)}.__compact_tmp", codesDir(root))
     Tombstones.exclude(BatchLog.read(spark, codesDir(root), "CosineDedupIndex"),
@@ -113,9 +116,13 @@ object CosineDedupIndex {
     BatchLog.adoptLegacy(spark, codesDir(root))
 
   /** Tombstone vec_ids out of the index — snapshot files stay
-    * byte-untouched; the ids vanish from reads and deltas immediately. */
+    * byte-untouched; the ids vanish from reads and deltas immediately.
+    * (Recovery first: a tombstone recorded between a crashed refreeze's
+    * stage and its completion would be silently cleared by the deferred
+    * commit.) */
   def remove(spark: SparkSession, root: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
+    refreezeRecover(spark, root)
     Tombstones.append(root, ids.toDF("vec_id"), "vec_id")
   }
 
@@ -127,6 +134,69 @@ object CosineDedupIndex {
     val tmp = s"$path.__compact_tmp"
     BatchLog.stage(readIndex(spark, root), tmp)
     Tombstones.commitCompaction(spark, root, tmp, path)
+  }
+
+  // ---------------------------------------------------------------- refreeze
+
+  private def refreezeTmp(root: String): String = s"${codesDir(root)}.__refreeze_tmp"
+
+  /** The documented escape hatch for mask drift, implemented: as the
+    * corpus outgrows the first batch's ladder step, bucket occupancy
+    * climbs past the ~16-vectors/bucket design point and candidate
+    * counts grow with it. [[refreeze]] re-derives the mask from the
+    * CURRENT live count, re-encodes the survivors under it (embeddings
+    * are stored in the code rows, so no external corpus is needed),
+    * folds tombstones out, and swaps — afterwards the on-disk state is
+    * content-identical to a from-scratch first-batch ingest of the
+    * survivors ([[deltaPairs]] semantics carry over unchanged under the
+    * new bucketing). This is FAISS's retrain-when-distribution-shifts
+    * contract, scheduled by the operator (see [[occupancy]] for the
+    * "when").
+    *
+    * Crash safety: the re-encoded codes are FULLY staged, then a
+    * completion marker lands (its presence = "stage complete, commit
+    * intended"), then the commit runs — meta snapshot (atomic), codes
+    * swap, tombstone clear. Every read/ingest/remove path first calls
+    * [[refreezeRecover]]: marker present → the commit is completed
+    * idempotently; marker absent → the partial stage is dropped. A
+    * crash can therefore never mix old buckets with a new mask. */
+  def refreeze(spark: SparkSession, root: String): Unit = {
+    refreezeRecover(spark, root) // finish any prior attempt first
+    val live = graft.CacheJanitor.register(readIndex(spark, root).persist())
+    val newMask = TextSim.lshMaskValue(live.count()).toLong
+    val tmp = refreezeTmp(root)
+    BatchLog.stage(encode(live.select(col("vec_id"), col("embedding")), newMask), tmp)
+    RefreezeProtocol.writeMarker(spark, tmp, newMask.toString)
+    commitRefreeze(spark, root, newMask)
+    graft.CacheJanitor.drain()
+  }
+
+  /** Average live vectors per occupied bucket — the drift signal an
+    * operator schedules [[refreeze]] on (design point ~16; the ladder
+    * steps in powers of two, so occupancy past ~32 means the corpus has
+    * outgrown the frozen step). */
+  def occupancy(spark: SparkSession, root: String): Double = {
+    val live = readIndex(spark, root)
+    val r = live.agg(count(lit(1)).cast("double").as("n"),
+      count_distinct(col("bucket")).cast("double").as("b")).head
+    if (r.getDouble(1) == 0.0) 0.0 else r.getDouble(0) / r.getDouble(1)
+  }
+
+  private def commitRefreeze(spark: SparkSession, root: String, mask: Long): Unit = {
+    import spark.implicits._
+    graft.sources.LandingLog.writeSnapshot(
+      Seq(mask).toDF("mask").coalesce(1), root, "meta")
+    Tombstones.commitCompaction(spark, root, refreezeTmp(root), codesDir(root))
+  }
+
+  /** Complete or abandon a crashed [[refreeze]] — see its scaladoc. */
+  private def refreezeRecover(spark: SparkSession, root: String): Unit = {
+    val tmp = refreezeTmp(root)
+    if (RefreezeProtocol.exists(spark, tmp))
+      RefreezeProtocol.readMarker(spark, tmp) match {
+        case Some(mask) => commitRefreeze(spark, root, mask.toLong)
+        case None => RefreezeProtocol.deleteIfExists(spark, tmp)
+      }
   }
 
   /** Near-dup pairs touching at least one `newCodes` vector: Hamming≤1

@@ -117,6 +117,7 @@ object PqIndex {
     * the replay-idempotence handle ([[BatchLog]]). */
   def ingest(spark: SparkSession, root: String, increment: DataFrame,
       batchKey: Option[String] = None): Batch = {
+    refreezeRecover(spark, root)
     val (cents, cb) = loadOrTrain(spark, root, increment)
     val enc = graft.CacheJanitor.register(encode(increment, cents, cb).persist())
     BatchLog.append(enc, s"$root/codes", batchKey, "PqIndex", partitionBy = Seq("cell"))
@@ -125,6 +126,7 @@ object PqIndex {
 
   /** Live code rows: snapshot minus tombstoned vec_ids. */
   private def readCodes(spark: SparkSession, root: String): DataFrame = {
+    refreezeRecover(spark, root)
     Tombstones.recoverCompaction(spark, root, s"$root/codes.__compact_tmp", s"$root/codes")
     Tombstones.exclude(
       BatchLog.read(spark, s"$root/codes", "PqIndex")
@@ -139,8 +141,10 @@ object PqIndex {
 
   /** Tombstone vec_ids out of the index — code files stay byte-untouched;
     * the frozen quantizers are never retrained. */
-  def remove(spark: SparkSession, root: String, ids: DataFrame): Unit =
+  def remove(spark: SparkSession, root: String, ids: DataFrame): Unit = {
+    refreezeRecover(ids.sparkSession, root)
     Tombstones.append(root, ids, "vec_id")
+  }
 
   def remove(spark: SparkSession, root: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
@@ -157,10 +161,67 @@ object PqIndex {
     Tombstones.commitCompaction(spark, root, tmp, dest)
   }
 
+  // ---------------------------------------------------------------- refreeze
+
+  private def codesRefreezeTmp(root: String): String = s"$root/codes.__refreeze_tmp"
+  private def quantRefreezeTmp(root: String): String = s"$root/quantizer.__refreeze_tmp"
+
+  /** Ladder-step migration, same contract and crash story as
+    * [[AnnIndex.refreeze]]: retrain coarse centroids AND the per-
+    * subspace PQ codebooks on the surviving floats (`corpus` supplies
+    * `(vec_id, embedding)` — PQ codes are lossy), re-encode survivors,
+    * fold tombstones out, swap quantizers + codes atomically under the
+    * marker-gated recovery protocol. */
+  def refreeze(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
+    refreezeRecover(spark, root)
+    val liveIds = readCodes(spark, root).select("vec_id")
+    val survivors = graft.CacheJanitor.register(
+      corpus.select(col("vec_id"), col("embedding"))
+        .join(liveIds, Seq("vec_id"), "left_semi").persist())
+    survivors.createOrReplaceTempView("graft_pq_refreeze")
+    val cents = TrainingData.trainCentroids(spark, "graft_pq_refreeze")
+    val cb = TrainingData.trainPqCodebooks(spark, "graft_pq_refreeze")
+    import spark.implicits._
+    val qtmp = quantRefreezeTmp(root)
+    RefreezeProtocol.deleteIfExists(spark, qtmp)
+    cents.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$qtmp/centroids")
+    (for { j <- cb.indices; c <- cb(j).indices }
+      yield ((j + 1).toLong, (c + 1).toLong, cb(j)(c).toSeq))
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$qtmp/codebooks")
+    val ctmp = codesRefreezeTmp(root)
+    BatchLog.stage(encode(survivors, cents, cb), ctmp, partitionBy = Seq("cell"))
+    RefreezeProtocol.writeMarker(spark, ctmp, "pq")
+    commitRefreeze(spark, root)
+    graft.CacheJanitor.drain()
+  }
+
+  private def commitRefreeze(spark: SparkSession, root: String): Unit = {
+    RefreezeProtocol.swapIfStaged(spark, quantRefreezeTmp(root), s"$root/quantizer")
+    Tombstones.commitCompaction(spark, root, codesRefreezeTmp(root), s"$root/codes")
+  }
+
+  /** Complete or abandon a crashed [[refreeze]]. */
+  private def refreezeRecover(spark: SparkSession, root: String): Unit = {
+    val ctmp = codesRefreezeTmp(root)
+    if (RefreezeProtocol.exists(spark, ctmp)) {
+      if (RefreezeProtocol.readMarker(spark, ctmp).isDefined)
+        commitRefreeze(spark, root)
+      else {
+        RefreezeProtocol.deleteIfExists(spark, ctmp)
+        RefreezeProtocol.deleteIfExists(spark, quantRefreezeTmp(root))
+      }
+    } else
+      RefreezeProtocol.deleteIfExists(spark, quantRefreezeTmp(root))
+  }
+
   /** ADC top-k neighbors for a `(query_id, embedding)` frame against the
     * persisted index; optional exact re-rank against a float corpus. */
   def topK(spark: SparkSession, root: String, queries: DataFrame, k: Int = 3,
       rerank: Option[DataFrame] = None): DataFrame = {
+    refreezeRecover(spark, root)
     val (cents, cb) = loadQuantizer(spark, root)
       .getOrElse(sys.error(s"no PQ index at $root — ingest at least one batch first"))
     val d = sprk
