@@ -284,21 +284,24 @@ object Relational {
     if (s == null) java.math.BigDecimal.ZERO else s
   }
 
-  /** Edge-count gate below which [[connectedComponents]] resolves the
+  /** Pair-count gate below which [[connectedComponents]] resolves the
     * graph with a driver-side union-find instead of the distributed
     * round loop. The loop pays ~1 job of fixed overhead PER ROUND
     * (5+ rounds on typical near-dup graphs) regardless of data size —
     * on a few-hundred-edge graph that overhead IS the cost. The gate is
-    * a MEASURED count of the (already-cached) SYMMETRIZED edge frame —
-    * both directions plus one self-loop per node, ≈ 2·|pairs| + |nodes|,
-    * duplicates included — so the fast path engages at roughly 500k
-    * input pairs, and the collect it bounds is the same frame: 1M such
-    * rows ≈ 16 MB of longs in driver memory (far under any driver
-    * heap), resolved in milliseconds; anything larger runs the
-    * distributed loop unchanged. This is the standard hybrid (GraphX/GraphFrames
-    * finish small residual graphs the same way), not a scale
-    * shortcut — at 100 TB the pair graph blows the gate and never
-    * collects. Set 0 to force the distributed loop (tests do). */
+    * a MEASURED count of the (usually caller-cached) INPUT pair frame —
+    * 2·|pairs| against the threshold, mirroring the symmetrized frame
+    * the distributed loop would build — and it is the ONLY distributed
+    * work the fast path does besides the collect of those same pairs:
+    * the symmetrize/self-loop/repartition stages (3 extra shuffles of
+    * pure overhead at this size) are built lazily and only ever
+    * executed by the big path. ≤1M such rows ≈ 16 MB of longs in
+    * driver memory (far under any driver heap), resolved in
+    * milliseconds; anything larger runs the distributed loop unchanged.
+    * This is the standard hybrid (GraphX/GraphFrames finish small
+    * residual graphs the same way), not a scale shortcut — at 100 TB
+    * the pair graph blows the gate and never collects. Set 0 to force
+    * the distributed loop (tests do). */
   val ccSmallGraphMaxEdges: Long = 1000000L
 
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25,
@@ -315,22 +318,22 @@ object Relational {
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = false)
       else df.localCheckpoint(eager = false)
-    val p2 = pairs.toDF("a", "b")
+    val p2 = graft.CacheJanitor.register(pairs.toDF("a", "b").persist())
     val undirected = p2.union(p2.select(col("b"), col("a"))).toDF("src", "dst")
-    val edges = graft.CacheJanitor.register(
-      undirected
-        .union(undirected.select(col("src"), col("src")).distinct().toDF("src", "dst"))
-        .repartition(col("dst")).persist())
-    // Size gate: the count is the action that materializes the edge
-    // cache (the loop would pay the same materialization in round 0),
-    // so the gate costs ~nothing on either path.
-    if (smallGraphMaxEdges > 0 && edges.count() <= smallGraphMaxEdges) {
+    // Size gate first (the count materializes the pair cache — round 0
+    // of either path would pay the same), so the fast path never runs
+    // the symmetrize/self-loop/repartition shuffles at all.
+    if (smallGraphMaxEdges > 0 && p2.count() * 2 <= smallGraphMaxEdges) {
       val spark0 = pairs.sparkSession
       // Output dtype must match the distributed path's: the union-coerced
       // edge type (a (INT, BIGINT) pair frame coerces src to BIGINT).
-      val nodeType = edges.schema.head.dataType
+      // `undirected` is plan-only here — schema resolution runs no job.
+      val nodeType = undirected.schema.head.dataType
       val tUf = System.nanoTime()
-      val es = edges.select(col("src").cast("long"), col("dst").cast("long")).collect()
+      // Directed pairs suffice for union-find: both endpoints register,
+      // and isolated nodes don't occur in a pair list by definition
+      // (the self-loops exist for the distributed loop's groupBy).
+      val es = p2.select(col("a").cast("long"), col("b").cast("long")).collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -357,6 +360,13 @@ object Relational {
       return out.toDF("node", "label")
         .select(col("node").cast(nodeType).as("node"), col("label").cast(nodeType).as("label"))
     }
+    // Distributed loop: NOW build the symmetrized + self-looped,
+    // dst-partitioned edge frame the rounds iterate over (the fast path
+    // above never pays these shuffles).
+    val edges = graft.CacheJanitor.register(
+      undirected
+        .union(undirected.select(col("src"), col("src")).distinct().toDF("src", "dst"))
+        .repartition(col("dst")).persist())
     // Round 0 fused into init: with identity starting labels and
     // self-loops present, the first propagation is just min(dst) per
     // src — no join, and its group keys ARE the node set, so the
