@@ -68,7 +68,13 @@ object AnnIndex {
       Some((cents, st.map(_.getDouble(1)), st.map(_.getDouble(2))))
     }
 
-  /** First batch trains and persists the quantizer; later batches load it. */
+  /** First batch trains and persists the quantizer; later batches load
+    * it. WRITE ORDER is the crash contract: stats land first, centroids
+    * LAST, and [[loadQuantizer]] probes the centroids directory — so a
+    * crash between the two writes leaves a partial the next ingest sees
+    * as "never trained" and simply retrains over (deterministic from
+    * the same first batch, overwrite mode), instead of a half-quantizer
+    * that loads centroids and then fails on missing stats forever. */
   private def loadOrTrain(spark: SparkSession, root: String, increment: DataFrame)
       : (Array[Array[Double]], Array[Double], Array[Double]) =
     loadQuantizer(spark, root).getOrElse {
@@ -76,13 +82,22 @@ object AnnIndex {
       val cents = TrainingData.trainCentroids(spark, "graft_ann_train")
       val (mn, span) = TrainingData.quantStats(spark, "graft_ann_train")
       import spark.implicits._
-      cents.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
-        .toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/quantizer/centroids")
       mn.indices.map(i => (i.toLong, mn(i), span(i)))
         .toDF("pos", "mn", "span")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/quantizer/stats")
+      cents.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/quantizer/centroids")
       (cents, mn, span)
+    }
+
+  /** True when the live corpus has outgrown the frozen quantizer's
+    * ladder step (`ivfCells(live) > frozen cells`) — the signal an
+    * operator schedules [[refreeze]] on, mirroring
+    * [[CosineDedupIndex.occupancy]]. */
+  def needsRefreeze(spark: SparkSession, root: String): Boolean =
+    loadQuantizer(spark, root).exists { case (cents, _, _) =>
+      TextSim.ivfCellsValue(readCodes(spark, root).count()) > cents.length
     }
 
   /** Scan-side encode of a `(vec_id, embedding)` frame under a given

@@ -65,6 +65,33 @@ object DedupPipeline {
     stats
   }
 
+  /** One maintenance batch over a `(vec_id, embedding)` increment — the
+    * VECTOR-column twin of [[runOnce]], completing the packaged loop
+    * for the cosine dedup family: [[CosineDedupIndex.ingest]] (frozen-
+    * mask LSH buckets, O(increment) delta pairs) feeds the same
+    * [[ClusterLabels.merge]] under the same root, so text and vector
+    * corpora share one maintenance contract and one manifest shape
+    * (`doc_id` carries the vec_id). Give the vector family its OWN
+    * root — the tombstone side table and label log are per-root state
+    * ([[CosineDedupIndex]]'s scaladoc contract). */
+  def runOnceVectors(spark: SparkSession, root: String, increment: DataFrame,
+      batchKey: Option[String] = None): BatchStats = {
+    val b = CosineDedupIndex.ingest(spark, root, increment, batchKey)
+    val pairs = graft.CacheJanitor.register(
+      b.deltaPairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        .persist())
+    val labels = graft.CacheJanitor.register(
+      ClusterLabels.merge(spark, root, pairs,
+        increment.select(col("vec_id").as("doc_id")), batchKey).persist())
+    val stats = BatchStats(
+      newDocs = increment.count(),
+      deltaPairs = pairs.count(),
+      clusters = labels.select("label").distinct().count(),
+      keepers = labels.where(col("doc_id") === col("label")).count())
+    graft.CacheJanitor.drain()
+    stats
+  }
+
   /** The LIVE keeper manifest `(doc_id, label, keep)`: derived from the
     * label log's keep-last fold — always current, no per-batch
     * materialization to go stale or to pay for. */

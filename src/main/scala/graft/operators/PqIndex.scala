@@ -77,7 +77,12 @@ object PqIndex {
       Some((cents, cb))
     }
 
-  /** First batch trains and persists both quantizers; later batches load. */
+  /** First batch trains and persists both quantizers; later batches
+    * load. WRITE ORDER is the crash contract (same as
+    * [[AnnIndex.loadOrTrain]]): codebooks first, centroids LAST — the
+    * existence probe is on centroids, so a crash between the writes
+    * reads as "never trained" and the retry retrains deterministically
+    * over the partial, never loading a half-quantizer. */
   private def loadOrTrain(spark: SparkSession, root: String, increment: DataFrame)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) =
     loadQuantizer(spark, root).getOrElse {
@@ -85,14 +90,22 @@ object PqIndex {
       val cents = TrainingData.trainCentroids(spark, "graft_pq_train")
       val cb = TrainingData.trainPqCodebooks(spark, "graft_pq_train")
       import spark.implicits._
-      cents.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
-        .toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/quantizer/centroids")
       (for { j <- cb.indices; c <- cb(j).indices }
         yield ((j + 1).toLong, (c + 1).toLong, cb(j)(c).toSeq))
         .toDF("subspace", "code", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/quantizer/codebooks")
+      cents.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/quantizer/centroids")
       (cents, cb)
+    }
+
+  /** True when the live corpus has outgrown the frozen coarse
+    * quantizer's ladder step — the [[refreeze]] scheduling signal
+    * (same contract as [[AnnIndex.needsRefreeze]]). */
+  def needsRefreeze(spark: SparkSession, root: String): Boolean =
+    loadQuantizer(spark, root).exists { case (cents, _) =>
+      TextSim.ivfCellsValue(readCodes(spark, root).count()) > cents.length
     }
 
   /** Scan-side encode of a `(vec_id, embedding)` frame under frozen

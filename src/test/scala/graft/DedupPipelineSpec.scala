@@ -101,6 +101,39 @@ class DedupPipelineSpec extends SparkSpec {
     assert(m.length == 1 && !m(0).getBoolean(2) && m(0).getLong(1) == 5L)
   }
 
+  test("vector twin: runOnceVectors maintains the cosine family end-to-end") {
+    val root = Files.createTempDirectory("graft_dp_vec").toString
+    // One-hot embeddings by id residue: exact dups inside each of the 8
+    // residue classes (cosine 1.0), orthogonal across classes (0.0) —
+    // the expected clustering is exactly one cluster per residue with
+    // the min id as keeper.
+    def vec(i: Long) = (0 until 8).map(d => if (d == (i % 8).toInt) 1.0f else 0.0f)
+    val batch1 = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val batch2 = (40L until 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+
+    val s1 = DedupPipeline.runOnceVectors(spark, root, batch1, batchKey = Some("b1"))
+    assert(s1.newDocs == 40 && s1.clusters == 8 && s1.keepers == 8, s1)
+    val s2 = DedupPipeline.runOnceVectors(spark, root, batch2, batchKey = Some("b2"))
+    assert(s2.newDocs == 20 && s2.deltaPairs > 0, s2)
+    assert(s2.clusters == 8 && s2.keepers == 8, s2)
+
+    // The manifest keeps exactly the per-residue min ids (0..7); a
+    // corpus application drops everything else, keeps unseen docs.
+    val kept = DedupPipeline.applyManifest(
+      (0L until 60L).map(i => (i, s"ignored")).toDF("doc_id", "text")
+        .union(Seq((999L, "unseen")).toDF("doc_id", "text")),
+      DedupPipeline.keeperManifest(spark, root))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === (0L until 8L).toSet + 999L, kept)
+
+    // Replay idempotence rides the same batch-keyed logs.
+    val before = graft.operators.ClusterLabels.latestBatch(spark, root)
+    DedupPipeline.runOnceVectors(spark, root, batch2, batchKey = Some("b2"))
+    assert(graft.operators.ClusterLabels.latestBatch(spark, root) == before)
+    assert(DedupPipeline.keeperManifest(spark, root)
+      .where($"keep").count() == 8)
+  }
+
   test("pinned snapshot: scheduled materialization, stale until refreshed") {
     val root = Files.createTempDirectory("graft_dp_pin").toString
     DedupPipeline.runOnce(spark, root, docs(batchA: _*), batchKey = Some("b1"))

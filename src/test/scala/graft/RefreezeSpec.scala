@@ -120,8 +120,12 @@ class RefreezeSpec extends SparkSpec {
     AnnIndex.ingest(spark, root, vecs.where(col("vec_id") >= 100))
     AnnIndex.remove(spark, root, Seq(5L, 17L))
     CacheJanitor.drain()
+    // Drift signal: 498 live rows sit two ladder steps past the
+    // 100-row quantizer (8 cells frozen, 16 warranted).
+    assert(AnnIndex.needsRefreeze(spark, root), "grown corpus must signal refreeze")
 
     AnnIndex.refreeze(spark, root, vecs)
+    assert(!AnnIndex.needsRefreeze(spark, root), "fresh ladder step must clear the signal")
 
     val fresh = Files.createTempDirectory("graft_rf_ann_fresh").toString
     val survivors = vecs.where(!col("vec_id").isin(5L, 17L))
@@ -160,14 +164,46 @@ class RefreezeSpec extends SparkSpec {
     assert(!Files.isDirectory(qtmp), "orphan quantizer stage must be cleaned")
   }
 
+  test("a crash between the two quantizer writes retrains cleanly on retry") {
+    // Write order contract: stats land before centroids, and the
+    // trained-probe is on centroids — so the partial left by a crash
+    // between the writes reads as "never trained" and the replayed
+    // first batch retrains over it deterministically.
+    val clean = Files.createTempDirectory("graft_rf_qclean").toString
+    AnnIndex.ingest(spark, clean, vecs.where(col("vec_id") < 100), batchKey = Some("b1"))
+    CacheJanitor.drain()
+    val crashed = Files.createTempDirectory("graft_rf_qcrash").toString
+    AnnIndex.ingest(spark, crashed, vecs.where(col("vec_id") < 100), batchKey = Some("b1"))
+    CacheJanitor.drain()
+    // Simulate the crash state: stats written, centroids not, no codes.
+    def rmrf(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p); try s.forEach(rmrf(_)) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rmrf(Paths.get(s"$crashed/quantizer/centroids"))
+    rmrf(Paths.get(s"$crashed/codes"))
+    // The replayed first batch retrains and lands the identical state.
+    val b = AnnIndex.ingest(spark, crashed, vecs.where(col("vec_id") < 100), batchKey = Some("b1"))
+    assert(b.allCodes.count() == 100)
+    def slurp(r0: String, t: String) = spark.read.parquet(s"$r0/quantizer/$t")
+      .collect().map(_.toString).sorted.toSeq
+    assert(slurp(crashed, "centroids") == slurp(clean, "centroids"))
+    assert(slurp(crashed, "stats") == slurp(clean, "stats"))
+    CacheJanitor.drain()
+  }
+
   test("IVF-PQ index: refreeze == from-scratch build over survivors") {
     val root = Files.createTempDirectory("graft_rf_pq").toString
     PqIndex.ingest(spark, root, vecs.where(col("vec_id") < 100))
     PqIndex.ingest(spark, root, vecs.where(col("vec_id") >= 100))
     PqIndex.remove(spark, root, Seq(5L, 17L))
     CacheJanitor.drain()
+    assert(PqIndex.needsRefreeze(spark, root))
 
     PqIndex.refreeze(spark, root, vecs)
+    assert(!PqIndex.needsRefreeze(spark, root))
 
     val fresh = Files.createTempDirectory("graft_rf_pq_fresh").toString
     PqIndex.ingest(spark, fresh, vecs.where(!col("vec_id").isin(5L, 17L)))
