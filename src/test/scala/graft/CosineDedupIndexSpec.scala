@@ -114,8 +114,9 @@ class CosineDedupIndexSpec extends SparkSpec {
     val deltas = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val q = input.toDF().toDF("vec_id", "embedding")
       .writeStream
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        val b = CosineDedupIndex.ingest(spark, root, df)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // Micro-batch id as the replay-idempotence key ([[BatchLog]]).
+        val b = CosineDedupIndex.ingest(spark, root, df, batchKey = Some(s"mb$batchId"))
         deltas ++= b.deltaPairs.select("vec_a", "vec_b").collect()
           .map(r => (r.getLong(0), r.getLong(1)))
         CacheJanitor.drain()

@@ -34,9 +34,12 @@ class StreamingAnnIndexSpec extends SparkSpec {
 
     val q = input.toDF().toDF("vec_id")
       .writeStream
-      .foreachBatch { (ids: DataFrame, _: Long) =>
+      .foreachBatch { (ids: DataFrame, batchId: Long) =>
         val batch = vecs.join(ids, "vec_id")
-        newCounts += AnnIndex.ingest(spark, root, batch).newCodes.count()
+        // Micro-batch id as the replay-idempotence key: a re-delivered
+        // batch overwrites its own code files (at-least-once -> exactly-once).
+        newCounts += AnnIndex.ingest(spark, root, batch,
+          batchKey = Some(s"mb$batchId")).newCodes.count()
         CacheJanitor.drain()
         ()
       }

@@ -23,8 +23,13 @@ class StreamingDedupIndexSpec extends SparkSpec {
 
     val q = input.toDF().toDF("doc_id", "text")
       .writeStream
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        val b = SignatureIndex.ingest(spark, root, df)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        // The micro-batch id is the replay-idempotence key: foreachBatch
+        // is at-least-once (a sink crash re-delivers the batch), and the
+        // batch-keyed log turns the re-delivery into an overwrite of
+        // itself — the exactly-once recipe Structured Streaming documents
+        // for idempotent sinks.
+        val b = SignatureIndex.ingest(spark, root, df, batchKey = Some(s"mb$batchId"))
         newCounts += b.newSigs.count()
         deltas ++= b.deltaPairs.select("doc_a", "doc_b").collect()
           .map(r => (r.getLong(0), r.getLong(1)))
@@ -51,6 +56,18 @@ class StreamingDedupIndexSpec extends SparkSpec {
 
     assert(newCounts.toSeq == Seq(3L, 3L),
       s"each micro-batch must encode exactly its increment: $newCounts")
+    // Crash-re-delivery of the LAST micro-batch (at-least-once
+    // foreachBatch): replaying it under its own key must leave the
+    // index byte-equivalent — no duplicate signature rows.
+    SignatureIndex.ingest(spark, root,
+      Seq(
+        4L -> "the quick brown fox jumps over the lazy dog yesterday",
+        5L -> "another unrelated document with entirely distinct words inside",
+        6L -> "completely different text about spark engines and parquet files")
+        .toDF("doc_id", "text"),
+      batchKey = Some("mb1"))
+    assert(SignatureIndex.readIndex(spark, root).count() == 6,
+      "re-delivered micro-batch must not double-append")
     val allSigs = spark.read.parquet(s"$root/signatures")
     val full = SignatureIndex.deltaPairs(allSigs, allSigs)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -73,10 +90,14 @@ class StreamingDedupIndexSpec extends SparkSpec {
 
     val q = input.toDF().toDF("doc_id", "text")
       .writeStream
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        val b = SignatureIndex.ingest(spark, root, df)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        // Same replay-idempotence key on BOTH persisted logs: a
+        // re-delivered micro-batch overwrites its own signature and
+        // label appends instead of double-appending.
+        val b = SignatureIndex.ingest(spark, root, df, batchKey = Some(s"mb$batchId"))
         graft.operators.ClusterLabels.merge(spark, root,
-          b.deltaPairs.select("doc_a", "doc_b"), b.newSigs.select("doc_id"))
+          b.deltaPairs.select("doc_a", "doc_b"), b.newSigs.select("doc_id"),
+          batchKey = Some(s"mb$batchId"))
         CacheJanitor.drain()
         ()
       }

@@ -29,9 +29,12 @@ class StreamingPqIndexSpec extends SparkSpec {
 
     val q = input.toDF().toDF("vec_id")
       .writeStream
-      .foreachBatch { (ids: DataFrame, _: Long) =>
+      .foreachBatch { (ids: DataFrame, batchId: Long) =>
         val batch = vecs.join(ids, "vec_id")
-        newCounts += PqIndex.ingest(spark, root, batch).newCodes.count()
+        // Micro-batch id as the replay-idempotence key (same contract as
+        // the SQ8 stream).
+        newCounts += PqIndex.ingest(spark, root, batch,
+          batchKey = Some(s"mb$batchId")).newCodes.count()
         CacheJanitor.drain()
         ()
       }
