@@ -5,11 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, s"usage: graft.Verify <sfDir> <outDir> (got ${args.mkString(" ")})")
+    require(args.length >= 2,
+      s"usage: graft.Verify <sfDir> <outDir> [namePrefix...] (got ${args.mkString(" ")})")
     val (sfDir, outDir) = (args(0), args(1))
+    // Optional name-prefix filters for local iteration on one query;
+    // the driver passes exactly two args and gets the full dump.
+    val prefixes = args.drop(2).toSeq
+    def selected(name: String): Boolean =
+      prefixes.isEmpty || prefixes.exists(name.startsWith)
     val spark = GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -29,7 +35,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

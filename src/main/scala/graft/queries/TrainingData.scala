@@ -2423,6 +2423,97 @@ object TrainingData {
          |ORDER BY vec_a, vec_b""".stripMargin
     })
 
+  /** t70 — REFREEZE parity, oracle-checked: the ladder-step migration
+    * [[graft.operators.CosineDedupIndex.refreeze]] performs, replayed
+    * functionally over thirds of the corpus. Batches 1–2 ingest under
+    * the mask FROZEN at batch 1's count; by then the live corpus has
+    * outgrown that step (2× the first batch crosses exactly one ladder
+    * boundary at every SF), so the operator refreezes — the mask is
+    * RE-DERIVED from the live count and the survivors re-encoded under
+    * it — and batch 3 probes under the new mask against the re-encoded
+    * corpus. The oracle replays all three phases as one CTE chain with
+    * BOTH masks. The on-disk migration mechanics (staged re-encode,
+    * marker-gated commit, crash recovery, tombstone fold) are
+    * spec-pinned in `RefreezeSpec`; this adds the hash-compare proof of
+    * WHAT the migrated index computes — pre-migration pairs are kept
+    * verbatim (refreeze re-encodes, it never re-emits), post-migration
+    * batches see the new bucketing.
+    *
+    * Scale: the re-encode is one scan-side pass over the survivors (no
+    * shuffle — [[graft.operators.CosineDedupIndex.encode]] is a
+    * selectExpr), scheduled by the occupancy drift signal rather than
+    * per batch; batch 3's candidates are bounded by |b3| × 13 probes ×
+    * the RESTORED ~16/bucket occupancy — which is the point of the
+    * migration. */
+  private val t70 = GQuery(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.functions.GraftFunctions.registerAll(s)
+      val emb = Tables.embeddings(s, dir)
+      // Frozen-then-refrozen masks: both bounded 1-row aggs (the same
+      // staging contract as t69's single frozen mask).
+      val mask1 = TextSim.lshMaskValue(emb.where("vec_id % 3 = 0").count()).toLong
+      val mask2 = TextSim.lshMaskValue(emb.where("vec_id % 3 < 2").count()).toLong
+      val oldCodes = graft.CacheJanitor.register(
+        graft.operators.CosineDedupIndex.encode(emb.where("vec_id % 3 < 2"), mask1)
+          .persist())
+      val refrozen = graft.CacheJanitor.register(
+        graft.operators.CosineDedupIndex.encode(emb, mask2).persist())
+      val b1 = oldCodes.where("vec_id % 3 = 0")
+      val pairs1 = graft.operators.CosineDedupIndex.deltaPairs(b1, b1)
+      val pairs2 = graft.operators.CosineDedupIndex.deltaPairs(
+        oldCodes, oldCodes.where("vec_id % 3 = 1"))
+      val pairs3 = graft.operators.CosineDedupIndex.deltaPairs(
+        refrozen, refrozen.where("vec_id % 3 = 2"))
+      pairs1.unionByName(pairs2).unionByName(pairs3)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    oracle = Some {
+      val d = duck
+      val probes = d.arrayOf("bucket" +: (0 until TextSim.lshPlanes)
+        .map(k => d.xor("bucket", (1L << k).toString)))
+      s"""WITH c AS (
+         |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2,
+         |    ${TextSim.lshCode(d, "embedding")} AS code
+         |  FROM embeddings),
+         |cnt1 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings WHERE vec_id % 3 = 0),
+         |m1 AS (SELECT ${TextSim.lshMask("n")} AS mask FROM cnt1),
+         |cnt2 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings WHERE vec_id % 3 < 2),
+         |m2 AS (SELECT ${TextSim.lshMask("n")} AS mask FROM cnt2),
+         |v1 AS (
+         |  SELECT vec_id, code % (SELECT mask FROM m1) AS bucket
+         |  FROM c WHERE vec_id % 3 < 2),
+         |v2 AS (SELECT vec_id, code % (SELECT mask FROM m2) AS bucket FROM c),
+         |p1 AS (SELECT vec_id, ${d.explode}($probes) AS probe FROM v1 WHERE vec_id % 3 = 0),
+         |cand1 AS (
+         |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+         |    greatest(a.vec_id, b.vec_id) AS vec_b
+         |  FROM p1 a JOIN v1 b ON a.probe = b.bucket
+         |    AND b.vec_id % 3 = 0 AND a.vec_id <> b.vec_id),
+         |p2 AS (SELECT vec_id, ${d.explode}($probes) AS probe FROM v1 WHERE vec_id % 3 = 1),
+         |cand2 AS (
+         |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+         |    greatest(a.vec_id, b.vec_id) AS vec_b
+         |  FROM p2 a JOIN v1 b ON a.probe = b.bucket AND a.vec_id <> b.vec_id),
+         |p3 AS (SELECT vec_id, ${d.explode}($probes) AS probe FROM v2 WHERE vec_id % 3 = 2),
+         |cand3 AS (
+         |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+         |    greatest(a.vec_id, b.vec_id) AS vec_b
+         |  FROM p3 a JOIN v2 b ON a.probe = b.bucket AND a.vec_id <> b.vec_id),
+         |candu AS (
+         |  SELECT vec_a, vec_b FROM cand1
+         |  UNION SELECT vec_a, vec_b FROM cand2
+         |  UNION SELECT vec_a, vec_b FROM cand3),
+         |scored AS (
+         |  SELECT vec_a, vec_b,
+         |    ${TextSim.dot(d, "a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+         |  FROM candu JOIN c a ON vec_a = a.vec_id JOIN c b ON vec_b = b.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
+    })
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -2463,5 +2554,6 @@ object TrainingData {
     "t66_curation_v2" -> t66,
     "t67_incremental_dedup" -> t67,
     "t68_incremental_clusters" -> t68,
-    "t69_incremental_cosine" -> t69)
+    "t69_incremental_cosine" -> t69,
+    "t70_refreeze_cosine" -> t70)
 }
