@@ -47,10 +47,13 @@ class PlanPropertiesSpec extends SparkSpec {
     // in any of them.
     // t67/t69: the incremental delta-pair paths keep the same shape —
     // posting/bucket equi-joins with the increment on one side.
+    // t70: the refreeze lifecycle runs the same delta-pair shape under
+    // both masks — the migration must not change the join structure.
     Seq("t35_ngram_jaccard_dedup", "t36_minhash_lsh_dedup", "t37_simhash_dedup",
       "t39_lsh_bucket_ann", "t41_ivf_ann", "t49_ivf_sq8_ann", "t50_decontam_removal",
       "t51_crossmodal_ann", "t54_embedding_dedup", "t56_semdedup",
-      "t63_ivf_pq_ann", "t67_incremental_dedup", "t69_incremental_cosine").foreach { q =>
+      "t63_ivf_pq_ann", "t67_incremental_dedup", "t69_incremental_cosine",
+      "t70_refreeze_cosine").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not cartesian-join:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must pair via equi-joins:\n$p")
