@@ -576,48 +576,56 @@ object TrainingData {
 
   /** One Lloyd iteration in the oracle dialect: assign the training
     * sample to `prev`'s centroids (argmin of the distance array), then
-    * per-cell sorted-fold means; empty cells keep the previous centroid. */
-  private def duckKmeansIter(it: Int, prev: String): String = {
+    * per-cell sorted-fold means; empty cells keep the previous centroid.
+    * `p` prefixes every CTE name so two training chains (e.g. t71's
+    * frozen + refrozen quantizers) coexist in one WITH clause. */
+  private def duckKmeansIter(it: Int, prev: String, p: String = ""): String = {
     val d = duck
-    s"""d$it AS (
+    s"""${p}d$it AS (
        |  SELECT t.vec_id, t.emb,
        |    ${d.transform(d.ramp("len(c.cents)"), s"ci -> ${TextSim.dist2(d, "t.emb", "c.cents[ci]")}")} AS ds
-       |  FROM train t CROSS JOIN $prev c),
-       |a$it AS (SELECT vec_id, emb, CAST(list_position(ds, list_min(ds)) AS BIGINT) AS cell FROM d$it),
-       |g$it AS (SELECT cell, list(emb ORDER BY vec_id) AS vecs FROM a$it GROUP BY cell),
-       |n$it AS (
+       |  FROM ${p}train t CROSS JOIN $prev c),
+       |${p}a$it AS (SELECT vec_id, emb, CAST(list_position(ds, list_min(ds)) AS BIGINT) AS cell FROM ${p}d$it),
+       |${p}g$it AS (SELECT cell, list(emb ORDER BY vec_id) AS vecs FROM ${p}a$it GROUP BY cell),
+       |${p}n$it AS (
        |  SELECT cell, list_transform(range(1, len(vecs[1]) + 1),
        |    i -> list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(vecs, v -> v[i])),
        |                     (acc, x0) -> acc + x0) / CAST(len(vecs) AS DOUBLE)) AS cemb
-       |  FROM g$it),
-       |r$it AS (SELECT unnest(range(1, (SELECT cells FROM m) + 1)) AS ci),
-       |e$it AS (
-       |  SELECT r$it.ci AS ci, coalesce(n$it.cemb, (SELECT cents FROM $prev)[r$it.ci]) AS cemb
-       |  FROM r$it LEFT JOIN n$it ON n$it.cell = r$it.ci),
-       |c$it AS (SELECT list(cemb ORDER BY ci) AS cents FROM e$it)""".stripMargin
+       |  FROM ${p}g$it),
+       |${p}r$it AS (SELECT unnest(range(1, (SELECT cells FROM ${p}m) + 1)) AS ci),
+       |${p}e$it AS (
+       |  SELECT ${p}r$it.ci AS ci, coalesce(${p}n$it.cemb, (SELECT cents FROM $prev)[${p}r$it.ci]) AS cemb
+       |  FROM ${p}r$it LEFT JOIN ${p}n$it ON ${p}n$it.cell = ${p}r$it.ci),
+       |${p}c$it AS (SELECT list(cemb ORDER BY ci) AS cents FROM ${p}e$it)""".stripMargin
   }
 
   /** The oracle's full centroid-training CTE chain (replays
     * [[trainCentroidLiteral]]'s exact arithmetic as one pipeline);
-    * trained centroids land in CTE `c${TextSim.ivfLloydIters}`. */
-  private def duckKmeansCtes: String = {
+    * trained centroids land in CTE `${p}c${TextSim.ivfLloydIters}`.
+    * `p`/`where` parameterize the chain for queries that train MORE THAN
+    * ONE quantizer (t71 trains on a filtered corpus and on the full
+    * one); the defaults render the historical byte-identical SQL every
+    * other oracle embeds. */
+  private def duckKmeansCtes(p: String = "", where: String = ""): String = {
     val iters = (1 to TextSim.ivfLloydIters)
-      .map(it => duckKmeansIter(it, if (it == 1) "c0" else s"c${it - 1}")).mkString(",\n")
+      .map(it => duckKmeansIter(it, if (it == 1) s"${p}c0" else s"${p}c${it - 1}", p))
+      .mkString(",\n")
+    val src = if (where.isEmpty) "embeddings" else s"embeddings $where"
     // Training sample and seed replay the Spark trainer's selection
     // exactly: cap rows by idShuffle order (the unbiased systematic
     // sample), seed = the `cells` smallest vec_ids WITHIN the sample.
-    s"""cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
-       |m AS (SELECT ${TextSim.ivfCells("n")} AS cells FROM cnt),
-       |train0 AS (
+    s"""${p}cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $src),
+       |${p}m AS (SELECT ${TextSim.ivfCells("n")} AS cells FROM ${p}cnt),
+       |${p}train0 AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
        |    row_number() OVER (ORDER BY ${TextSim.idShuffle("vec_id")}, vec_id) AS rn
-       |  FROM embeddings),
-       |train AS (SELECT vec_id, emb FROM train0
-       |          WHERE rn <= ${TextSim.ivfTrainPerCell} * (SELECT cells FROM m)),
-       |seed AS (SELECT vec_id, emb,
-       |    row_number() OVER (ORDER BY ${TextSim.idShuffle("vec_id")}, vec_id) AS rs FROM train),
-       |c0 AS (SELECT list(emb ORDER BY rs) AS cents FROM seed
-       |       WHERE rs <= (SELECT cells FROM m)),
+       |  FROM $src),
+       |${p}train AS (SELECT vec_id, emb FROM ${p}train0
+       |          WHERE rn <= ${TextSim.ivfTrainPerCell} * (SELECT cells FROM ${p}m)),
+       |${p}seed AS (SELECT vec_id, emb,
+       |    row_number() OVER (ORDER BY ${TextSim.idShuffle("vec_id")}, vec_id) AS rs FROM ${p}train),
+       |${p}c0 AS (SELECT list(emb ORDER BY rs) AS cents FROM ${p}seed
+       |       WHERE rs <= (SELECT cells FROM ${p}m)),
        |$iters""".stripMargin
   }
 
@@ -634,14 +642,17 @@ object TrainingData {
   }
 
   /** The oracle's CTEs computing [[quantStats]]'s identical numbers
-    * (`arrs`: one row, `mns` + `spans` arrays). */
-  private def duckQuantCtes: String =
-    s"""ex AS (
+    * (`${p}arrs`: one row, `mns` + `spans` arrays). `p`/`where` as in
+    * [[duckKmeansCtes]] — defaults render the historical SQL. */
+  private def duckQuantCtes(p: String = "", where: String = ""): String = {
+    val src = if (where.isEmpty) "embeddings" else s"embeddings $where"
+    s"""${p}ex AS (
        |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
        |    unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
-       |  FROM embeddings),
-       |st AS (SELECT i, min(val) AS mn, max(val) AS mx FROM ex GROUP BY i),
-       |arrs AS (SELECT list(mn ORDER BY i) AS mns, list(mx - mn ORDER BY i) AS spans FROM st)""".stripMargin
+       |  FROM $src),
+       |${p}st AS (SELECT i, min(val) AS mn, max(val) AS mx FROM ${p}ex GROUP BY i),
+       |${p}arrs AS (SELECT list(mn ORDER BY i) AS mns, list(mx - mn ORDER BY i) AS spans FROM ${p}st)""".stripMargin
+  }
 
   /** Affine int8 encode: per-dim code in [0,255] (zero-span dims → 0).
     * Fixed-order double math, rendered identically on both engines;
@@ -715,7 +726,7 @@ object TrainingData {
         s.sql(s"WITH ${finalStage(sprk, "FROM embeddings", trainCentroidLiteral(s))}")
       },
       oracle = Some {
-        s"""WITH $duckKmeansCtes,
+        s"""WITH ${duckKmeansCtes()},
            |${finalStage(duck, s"FROM embeddings CROSS JOIN c${TextSim.ivfLloydIters} cj", "cj.cents")}""".stripMargin
       })
   }
@@ -1003,7 +1014,7 @@ object TrainingData {
       },
       oracle = Some {
         val d = duck
-        s"""WITH $duckQuantCtes,
+        s"""WITH ${duckQuantCtes()},
            |v AS (
            |  SELECT e.vec_id, e.embedding, ${TextSim.norm2(d, "e.embedding")} AS n2,
            |    ${qCodes(d, "e.embedding", "a.mns", "a.spans", "len(e.embedding)")} AS codes,
@@ -1250,8 +1261,8 @@ object TrainingData {
         s.sql(s"WITH ${stage(sprk, "FROM embeddings", trainCentroidLiteral(s), arr(mnA), arr(spA))}")
       },
       oracle = Some {
-        s"""WITH $duckKmeansCtes,
-           |$duckQuantCtes,
+        s"""WITH ${duckKmeansCtes()},
+           |${duckQuantCtes()},
            |${stage(duck,
               s"FROM embeddings CROSS JOIN c${TextSim.ivfLloydIters} cj CROSS JOIN arrs a",
               "cj.cents", "a.mns", "a.spans")}""".stripMargin
@@ -1485,7 +1496,7 @@ object TrainingData {
         s.sql(s"WITH ${stage(sprk, "FROM embeddings", trainCentroidLiteral(s))}")
       },
       oracle = Some {
-        s"""WITH $duckKmeansCtes,
+        s"""WITH ${duckKmeansCtes()},
            |${stage(duck, s"FROM embeddings CROSS JOIN c${TextSim.ivfLloydIters} cj", "cj.cents")}""".stripMargin
       })
   }
@@ -2058,7 +2069,7 @@ object TrainingData {
         val pn2Cte =
           s"""pqn AS (SELECT list_transform(cbs,
              |  cbj -> list_transform(cbj, cv -> ${TextSim.dotHof(d, "cv", "cv")})) AS pn2s FROM pqcb)""".stripMargin
-        s"""WITH $duckKmeansCtes,
+        s"""WITH ${duckKmeansCtes()},
            |$duckPqCtes,
            |$pn2Cte,
            |${baseCtes(d,
@@ -2514,6 +2525,76 @@ object TrainingData {
          |ORDER BY vec_a, vec_b""".stripMargin
     })
 
+  /** t71 — ANN REFREEZE parity, oracle-checked: t70's lifecycle proof
+    * for the QUANTIZED index family ([[graft.operators.AnnIndex]] /
+    * [[graft.operators.PqIndex]]), whose refreeze RETRAINS rather than
+    * re-derives. Phase 1 is the index state after two ingests under the
+    * quantizer+stats FROZEN at batch 1 (trained on the even half — the
+    * freeze discipline); by then the live corpus has outgrown batch 1's
+    * IVF cell ladder step (2× crosses exactly one boundary at every
+    * SF), so refreeze retrains BOTH artifacts on the full live corpus
+    * at the new step and re-encodes — phase 2 is that migrated state.
+    * Each phase emits the per-vector cell assignment and the int8 code
+    * checksum; the oracle replays BOTH quantizer trainings (two
+    * prefixed k-means CTE chains + two stats chains) and both encodes.
+    * `RefreezeSpec` pins the on-disk mechanics (staged quantizer+codes,
+    * marker-gated joint swap, crash recovery, == from-scratch build);
+    * this adds the cross-engine proof of WHAT the retrained quantizer
+    * and re-encoded index contain.
+    *
+    * Scale: both trainings collect one bounded sample (cells ×
+    * [[TextSim.ivfTrainPerCell]] rows); assignment + codes are
+    * scan-side projections over broadcast literals — no shuffle, no
+    * join; the oracle's double replay is the price of proving the
+    * migration, paid by DuckDB, not the operator. */
+  private val t71 = {
+    // One lifecycle phase: scan-side cell assignment + code checksum
+    // under a given quantizer. `centsRef`/`mnsRef`/`spansRef` are array
+    // exprs — broadcast literals on Spark, CTE columns in the oracle.
+    def phaseSel(d: Dialect, pno: Int, fromV: String, centsRef: String,
+        mnsRef: String, spansRef: String): String =
+      s"""SELECT CAST($pno AS BIGINT) AS phase, vec_id,
+         |  CAST(${if (d eq sprk) "array_position" else "list_position"}(ds_, ${d.arrayMin}(ds_)) AS BIGINT) AS cell,
+         |  ${d.foldLong("codes_", 0L, "(acc, c0) -> acc + c0")} AS code_sum
+         |FROM (
+         |  SELECT vec_id,
+         |    ${d.transform(d.ramp(s"${d.size}(cents_)"), s"ci -> ${TextSim.dist2(d, "embedding", d.at("cents_", "ci"))}")} AS ds_,
+         |    ${qCodes(d, "embedding", "mns_", "spans_", s"${d.size}(mns_)")} AS codes_
+         |  FROM (SELECT vec_id, embedding, $centsRef AS cents_,
+         |        $mnsRef AS mns_, $spansRef AS spans_ $fromV)) ph$pno""".stripMargin
+    GQuery(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        val emb = Tables.embeddings(s, dir)
+        emb.createOrReplaceTempView("embeddings")
+        emb.where("vec_id % 2 = 0").createOrReplaceTempView("graft_t71_frozen")
+        val c1 = trainCentroids(s, "graft_t71_frozen")
+        val (mn1, sp1) = quantStats(s, "graft_t71_frozen")
+        val c2 = trainCentroids(s, "embeddings")
+        val (mn2, sp2) = quantStats(s, "embeddings")
+        def arr(a: Array[Double]) = a.map(litD).mkString("array(", ", ", ")")
+        s.sql(
+          s"""${phaseSel(sprk, 1, "FROM embeddings", centsLit(c1), arr(mn1), arr(sp1))}
+             |UNION ALL
+             |${phaseSel(sprk, 2, "FROM embeddings", centsLit(c2), arr(mn2), arr(sp2))}
+             |ORDER BY phase, vec_id""".stripMargin)
+      },
+      oracle = Some {
+        s"""WITH ${duckKmeansCtes("f", "WHERE vec_id % 2 = 0")},
+           |${duckQuantCtes("f", "WHERE vec_id % 2 = 0")},
+           |${duckKmeansCtes()},
+           |${duckQuantCtes()}
+           |${phaseSel(duck, 1,
+          s"FROM embeddings CROSS JOIN fc${TextSim.ivfLloydIters} cj1 CROSS JOIN farrs qa1",
+          "cj1.cents", "qa1.mns", "qa1.spans")}
+           |UNION ALL
+           |${phaseSel(duck, 2,
+          s"FROM embeddings CROSS JOIN c${TextSim.ivfLloydIters} cj2 CROSS JOIN arrs qa2",
+          "cj2.cents", "qa2.mns", "qa2.spans")}
+           |ORDER BY phase, vec_id""".stripMargin
+      })
+  }
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -2555,5 +2636,6 @@ object TrainingData {
     "t67_incremental_dedup" -> t67,
     "t68_incremental_clusters" -> t68,
     "t69_incremental_cosine" -> t69,
-    "t70_refreeze_cosine" -> t70)
+    "t70_refreeze_cosine" -> t70,
+    "t71_refreeze_ann" -> t71)
 }

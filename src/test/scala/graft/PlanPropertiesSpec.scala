@@ -58,6 +58,14 @@ class PlanPropertiesSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q must not cartesian-join:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must pair via equi-joins:\n$p")
     }
+    // t71: both lifecycle phases are scan-side projections over
+    // broadcast quantizer literals — the plan may contain NO join of
+    // any kind (a join here means someone turned the centroid literal
+    // back into a corpus×cells cross join).
+    locally {
+      val p = plan("t71_refreeze_ann")
+      assert(!p.contains("Join"), s"t71 must stay join-free scan-side encode:\n$p")
+    }
   }
 
   test("t41: cell assignment is scan-side — no full-corpus window, no shuffle before the probe join") {
