@@ -171,6 +171,16 @@ object CosineDedupIndex {
     graft.CacheJanitor.drain()
   }
 
+  /** Drift predicate: true when the LIVE count's ladder step exceeds
+    * the frozen mask — the scheduling signal for [[refreeze]], the
+    * mask-family mirror of `AnnIndex.needsRefreeze` (same contract:
+    * false on an untrained root, false again right after a refreeze).
+    * [[occupancy]] is the continuous form when an operator wants a
+    * threshold of its own. */
+  def needsRefreeze(spark: SparkSession, root: String): Boolean =
+    frozenMask(spark, root).exists(m =>
+      TextSim.lshMaskValue(readIndex(spark, root).count()).toLong > m)
+
   /** Average live vectors per occupied bucket — the drift signal an
     * operator schedules [[refreeze]] on (design point ~16; the ladder
     * steps in powers of two, so occupancy past ~32 means the corpus has

@@ -140,6 +140,65 @@ class CosineDedupIndexSpec extends SparkSpec {
     assert(deltas.toSet === full, s"streamed deltas ${deltas.toSet} != full recompute $full")
   }
 
+  test("a mid-stream refreeze composes with foreachBatch ingestion") {
+    val root = Files.createTempDirectory("graft_cosidx_refreeze").toString
+    val refRoot = Files.createTempDirectory("graft_cosidx_refreeze_ref").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // Real embeddings: the mask ladder must actually cross between
+    // |batch 1| = 200 (mask 16) and live = 400 (mask 32) — the tiny
+    // synthetic fixtures never leave the bottom clamp.
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select("vec_id", "embedding")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val batch3Deltas = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = input.toDF().toDF("vec_id")
+      .writeStream
+      .foreachBatch { (ids: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val b = CosineDedupIndex.ingest(spark, root, vecs.join(ids, "vec_id"),
+          batchKey = Some(s"mb$batchId"))
+        if (batchId == 2L)
+          batch3Deltas ++= b.deltaPairs.select("vec_a", "vec_b").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+        CacheJanitor.drain()
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      input.addData(0L until 200L: _*)
+      q.processAllAvailable()
+      input.addData(200L until 400L: _*)
+      q.processAllAvailable()
+      assert(CosineDedupIndex.needsRefreeze(spark, root),
+        "live count past the frozen mask's ladder step must raise the drift signal")
+      CosineDedupIndex.refreeze(spark, root)
+      assert(!CosineDedupIndex.needsRefreeze(spark, root),
+        "refreeze must clear the drift signal")
+      assert(CosineDedupIndex.frozenMask(spark, root).contains(
+        graft.functions.TextSim.lshMaskValue(400L).toLong),
+        "refrozen mask must sit at the live count's ladder step")
+      input.addData(400L until 500L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // Reference: a root whose FIRST batch is the 400 vectors the
+    // refreeze re-derived the mask from — identical mask, identical
+    // codes — then the stream's batch 3. Its delta pairs must equal
+    // the streamed batch-3 deltas, and the full pair closures match.
+    CosineDedupIndex.ingest(spark, refRoot, vecs.where("vec_id < 400"))
+    val refB3 = CosineDedupIndex.ingest(spark, refRoot, vecs.where("vec_id >= 400"))
+    val wantB3 = pairSet(refB3.deltaPairs)
+    assert(batch3Deltas.toSet === wantB3,
+      "post-refreeze streamed deltas must equal the reference root's batch deltas")
+    val closure = pairSet(CosineDedupIndex.deltaPairs(
+      CosineDedupIndex.readIndex(spark, root), CosineDedupIndex.readIndex(spark, root)))
+    val refClosure = pairSet(CosineDedupIndex.deltaPairs(
+      CosineDedupIndex.readIndex(spark, refRoot), CosineDedupIndex.readIndex(spark, refRoot)))
+    CacheJanitor.drain()
+    assert(closure === refClosure, "refrozen index closure must match the reference root")
+  }
+
   test("a compaction killed mid-swap recovers on the next read") {
     val root = Files.createTempDirectory("graft_cosidx").toString
     CosineDedupIndex.ingest(spark, root, vecs(batchA: _*))
