@@ -72,4 +72,55 @@ class StreamingPqIndexSpec extends SparkSpec {
     assert(!streamed.exists(_._2 == 7L), "tombstoned id must not appear as a neighbor")
     assert(streamed.nonEmpty)
   }
+
+  test("a mid-stream refreeze composes with foreachBatch ingestion") {
+    val root = Files.createTempDirectory("graft_stream_pq_refreeze").toString
+    val refRoot = Files.createTempDirectory("graft_stream_pq_refreeze_ref").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("vec_id")
+      .writeStream
+      .foreachBatch { (ids: DataFrame, batchId: Long) =>
+        PqIndex.ingest(spark, root, vecs.join(ids, "vec_id"),
+          batchKey = Some(s"mb$batchId"))
+        CacheJanitor.drain()
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      input.addData(0L until 200L: _*)
+      q.processAllAvailable()
+      input.addData(200L until 400L: _*)
+      q.processAllAvailable()
+      assert(PqIndex.needsRefreeze(spark, root),
+        "live count past the frozen ladder step must raise the drift signal")
+      // Retrains BOTH artifacts (coarse cells at the new ladder step +
+      // per-subspace codebooks) on the live 400 and re-encodes.
+      PqIndex.refreeze(spark, root, vecs)
+      assert(!PqIndex.needsRefreeze(spark, root),
+        "refreeze must clear the drift signal")
+      input.addData(400L until 500L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // Reference: a root whose FIRST batch is the 400-vector retrain set,
+    // then the stream's batch 3.
+    PqIndex.ingest(spark, refRoot, vecs.where(col("vec_id") < 400))
+    PqIndex.ingest(spark, refRoot, vecs.where(col("vec_id") >= 400))
+
+    val queries = vecs.where(col("vec_id").isin(0L, 250L, 450L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def top(r: String) = PqIndex.topK(spark, r, queries, k = 3, rerank = Some(vecs))
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val streamed = top(root)
+    val reference = top(refRoot)
+    CacheJanitor.drain()
+    assert(streamed == reference,
+      s"refrozen streamed index must answer like a root born at the new step: $streamed vs $reference")
+    assert(streamed.nonEmpty)
+  }
 }
