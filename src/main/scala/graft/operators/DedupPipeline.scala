@@ -34,6 +34,13 @@ import org.apache.spark.sql.functions._
   * `batchKey` threads the landing batch id through both index appends
   * ([[BatchLog]]): a crash-after-commit replay of the same batch leaves
   * every persisted state identical to a single run.
+  *
+  * Refreeze interplay: [[CosineDedupIndex.refreeze]] between vector
+  * batches re-buckets FUTURE candidate generation only — already-merged
+  * pairs and labels are facts about the vectors (cosine ≥ threshold),
+  * independent of the bucketing that surfaced them, so the label log
+  * and manifest carry over unchanged through a migration (the
+  * mid-stream composition is pinned in `CosineDedupIndexSpec`).
   */
 object DedupPipeline {
 
