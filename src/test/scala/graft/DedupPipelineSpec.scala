@@ -134,6 +134,54 @@ class DedupPipelineSpec extends SparkSpec {
       .where($"keep").count() == 8)
   }
 
+  test("vector twin: labels and manifest carry over a mid-loop refreeze unchanged") {
+    import graft.operators.{ClusterLabels, CosineDedupIndex, Relational}
+    import graft.functions.TextSim
+    val root = Files.createTempDirectory("graft_dp_vec_refreeze").toString
+    // Real embeddings so the mask ladder actually crosses between
+    // |batch 1| = 200 (mask 16) and live = 400 (mask 32).
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select("vec_id", "embedding")
+    def slice(lo: Long, hi: Long) =
+      vecs.where(s"vec_id >= $lo AND vec_id < $hi")
+
+    DedupPipeline.runOnceVectors(spark, root, slice(0, 200), batchKey = Some("b1"))
+    DedupPipeline.runOnceVectors(spark, root, slice(200, 400), batchKey = Some("b2"))
+    assert(CosineDedupIndex.needsRefreeze(spark, root))
+    CosineDedupIndex.refreeze(spark, root)
+    DedupPipeline.runOnceVectors(spark, root, slice(400, 500), batchKey = Some("b3"))
+
+    // Reference: CC over the ACCUMULATED pair history — batches 1–2
+    // surfaced pairs under the frozen mask, batch 3 under the refrozen
+    // one. Pre-refreeze pairs are facts about the vectors; the
+    // migration must not relabel or drop them.
+    val mask1 = TextSim.lshMaskValue(200L).toLong
+    val mask2 = TextSim.lshMaskValue(400L).toLong
+    val enc1 = graft.CacheJanitor.register(
+      CosineDedupIndex.encode(slice(0, 400), mask1).persist())
+    val enc2 = graft.CacheJanitor.register(
+      CosineDedupIndex.encode(vecs, mask2).persist())
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hist =
+      ps(CosineDedupIndex.deltaPairs(enc1.where("vec_id < 200"), enc1.where("vec_id < 200"))) ++
+      ps(CosineDedupIndex.deltaPairs(enc1, enc1.where("vec_id >= 200"))) ++
+      ps(CosineDedupIndex.deltaPairs(enc2, enc2.where("vec_id >= 400")))
+    val cc = Relational.connectedComponents(
+        hist.toSeq.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 500L).map(d => d -> cc.getOrElse(d, d)).toMap
+
+    val got = ClusterLabels.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheJanitor.drain()
+    assert(got === want,
+      "persisted labels must equal CC over the accumulated pair history across the migration")
+    val keepers = DedupPipeline.keeperManifest(spark, root)
+      .where($"keep").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keepers === want.values.toSet, "keepers must be the component min-ids")
+  }
+
   test("pinned snapshot: scheduled materialization, stale until refreshed") {
     val root = Files.createTempDirectory("graft_dp_pin").toString
     DedupPipeline.runOnce(spark, root, docs(batchA: _*), batchKey = Some("b1"))
