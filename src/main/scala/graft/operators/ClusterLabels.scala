@@ -76,6 +76,19 @@ object ClusterLabels {
         .agg(max_by(col("label"), col("batch")).as("label"))
   }
 
+  /** Raw append-log row count vs its keep-last fold's size `(logRows,
+    * liveDocs)` — the COMPACTION signal: the gap is the delta history
+    * [[compact]] repays (reads fold `logRows` rows to produce
+    * `liveDocs`). Both are metadata-scale counts. */
+  def logDepth(spark: SparkSession, root: String): (Long, Long) = {
+    recover(spark, root)
+    if (!BatchLog.hasData(spark, dir(root))) (0L, 0L)
+    else {
+      val raw = BatchLog.read(spark, dir(root), "ClusterLabels")
+      (raw.count(), raw.select("doc_id").distinct().count())
+    }
+  }
+
   /** Pure-frame merge (no I/O — also the form t68's oracle query runs):
     * the FULL new label table from the old one plus one batch of delta
     * pairs `(doc_a, doc_b)` and the batch's ingested doc ids. */

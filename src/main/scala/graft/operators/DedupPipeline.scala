@@ -99,6 +99,41 @@ object DedupPipeline {
     stats
   }
 
+  final case class Health(
+      liveDocs: Long, tombstoned: Long,
+      labelLogRows: Long, labelledDocs: Long, keepers: Long,
+      needsRefreeze: Boolean, needsCompaction: Boolean)
+
+  /** Ops snapshot of a maintenance root — the signals a scheduler
+    * consumes between batches, packaged (every field is a
+    * metadata-scale aggregate):
+    *
+    *  - `needsRefreeze`: [[CosineDedupIndex.needsRefreeze]] for vector
+    *    roots; constant false for text roots — [[SignatureIndex]]
+    *    freezes no corpus-derived parameter, so nothing drifts;
+    *  - `needsCompaction`: the label log's raw row count exceeds 2× its
+    *    keep-last fold ([[ClusterLabels.logDepth]]) — reads are paying
+    *    more than double their useful rows, time to [[ClusterLabels
+    *    .compact]];
+    *  - `tombstoned`: takedowns pending until the index's `compact`
+    *    folds them out of the snapshot files.
+    */
+  def health(spark: SparkSession, root: String,
+      vector: Boolean = false): Health = {
+    val liveDocs =
+      if (vector) CosineDedupIndex.readIndex(spark, root).count()
+      else SignatureIndex.readIndex(spark, root).count()
+    val tombstoned =
+      Tombstones.read(spark, root, if (vector) "vec_id" else "doc_id").count()
+    val (logRows, labelled) = ClusterLabels.logDepth(spark, root)
+    val keepers = keeperManifest(spark, root).where(col("keep")).count()
+    Health(
+      liveDocs = liveDocs, tombstoned = tombstoned,
+      labelLogRows = logRows, labelledDocs = labelled, keepers = keepers,
+      needsRefreeze = vector && CosineDedupIndex.needsRefreeze(spark, root),
+      needsCompaction = labelled > 0 && logRows > 2 * labelled)
+  }
+
   /** The LIVE keeper manifest `(doc_id, label, keep)`: derived from the
     * label log's keep-last fold — always current, no per-batch
     * materialization to go stale or to pay for. */

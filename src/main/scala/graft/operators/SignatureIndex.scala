@@ -38,6 +38,13 @@ import org.apache.spark.sql.functions._
   * a from-scratch [[deltaPairs]](all, all) recompute is the escape
   * hatch when exact cap semantics matter.
   *
+  * No refreeze here, by construction: unlike the vector family
+  * ([[CosineDedupIndex]]'s batch-1 mask, [[AnnIndex]]/[[PqIndex]]'s
+  * batch-1 quantizers) this index freezes NO corpus-derived parameter —
+  * shingle hashes are content-only and the df cap is re-evaluated
+  * against live frequencies every batch — so nothing drifts as the
+  * corpus grows and there is nothing to migrate.
+  *
   * Deletion (takedowns, re-crawls, keeper changes) is tombstone-then-
   * compact ([[Tombstones]]): [[remove]] records ids in a side table
   * that every read anti-joins; [[compact]] folds them into a rewritten

@@ -182,6 +182,42 @@ class DedupPipelineSpec extends SparkSpec {
     assert(keepers === want.values.toSet, "keepers must be the component min-ids")
   }
 
+  test("health: packaged drift/compaction/takedown signals per root") {
+    import graft.operators.{ClusterLabels, CosineDedupIndex}
+    val root = Files.createTempDirectory("graft_dp_health").toString
+    def vec(i: Long) = (0 until 8).map(d => if (d == (i % 8).toInt) 1.0f else 0.0f)
+    val batch1 = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val batch2 = (40L until 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+
+    DedupPipeline.runOnceVectors(spark, root, batch1, batchKey = Some("b1"))
+    val h1 = DedupPipeline.health(spark, root, vector = true)
+    assert(h1.liveDocs == 40 && h1.tombstoned == 0 && h1.keepers == 8, h1)
+    assert(h1.labelledDocs == 40 && h1.labelLogRows == 40, h1)
+    assert(!h1.needsRefreeze && !h1.needsCompaction, h1)
+
+    DedupPipeline.runOnceVectors(spark, root, batch2, batchKey = Some("b2"))
+    CosineDedupIndex.remove(spark, root, Seq(39L))
+    val h2 = DedupPipeline.health(spark, root, vector = true)
+    assert(h2.liveDocs == 59 && h2.tombstoned == 1 && h2.keepers == 8, h2)
+    assert(h2.labelledDocs == 60 && h2.labelLogRows > 60,
+      s"batch 2 must append touched-component history: $h2")
+    assert(h2.needsCompaction == (h2.labelLogRows > 2 * h2.labelledDocs), h2)
+
+    // Compaction repays the delta history: raw == fold afterwards.
+    ClusterLabels.compact(spark, root)
+    val h3 = DedupPipeline.health(spark, root, vector = true)
+    assert(h3.labelLogRows == h3.labelledDocs && !h3.needsCompaction, h3)
+    assert(h3.keepers == 8 && h3.liveDocs == 59, h3)
+
+    // Text roots: same surface, needsRefreeze constant false (the
+    // signature index freezes no corpus-derived parameter).
+    val troot = Files.createTempDirectory("graft_dp_health_text").toString
+    DedupPipeline.runOnce(spark, troot, batchA.toDF("doc_id", "text"),
+      batchKey = Some("b1"))
+    val th = DedupPipeline.health(spark, troot)
+    assert(th.liveDocs > 0 && !th.needsRefreeze, th)
+  }
+
   test("pinned snapshot: scheduled materialization, stale until refreshed") {
     val root = Files.createTempDirectory("graft_dp_pin").toString
     DedupPipeline.runOnce(spark, root, docs(batchA: _*), batchKey = Some("b1"))
