@@ -60,7 +60,12 @@ object AnnIndex {
   /** Load the frozen quantizer if present. */
   private def loadQuantizer(spark: SparkSession, root: String)
       : Option[(Array[Array[Double]], Array[Double], Array[Double])] =
-    if (!Files.isDirectory(Paths.get(s"$root/quantizer/centroids"))) None
+    // Committed-data probe, not a bare directory probe: a crash DURING
+    // the centroids write leaves the directory holding only _temporary
+    // task state, which must read as "never trained" (the next first
+    // batch retrains over it) rather than as a half-quantizer that
+    // fails schema inference forever.
+    if (!BatchLog.hasCommittedFiles(spark, s"$root/quantizer/centroids")) None
     else {
       val cents = spark.read.parquet(s"$root/quantizer/centroids")
         .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
@@ -174,7 +179,7 @@ object AnnIndex {
   def compact(spark: SparkSession, root: String): Unit = {
     val dest = s"$root/codes"
     val tmp = s"$root/codes.__compact_tmp"
-    BatchLog.stage(readCodes(spark, root), tmp, partitionBy = Seq("cell"))
+    BatchLog.stageRewrite(readCodes(spark, root), dest, tmp, partitionBy = Seq("cell"))
     Tombstones.commitCompaction(spark, root, tmp, dest)
   }
 
@@ -203,11 +208,19 @@ object AnnIndex {
     * partial stage, so readers can never see a new quantizer with old
     * codes or vice versa. */
   def refreeze(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
-    refreezeRecover(spark, root)
+    refreezeRecover(spark, root, deletePartial = true) // clear any prior attempt
     val liveIds = readCodes(spark, root).select("vec_id")
+    val liveN = liveIds.count()
+    if (liveN == 0L) return // nothing to migrate
     val survivors = graft.CacheJanitor.register(
       corpus.select(col("vec_id"), col("embedding"))
         .join(liveIds, Seq("vec_id"), "left_semi").persist())
+    // A corpus missing live ids would otherwise SILENTLY SHRINK the
+    // index on commit (the semi-join just drops them) — refuse loudly.
+    require(survivors.count() == liveN,
+      s"refreeze corpus is missing live vec_ids (" +
+        s"${liveN - survivors.count()} of $liveN) — it must supply " +
+        "embeddings for every live id; aborting before any commit")
     survivors.createOrReplaceTempView("graft_ann_refreeze")
     val cents = TrainingData.trainCentroids(spark, "graft_ann_refreeze")
     val (mn, span) = TrainingData.quantStats(spark, "graft_ann_refreeze")
@@ -221,8 +234,8 @@ object AnnIndex {
       .toDF("pos", "mn", "span")
       .coalesce(1).write.mode("overwrite").parquet(s"$qtmp/stats")
     val ctmp = codesRefreezeTmp(root)
-    BatchLog.stage(encode(survivors, cents, mn, span), ctmp, partitionBy = Seq("cell"))
-    RefreezeProtocol.writeMarker(spark, ctmp, "ann")
+    BatchLog.stageRewrite(encode(survivors, cents, mn, span), s"$root/codes", ctmp, partitionBy = Seq("cell"))
+    RefreezeProtocol.sealStage(spark, ctmp, "ann")
     commitRefreeze(spark, root)
     graft.CacheJanitor.drain()
   }
@@ -233,16 +246,26 @@ object AnnIndex {
   }
 
   /** Complete or abandon a crashed [[refreeze]] — see its scaladoc. */
-  private def refreezeRecover(spark: SparkSession, root: String): Unit = {
+  private def refreezeRecover(spark: SparkSession, root: String,
+      deletePartial: Boolean = false): Unit = {
     val ctmp = codesRefreezeTmp(root)
     if (RefreezeProtocol.exists(spark, ctmp)) {
-      if (RefreezeProtocol.readMarker(spark, ctmp).isDefined)
-        commitRefreeze(spark, root)
-      else {
+      if (RefreezeProtocol.readMarker(spark, ctmp).isDefined) {
+        // Commit only when the staged codes still hold committed data
+        // files — a marker-only husk (its stage deleted out from under
+        // an in-flight refreeze) must be dropped, never swapped over
+        // the live codes (see RefreezeProtocol.hasStagedData).
+        if (RefreezeProtocol.hasStagedData(spark, ctmp))
+          commitRefreeze(spark, root)
+        else {
+          RefreezeProtocol.deleteIfExists(spark, ctmp)
+          RefreezeProtocol.deleteIfExists(spark, quantRefreezeTmp(root))
+        }
+      } else if (deletePartial) {
         RefreezeProtocol.deleteIfExists(spark, ctmp)
         RefreezeProtocol.deleteIfExists(spark, quantRefreezeTmp(root))
       }
-    } else
+    } else if (deletePartial)
       // A quantizer tmp without a codes tmp is a stage that died before
       // the codes were staged — never committable.
       RefreezeProtocol.deleteIfExists(spark, quantRefreezeTmp(root))

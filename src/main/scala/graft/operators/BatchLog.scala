@@ -49,14 +49,24 @@ private[graft] object BatchLog {
     * a `b` prefix guarantees partition-type inference reads them back as
     * STRING whatever the key looks like (a bare `2026...` would infer
     * numeric and a mixed log would then conflict). Auto keys use the
-    * disjoint `a` prefix. */
+    * disjoint `a` prefix. The escape is INJECTIVE — each unsafe char
+    * (including `_`, the escape introducer) becomes `_` + its fixed
+    * 4-hex-digit code point, so two distinct caller keys can never map
+    * to one directory (a lossy replacement would let a later batch
+    * silently OVERWRITE an earlier batch's rows through the
+    * replay-idempotent `mode(overwrite)`). */
   def sanitize(key: String): String =
-    "b" + key.replaceAll("[^0-9A-Za-z_.\\-]", "_")
+    "b" + key.flatMap { c =>
+      if (c != '_' && (c.isDigit || (c >= 'A' && c <= 'Z') ||
+        (c >= 'a' && c <= 'z') || c == '.' || c == '-')) c.toString
+      else f"_${c.toInt}%04x"
+    }
 
   private def dirFor(path: String, key: String): String =
     s"$path/batch_key=$key"
 
-  /** Existing batch keys (directory names after `batch_key=`). */
+  /** Existing batch keys (directory names after `batch_key=`), committed
+    * or not — the namespace [[nextAutoKey]] must avoid. */
   def keys(spark: SparkSession, path: String): Seq[String] = {
     val fs = fsOf(spark, path)
     val p = new HPath(path)
@@ -69,13 +79,40 @@ private[graft] object BatchLog {
       .sorted
   }
 
-  /** True once at least one batch directory exists — the "log has ever
-    * been written" probe (an only-marker root is still empty). */
+  /** True when `path` (pruned of hidden names) holds at least one
+    * COMMITTED data file. A directory containing only `_temporary`
+    * task-attempt state — a write that died before job commit — does
+    * not count: parquet's FileIndex skips hidden names, so reading a
+    * log whose only batch directory is such a partial throws
+    * "unable to infer schema" instead of seeing an empty log. */
+  def hasCommittedFiles(spark: SparkSession, path: String): Boolean = {
+    val fs = fsOf(spark, path)
+    def visit(p: HPath): Boolean = {
+      val st = fs.listStatus(p)
+      st.exists(s => s.isFile && !hidden(s.getPath.getName)) ||
+        st.exists(s => s.isDirectory && !hidden(s.getPath.getName) && visit(s.getPath))
+    }
+    val p = new HPath(path)
+    fs.exists(p) && visit(p)
+  }
+
+  private def hidden(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
+
+  /** True once at least one batch directory holds committed data — the
+    * "log has ever been written" probe. An only-marker root, or one
+    * whose only batch directory is an uncommitted partial (a crash
+    * mid-first-append), is still empty: the replaying writer repairs
+    * the partial via its own `mode(overwrite)`, and readers must not
+    * trip over it meanwhile. */
   def hasData(spark: SparkSession, path: String): Boolean =
-    keys(spark, path).nonEmpty
+    keys(spark, path).exists(k => hasCommittedFiles(spark, dirFor(path, k)))
 
   private def nextAutoKey(spark: SparkSession, path: String): String = {
-    val n = keys(spark, path)
+    // Consider RETIRED keys too: compaction folds auto-keyed batches
+    // away and records them in the ledger — re-minting a retired number
+    // would make the next auto append a silent no-op.
+    val n = (keys(spark, path) ++ retiredKeys(spark, path))
       .filter(k => k.startsWith("a") && k.drop(1).forall(_.isDigit))
       .map(_.drop(1).toLong)
     f"a${(n.maxOption.getOrElse(0L)) + 1}%05d"
@@ -124,11 +161,18 @@ private[graft] object BatchLog {
     key
   }
 
-  /** [[append]] with a key already put through [[resolveKey]]. */
+  /** [[append]] with a key already put through [[resolveKey]]. A key the
+    * RETIRED-KEYS LEDGER lists is a no-op: its batch committed before a
+    * compaction/refreeze folded it into the rewritten snapshot, so its
+    * rows are already present — re-writing the batch directory would
+    * DOUBLE-APPEND them beside the fold (the exact corruption the
+    * batch-key mechanism exists to prevent, resurfacing across
+    * maintenance). */
   def appendResolved(df: DataFrame, path: String, key: String,
       op: String, partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     requireFormat(spark, path, op)
+    if (retiredKeys(spark, path).contains(key)) return
     writeMarker(fsOf(spark, path), new HPath(path))
     val w = df.write.mode("overwrite")
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
@@ -142,16 +186,61 @@ private[graft] object BatchLog {
     spark.read.parquet(path).drop("batch_key")
   }
 
-  /** Stage a full-log REWRITE (compaction, migration) into `tmpPath` in
-    * this layout — single batch directory plus marker — ready for an
-    * atomic swap onto the log root ([[Tombstones.commitCompaction]] or
-    * the operator's own rename commit). */
-  def stage(df: DataFrame, tmpPath: String, partitionBy: Seq[String] = Nil): Unit = {
-    val spark = df.sparkSession
+  // ------------------------------------------------------- retired keys
+
+  private val retiredName = "_graft_retired_keys"
+
+  /** Keys folded away by a past rewrite ([[stageRewrite]]) — replays of
+    * these must be no-ops, and [[nextAutoKey]] must never re-mint them.
+    * Stored as one sanitized key per line in a hidden ledger file that
+    * travels with the log directory through the atomic swap. */
+  def retiredKeys(spark: SparkSession, path: String): Set[String] = {
+    val fs = fsOf(spark, path)
+    val f = new HPath(path, retiredName)
+    if (!fs.exists(f)) Set.empty
+    else {
+      val in = fs.open(f)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  private def writeRetired(spark: SparkSession, path: String, ks: Set[String]): Unit =
+    if (ks.nonEmpty) {
+      val fs = fsOf(spark, path)
+      fs.mkdirs(new HPath(path))
+      val out = fs.create(new HPath(path, retiredName), true)
+      try out.write(ks.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  private def writeFold(df: DataFrame, tmpPath: String, key: String,
+      partitionBy: Seq[String]): Unit = {
     val w = df.write.mode("overwrite")
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
-      .parquet(dirFor(tmpPath, "a00001"))
-    writeMarker(fsOf(spark, tmpPath), new HPath(tmpPath))
+      .parquet(dirFor(tmpPath, key))
+    writeMarker(fsOf(df.sparkSession, tmpPath), new HPath(tmpPath))
+  }
+
+  /** Stage a layout-only rewrite (legacy migration) into `tmpPath`:
+    * single batch directory plus marker, no keys retired. */
+  def stage(df: DataFrame, tmpPath: String, partitionBy: Seq[String] = Nil): Unit =
+    writeFold(df, tmpPath, "a00001", partitionBy)
+
+  /** Stage a full-log REWRITE (compaction, refreeze) of the log at
+    * `srcPath` into `tmpPath` — one FRESH-auto-keyed fold directory plus
+    * marker plus the retirement ledger carrying every key the fold
+    * absorbs (the prior ledger ∪ the keys being folded), ready for an
+    * atomic swap onto the log root ([[Tombstones.commitCompaction]] or
+    * the operator's own rename commit). */
+  def stageRewrite(df: DataFrame, srcPath: String, tmpPath: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val folded = retiredKeys(spark, srcPath) ++ keys(spark, srcPath)
+    writeFold(df, tmpPath, nextAutoKey(spark, srcPath), partitionBy)
+    writeRetired(spark, tmpPath, folded)
   }
 
   /** Migrate a legacy flat-append root in place: read its rows, apply

@@ -69,6 +69,12 @@ object ClusterLabels {
     * batch was ever merged. */
   def read(spark: SparkSession, root: String): DataFrame = {
     recover(spark, root)
+    // Refuse a legacy (pre-batch-keyed) log BEFORE the hasData probe:
+    // hasData sees no batch_key= dirs in a flat-append root and would
+    // otherwise report the log as EMPTY — silently ignoring the entire
+    // accumulated label history (merge() already refuses via
+    // requireFormat; read paths must agree). [[migrateLegacy]] upgrades.
+    BatchLog.requireFormat(spark, dir(root), "ClusterLabels.read")
     if (!BatchLog.hasData(spark, dir(root))) emptyLabels(spark)
     else
       BatchLog.read(spark, dir(root), "ClusterLabels")
@@ -82,6 +88,7 @@ object ClusterLabels {
     * `liveDocs`). Both are metadata-scale counts. */
   def logDepth(spark: SparkSession, root: String): (Long, Long) = {
     recover(spark, root)
+    BatchLog.requireFormat(spark, dir(root), "ClusterLabels.logDepth")
     if (!BatchLog.hasData(spark, dir(root))) (0L, 0L)
     else {
       val raw = BatchLog.read(spark, dir(root), "ClusterLabels")
@@ -228,6 +235,7 @@ object ClusterLabels {
   /** Highest merged batch number (0 = never merged). */
   def latestBatch(spark: SparkSession, root: String): Long = {
     recover(spark, root)
+    BatchLog.requireFormat(spark, dir(root), "ClusterLabels.latestBatch")
     if (!BatchLog.hasData(spark, dir(root))) 0L
     else {
       val r = BatchLog.read(spark, dir(root), "ClusterLabels")
@@ -255,11 +263,19 @@ object ClusterLabels {
   def compact(spark: SparkSession, root: String): Unit = {
     val dest = dir(root)
     val tmp = s"$dest.__compact_tmp"
-    BatchLog.stage(read(spark, root).withColumn("batch", lit(1L)), tmp)
+    BatchLog.stageRewrite(read(spark, root).withColumn("batch", lit(1L)), dest, tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new HPath(dest).getFileSystem(conf)
     fs.delete(new HPath(dest), true)
     require(fs.rename(new HPath(tmp), new HPath(dest)),
       s"label compaction commit failed: could not move $tmp into $dest")
   }
+
+  /** One-time upgrade of a legacy flat-append label log into the
+    * batch-keyed layout (rows carry their batch column already — this
+    * is a re-layout, not a transform), closing the dead end where
+    * [[BatchLog.requireFormat]]'s message points at an operator
+    * migrateLegacy that every OTHER index had. */
+  def migrateLegacy(spark: SparkSession, root: String): Unit =
+    BatchLog.adoptLegacy(spark, dir(root))
 }

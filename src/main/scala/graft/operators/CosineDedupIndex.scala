@@ -50,7 +50,7 @@ object CosineDedupIndex {
   /** Exact-cosine keeper threshold (t39/t54's verify stage). */
   val cosineMin = 0.4
 
-  private def codesDir(root: String): String = s"$root/codes"
+  private[operators] def codesDir(root: String): String = s"$root/codes"
 
   /** The frozen bucket mask, or None before the first batch. Stored
     * through the atomic snapshot protocol (`LandingLog.writeSnapshot`):
@@ -132,7 +132,7 @@ object CosineDedupIndex {
   def compact(spark: SparkSession, root: String): Unit = {
     val path = codesDir(root)
     val tmp = s"$path.__compact_tmp"
-    BatchLog.stage(readIndex(spark, root), tmp)
+    BatchLog.stageRewrite(readIndex(spark, root), path, tmp)
     Tombstones.commitCompaction(spark, root, tmp, path)
   }
 
@@ -161,12 +161,15 @@ object CosineDedupIndex {
     * idempotently; marker absent → the partial stage is dropped. A
     * crash can therefore never mix old buckets with a new mask. */
   def refreeze(spark: SparkSession, root: String): Unit = {
-    refreezeRecover(spark, root) // finish any prior attempt first
+    refreezeRecover(spark, root, deletePartial = true) // clear any prior attempt
     val live = graft.CacheJanitor.register(readIndex(spark, root).persist())
+    if (live.count() == 0L) { graft.CacheJanitor.drain(); return } // nothing to migrate
     val newMask = TextSim.lshMaskValue(live.count()).toLong
     val tmp = refreezeTmp(root)
-    BatchLog.stage(encode(live.select(col("vec_id"), col("embedding")), newMask), tmp)
-    RefreezeProtocol.writeMarker(spark, tmp, newMask.toString)
+    BatchLog.stageRewrite(
+      encode(live.select(col("vec_id"), col("embedding")), newMask),
+      codesDir(root), tmp)
+    RefreezeProtocol.sealStage(spark, tmp, newMask.toString)
     commitRefreeze(spark, root, newMask)
     graft.CacheJanitor.drain()
   }
@@ -199,13 +202,24 @@ object CosineDedupIndex {
     Tombstones.commitCompaction(spark, root, refreezeTmp(root), codesDir(root))
   }
 
-  /** Complete or abandon a crashed [[refreeze]] — see its scaladoc. */
-  private def refreezeRecover(spark: SparkSession, root: String): Unit = {
+  /** Complete or abandon a crashed [[refreeze]] — see its scaladoc.
+    * Read paths pass `deletePartial = false`: an UNMARKED stage is
+    * invisible to them, and deleting it from a reader would race a
+    * refreeze that is legitimately mid-stage in another session
+    * (whose later marker write would then resurrect an EMPTY stage —
+    * see [[RefreezeProtocol.hasStagedData]]). Only [[refreeze]] itself
+    * clears partials, and only before it starts a fresh stage. A
+    * MARKED stage is committed only after the staged-data check — a
+    * marker-only husk is dropped, never swapped over live codes. */
+  private def refreezeRecover(spark: SparkSession, root: String,
+      deletePartial: Boolean = false): Unit = {
     val tmp = refreezeTmp(root)
     if (RefreezeProtocol.exists(spark, tmp))
       RefreezeProtocol.readMarker(spark, tmp) match {
-        case Some(mask) => commitRefreeze(spark, root, mask.toLong)
-        case None => RefreezeProtocol.deleteIfExists(spark, tmp)
+        case Some(mask) if RefreezeProtocol.hasStagedData(spark, tmp) =>
+          commitRefreeze(spark, root, mask.toLong)
+        case Some(_) => RefreezeProtocol.deleteIfExists(spark, tmp)
+        case None => if (deletePartial) RefreezeProtocol.deleteIfExists(spark, tmp)
       }
   }
 

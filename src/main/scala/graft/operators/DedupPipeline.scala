@@ -120,17 +120,29 @@ object DedupPipeline {
     */
   def health(spark: SparkSession, root: String,
       vector: Boolean = false): Health = {
+    // Virgin-root guard: the natural FIRST poll of an ops loop happens
+    // before any batch lands — report zeros, don't throw on the missing
+    // log directory.
+    val logDir =
+      if (vector) CosineDedupIndex.codesDir(root) else s"$root/signatures"
     val liveDocs =
-      if (vector) CosineDedupIndex.readIndex(spark, root).count()
+      if (!graft.operators.BatchLog.hasData(spark, logDir)) 0L
+      else if (vector) CosineDedupIndex.readIndex(spark, root).count()
       else SignatureIndex.readIndex(spark, root).count()
     val tombstoned =
       Tombstones.read(spark, root, if (vector) "vec_id" else "doc_id").count()
     val (logRows, labelled) = ClusterLabels.logDepth(spark, root)
-    val keepers = keeperManifest(spark, root).where(col("keep")).count()
+    val keepers =
+      if (labelled == 0) 0L
+      else keeperManifest(spark, root).where(col("keep")).count()
     Health(
       liveDocs = liveDocs, tombstoned = tombstoned,
       labelLogRows = logRows, labelledDocs = labelled, keepers = keepers,
-      needsRefreeze = vector && CosineDedupIndex.needsRefreeze(spark, root),
+      // The drift predicate from the ALREADY-COMPUTED live count — not
+      // CosineDedupIndex.needsRefreeze, which would re-scan the code log
+      // for its own count (an ops probe should cost one scan per log).
+      needsRefreeze = vector && CosineDedupIndex.frozenMask(spark, root)
+        .exists(m => graft.functions.TextSim.lshMaskValue(liveDocs).toLong > m),
       needsCompaction = labelled > 0 && logRows > 2 * labelled)
   }
 

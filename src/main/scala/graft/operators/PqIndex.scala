@@ -66,7 +66,12 @@ object PqIndex {
   /** Load the frozen quantizers if present. */
   private def loadQuantizer(spark: SparkSession, root: String)
       : Option[(Array[Array[Double]], Array[Array[Array[Double]]])] =
-    if (!Files.isDirectory(Paths.get(s"$root/quantizer/centroids"))) None
+    // Committed-data probe, not a bare directory probe: a crash DURING
+    // the centroids write leaves the directory holding only _temporary
+    // task state, which must read as "never trained" (the next first
+    // batch retrains over it) rather than as a half-quantizer that
+    // fails schema inference forever.
+    if (!BatchLog.hasCommittedFiles(spark, s"$root/quantizer/centroids")) None
     else {
       val cents = spark.read.parquet(s"$root/quantizer/centroids")
         .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
@@ -170,7 +175,7 @@ object PqIndex {
   def compact(spark: SparkSession, root: String): Unit = {
     val dest = s"$root/codes"
     val tmp = s"$root/codes.__compact_tmp"
-    BatchLog.stage(readCodes(spark, root), tmp, partitionBy = Seq("cell"))
+    BatchLog.stageRewrite(readCodes(spark, root), dest, tmp, partitionBy = Seq("cell"))
     Tombstones.commitCompaction(spark, root, tmp, dest)
   }
 
@@ -186,11 +191,19 @@ object PqIndex {
     * fold tombstones out, swap quantizers + codes atomically under the
     * marker-gated recovery protocol. */
   def refreeze(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
-    refreezeRecover(spark, root)
+    refreezeRecover(spark, root, deletePartial = true) // clear any prior attempt
     val liveIds = readCodes(spark, root).select("vec_id")
+    val liveN = liveIds.count()
+    if (liveN == 0L) return // nothing to migrate
     val survivors = graft.CacheJanitor.register(
       corpus.select(col("vec_id"), col("embedding"))
         .join(liveIds, Seq("vec_id"), "left_semi").persist())
+    // A corpus missing live ids would otherwise SILENTLY SHRINK the
+    // index on commit (the semi-join just drops them) — refuse loudly.
+    require(survivors.count() == liveN,
+      s"refreeze corpus is missing live vec_ids (" +
+        s"${liveN - survivors.count()} of $liveN) — it must supply " +
+        "embeddings for every live id; aborting before any commit")
     survivors.createOrReplaceTempView("graft_pq_refreeze")
     val cents = TrainingData.trainCentroids(spark, "graft_pq_refreeze")
     val cb = TrainingData.trainPqCodebooks(spark, "graft_pq_refreeze")
@@ -205,8 +218,8 @@ object PqIndex {
       .toDF("subspace", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$qtmp/codebooks")
     val ctmp = codesRefreezeTmp(root)
-    BatchLog.stage(encode(survivors, cents, cb), ctmp, partitionBy = Seq("cell"))
-    RefreezeProtocol.writeMarker(spark, ctmp, "pq")
+    BatchLog.stageRewrite(encode(survivors, cents, cb), s"$root/codes", ctmp, partitionBy = Seq("cell"))
+    RefreezeProtocol.sealStage(spark, ctmp, "pq")
     commitRefreeze(spark, root)
     graft.CacheJanitor.drain()
   }
@@ -217,16 +230,26 @@ object PqIndex {
   }
 
   /** Complete or abandon a crashed [[refreeze]]. */
-  private def refreezeRecover(spark: SparkSession, root: String): Unit = {
+  private def refreezeRecover(spark: SparkSession, root: String,
+      deletePartial: Boolean = false): Unit = {
     val ctmp = codesRefreezeTmp(root)
     if (RefreezeProtocol.exists(spark, ctmp)) {
-      if (RefreezeProtocol.readMarker(spark, ctmp).isDefined)
-        commitRefreeze(spark, root)
-      else {
+      if (RefreezeProtocol.readMarker(spark, ctmp).isDefined) {
+        // Commit only when the staged codes still hold committed data
+        // files — a marker-only husk (its stage deleted out from under
+        // an in-flight refreeze) must be dropped, never swapped over
+        // the live codes (see RefreezeProtocol.hasStagedData).
+        if (RefreezeProtocol.hasStagedData(spark, ctmp))
+          commitRefreeze(spark, root)
+        else {
+          RefreezeProtocol.deleteIfExists(spark, ctmp)
+          RefreezeProtocol.deleteIfExists(spark, quantRefreezeTmp(root))
+        }
+      } else if (deletePartial) {
         RefreezeProtocol.deleteIfExists(spark, ctmp)
         RefreezeProtocol.deleteIfExists(spark, quantRefreezeTmp(root))
       }
-    } else
+    } else if (deletePartial)
       RefreezeProtocol.deleteIfExists(spark, quantRefreezeTmp(root))
   }
 

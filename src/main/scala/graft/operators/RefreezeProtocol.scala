@@ -35,6 +35,27 @@ private[graft] object RefreezeProtocol {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  /** True when the staged directory holds at least one committed
+    * (visible) data file — the guard every marked commit must pass:
+    * `fs.create` on the marker path auto-creates missing parents, so a
+    * stage deleted out from under an in-flight refreeze (e.g. by a
+    * concurrent session's recovery) would otherwise resurrect as a
+    * MARKER-ONLY directory that the commit then swaps over the live
+    * data, destroying the index. */
+  def hasStagedData(spark: SparkSession, tmpDir: String): Boolean =
+    BatchLog.hasCommittedFiles(spark, tmpDir)
+
+  /** [[writeMarker]] plus the staged-data invariant: refuses loudly
+    * (leaving the old index state untouched) when the stage has no
+    * committed data files to commit. */
+  def sealStage(spark: SparkSession, tmpDir: String, content: String): Unit = {
+    require(hasStagedData(spark, tmpDir),
+      s"refreeze stage at $tmpDir holds no committed data files — " +
+        "the stage was deleted or never wrote; aborting without commit " +
+        "(old index state is intact; rerun the refreeze)")
+    writeMarker(spark, tmpDir, content)
+  }
+
   /** Marker content if the stage at `tmpDir` completed; None when the
     * tmp dir is absent or the marker never landed. */
   def readMarker(spark: SparkSession, tmpDir: String): Option[String] = {

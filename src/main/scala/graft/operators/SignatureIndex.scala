@@ -139,7 +139,7 @@ object SignatureIndex {
   def compact(spark: SparkSession, root: String, table: String = "signatures"): Unit = {
     val path = s"$root/$table"
     val tmp = s"$path.__compact_tmp"
-    BatchLog.stage(readIndex(spark, root, table), tmp)
+    BatchLog.stageRewrite(readIndex(spark, root, table), path, tmp)
     Tombstones.commitCompaction(spark, root, tmp, path)
   }
 

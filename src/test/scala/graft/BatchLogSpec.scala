@@ -154,6 +154,94 @@ class BatchLogSpec extends SparkSpec {
     CacheJanitor.drain()
   }
 
+  test("replaying a batch folded away by compaction is a no-op — never a double-append") {
+    val root = Files.createTempDirectory("graft_bk_retired").toString
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("mb0"))
+    SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("mb1"))
+    CacheJanitor.drain()
+    SignatureIndex.compact(spark, root)
+    assert(SignatureIndex.readIndex(spark, root).count() == 6)
+    // At-least-once crash replay of the LAST landing batch arrives
+    // AFTER the fold absorbed it: the retirement ledger makes the
+    // append a no-op instead of duplicating every row beside the fold.
+    SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("mb1"))
+    CacheJanitor.drain()
+    assert(SignatureIndex.readIndex(spark, root).count() == 6,
+      "a retired batch key must not double-append across compaction")
+    // A genuinely NEW batch still lands normally.
+    SignatureIndex.ingest(spark, root,
+      docs(7L -> "yet another brand new document with fresh words inside"),
+      batchKey = Some("mb2"))
+    CacheJanitor.drain()
+    assert(SignatureIndex.readIndex(spark, root).count() == 7)
+    // Keyless (auto-numbered) appends never re-mint a retired number:
+    // their rows must accumulate, not vanish into a no-op.
+    SignatureIndex.ingest(spark, root,
+      docs(8L -> "one more completely distinct document about file formats"))
+    CacheJanitor.drain()
+    assert(SignatureIndex.readIndex(spark, root).count() == 8,
+      "an auto key colliding with a retired number would silently no-op")
+  }
+
+  test("distinct caller keys always land in distinct batch directories") {
+    val root = Files.createTempDirectory("graft_bk_inject").toString
+    // These two keys differ only in a character the old lossy sanitize
+    // collapsed to '_' — a collision would make batch 2 OVERWRITE
+    // batch 1 through the replay-idempotent mode(overwrite).
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("2026:01"))
+    SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("2026_01"))
+    CacheJanitor.drain()
+    assert(batchDirs(s"$root/signatures").size == 2,
+      "distinct caller keys must map to distinct directories")
+    assert(SignatureIndex.readIndex(spark, root).count() == 6)
+  }
+
+  test("a crash mid-FIRST-append leaves a partial the replay repairs — reads see empty, not an error") {
+    val root = Files.createTempDirectory("graft_bk_partial").toString
+    val labels = s"$root/labels"
+    // Simulate the crash state: the batch directory exists but holds
+    // only uncommitted _temporary task state (no committed data files).
+    Files.createDirectories(Paths.get(s"$labels/batch_key=bmb0/_temporary"))
+    Files.write(Paths.get(s"$labels/batch_key=bmb0/_temporary/part-x"),
+      "partial".getBytes("UTF-8"))
+    Files.write(Paths.get(s"$labels/${BatchLog.markerName}"), Array.empty[Byte])
+    // Reads must classify this as EMPTY (not throw schema inference
+    // errors on a log whose only batch is hidden task state).
+    assert(ClusterLabels.read(spark, root).count() == 0)
+    assert(ClusterLabels.latestBatch(spark, root) == 0L)
+    // The at-least-once replay of the same batch key overwrites the
+    // partial directory and the merge proceeds normally.
+    ClusterLabels.merge(spark, root,
+      Seq((1L, 2L)).toDF("doc_a", "doc_b"),
+      Seq(1L, 2L, 3L).toDF("doc_id"), batchKey = Some("mb0"))
+    CacheJanitor.drain()
+    val got = ClusterLabels.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L), got)
+  }
+
+  test("a legacy flat label log is refused loudly on READ paths and migrates in place") {
+    val root = Files.createTempDirectory("graft_bk_legacy_labels").toString
+    // Pre-batch-format label log: flat parquet rows, no marker.
+    Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 3L, 2L))
+      .toDF("doc_id", "label", "batch")
+      .write.mode("append").parquet(s"$root/labels")
+    // Every read path must refuse — a silent empty read here would
+    // ignore the entire accumulated label history.
+    for (probe <- Seq(
+      () => ClusterLabels.read(spark, root).collect(),
+      () => { ClusterLabels.latestBatch(spark, root); () },
+      () => { ClusterLabels.logDepth(spark, root); () })) {
+      val e = intercept[IllegalArgumentException](probe())
+      assert(e.getMessage.contains("legacy"), e.getMessage)
+    }
+    ClusterLabels.migrateLegacy(spark, root)
+    val got = ClusterLabels.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    assert(ClusterLabels.latestBatch(spark, root) == 2L)
+  }
+
   test("a legacy flat-append root is refused loudly and migrates in place") {
     val root = Files.createTempDirectory("graft_bk_legacy").toString
     // Simulate a pre-change index: flat parquet files, UNSORTED shingle

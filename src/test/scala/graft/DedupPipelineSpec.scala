@@ -184,6 +184,11 @@ class DedupPipelineSpec extends SparkSpec {
 
   test("health: packaged drift/compaction/takedown signals per root") {
     import graft.operators.{ClusterLabels, CosineDedupIndex}
+    // The natural FIRST poll happens before any batch lands: zeros,
+    // not an exception on the missing log directory.
+    val virgin = Files.createTempDirectory("graft_dp_virgin").toString
+    assert(DedupPipeline.health(spark, virgin, vector = true) ==
+      DedupPipeline.Health(0, 0, 0, 0, 0, needsRefreeze = false, needsCompaction = false))
     val root = Files.createTempDirectory("graft_dp_health").toString
     def vec(i: Long) = (0 until 8).map(d => if (d == (i % 8).toInt) 1.0f else 0.0f)
     val batch1 = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")

@@ -91,7 +91,17 @@ class RefreezeSpec extends SparkSpec {
     assert(CosineDedupIndex.readIndex(spark, root).count() == 500)
     assert(CosineDedupIndex.frozenMask(spark, root).contains(oldMask),
       "unmarked stage must not change the mask")
-    assert(!Files.isDirectory(Paths.get(tmp)), "unmarked stage must be dropped")
+    // Readers leave the unmarked partial ALONE — deleting it could race
+    // a refreeze legitimately mid-stage in another session, whose later
+    // marker write would resurrect an empty stage. Only a fresh
+    // refreeze clears partials, before staging anew.
+    assert(Files.isDirectory(Paths.get(tmp)),
+      "readers must not delete an unmarked stage")
+    CosineDedupIndex.refreeze(spark, root)
+    CacheJanitor.drain()
+    assert(!Files.isDirectory(Paths.get(tmp)),
+      "a fresh refreeze clears the prior partial")
+    assert(CosineDedupIndex.frozenMask(spark, root).contains(newMask))
 
     // (b) Crash AFTER the marker but before any commit step: the next
     // read completes the whole commit — new mask AND new codes together.
@@ -155,13 +165,67 @@ class RefreezeSpec extends SparkSpec {
     CacheJanitor.drain()
 
     // An orphan quantizer stage (crash before the codes staged) is
-    // swept by the next entry-point recovery, never installed.
+    // never installed. Readers leave it alone — a delete from a read
+    // path could race an in-flight refreeze's stage — and the next
+    // refreeze sweeps it before staging anew.
     val qtmp = Paths.get(s"$root/quantizer.__refreeze_tmp")
     Files.createDirectories(qtmp)
     Files.writeString(qtmp.resolve("junk"), "partial")
     AnnIndex.topK(spark, root, queries, k = 1).collect()
     CacheJanitor.drain()
-    assert(!Files.isDirectory(qtmp), "orphan quantizer stage must be cleaned")
+    assert(Files.isDirectory(qtmp), "readers must not delete an in-flight stage")
+    AnnIndex.refreeze(spark, root, vecs)
+    CacheJanitor.drain()
+    assert(!Files.isDirectory(qtmp), "a fresh refreeze sweeps the orphan")
+  }
+
+  test("a marker-only refreeze husk is abandoned — never swapped over live codes") {
+    val root = Files.createTempDirectory("graft_rf_husk").toString
+    CosineDedupIndex.ingest(spark, root, vecs.where(col("vec_id") < 200))
+    CacheJanitor.drain()
+    val before = CosineDedupIndex.readIndex(spark, root).count()
+    assert(before == 200)
+    // Adversarial state: the staged data was deleted out from under an
+    // in-flight refreeze, whose marker write then recreated the tmp dir
+    // holding ONLY the marker (fs.create auto-creates parents). A
+    // recovery that trusted the marker alone would swap this husk over
+    // the live codes and destroy the index.
+    val tmp = s"$root/codes.__refreeze_tmp"
+    Files.createDirectories(Paths.get(tmp))
+    Files.write(Paths.get(s"$tmp/${RefreezeProtocol.markerName}"),
+      "32".getBytes("UTF-8"))
+    val after = CosineDedupIndex.readIndex(spark, root).count()
+    assert(after == before, "a marker-only husk must never replace live codes")
+    assert(!Files.isDirectory(Paths.get(tmp)), "the husk must be dropped")
+    // Same guard on the quantized family.
+    val aroot = Files.createTempDirectory("graft_rf_husk_ann").toString
+    AnnIndex.ingest(spark, aroot, vecs.where(col("vec_id") < 200))
+    CacheJanitor.drain()
+    val ctmp = s"$aroot/codes.__refreeze_tmp"
+    Files.createDirectories(Paths.get(ctmp))
+    Files.write(Paths.get(s"$ctmp/${RefreezeProtocol.markerName}"),
+      "ann".getBytes("UTF-8"))
+    val q0 = vecs.where(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    assert(AnnIndex.topK(spark, aroot, q0, k = 1).count() == 1,
+      "the index must keep answering")
+    assert(!Files.isDirectory(Paths.get(ctmp)))
+    CacheJanitor.drain()
+  }
+
+  test("a crash DURING the centroids write reads as never trained, not a bricked quantizer") {
+    val root = Files.createTempDirectory("graft_rf_qpartial").toString
+    // Crash state: the centroids directory exists but holds only
+    // uncommitted _temporary task state — a bare directory probe would
+    // classify this as 'trained' and then fail schema inference on
+    // every read forever.
+    Files.createDirectories(Paths.get(s"$root/quantizer/centroids/_temporary"))
+    Files.write(Paths.get(s"$root/quantizer/centroids/_temporary/part-x"),
+      "partial".getBytes("UTF-8"))
+    val b = AnnIndex.ingest(spark, root, vecs.where(col("vec_id") < 100),
+      batchKey = Some("b1"))
+    assert(b.allCodes.count() == 100, "the first batch must retrain over the partial")
+    CacheJanitor.drain()
   }
 
   test("a crash between the two quantizer writes retrains cleanly on retry") {
