@@ -187,6 +187,11 @@ object AnnIndex {
 
   private def codesRefreezeTmp(root: String): String = s"$root/codes.__refreeze_tmp"
   private def quantRefreezeTmp(root: String): String = s"$root/quantizer.__refreeze_tmp"
+  /** Hidden subdir of the codes stage holding the staged quantizer
+    * artifacts — staged TOGETHER with the codes so the failure model
+    * can never split them (see [[refreeze]]). `quantRefreezeTmp` is
+    * only swept as a stray from the older side-by-side layout. */
+  private val quantStage = "_quantizer"
 
   /** Ladder-step migration — the escape hatch for a quantizer frozen on
     * a first batch the corpus has long outgrown (cells sized for the
@@ -215,34 +220,54 @@ object AnnIndex {
     val survivors = graft.CacheJanitor.register(
       corpus.select(col("vec_id"), col("embedding"))
         .join(liveIds, Seq("vec_id"), "left_semi").persist())
-    // A corpus missing live ids would otherwise SILENTLY SHRINK the
-    // index on commit (the semi-join just drops them) — refuse loudly.
-    require(survivors.count() == liveN,
-      s"refreeze corpus is missing live vec_ids (" +
-        s"${liveN - survivors.count()} of $liveN) — it must supply " +
-        "embeddings for every live id; aborting before any commit")
-    survivors.createOrReplaceTempView("graft_ann_refreeze")
-    val cents = TrainingData.trainCentroids(spark, "graft_ann_refreeze")
-    val (mn, span) = TrainingData.quantStats(spark, "graft_ann_refreeze")
-    import spark.implicits._
-    val qtmp = quantRefreezeTmp(root)
-    RefreezeProtocol.deleteIfExists(spark, qtmp)
-    cents.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$qtmp/centroids")
-    mn.indices.map(i => (i.toLong, mn(i), span(i)))
-      .toDF("pos", "mn", "span")
-      .coalesce(1).write.mode("overwrite").parquet(s"$qtmp/stats")
-    val ctmp = codesRefreezeTmp(root)
-    BatchLog.stageRewrite(encode(survivors, cents, mn, span), s"$root/codes", ctmp, partitionBy = Seq("cell"))
-    RefreezeProtocol.sealStage(spark, ctmp, "ann")
-    commitRefreeze(spark, root)
-    graft.CacheJanitor.drain()
+    try {
+      // The corpus must supply exactly the live ids, once each: missing
+      // ids would silently SHRINK the index on commit (the semi-join
+      // just drops them); duplicate ids would commit duplicate code
+      // rows. Refuse both loudly, before anything destructive.
+      val matched = survivors.select("vec_id").distinct().count()
+      require(matched == liveN,
+        s"refreeze corpus is missing ${liveN - matched} of $liveN live " +
+          "vec_ids — it must supply embeddings for every live id; " +
+          "aborting before any commit")
+      require(survivors.count() == liveN,
+        "refreeze corpus supplies duplicate vec_ids; aborting before any commit")
+      survivors.createOrReplaceTempView("graft_ann_refreeze")
+      val cents = TrainingData.trainCentroids(spark, "graft_ann_refreeze")
+      val (mn, span) = TrainingData.quantStats(spark, "graft_ann_refreeze")
+      import spark.implicits._
+      val ctmp = codesRefreezeTmp(root)
+      RefreezeProtocol.deleteIfExists(spark, ctmp)
+      BatchLog.stageRewrite(encode(survivors, cents, mn, span),
+        s"$root/codes", ctmp, partitionBy = Seq("cell"))
+      // The quantizer stages INSIDE the codes stage (a hidden subdir):
+      // ONE stage directory means the protocol's failure model (crashes
+      // + whole-directory deletions by a racing recovery) can never
+      // split the quantizer from the codes it encodes — the commit
+      // either finds both staged together or abandons both. A separate
+      // quantizer tmp could be deleted out from under the stage and
+      // silently skipped at commit, installing new codes under the OLD
+      // quantizer.
+      cents.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$ctmp/$quantStage/centroids")
+      mn.indices.map(i => (i.toLong, mn(i), span(i)))
+        .toDF("pos", "mn", "span")
+        .coalesce(1).write.mode("overwrite").parquet(s"$ctmp/$quantStage/stats")
+      RefreezeProtocol.sealStage(spark, ctmp, "ann")
+      commitRefreeze(spark, root)
+    } finally graft.CacheJanitor.drain()
   }
 
+  /** Commit a sealed stage: quantizer into place first (its absence
+    * with the staged codes intact means a prior commit attempt already
+    * renamed it — within the failure model, rename is the only way the
+    * subdir leaves a surviving stage), then the codes swap. Idempotent
+    * under crash-and-rerun at every step. */
   private def commitRefreeze(spark: SparkSession, root: String): Unit = {
-    RefreezeProtocol.swapIfStaged(spark, quantRefreezeTmp(root), s"$root/quantizer")
-    Tombstones.commitCompaction(spark, root, codesRefreezeTmp(root), s"$root/codes")
+    val ctmp = codesRefreezeTmp(root)
+    RefreezeProtocol.swapIfStaged(spark, s"$ctmp/$quantStage", s"$root/quantizer")
+    Tombstones.commitCompaction(spark, root, ctmp, s"$root/codes")
   }
 
   /** Complete or abandon a crashed [[refreeze]] — see its scaladoc. */

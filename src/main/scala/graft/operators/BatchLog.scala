@@ -62,6 +62,15 @@ private[graft] object BatchLog {
       else f"_${c.toInt}%04x"
     }
 
+  /** The pre-injective mapping (kept `_` literal, collapsed every other
+    * unsafe char to `_`) — consulted so batches WRITTEN by the older
+    * release keep their replay idempotence across the upgrade: a replay
+    * whose key resolves differently under the new escape must find (and
+    * overwrite) its ORIGINAL directory, and a ledger entry recorded
+    * under the old name must still veto the replay. */
+  private def legacySanitize(key: String): String =
+    "b" + key.replaceAll("[^0-9A-Za-z_.\\-]", "_")
+
   private def dirFor(path: String, key: String): String =
     s"$path/batch_key=$key"
 
@@ -93,7 +102,10 @@ private[graft] object BatchLog {
         st.exists(s => s.isDirectory && !hidden(s.getPath.getName) && visit(s.getPath))
     }
     val p = new HPath(path)
-    fs.exists(p) && visit(p)
+    // A concurrent deletion between the exists probe and the walk (or
+    // mid-walk) means the answer is simply "no committed files here".
+    try fs.exists(p) && visit(p)
+    catch { case _: java.io.FileNotFoundException => false }
   }
 
   private def hidden(name: String): Boolean =
@@ -148,7 +160,16 @@ private[graft] object BatchLog {
     * append (to exclude its own prior rows on a replay) resolves once
     * and hands the result to [[appendResolved]]. */
   def resolveKey(spark: SparkSession, path: String, batchKey: Option[String]): String =
-    batchKey.map(sanitize).getOrElse(nextAutoKey(spark, path))
+    batchKey.map { k =>
+      val neu = sanitize(k)
+      val old = legacySanitize(k)
+      // Upgrade compatibility: if this caller key already landed under
+      // the old mapping (directory present, or folded away and
+      // retired), keep addressing it by that name.
+      if (old != neu && (keys(spark, path).contains(old) ||
+        retiredKeys(spark, path).contains(old))) old
+      else neu
+    }.getOrElse(nextAutoKey(spark, path))
 
   /** Append one batch: `df` lands under `path/batch_key=<key>/` with
     * `mode("overwrite")` — a replay of the same caller key replaces its
@@ -238,7 +259,13 @@ private[graft] object BatchLog {
   def stageRewrite(df: DataFrame, srcPath: String, tmpPath: String,
       partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
+    // Retire only keys whose rows the fold actually ABSORBED — i.e.
+    // directories holding committed data files. An uncommitted partial
+    // (a crashed append) contributes nothing to the fold; retiring its
+    // key would turn the batch's at-least-once replay into a permanent
+    // no-op and lose the data.
     val folded = retiredKeys(spark, srcPath) ++ keys(spark, srcPath)
+      .filter(k => hasCommittedFiles(spark, dirFor(srcPath, k)))
     writeFold(df, tmpPath, nextAutoKey(spark, srcPath), partitionBy)
     writeRetired(spark, tmpPath, folded)
   }

@@ -103,11 +103,18 @@ object CosineDedupIndex {
   /** Live code rows: the snapshot minus tombstoned vec_ids (compaction
     * crash-recovery probed first — see [[Tombstones.recoverCompaction]]). */
   def readIndex(spark: SparkSession, root: String): DataFrame = {
+    recoverState(spark, root)
+    Tombstones.exclude(BatchLog.read(spark, codesDir(root), "CosineDedupIndex"),
+      root, "vec_id")
+  }
+
+  /** Crash recovery alone (refreeze + compaction swap windows) — for
+    * callers that probe state without reading rows
+    * ([[DedupPipeline.health]]); see `SignatureIndex.recoverState`. */
+  private[operators] def recoverState(spark: SparkSession, root: String): Unit = {
     refreezeRecover(spark, root)
     Tombstones.recoverCompaction(spark, root,
       s"${codesDir(root)}.__compact_tmp", codesDir(root))
-    Tombstones.exclude(BatchLog.read(spark, codesDir(root), "CosineDedupIndex"),
-      root, "vec_id")
   }
 
   /** One-time upgrade of a legacy flat-append root into the batch-keyed

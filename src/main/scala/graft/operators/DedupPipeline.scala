@@ -120,11 +120,22 @@ object DedupPipeline {
     */
   def health(spark: SparkSession, root: String,
       vector: Boolean = false): Health = {
+    // Crash recovery BEFORE any existence probe (the same contract as
+    // ClusterLabels.recover): during a compaction/refreeze swap window
+    // the log dir is legitimately absent while the fully-staged tmp is
+    // present — probing without recovering would report liveDocs = 0
+    // for an index that lost nothing.
+    if (vector) CosineDedupIndex.recoverState(spark, root)
+    else SignatureIndex.recoverState(spark, root)
+    val logDir =
+      if (vector) CosineDedupIndex.codesDir(root) else s"$root/signatures"
+    // Legacy flat roots refuse loudly here too — a silent liveDocs = 0
+    // for a root full of pre-format rows is the bug class the format
+    // marker exists to prevent (read paths must agree).
+    graft.operators.BatchLog.requireFormat(spark, logDir, "DedupPipeline.health")
     // Virgin-root guard: the natural FIRST poll of an ops loop happens
     // before any batch lands — report zeros, don't throw on the missing
     // log directory.
-    val logDir =
-      if (vector) CosineDedupIndex.codesDir(root) else s"$root/signatures"
     val liveDocs =
       if (!graft.operators.BatchLog.hasData(spark, logDir)) 0L
       else if (vector) CosineDedupIndex.readIndex(spark, root).count()

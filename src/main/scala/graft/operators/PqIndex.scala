@@ -183,6 +183,11 @@ object PqIndex {
 
   private def codesRefreezeTmp(root: String): String = s"$root/codes.__refreeze_tmp"
   private def quantRefreezeTmp(root: String): String = s"$root/quantizer.__refreeze_tmp"
+  /** Hidden subdir of the codes stage holding the staged quantizer
+    * artifacts — staged TOGETHER with the codes so the failure model
+    * can never split them (see [[refreeze]]). `quantRefreezeTmp` is
+    * only swept as a stray from the older side-by-side layout. */
+  private val quantStage = "_quantizer"
 
   /** Ladder-step migration, same contract and crash story as
     * [[AnnIndex.refreeze]]: retrain coarse centroids AND the per-
@@ -198,35 +203,45 @@ object PqIndex {
     val survivors = graft.CacheJanitor.register(
       corpus.select(col("vec_id"), col("embedding"))
         .join(liveIds, Seq("vec_id"), "left_semi").persist())
-    // A corpus missing live ids would otherwise SILENTLY SHRINK the
-    // index on commit (the semi-join just drops them) — refuse loudly.
-    require(survivors.count() == liveN,
-      s"refreeze corpus is missing live vec_ids (" +
-        s"${liveN - survivors.count()} of $liveN) — it must supply " +
-        "embeddings for every live id; aborting before any commit")
-    survivors.createOrReplaceTempView("graft_pq_refreeze")
-    val cents = TrainingData.trainCentroids(spark, "graft_pq_refreeze")
-    val cb = TrainingData.trainPqCodebooks(spark, "graft_pq_refreeze")
-    import spark.implicits._
-    val qtmp = quantRefreezeTmp(root)
-    RefreezeProtocol.deleteIfExists(spark, qtmp)
-    cents.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$qtmp/centroids")
-    (for { j <- cb.indices; c <- cb(j).indices }
-      yield ((j + 1).toLong, (c + 1).toLong, cb(j)(c).toSeq))
-      .toDF("subspace", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$qtmp/codebooks")
-    val ctmp = codesRefreezeTmp(root)
-    BatchLog.stageRewrite(encode(survivors, cents, cb), s"$root/codes", ctmp, partitionBy = Seq("cell"))
-    RefreezeProtocol.sealStage(spark, ctmp, "pq")
-    commitRefreeze(spark, root)
-    graft.CacheJanitor.drain()
+    try {
+      // Same corpus-completeness contract as [[AnnIndex.refreeze]]:
+      // exactly the live ids, once each, or abort loudly.
+      val matched = survivors.select("vec_id").distinct().count()
+      require(matched == liveN,
+        s"refreeze corpus is missing ${liveN - matched} of $liveN live " +
+          "vec_ids — it must supply embeddings for every live id; " +
+          "aborting before any commit")
+      require(survivors.count() == liveN,
+        "refreeze corpus supplies duplicate vec_ids; aborting before any commit")
+      survivors.createOrReplaceTempView("graft_pq_refreeze")
+      val cents = TrainingData.trainCentroids(spark, "graft_pq_refreeze")
+      val cb = TrainingData.trainPqCodebooks(spark, "graft_pq_refreeze")
+      import spark.implicits._
+      val ctmp = codesRefreezeTmp(root)
+      RefreezeProtocol.deleteIfExists(spark, ctmp)
+      BatchLog.stageRewrite(encode(survivors, cents, cb),
+        s"$root/codes", ctmp, partitionBy = Seq("cell"))
+      // Quantizers INSIDE the codes stage — one stage directory, so the
+      // failure model (crashes + whole-dir deletions) can never split
+      // them from the codes they encode (see AnnIndex.refreeze).
+      cents.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$ctmp/$quantStage/centroids")
+      (for { j <- cb.indices; c <- cb(j).indices }
+        yield ((j + 1).toLong, (c + 1).toLong, cb(j)(c).toSeq))
+        .toDF("subspace", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$ctmp/$quantStage/codebooks")
+      RefreezeProtocol.sealStage(spark, ctmp, "pq")
+      commitRefreeze(spark, root)
+    } finally graft.CacheJanitor.drain()
   }
 
+  /** Commit a sealed stage — see [[AnnIndex]]'s commitRefreeze for the
+    * ordering and idempotence argument. */
   private def commitRefreeze(spark: SparkSession, root: String): Unit = {
-    RefreezeProtocol.swapIfStaged(spark, quantRefreezeTmp(root), s"$root/quantizer")
-    Tombstones.commitCompaction(spark, root, codesRefreezeTmp(root), s"$root/codes")
+    val ctmp = codesRefreezeTmp(root)
+    RefreezeProtocol.swapIfStaged(spark, s"$ctmp/$quantStage", s"$root/quantizer")
+    Tombstones.commitCompaction(spark, root, ctmp, s"$root/codes")
   }
 
   /** Complete or abandon a crashed [[refreeze]]. */

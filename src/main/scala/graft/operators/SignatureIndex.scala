@@ -104,9 +104,17 @@ object SignatureIndex {
     * refused here (its arrays predate the sorted-at-build contract the
     * intersect kernel needs) — [[migrateLegacy]] upgrades it in place. */
   def readIndex(spark: SparkSession, root: String, table: String = "signatures"): DataFrame = {
-    Tombstones.recoverCompaction(spark, root, s"$root/$table.__compact_tmp", s"$root/$table")
+    recoverState(spark, root, table)
     Tombstones.exclude(BatchLog.read(spark, s"$root/$table", "SignatureIndex"), root, "doc_id")
   }
+
+  /** Crash recovery alone (the compaction swap window) — for callers
+    * that probe state without reading rows ([[DedupPipeline.health]]):
+    * an existence probe during the swap window would otherwise misread
+    * a fully-staged compaction as an empty index. */
+  private[operators] def recoverState(spark: SparkSession, root: String,
+      table: String = "signatures"): Unit =
+    Tombstones.recoverCompaction(spark, root, s"$root/$table.__compact_tmp", s"$root/$table")
 
   /** One-time upgrade of a legacy flat-append root: re-sorts every
     * stored shingle array (pre-change rows were `array_distinct` order,

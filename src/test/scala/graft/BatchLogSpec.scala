@@ -183,6 +183,65 @@ class BatchLogSpec extends SparkSpec {
       "an auto key colliding with a retired number would silently no-op")
   }
 
+  test("compaction never retires an uncommitted partial — its replay still lands") {
+    val root = Files.createTempDirectory("graft_bk_partial_compact").toString
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("mb0"))
+    CacheJanitor.drain()
+    // Crash state: batch mb1's append died mid-write — its directory
+    // holds only hidden task state, so its rows are NOT in any fold.
+    val partial = s"$root/signatures/batch_key=${BatchLog.sanitize("mb1")}/_temporary"
+    Files.createDirectories(Paths.get(partial))
+    Files.write(Paths.get(s"$partial/part-x"), "partial".getBytes("UTF-8"))
+    SignatureIndex.compact(spark, root)
+    assert(SignatureIndex.readIndex(spark, root).count() == 3)
+    // The at-least-once replay of mb1 must still LAND — retiring the
+    // uncommitted key would have turned the replay into a permanent
+    // no-op and lost the batch.
+    SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("mb1"))
+    CacheJanitor.drain()
+    assert(SignatureIndex.readIndex(spark, root).count() == 6,
+      "an uncommitted partial's key must not be retired by compaction")
+  }
+
+  test("pre-upgrade batch directories keep their replay idempotence") {
+    val root = Files.createTempDirectory("graft_bk_upgrade").toString
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("mb_0"))
+    CacheJanitor.drain()
+    // Simulate a root written by the pre-injective release: the same
+    // caller key landed under the old lossy mapping (literal '_').
+    val sigs = Paths.get(s"$root/signatures")
+    Files.move(sigs.resolve(s"batch_key=${BatchLog.sanitize("mb_0")}"),
+      sigs.resolve("batch_key=bmb_0"))
+    // The replay must resolve to the ORIGINAL directory and overwrite
+    // it — a second directory beside it would be the double-append the
+    // key mechanism exists to prevent.
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("mb_0"))
+    CacheJanitor.drain()
+    assert(batchDirs(s"$root/signatures") == Seq("batch_key=bmb_0"),
+      "a pre-upgrade directory must keep receiving its key's replays")
+    assert(SignatureIndex.readIndex(spark, root).count() == 3)
+  }
+
+  test("refreeze refuses a corpus with missing or duplicate live ids") {
+    val root = Files.createTempDirectory("graft_bk_refreeze_corpus").toString
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select("vec_id", "embedding")
+    AnnIndex.ingest(spark, root, vecs.where(col("vec_id") < 100))
+    CacheJanitor.drain()
+    val missing = intercept[IllegalArgumentException](
+      AnnIndex.refreeze(spark, root, vecs.where(col("vec_id") < 50)))
+    assert(missing.getMessage.contains("missing"), missing.getMessage)
+    val dups = intercept[IllegalArgumentException](
+      AnnIndex.refreeze(spark, root,
+        vecs.where(col("vec_id") < 100).unionAll(vecs.where(col("vec_id") === 7))))
+    assert(dups.getMessage.contains("duplicate"), dups.getMessage)
+    // The aborts left the index untouched and still answering.
+    val q0 = vecs.where(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    assert(AnnIndex.topK(spark, root, q0, k = 1).count() == 1)
+    CacheJanitor.drain()
+  }
+
   test("distinct caller keys always land in distinct batch directories") {
     val root = Files.createTempDirectory("graft_bk_inject").toString
     // These two keys differ only in a character the old lossy sanitize
