@@ -189,8 +189,10 @@ object AnnIndex {
   private def quantRefreezeTmp(root: String): String = s"$root/quantizer.__refreeze_tmp"
   /** Hidden subdir of the codes stage holding the staged quantizer
     * artifacts — staged TOGETHER with the codes so the failure model
-    * can never split them (see [[refreeze]]). `quantRefreezeTmp` is
-    * only swept as a stray from the older side-by-side layout. */
+    * can never split them (see [[refreeze]]). `quantRefreezeTmp` is the
+    * older side-by-side layout: installed by [[commitRefreeze]] when
+    * recovering a stage that release sealed, swept as a stray
+    * otherwise. */
   private val quantStage = "_quantizer"
 
   /** Ladder-step migration — the escape hatch for a quantizer frozen on
@@ -205,13 +207,15 @@ object AnnIndex {
     * ingest of the survivors, and [[topK]] semantics carry over with
     * the new cell geometry.
     *
-    * Crash safety: quantizer then codes are FULLY staged, a completion
-    * marker lands last, then the commit swaps quantizer first, codes
-    * second. [[refreezeRecover]] (probed by every entry point)
-    * completes a marked commit idempotently — the quantizer swap is
-    * skipped when its tmp is already gone — and drops an unmarked
-    * partial stage, so readers can never see a new quantizer with old
-    * codes or vice versa. */
+    * Crash safety: the codes are FULLY staged first, then the quantizer
+    * lands INSIDE the same stage directory (a hidden subdir — one stage,
+    * so no failure can split the pair), a completion marker lands last,
+    * then the commit swaps quantizer first, codes second.
+    * [[refreezeRecover]] (probed by every entry point) completes a
+    * marked commit idempotently — the quantizer swap is skipped when its
+    * staged subdir is already gone, i.e. already renamed — and drops an
+    * unmarked partial stage, so readers can never see a new quantizer
+    * with old codes or vice versa. */
   def refreeze(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
     refreezeRecover(spark, root, deletePartial = true) // clear any prior attempt
     val liveIds = readCodes(spark, root).select("vec_id")
@@ -263,10 +267,22 @@ object AnnIndex {
     * with the staged codes intact means a prior commit attempt already
     * renamed it — within the failure model, rename is the only way the
     * subdir leaves a surviving stage), then the codes swap. Idempotent
-    * under crash-and-rerun at every step. */
+    * under crash-and-rerun at every step.
+    *
+    * A stage sealed by the PREVIOUS release staged its quantizer
+    * side-by-side (`quantizer.__refreeze_tmp`) instead of in-stage; a
+    * marked stage implies that tmp was fully written (the marker landed
+    * after both writes), so when the in-stage subdir is absent the
+    * quantizer installs from there — committing such a stage's codes
+    * while silently skipping its quantizer would serve the new codes
+    * under the OLD centroids, silently wrong neighbors. */
   private def commitRefreeze(spark: SparkSession, root: String): Unit = {
     val ctmp = codesRefreezeTmp(root)
-    RefreezeProtocol.swapIfStaged(spark, s"$ctmp/$quantStage", s"$root/quantizer")
+    val staged = s"$ctmp/$quantStage"
+    if (RefreezeProtocol.exists(spark, staged))
+      RefreezeProtocol.swapIfStaged(spark, staged, s"$root/quantizer")
+    else
+      RefreezeProtocol.swapIfStaged(spark, quantRefreezeTmp(root), s"$root/quantizer")
     Tombstones.commitCompaction(spark, root, ctmp, s"$root/codes")
   }
 

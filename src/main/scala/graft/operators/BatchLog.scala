@@ -67,7 +67,11 @@ private[graft] object BatchLog {
     * release keep their replay idempotence across the upgrade: a replay
     * whose key resolves differently under the new escape must find (and
     * overwrite) its ORIGINAL directory, and a ledger entry recorded
-    * under the old name must still veto the replay. */
+    * under the old name must still veto the replay. Old-mapping names
+    * are only ever honoured when the [[legacyKeys]] snapshot lists them
+    * (see [[resolveKey]]) — a live directory probe would let a
+    * NEW-mapping directory whose name happens to equal some other key's
+    * old mapping be hijacked and overwritten. */
   private def legacySanitize(key: String): String =
     "b" + key.replaceAll("[^0-9A-Za-z_.\\-]", "_")
 
@@ -149,8 +153,19 @@ private[graft] object BatchLog {
     }
   }
 
-  private def writeMarker(fs: FileSystem, dir: HPath): Unit = {
+  private def writeMarker(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val dir = new HPath(path)
     fs.mkdirs(dir)
+    // First write by the injective-escape release: snapshot the caller
+    // -key directory names that already exist — they (and only they)
+    // were minted by the pre-injective mapping. The snapshot lands
+    // BEFORE this write creates any new-mapping directory, so the two
+    // namespaces can never be confused afterwards (see [[legacyKeys]]).
+    if (!fs.exists(new HPath(dir, legacyName)))
+      writeLegacy(spark, path,
+        (keys(spark, path) ++ retiredKeys(spark, path))
+          .filter(_.startsWith("b")).toSet)
     val m = new HPath(dir, markerName)
     if (!fs.exists(m)) fs.create(m, true).close()
   }
@@ -163,12 +178,31 @@ private[graft] object BatchLog {
     batchKey.map { k =>
       val neu = sanitize(k)
       val old = legacySanitize(k)
-      // Upgrade compatibility: if this caller key already landed under
-      // the old mapping (directory present, or folded away and
-      // retired), keep addressing it by that name.
-      if (old != neu && (keys(spark, path).contains(old) ||
-        retiredKeys(spark, path).contains(old))) old
-      else neu
+      if (old == neu) neu
+      else {
+        // Upgrade compatibility. The pre-upgrade names are read from the
+        // [[legacyKeys]] snapshot, NOT probed live: a live probe would
+        // let this key hijack a NEW-mapping directory whose name happens
+        // to equal its old mapping (e.g. caller key "x*005f0abc"
+        // old-maps to "bx_005f0abc" — the new mapping of the UNRELATED
+        // key "x_0abc") and silently overwrite that batch. Only a root
+        // never yet written by this release (no snapshot) probes live —
+        // every directory there IS pre-upgrade by definition.
+        val legacy = legacyKeys(spark, path).getOrElse(
+          (keys(spark, path) ++ retiredKeys(spark, path))
+            .filter(_.startsWith("b")).toSet)
+        // The converse collision — this key's NEW mapping landing on a
+        // name a pre-upgrade directory of a DIFFERENT key already owns —
+        // cannot be resolved safely in either direction (append would
+        // overwrite the old batch; after a compaction the retired-name
+        // veto would silently swallow the new batch). Refuse loudly.
+        require(!legacy.contains(neu),
+          s"batch key '$k' maps to directory name '$neu', which a " +
+            "pre-upgrade batch of a different caller key already owns — " +
+            "compact the log (folding the old batches) and rename this " +
+            "key, or rebuild the root")
+        if (legacy.contains(old)) old else neu
+      }
     }.getOrElse(nextAutoKey(spark, path))
 
   /** Append one batch: `df` lands under `path/batch_key=<key>/` with
@@ -194,7 +228,7 @@ private[graft] object BatchLog {
     val spark = df.sparkSession
     requireFormat(spark, path, op)
     if (retiredKeys(spark, path).contains(key)) return
-    writeMarker(fsOf(spark, path), new HPath(path))
+    writeMarker(spark, path)
     val w = df.write.mode("overwrite")
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
       .parquet(dirFor(path, key))
@@ -237,12 +271,46 @@ private[graft] object BatchLog {
       finally out.close()
     }
 
+  // -------------------------------------------------------- legacy keys
+
+  private val legacyName = "_graft_legacy_keys"
+
+  /** The caller-key directory names that existed when the injective
+    * -escape release FIRST wrote this root — the complete set of names
+    * minted by the pre-injective mapping, snapshotted by [[writeMarker]]
+    * before any new-mapping directory can exist. [[resolveKey]]'s legacy
+    * fallback honours ONLY these names; the file's presence (even empty,
+    * the fresh-root case) means every other directory was named by the
+    * injective escape. `None` = the root was last written by the older
+    * release (or never written): every caller-key directory there is
+    * pre-upgrade, so the fallback may probe live. */
+  def legacyKeys(spark: SparkSession, path: String): Option[Set[String]] = {
+    val fs = fsOf(spark, path)
+    val f = new HPath(path, legacyName)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSet)
+      finally in.close()
+    }
+  }
+
+  private def writeLegacy(spark: SparkSession, path: String, ks: Set[String]): Unit = {
+    val fs = fsOf(spark, path)
+    fs.mkdirs(new HPath(path))
+    val out = fs.create(new HPath(path, legacyName), true)
+    try out.write(ks.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   private def writeFold(df: DataFrame, tmpPath: String, key: String,
       partitionBy: Seq[String]): Unit = {
     val w = df.write.mode("overwrite")
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
       .parquet(dirFor(tmpPath, key))
-    writeMarker(fsOf(df.sparkSession, tmpPath), new HPath(tmpPath))
+    writeMarker(df.sparkSession, tmpPath)
   }
 
   /** Stage a layout-only rewrite (legacy migration) into `tmpPath`:
@@ -259,15 +327,53 @@ private[graft] object BatchLog {
   def stageRewrite(df: DataFrame, srcPath: String, tmpPath: String,
       partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
-    // Retire only keys whose rows the fold actually ABSORBED — i.e.
-    // directories holding committed data files. An uncommitted partial
-    // (a crashed append) contributes nothing to the fold; retiring its
-    // key would turn the batch's at-least-once replay into a permanent
-    // no-op and lose the data.
-    val folded = retiredKeys(spark, srcPath) ++ keys(spark, srcPath)
-      .filter(k => hasCommittedFiles(spark, dirFor(srcPath, k)))
+    // Retire exactly the keys whose files the fold's plan actually READ
+    // (`df.inputFiles` — the FileIndex snapshot the scan resolved when
+    // the frame was built), never a fresh directory probe. A fresh probe
+    // is a TOCTOU: a batch committing between the fold's file listing
+    // and the probe would be retired WITHOUT its rows being absorbed —
+    // the ledger then vetoes its at-least-once replay forever (permanent
+    // loss). Aligned with the plan's own listing, such a batch's
+    // directory still dies in the commit swap, but its key stays
+    // unretired, so the replay lands it again. (Uncommitted partials
+    // fall out for free: their files are invisible to the listing.)
+    val fs = fsOf(spark, srcPath)
+    val prefix = fs.makeQualified(new HPath(srcPath)).toString + "/batch_key="
+    // From the ANALYZED plan, not Dataset.inputFiles: inputFiles walks
+    // the optimized plan, where a persisted upstream frame has been
+    // substituted by its InMemoryRelation — the scan (and its listing
+    // snapshot) vanishes, which would misread every cached fold as
+    // "read nothing". The analyzed plan keeps the original relations,
+    // and each FileIndex returns the listing it resolved at read time.
+    val absorbed = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case r: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            r.location.inputFiles.toSeq
+          case _ => Nil
+        }
+    }.flatten.toSet[String].flatMap { f =>
+      val q = fs.makeQualified(new HPath(f)).toString
+      if (q.startsWith(prefix)) Some(q.stripPrefix(prefix).takeWhile(_ != '/'))
+      else None
+    }
+    // A fold that read NONE of the source's committed batches means the
+    // frame's lineage does not scan the log (e.g. truncated by a
+    // checkpoint) — staging it would leave every caller key unretired,
+    // and their replays would double-append beside the fold. Refuse.
+    require(absorbed.nonEmpty ||
+      !keys(spark, srcPath).exists(k => hasCommittedFiles(spark, dirFor(srcPath, k))),
+      s"stageRewrite: the fold frame read no files under $srcPath " +
+        "(lineage truncated?) — it must be derived from the log it rewrites")
+    val folded = retiredKeys(spark, srcPath) ++ absorbed
     writeFold(df, tmpPath, nextAutoKey(spark, srcPath), partitionBy)
     writeRetired(spark, tmpPath, folded)
+    // The legacy-name snapshot must survive the swap: post-compaction
+    // replays of pre-upgrade keys still resolve through it (and are then
+    // vetoed by the retired ledger carrying their old names).
+    writeLegacy(spark, tmpPath, legacyKeys(spark, srcPath).getOrElse(
+      (keys(spark, srcPath) ++ retiredKeys(spark, srcPath))
+        .filter(_.startsWith("b")).toSet))
   }
 
   /** Migrate a legacy flat-append root in place: read its rows, apply

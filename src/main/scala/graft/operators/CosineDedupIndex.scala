@@ -170,15 +170,19 @@ object CosineDedupIndex {
   def refreeze(spark: SparkSession, root: String): Unit = {
     refreezeRecover(spark, root, deletePartial = true) // clear any prior attempt
     val live = graft.CacheJanitor.register(readIndex(spark, root).persist())
-    if (live.count() == 0L) { graft.CacheJanitor.drain(); return } // nothing to migrate
-    val newMask = TextSim.lshMaskValue(live.count()).toLong
-    val tmp = refreezeTmp(root)
-    BatchLog.stageRewrite(
-      encode(live.select(col("vec_id"), col("embedding")), newMask),
-      codesDir(root), tmp)
-    RefreezeProtocol.sealStage(spark, tmp, newMask.toString)
-    commitRefreeze(spark, root, newMask)
-    graft.CacheJanitor.drain()
+    // finally, not a happy-path tail call: an abort (sealStage's staged
+    // -data require, a failed write) must not leak the corpus-sized
+    // persisted frame.
+    try {
+      if (live.count() == 0L) return // nothing to migrate
+      val newMask = TextSim.lshMaskValue(live.count()).toLong
+      val tmp = refreezeTmp(root)
+      BatchLog.stageRewrite(
+        encode(live.select(col("vec_id"), col("embedding")), newMask),
+        codesDir(root), tmp)
+      RefreezeProtocol.sealStage(spark, tmp, newMask.toString)
+      commitRefreeze(spark, root, newMask)
+    } finally graft.CacheJanitor.drain()
   }
 
   /** Drift predicate: true when the LIVE count's ladder step exceeds

@@ -185,8 +185,10 @@ object PqIndex {
   private def quantRefreezeTmp(root: String): String = s"$root/quantizer.__refreeze_tmp"
   /** Hidden subdir of the codes stage holding the staged quantizer
     * artifacts — staged TOGETHER with the codes so the failure model
-    * can never split them (see [[refreeze]]). `quantRefreezeTmp` is
-    * only swept as a stray from the older side-by-side layout. */
+    * can never split them (see [[refreeze]]). `quantRefreezeTmp` is the
+    * older side-by-side layout: installed by [[commitRefreeze]] when
+    * recovering a stage that release sealed, swept as a stray
+    * otherwise. */
   private val quantStage = "_quantizer"
 
   /** Ladder-step migration, same contract and crash story as
@@ -237,10 +239,15 @@ object PqIndex {
   }
 
   /** Commit a sealed stage — see [[AnnIndex]]'s commitRefreeze for the
-    * ordering and idempotence argument. */
+    * ordering/idempotence argument and the old-layout (side-by-side
+    * quantizer tmp) install fallback. */
   private def commitRefreeze(spark: SparkSession, root: String): Unit = {
     val ctmp = codesRefreezeTmp(root)
-    RefreezeProtocol.swapIfStaged(spark, s"$ctmp/$quantStage", s"$root/quantizer")
+    val staged = s"$ctmp/$quantStage"
+    if (RefreezeProtocol.exists(spark, staged))
+      RefreezeProtocol.swapIfStaged(spark, staged, s"$root/quantizer")
+    else
+      RefreezeProtocol.swapIfStaged(spark, quantRefreezeTmp(root), s"$root/quantizer")
     Tombstones.commitCompaction(spark, root, ctmp, s"$root/codes")
   }
 

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
-import graft.operators.{AnnIndex, BatchLog, ClusterLabels, CosineDedupIndex, PqIndex, SignatureIndex}
+import graft.operators.{AnnIndex, BatchLog, ClusterLabels, CosineDedupIndex, PqIndex, RefreezeProtocol, SignatureIndex, Tombstones}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -208,10 +208,12 @@ class BatchLogSpec extends SparkSpec {
     SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("mb_0"))
     CacheJanitor.drain()
     // Simulate a root written by the pre-injective release: the same
-    // caller key landed under the old lossy mapping (literal '_').
+    // caller key landed under the old lossy mapping (literal '_'), and
+    // no legacy-name snapshot exists yet (that file is this release's).
     val sigs = Paths.get(s"$root/signatures")
     Files.move(sigs.resolve(s"batch_key=${BatchLog.sanitize("mb_0")}"),
       sigs.resolve("batch_key=bmb_0"))
+    Files.deleteIfExists(sigs.resolve("_graft_legacy_keys"))
     // The replay must resolve to the ORIGINAL directory and overwrite
     // it — a second directory beside it would be the double-append the
     // key mechanism exists to prevent.
@@ -220,6 +222,112 @@ class BatchLogSpec extends SparkSpec {
     assert(batchDirs(s"$root/signatures") == Seq("batch_key=bmb_0"),
       "a pre-upgrade directory must keep receiving its key's replays")
     assert(SignatureIndex.readIndex(spark, root).count() == 3)
+    // The old name must keep working THROUGH a compaction: the fold
+    // retires it (under the old name), so a later replay is a no-op,
+    // not a double-append under the new mapping.
+    SignatureIndex.compact(spark, root)
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("mb_0"))
+    CacheJanitor.drain()
+    assert(SignatureIndex.readIndex(spark, root).count() == 3,
+      "a folded pre-upgrade key must stay retired across the upgrade")
+    assert(batchDirs(s"$root/signatures").forall(_.startsWith("batch_key=a")),
+      "the replay must not mint a new-mapping directory beside the fold")
+  }
+
+  test("a new-mapping directory is never hijacked through the legacy fallback") {
+    val root = Files.createTempDirectory("graft_bk_hijack").toString
+    // Key 1's NEW mapping escapes '_' to _005f: directory bx_005f0abc.
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("x_0abc"))
+    // Key 2's OLD mapping ('*' collapsed to '_') is ALSO bx_005f0abc —
+    // a live-probe fallback would resolve key 2 there and overwrite
+    // key 1's batch. The legacy snapshot (written before key 1's
+    // directory existed, hence empty) refuses the fallback.
+    SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("x*005f0abc"))
+    CacheJanitor.drain()
+    assert(batchDirs(s"$root/signatures").size == 2,
+      "a fresh root's keys must never resolve through the legacy mapping")
+    assert(SignatureIndex.readIndex(spark, root).count() == 6)
+  }
+
+  test("a key whose new mapping lands on another key's pre-upgrade name is refused") {
+    val root = Files.createTempDirectory("graft_bk_collide").toString
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("k0"))
+    CacheJanitor.drain()
+    // Simulate a pre-upgrade root holding a directory whose old-mapping
+    // name equals the NEW mapping of the (different) key "x_0abc".
+    val sigs = Paths.get(s"$root/signatures")
+    Files.move(sigs.resolve(s"batch_key=${BatchLog.sanitize("k0")}"),
+      sigs.resolve("batch_key=bx_005f0abc"))
+    Files.deleteIfExists(sigs.resolve("_graft_legacy_keys"))
+    // Neither overwriting the old batch nor silently swallowing the new
+    // one is acceptable — the ambiguity must refuse loudly.
+    val e = intercept[IllegalArgumentException](
+      SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("x_0abc")))
+    assert(e.getMessage.contains("pre-upgrade"), e.getMessage)
+    CacheJanitor.drain()
+    assert(SignatureIndex.readIndex(spark, root).count() == 3,
+      "the refused append must leave the old batch untouched")
+  }
+
+  test("compaction retires only the batches its fold actually read") {
+    val root = Files.createTempDirectory("graft_bk_race").toString
+    val dest = s"$root/signatures"
+    val tmp = s"$dest.__compact_tmp"
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("mb0"))
+    CacheJanitor.drain()
+    // The fold frame lists the log's files NOW (scan snapshot)…
+    val fold = SignatureIndex.readIndex(spark, root)
+    // …then a racing at-least-once replay commits batch mb1 — AFTER the
+    // listing, so the fold holds none of its rows.
+    SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("mb1"))
+    CacheJanitor.drain()
+    BatchLog.stageRewrite(fold, dest, tmp)
+    Tombstones.commitCompaction(spark, root, tmp, dest)
+    // mb1's directory died in the swap — but its key must NOT be
+    // retired (the fold never absorbed it), so the replay still lands
+    // the batch instead of being vetoed forever.
+    assert(SignatureIndex.readIndex(spark, root).count() == 3)
+    SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("mb1"))
+    CacheJanitor.drain()
+    assert(SignatureIndex.readIndex(spark, root).count() == 6,
+      "a batch committing after the fold's listing must stay replayable")
+  }
+
+  test("a crashed refreeze sealed under the old side-by-side layout installs its quantizer on recovery") {
+    val root = Files.createTempDirectory("graft_bk_oldstage").toString
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select("vec_id", "embedding")
+    AnnIndex.ingest(spark, root, vecs.where(col("vec_id") < 100))
+    CacheJanitor.drain()
+    // Fabricate the crash state the PREVIOUS release could leave:
+    // quantizer staged side-by-side, codes staged, marker landed,
+    // commit never ran.
+    val qtmp = s"$root/quantizer.__refreeze_tmp"
+    spark.read.parquet(s"$root/quantizer/centroids")
+      .coalesce(1).write.parquet(s"$qtmp/centroids")
+    spark.read.parquet(s"$root/quantizer/stats")
+      .coalesce(1).write.parquet(s"$qtmp/stats")
+    val stagedParts = Files.list(Paths.get(s"$qtmp/centroids")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    val ctmp = s"$root/codes.__refreeze_tmp"
+    BatchLog.stageRewrite(
+      BatchLog.read(spark, s"$root/codes", "test"), s"$root/codes", ctmp,
+      partitionBy = Seq("cell"))
+    RefreezeProtocol.sealStage(spark, ctmp, "ann")
+    // Any entry point triggers recovery; committing the staged codes
+    // while skipping the staged quantizer would serve new codes under
+    // the old centroids — the quantizer must install from the old tmp.
+    val q0 = vecs.where(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    assert(AnnIndex.topK(spark, root, q0, k = 1).count() == 1)
+    CacheJanitor.drain()
+    assert(!Files.exists(Paths.get(qtmp)), "the staged quantizer must be renamed, not skipped")
+    assert(!Files.exists(Paths.get(ctmp)))
+    val installedParts = Files.list(Paths.get(s"$root/quantizer/centroids"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSet
+    assert(installedParts == stagedParts,
+      "recovery must install the quantizer the crashed refreeze staged")
   }
 
   test("refreeze refuses a corpus with missing or duplicate live ids") {
