@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
-
 import graft.functions.TextSim
 import graft.functions.TextSim.{spark => sprk}
 import graft.queries.TrainingData

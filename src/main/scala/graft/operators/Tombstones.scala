@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -32,11 +30,17 @@ private[graft] object Tombstones {
   def dir(root: String): String = s"$root/tombstones"
 
   /** Recorded tombstoned ids as a 1-column `(idCol)` BIGINT frame —
-    * empty (but correctly typed) when nothing was ever removed. */
-  def read(spark: SparkSession, root: String, idCol: String): DataFrame =
-    if (!Files.isDirectory(Paths.get(dir(root))))
-      spark.range(0).select(col("id").as(idCol))
+    * empty (but correctly typed) when nothing was ever removed. The
+    * existence probe uses the Hadoop FileSystem API like every other
+    * probe here — a java.nio probe would always fail on an HDFS/object
+    * -store root, silently reading the side table as empty and
+    * RESURFACING every removed id. */
+  def read(spark: SparkSession, root: String, idCol: String): DataFrame = {
+    val d = new HPath(dir(root))
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) spark.range(0).select(col("id").as(idCol))
     else spark.read.parquet(dir(root)).select(col(idCol)).distinct()
+  }
 
   /** Record ids as removed — appends a small file, never touches the
     * snapshot (the append-only contract is what the fingerprint specs

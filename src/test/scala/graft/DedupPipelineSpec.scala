@@ -223,6 +223,41 @@ class DedupPipelineSpec extends SparkSpec {
     assert(th.liveDocs > 0 && !th.needsRefreeze, th)
   }
 
+  test("health: recovers a crashed compaction swap before probing; refuses legacy roots") {
+    import java.nio.file.Paths
+    import graft.operators.{BatchLog, SignatureIndex, Tombstones}
+    // Crash state: compaction died between commitCompaction's delete of
+    // the live log and the rename of the fully-staged tmp — the log dir
+    // is absent while every row sits in the stage. A bare existence
+    // probe would report liveDocs = 0 (total data loss to an ops poll);
+    // health must run the index's crash recovery first.
+    val root = Files.createTempDirectory("graft_dp_health_swap").toString
+    DedupPipeline.runOnce(spark, root, docs(batchA: _*), batchKey = Some("b1"))
+    CacheJanitor.drain()
+    val dest = s"$root/signatures"
+    val tmp = s"$dest.__compact_tmp"
+    BatchLog.stageRewrite(SignatureIndex.readIndex(spark, root), dest, tmp)
+    CacheJanitor.drain()
+    // Replicate the crash: dest deleted, rename never ran.
+    org.apache.commons.io.FileUtils.deleteDirectory(Paths.get(dest).toFile)
+    val h = DedupPipeline.health(spark, root)
+    // 3, not 4: doc 7 is unshingleable and never enters the signature
+    // log (it is a singleton by definition in the label state).
+    assert(h.liveDocs == 3, s"health must adopt the staged compaction, got $h")
+    assert(Tombstones.dir(root) != null && !java.nio.file.Files.exists(Paths.get(tmp)),
+      "recovery must complete the swap, not leave the stage behind")
+
+    // A legacy flat-append root refuses loudly — a silent liveDocs = 0
+    // for a root full of pre-format rows is the bug class the format
+    // marker exists to prevent.
+    val lroot = Files.createTempDirectory("graft_dp_health_legacy").toString
+    SignatureIndex.signatures(docs(batchA: _*))
+      .write.mode("append").parquet(s"$lroot/signatures")
+    val e = intercept[IllegalArgumentException](DedupPipeline.health(spark, lroot))
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+    CacheJanitor.drain()
+  }
+
   test("pinned snapshot: scheduled materialization, stale until refreshed") {
     val root = Files.createTempDirectory("graft_dp_pin").toString
     DedupPipeline.runOnce(spark, root, docs(batchA: _*), batchKey = Some("b1"))
