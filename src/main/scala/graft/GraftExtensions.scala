@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Dist2, DotProduct, InterCount, LshCode, PolyHash, Sq8}
+import graft.functions.{BloomSketch, Dist2, DotProduct, InterCount, LshCode, PolyHash, Sq8}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Spark extension point: registers the engine's native expressions at
@@ -19,5 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(Dist2.description)
     ext.injectFunction(LshCode.description)
     ext.injectFunction(InterCount.description)
+    ext.injectFunction(BloomSketch.aggDescription)
+    ext.injectFunction(BloomSketch.containsDescription)
   }
 }

@@ -13,5 +13,6 @@ object GraftFunctions {
     Dist2.register(spark)
     LshCode.register(spark)
     InterCount.register(spark)
+    BloomSketch.register(spark)
   }
 }

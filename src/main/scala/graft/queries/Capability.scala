@@ -107,8 +107,137 @@ object Capability {
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, true AS p50_rank_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** c04 — bloom-filter join pruning (the probe-side pre-shuffle prune
+    * every selective fact-dim join wants at 100 TB; see
+    * [[graft.functions.BloomSketch]]). Build = the selectively-filtered
+    * orders; its keys fold into a contract-sized bloom sketch via the
+    * partial-mergeable `graft_bloom_agg`, delivered to every probe task
+    * as ONE scalar-subquery result; lineitem rows are dropped at the
+    * scan by the codegen'd `graft_bloom_contains` BEFORE the join pays
+    * its shuffle. False positives cost only wasted shuffle rows — the
+    * real join runs behind the filter, so the aggregates hash-match the
+    * PLAIN join oracle exactly; `fp_ok` pins the prune quality (pass
+    * rows beyond the true matches within the sized-for fpp band, 16
+    * bits/key ≈ 5e-4, graded at 1% + slack). Bloom sizing (`estItems`)
+    * is a bounded 1-row count, the same staging contract as t69's
+    * frozen mask. */
+  private val c04 = GQuery(
+    fn = (s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      val money = graft.operators.Relational.money _
+      val build = Tables.orders(s, dir)
+        .where("o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'")
+      build.createOrReplaceTempView("c04_build")
+      val est = math.max(build.count(), 1L)
+      val bloom = s"(SELECT graft_bloom_agg(xxhash64(o_orderkey), ${est}L, ${16L * est}L) " +
+        "FROM c04_build)"
+      val li = Tables.lineitem(s, dir)
+      val pass = li.where(expr(s"graft_bloom_contains($bloom, xxhash64(l_orderkey))"))
+      val joined = pass
+        .join(broadcast(build.select(col("o_orderkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_match"),
+          sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+      val passAgg = pass.agg(count(lit(1)).as("bloom_pass"))
+      val probeAgg = li.agg(count(lit(1)).as("probe_rows"))
+      probeAgg.crossJoin(joined).crossJoin(passAgg)
+        .select(col("probe_rows"), col("n_match"), col("sum_qty"),
+          (col("bloom_pass") >= col("n_match") &&
+            (col("bloom_pass") - col("n_match")).cast("double")
+              <= greatest(lit(10.0), lit(0.01) * col("probe_rows").cast("double")))
+            .as("fp_ok"))
+    },
+    oracle = Some(
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS probe_rows,
+        |  CAST(count(*) AS BIGINT) AS n_match,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  true AS fp_ok
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'""".stripMargin))
+
+  /** c05 — Count-Min heavy hitters: the one-pass mergeable frequency
+    * sketch for "which keys dominate this corpus" (hot domains,
+    * over-crawled sources, skew-join diagnosis) when an exact
+    * per-key count would be a full shuffle per refresh. The sketch is
+    * contract-sized (width ⌈2/ε⌉ × depth ⌈ln(1/δ)⌉ counters — ~112 KB
+    * at ε=1e-3, δ=0.01 — independent of data volume) and collected
+    * driver-side within the bounded-collect discipline; the driver then
+    * probes it for the exact top-k keys and grades each estimate
+    * against the published CM guarantee (exact ≤ est ≤ exact + εN),
+    * deterministic at fixed seed. The exact top-k companion (count,
+    * deterministic tie-break) is what the oracle hash-matches; `cms_ok`
+    * turns sketch drift into a red driver row, the c01/c03 discipline. */
+  private val c05 = GQuery(
+    fn = (s, dir) => {
+      val k = 10
+      val eps = 0.001
+      val ev = Tables.events(s, dir)
+      val skBytes = ev
+        .agg(count_min_sketch(col("user_id"), lit(eps), lit(0.99), lit(42)).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val topk = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(k).collect()
+      val total = cms.totalCount()
+      val graded = topk.toSeq.map { r =>
+        val uid = r.getLong(0)
+        val exact = r.getLong(1)
+        val estC = cms.estimateCount(java.lang.Long.valueOf(uid))
+        (uid, exact, estC >= exact && estC <= exact + math.ceil(eps * total).toLong)
+      }
+      import s.implicits._
+      graded.toDF("user_id", "exact_n", "cms_ok")
+        .orderBy(col("exact_n").desc, col("user_id"))
+    },
+    oracle = Some(
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n, true AS cms_ok
+        |FROM events GROUP BY user_id
+        |ORDER BY exact_n DESC, user_id LIMIT 10""".stripMargin))
+
+  /** c06 — incremental distinct counts from per-batch HLL sketches: the
+    * functional twin of [[graft.operators.SketchLog]] (whose on-disk
+    * log, batch-keyed replay idempotence, compaction and rebuild are
+    * spec-pinned in `SketchLogSpec`). Two simulated landing batches
+    * (event_id parity) are sketched INDEPENDENTLY — per-batch scans,
+    * the only thing a 100 TB maintenance loop pays — then merged by
+    * pure sketch union into per-scope estimates: union of per-batch
+    * sketches carries exactly the registers of a single build over the
+    * whole stream. The oracle pins the exact distinct count and that
+    * the sketch's 3·rsd band held, c01's discipline — but c01 pays a
+    * corpus-wide exact pass per refresh, while this path answers from
+    * kilobytes of persisted sketch. */
+  private val c06 = GQuery(
+    fn = (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val b0 = graft.operators.SketchLog.sketch(
+        ev.where("event_id % 2 = 0"), "event_type", "user_id")
+      val b1 = graft.operators.SketchLog.sketch(
+        ev.where("event_id % 2 = 1"), "event_type", "user_id")
+      val merged = b0.unionByName(b1)
+        .groupBy(col("event_type"))
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx"),
+          sum(col("n_rows")).as("n"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      exact.join(merged, "event_type")
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("approx") - col("exact_users")).cast("double")
+            <= lit(graft.operators.SketchLog.errBound)
+              * col("exact_users").cast("double")).as("hll_ok"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some(
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(count(*) AS BIGINT) AS n, true AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Map[String, GQuery] = Map(
     "c01_hll_distinct" -> c01,
     "c02_multimodal_decode" -> c02,
-    "c03_approx_percentile" -> c03)
+    "c03_approx_percentile" -> c03,
+    "c04_bloom_join_prune" -> c04,
+    "c05_cms_heavy_hitters" -> c05,
+    "c06_incremental_distinct" -> c06)
 }
