@@ -33,6 +33,14 @@ object GraftSession {
       // type, so read as long and convert in Tables.events (truncation to
       // µs matches DuckDB's read of the same file).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The bloom aggregate silently clamps to these ceilings (defaults
+      // 4M items / 2^26 bits) — far below a selective build side at
+      // cluster scale, where the clamp would quietly destroy the fpp
+      // contract (BloomSketch.sizedArgs documents the failure shape).
+      // 64M items × 16 bits/key = 2^30 bits = 128 MiB worst case, an
+      // explicit library choice callers see via sizedArgs.
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "67108864")
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "1073741824")
       // managed-table warehouse (bucketed tables) in a throwaway dir
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)

@@ -56,6 +56,30 @@ object BloomSketch {
         s"graft_bloom_contains takes 2 arguments, got ${other.size}")
     })
 
+  /** Bits per expected key the library sizes for (fpp ≈ 5e-4). */
+  val bitsPerKey = 16L
+
+  /** Bloom sizing honest about Spark's SILENT ceilings: the underlying
+    * aggregate clamps its arguments to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits` (4M items / 2^26 bits out of the box) with no error
+    * — a 50M-key build sized naively at 16 bits/key would come back at
+    * ~1.3 bits/key, fpp → 1, and the "prune" would pass the whole probe
+    * side while looking healthy. This helper returns the (items, bits)
+    * that will ACTUALLY apply under the session's ceilings, so a caller
+    * can see the degradation (items < estItems ⇒ raise the confs —
+    * [[graft.GraftSession]] already lifts them to 64M items / 2^30 bits
+    * — or accept the weaker prune deliberately). */
+  def sizedArgs(spark: SparkSession, estItems: Long): (Long, Long) = {
+    def ceil(key: String, dflt: Long): Long =
+      spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+    val items = math.min(math.max(estItems, 1L),
+      ceil("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L))
+    val bits = math.min(bitsPerKey * items,
+      ceil("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L))
+    (items, bits)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       aggDescription._1, aggDescription._2, aggDescription._3)

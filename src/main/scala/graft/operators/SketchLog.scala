@@ -65,6 +65,13 @@ object SketchLog {
   def ingest(spark: SparkSession, root: String, increment: DataFrame,
       scopeCol: String, valueCol: String,
       table: String = "sketches", batchKey: Option[String] = None): Unit = {
+    // Recovery FIRST: an ingest landing inside a crashed compact/rebuild
+    // swap window (dest deleted, fold fully staged in tmp) would
+    // otherwise recreate the log root with only this increment — and the
+    // next reader's recovery, seeing dest present ∧ tmp present, would
+    // then drop the staged fold as an abandoned stage: every
+    // pre-compaction sketch row and the retirement ledger lost silently.
+    recoverState(spark, root, table)
     BatchLog.append(sketch(increment, scopeCol, valueCol),
       s"$root/$table", batchKey, "SketchLog")
   }
@@ -85,9 +92,13 @@ object SketchLog {
 
   /** Crash recovery for the compaction swap window (same protocol as
     * the index logs — the staged fold is adopted if the swap died
-    * between delete and rename). */
+    * between delete and rename). Swap-only: this operator has no
+    * tombstone side table, and `root/tombstones` — if present — belongs
+    * to a sibling index sharing the root; the full
+    * [[Tombstones.recoverCompaction]]/`commitCompaction` pair would
+    * delete it, silently resurrecting that index's removed ids. */
   private def recoverState(spark: SparkSession, root: String, table: String): Unit =
-    Tombstones.recoverCompaction(spark, root, s"$root/$table.__compact_tmp", s"$root/$table")
+    Tombstones.recoverSwap(spark, s"$root/$table.__compact_tmp", s"$root/$table")
 
   /** Fold the log to one row per scope (pure sketch union — estimates
     * are bit-equal before and after, spec-pinned) with the atomic
@@ -104,7 +115,7 @@ object SketchLog {
         hll_union_agg(col("sk"), lit(false)).as("sk"),
         sum(col("n_rows")).as("n_rows"))
     BatchLog.stageRewrite(folded, path, tmp)
-    Tombstones.commitCompaction(spark, root, tmp, path)
+    Tombstones.commitSwap(spark, tmp, path)
   }
 
   /** From-scratch replacement over `corpus` (the deletion escape hatch:
@@ -126,6 +137,6 @@ object SketchLog {
       .where(lit(false))
     val fresh = sketch(corpus, scopeCol, valueCol).unionByName(old)
     BatchLog.stageRewrite(fresh, path, tmp)
-    Tombstones.commitCompaction(spark, root, tmp, path)
+    Tombstones.commitSwap(spark, tmp, path)
   }
 }

@@ -70,12 +70,39 @@ private[graft] object Tombstones {
     * before the delete — tmp is an abandoned (possibly partial) stage,
     * drop it". */
   def commitCompaction(spark: SparkSession, root: String, tmp: String, dest: String): Unit = {
+    commitSwap(spark, tmp, dest)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new HPath(dest).getFileSystem(conf)
+    fs.delete(new HPath(dir(root)), true)
+  }
+
+  /** The swap alone — for operators with NO tombstone side table
+    * ([[SketchLog]]): deleting `root/tombstones` here would belong to a
+    * SIBLING operator sharing the root (the index logs the sketch log
+    * is documented to live beside), silently resurrecting its removed
+    * ids. Same crash window and recovery contract as
+    * [[commitCompaction]]. */
+  def commitSwap(spark: SparkSession, tmp: String, dest: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new HPath(dest).getFileSystem(conf)
     fs.delete(new HPath(dest), true)
     require(fs.rename(new HPath(tmp), new HPath(dest)),
       s"compaction commit failed: could not move $tmp into $dest")
-    fs.delete(new HPath(dir(root)), true)
+  }
+
+  /** Read-side recovery for [[commitSwap]] — adopt a fully-staged tmp
+    * when the swap died between delete and rename, drop an abandoned
+    * stage otherwise; never touches the tombstone side table. */
+  def recoverSwap(spark: SparkSession, tmp: String, dest: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new HPath(dest).getFileSystem(conf)
+    val destP = new HPath(dest); val tmpP = new HPath(tmp)
+    if (fs.exists(tmpP)) {
+      if (!fs.exists(destP)) {
+        require(fs.rename(tmpP, destP),
+          s"compaction recovery failed: could not adopt $tmp as $dest")
+      } else fs.delete(tmpP, true)
+    }
   }
 
   /** Crash recovery for [[commitCompaction]]'s swap window — call

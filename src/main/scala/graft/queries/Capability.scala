@@ -128,8 +128,11 @@ object Capability {
       val build = Tables.orders(s, dir)
         .where("o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'")
       build.createOrReplaceTempView("c04_build")
-      val est = math.max(build.count(), 1L)
-      val bloom = s"(SELECT graft_bloom_agg(xxhash64(o_orderkey), ${est}L, ${16L * est}L) " +
+      // Bounded 1-row count (the sizing contract) run at construction,
+      // like t69's frozen-mask staging; sizedArgs applies the session's
+      // bloom ceilings so the fpp contract can't silently degrade.
+      val (est, bits) = graft.functions.BloomSketch.sizedArgs(s, build.count())
+      val bloom = s"(SELECT graft_bloom_agg(xxhash64(o_orderkey), ${est}L, ${bits}L) " +
         "FROM c04_build)"
       val li = Tables.lineitem(s, dir)
       val pass = li.where(expr(s"graft_bloom_contains($bloom, xxhash64(l_orderkey))"))
@@ -166,7 +169,12 @@ object Capability {
     * against the published CM guarantee (exact ≤ est ≤ exact + εN),
     * deterministic at fixed seed. The exact top-k companion (count,
     * deterministic tie-break) is what the oracle hash-matches; `cms_ok`
-    * turns sketch drift into a red driver row, the c01/c03 discipline. */
+    * turns sketch drift into a red driver row, the c01/c03 discipline.
+    *
+    * Like t41/t44/t69, the fn runs bounded driver jobs at construction
+    * (the sketch agg + the k-row collect); the returned frame is the
+    * graded k rows, so the analyze-only guard exercises this query's
+    * computation too, not just its plan. */
   private val c05 = GQuery(
     fn = (s, dir) => {
       val k = 10

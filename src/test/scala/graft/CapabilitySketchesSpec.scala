@@ -20,16 +20,33 @@ class CapabilitySketchesSpec extends SparkSpec {
   }
 
   test("c04: the bloom membership probe filters the probe side below the join") {
-    val df = SparkEntry.queries("c04_bloom_join_prune")(spark, dir)
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("might_contain"), s"bloom probe missing from the physical plan:\n$p")
-    // The probe must sit in a Filter over the lineitem scan, not above
-    // the join: in the tree string the first might_contain occurrence
-    // appears below the last BroadcastHashJoin line.
-    val joinIdx = p.lastIndexOf("BroadcastHashJoin")
-    val bloomIdx = p.indexOf("might_contain")
-    assert(joinIdx >= 0 && bloomIdx > joinIdx,
-      s"bloom filter must prune BEFORE the join pays its shuffle:\n$p")
+    // Tree walk, not a string-index check: the query ALSO counts bloom
+    // passes in a separate agg branch, whose Filter(might_contain) would
+    // satisfy any textual "appears after the join line" assertion even
+    // if the join branch lost its prune. The pin must find the probe as
+    // a descendant of the join's STREAMED side specifically.
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def hasBloomProbe(p: SparkPlan): Boolean = p.exists {
+      case f: FilterExec => f.condition.exists {
+        case _: BloomFilterMightContain => true
+        case _ => false
+      }
+      case _ => false
+    }
+    val sp = SparkEntry.queries("c04_bloom_join_prune")(spark, dir)
+      .queryExecution.sparkPlan
+    val joins = sp.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, s"expected a broadcast join in the plan:\n$sp")
+    assert(joins.exists { j =>
+      val streamed = j.buildSide match {
+        case BuildLeft => j.right
+        case BuildRight => j.left
+      }
+      hasBloomProbe(streamed)
+    }, s"bloom probe must prune the join's streamed side BELOW the join:\n$sp")
   }
 
   test("c05: every top-k estimate honours the count-min guarantee") {

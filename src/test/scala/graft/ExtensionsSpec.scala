@@ -34,7 +34,10 @@ class ExtensionsSpec extends SparkSpec {
           |       graft_dist2(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
           |                   array(3.0D, 4.0D)) AS d2,
           |       graft_lsh_code(array(CAST(0.0 AS FLOAT))) AS lc,
-          |       graft_inter_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS ic
+          |       graft_inter_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS ic,
+          |       graft_bloom_contains(
+          |         (SELECT graft_bloom_agg(xxhash64(id), 10L, 160L) FROM range(10)),
+          |         xxhash64(3L)) AS bc
           |""".stripMargin).collect()(0)
       assert(r.getLong(0) == graft.functions.PolyHash.hash(
         org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
@@ -46,6 +49,10 @@ class ExtensionsSpec extends SparkSpec {
       // 12 sign bits — the HOF form's exact edge semantics.
       assert(r.getLong(5) == (1L << graft.functions.TextSim.lshPlanes) - 1)
       assert(r.getLong(6) == 2L) // {3, 5}
+      // Bloom build + probe through the injection path alone: a key the
+      // build inserted must come back might-contain=true (no false
+      // negatives, whatever the hash seeds).
+      assert(r.getBoolean(7))
     } finally {
       // Hand the shared session back to the other suites (the fresh
       // session shares its SparkContext, so nothing is stopped here).

@@ -80,6 +80,43 @@ class SketchLogSpec extends SparkSpec {
     assert(estimates(root) === before)
   }
 
+  test("compact and ingest leave a sibling operator's tombstone table untouched") {
+    // The table param invites co-locating the sketch log under an index
+    // root; a commit/recovery that cleared root/tombstones would
+    // silently resurrect the index's removed ids.
+    val root = Files.createTempDirectory("graft_sklog").toString
+    graft.operators.Tombstones.append(root, Seq(99L).toDF("doc_id"), "doc_id")
+    SketchLog.ingest(spark, root, events(batchA: _*), "event_type", "user_id",
+      batchKey = Some("b1"))
+    SketchLog.compact(spark, root, "event_type")
+    SketchLog.rebuild(spark, root, events(batchA: _*), "event_type", "user_id")
+    val ids = graft.operators.Tombstones
+      .read(spark, root, "doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(99L), "sketch-log maintenance must not clear a sibling's tombstones")
+  }
+
+  test("an ingest landing inside a crashed compaction swap adopts the staged fold first") {
+    val root = Files.createTempDirectory("graft_sklog").toString
+    SketchLog.ingest(spark, root, events(batchA: _*), "event_type", "user_id",
+      batchKey = Some("b1"))
+    val before = estimates(root)
+    // Simulate the swap window: fold fully staged, dest deleted, crash
+    // before the rename.
+    val path = java.nio.file.Paths.get(root, "sketches")
+    val tmp = java.nio.file.Paths.get(root, "sketches.__compact_tmp")
+    val folded = graft.operators.BatchLog.read(spark, path.toString, "SketchLog")
+    graft.operators.BatchLog.stageRewrite(folded, path.toString, tmp.toString)
+    import scala.jdk.CollectionConverters._
+    Files.walk(path).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    // Without recovery-first this ingest would recreate the root with
+    // only batch B and the next reader would drop the staged fold.
+    SketchLog.ingest(spark, root, events(batchB: _*), "event_type", "user_id",
+      batchKey = Some("b2"))
+    assert(estimates(root) === Map(
+      "click" -> ((3L, 5L)), "view" -> ((3L, 4L)), "buy" -> ((1L, 1L))))
+    assert(before.keySet.subsetOf(estimates(root).keySet))
+  }
+
   test("rebuild swaps in survivors-only sketches (the deletion escape hatch)") {
     val root = Files.createTempDirectory("graft_sklog").toString
     SketchLog.ingest(spark, root, events(batchA: _*), "event_type", "user_id",
