@@ -126,7 +126,12 @@ object AnnIndex {
     * [[SignatureIndex.ingest]]). */
   def ingest(spark: SparkSession, root: String, increment: DataFrame,
       batchKey: Option[String] = None): Batch = {
-    refreezeRecover(spark, root)
+    // Full recovery (refreeze AND compaction swap) BEFORE the append: an
+    // ingest landing inside a crashed compaction's delete-to-rename
+    // window would recreate the codes dir with only this increment, and
+    // readCodes' recovery below would then drop the staged fold as an
+    // abandoned stage — the corpus lost in this very call.
+    recoverState(spark, root)
     val (cents, mn, span) = loadOrTrain(spark, root, increment)
     val enc = graft.CacheJanitor.register(encode(increment, cents, mn, span).persist())
     // Batch-keyed append ([[BatchLog]]): `batch_key=<key>/cell=<id>/`
@@ -141,9 +146,15 @@ object AnnIndex {
   /** Live code rows: the snapshot (cell cast back to its canonical
     * BIGINT — partition-column inference reads `cell=` dirs as INT)
     * minus tombstoned vec_ids. */
-  private def readCodes(spark: SparkSession, root: String): DataFrame = {
+  /** Crash recovery alone (refreeze + compaction swap windows) — run
+    * by every mutating or reading entry point before touching state. */
+  private[operators] def recoverState(spark: SparkSession, root: String): Unit = {
     refreezeRecover(spark, root)
     Tombstones.recoverCompaction(spark, root, s"$root/codes.__compact_tmp", s"$root/codes")
+  }
+
+  private def readCodes(spark: SparkSession, root: String): DataFrame = {
+    recoverState(spark, root)
     Tombstones.exclude(
       BatchLog.read(spark, s"$root/codes", "AnnIndex")
         .withColumn("cell", col("cell").cast("long")),
@@ -161,7 +172,10 @@ object AnnIndex {
     * [[topK]] neighbors from this call on. The frozen quantizer is
     * unaffected: removal never retrains (same contract as ingest). */
   def remove(spark: SparkSession, root: String, ids: DataFrame): Unit = {
-    refreezeRecover(ids.sparkSession, root)
+    // Compaction recovery too: a tombstone appended inside a crashed
+    // compaction's swap window would be cleared when a later reader
+    // adopts the staged fold (the adopt path drops the side table).
+    recoverState(ids.sparkSession, root)
     Tombstones.append(root, ids, "vec_id")
   }
 

@@ -84,7 +84,12 @@ object CosineDedupIndex {
     * own files instead of double-appending. */
   def ingest(spark: SparkSession, root: String, increment: DataFrame,
       batchKey: Option[String] = None): Batch = {
-    refreezeRecover(spark, root)
+    // Full recovery (refreeze AND compaction swap) BEFORE the append: an
+    // ingest landing inside a crashed compaction's delete-to-rename
+    // window would recreate the codes dir with only this increment, and
+    // readIndex's recovery below would then drop the staged fold as an
+    // abandoned stage — the corpus lost in this very call.
+    recoverState(spark, root)
     val mask = frozenMask(spark, root).getOrElse {
       val m = TextSim.lshMaskValue(increment.count()).toLong
       import spark.implicits._
@@ -129,7 +134,10 @@ object CosineDedupIndex {
     * commit.) */
   def remove(spark: SparkSession, root: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
-    refreezeRecover(spark, root)
+    // Compaction recovery too: a tombstone appended inside a crashed
+    // compaction's swap window would be cleared when a later reader
+    // adopts the staged fold (the adopt path drops the side table).
+    recoverState(spark, root)
     Tombstones.append(root, ids.toDF("vec_id"), "vec_id")
   }
 

@@ -133,7 +133,10 @@ object PqIndex {
     * the replay-idempotence handle ([[BatchLog]]). */
   def ingest(spark: SparkSession, root: String, increment: DataFrame,
       batchKey: Option[String] = None): Batch = {
-    refreezeRecover(spark, root)
+    // Full recovery (refreeze AND compaction swap) BEFORE the append —
+    // see [[AnnIndex.ingest]]: appending inside a crashed compaction's
+    // swap window would cost the corpus in this very call.
+    recoverState(spark, root)
     val (cents, cb) = loadOrTrain(spark, root, increment)
     val enc = graft.CacheJanitor.register(encode(increment, cents, cb).persist())
     BatchLog.append(enc, s"$root/codes", batchKey, "PqIndex", partitionBy = Seq("cell"))
@@ -141,9 +144,15 @@ object PqIndex {
   }
 
   /** Live code rows: snapshot minus tombstoned vec_ids. */
-  private def readCodes(spark: SparkSession, root: String): DataFrame = {
+  /** Crash recovery alone (refreeze + compaction swap windows) — run
+    * by every mutating or reading entry point before touching state. */
+  private[operators] def recoverState(spark: SparkSession, root: String): Unit = {
     refreezeRecover(spark, root)
     Tombstones.recoverCompaction(spark, root, s"$root/codes.__compact_tmp", s"$root/codes")
+  }
+
+  private def readCodes(spark: SparkSession, root: String): DataFrame = {
+    recoverState(spark, root)
     Tombstones.exclude(
       BatchLog.read(spark, s"$root/codes", "PqIndex")
         .withColumn("cell", col("cell").cast("long")),
@@ -158,7 +167,8 @@ object PqIndex {
   /** Tombstone vec_ids out of the index — code files stay byte-untouched;
     * the frozen quantizers are never retrained. */
   def remove(spark: SparkSession, root: String, ids: DataFrame): Unit = {
-    refreezeRecover(ids.sparkSession, root)
+    // Compaction recovery too — see [[AnnIndex.remove]].
+    recoverState(ids.sparkSession, root)
     Tombstones.append(root, ids, "vec_id")
   }
 

@@ -89,6 +89,13 @@ object SignatureIndex {
   def ingest(spark: SparkSession, root: String, increment: DataFrame,
       table: String = "signatures", batchKey: Option[String] = None): Batch = {
     val path = s"$root/$table"
+    // Recovery BEFORE the append: an ingest landing inside a crashed
+    // compaction's delete-to-rename window would otherwise recreate the
+    // snapshot dir with only this increment — and the recovery probe
+    // below (readIndex), seeing dest present ∧ tmp present, would drop
+    // the fully-staged fold as an abandoned stage: the corpus lost in
+    // this very call.
+    recoverState(spark, root, table)
     // Cache BEFORE the write so the append populates the cache and the
     // delta join below reads it back instead of re-scanning the text.
     val newCached = graft.CacheJanitor.register(signatures(increment).persist())
@@ -130,8 +137,14 @@ object SignatureIndex {
     * Pair deltas ALREADY emitted in prior batches are the caller's
     * accumulated table, not index state — filter them there or rerun
     * `deltaPairs(all, all)` when retroactive exactness matters. */
-  def remove(spark: SparkSession, root: String, ids: DataFrame): Unit =
+  def remove(spark: SparkSession, root: String, ids: DataFrame): Unit = {
+    // Recovery first: a tombstone appended inside a crashed compaction's
+    // swap window would be cleared when a later reader adopts the staged
+    // fold (the adopt path drops the side table, whose removals the fold
+    // already absorbed — this id's removal would vanish with them).
+    recoverState(spark, root)
     Tombstones.append(root, ids, "doc_id")
+  }
 
   def remove(spark: SparkSession, root: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
