@@ -15,11 +15,21 @@ object Verify {
       prefixes.isEmpty || prefixes.exists(name.startsWith)
     val spark = GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // A failed query must leave a VISIBLE record, not just a stderr line:
+    // the driver's correctness compare iterates the dumped parquet dirs, so
+    // a swallowed throw silently shrinks the denominator (round 8: e13's
+    // analysis error made it vanish from CORRECTNESS_r08.json instead of
+    // showing red). Errors are collected and written as _errors.json beside
+    // oracle_sql.json — absence of a query dir is then always
+    // distinguishable from "never ran".
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}"
+        errors(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
       }
       finally CacheJanitor.drain()
     }
@@ -38,6 +48,16 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty) {
+      System.err.println(
+        s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED " +
+        s"(recorded in $outDir/_errors.json): ${errors.keys.mkString(", ")}")
+    } else {
+      System.err.println("[verify] all selected queries dumped, 0 errors")
+    }
     spark.stop()
   }
 }

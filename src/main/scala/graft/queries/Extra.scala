@@ -289,13 +289,21 @@ object Extra {
 
   /** e13 — batch gap-sessionization (the batch twin of the streaming
     * flatMapGroupsWithState sessionizer): 30-min event-time gap starts a
-    * new session; lag + cumulative flag sum assigns session ids. */
+    * new session; lag + cumulative flag sum assigns session ids.
+    *
+    * The gap test compares second-TRUNCATED timestamps — exact parity with
+    * the oracle's `datediff('second', …) > 1800` (boundary count), which the
+    * data exercises: every event carries µs precision, so a full-precision
+    * interval compare would move session boundaries. Written against the
+    * timestamp type (date_trunc + interval, not CAST AS LONG) so it analyzes
+    * whether ts arrives as TimestampType or TIMESTAMP_NTZ. */
   private val e13 = q(headline = true)(
     sparkSql = """
       WITH flagged AS (
         SELECT user_id, event_id, ts, value,
           CASE WHEN lag(ts) OVER w IS NULL
-                 OR CAST(ts AS LONG) - CAST(lag(ts) OVER w AS LONG) > 1800
+                 OR date_trunc('SECOND', ts)
+                    > date_trunc('SECOND', lag(ts) OVER w) + INTERVAL '30' MINUTE
                THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
