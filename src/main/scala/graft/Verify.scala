@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -11,9 +11,25 @@ object Verify {
     // Optional name-prefix filters for local iteration on one query;
     // the driver passes exactly two args and gets the full dump.
     val prefixes = args.drop(2).toSeq
+    val spark = GraftSession.build("graft-verify")
+    run(spark, SparkEntry.queries, SparkEntry.oracleSql, sfDir, outDir, prefixes)
+    spark.stop()
+  }
+
+  /** The dump loop, injectable so the error-artifact contract is spec-able
+    * (VerifyErrorsSpec drives it with a deliberately broken registry).
+    * Driver contract unchanged: two-arg main dumps every query's parquet +
+    * oracle_sql.json exactly as before; _errors.json is additive.
+    * Returns the error map for callers. */
+  def run(
+      spark: SparkSession,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      oracleSql: Map[String, String],
+      sfDir: String,
+      outDir: String,
+      prefixes: Seq[String] = Nil): Map[String, String] = {
     def selected(name: String): Boolean =
       prefixes.isEmpty || prefixes.exists(name.startsWith)
-    val spark = GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     // A failed query must leave a VISIBLE record, not just a stderr line:
     // the driver's correctness compare iterates the dumped parquet dirs, so
@@ -23,7 +39,7 @@ object Verify {
     // oracle_sql.json — absence of a query dir is then always
     // distinguishable from "never ran".
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
+    queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -45,7 +61,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
+    val json = oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors
@@ -58,6 +74,6 @@ object Verify {
     } else {
       System.err.println("[verify] all selected queries dumped, 0 errors")
     }
-    spark.stop()
+    errors.toMap
   }
 }
