@@ -103,6 +103,27 @@ object AnnIndex {
       TextSim.ivfCellsValue(readCodes(spark, root).count()) > cents.length
     }
 
+  /** Packaged ops snapshot ([[IndexHealth]] — one shape across the
+    * index family): live/tombstoned counts, frozen coarse-cell count,
+    * occupied cells + occupancy, and the drift predicate, in one scan
+    * of the code log (the predicate reuses the probe's live count
+    * instead of re-scanning like [[needsRefreeze]] would). Crash
+    * recovery runs before any probe — a swap-window poll must adopt
+    * the staged fold, not report live = 0. */
+  def health(spark: SparkSession, root: String): IndexHealth = {
+    recoverState(spark, root)
+    loadQuantizer(spark, root) match {
+      case None => IndexHealth.virgin
+      case Some((cents, _, _)) =>
+        BatchLog.requireFormat(spark, s"$root/codes", "AnnIndex.health")
+        if (!BatchLog.hasData(spark, s"$root/codes"))
+          IndexHealth.virgin.copy(frozenCells = cents.length.toLong)
+        else IndexHealth.probe(spark, root, readCodes(spark, root),
+          "cell", "vec_id", cents.length.toLong,
+          n => TextSim.ivfCellsValue(n) > cents.length)
+    }
+  }
+
   /** Scan-side encode of a `(vec_id, embedding)` frame under a given
     * quantizer: cell assignment (argmin fold over the centroid literal)
     * + int8 codes. Pure projection — no shuffle, no corpus reads. */

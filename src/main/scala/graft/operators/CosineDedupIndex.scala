@@ -203,6 +203,26 @@ object CosineDedupIndex {
     frozenMask(spark, root).exists(m =>
       TextSim.lshMaskValue(readIndex(spark, root).count()).toLong > m)
 
+  /** Packaged ops snapshot ([[IndexHealth]] — one shape across the
+    * index family): live/tombstoned counts, bucket-universe size
+    * (`frozenCells` = the frozen modulus), occupancy, and the drift
+    * predicate, in one scan of the code log. Crash recovery runs first
+    * (same contract as [[DedupPipeline.health]]): during a swap window
+    * the log dir is legitimately absent while the staged fold is
+    * complete — probing without recovering would report live = 0. */
+  def health(spark: SparkSession, root: String): IndexHealth = {
+    recoverState(spark, root)
+    frozenMask(spark, root) match {
+      case None => IndexHealth.virgin
+      case Some(m) =>
+        BatchLog.requireFormat(spark, codesDir(root), "CosineDedupIndex.health")
+        if (!BatchLog.hasData(spark, codesDir(root)))
+          IndexHealth.virgin.copy(frozenCells = m)
+        else IndexHealth.probe(spark, root, readIndex(spark, root),
+          "bucket", "vec_id", m, n => TextSim.lshMaskValue(n).toLong > m)
+    }
+  }
+
   /** Average live vectors per occupied bucket — the drift signal an
     * operator schedules [[refreeze]] on (design point ~16; the ladder
     * steps in powers of two, so occupancy past ~32 means the corpus has

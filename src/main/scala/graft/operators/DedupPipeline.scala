@@ -157,6 +157,51 @@ object DedupPipeline {
       needsCompaction = labelled > 0 && logRows > 2 * labelled)
   }
 
+  final case class Maintenance(
+      refrozen: Boolean, indexCompacted: Boolean, labelsCompacted: Boolean,
+      before: Health, after: Health)
+
+  /** Consume the [[health]] signals — the scheduled between-batches
+    * maintenance step a real pipeline alternates with [[runOnce]] /
+    * [[runOnceVectors]] (nothing consumed the signals before this; ops
+    * had to wire the thresholds by hand):
+    *
+    *  1. refreeze, when the drift predicate fires (vector roots only —
+    *     text roots freeze no corpus-derived parameter). Runs FIRST: the
+    *     re-encode folds tombstones into its own swap, so a tripped
+    *     tombstone threshold is satisfied by the same rewrite;
+    *  2. index compaction, when pending tombstones exceed
+    *     `tombstoneRatio` × live (skipped when a refreeze just folded
+    *     them);
+    *  3. label-log compaction, when raw rows exceed `logDepthRatio` ×
+    *     the fold (readers are paying more than that multiple of their
+    *     useful rows).
+    *
+    * All three run under the operators' existing crash protocols
+    * (marker-gated refreeze, stage-then-swap compaction), so a crash
+    * anywhere in maintenance recovers exactly as those specs pin.
+    * Answers are invariant by construction — each step is spec-pinned
+    * content-identical to from-scratch over the survivors — and the
+    * spec re-pins it end-to-end through this entry. Returns what fired
+    * plus the before/after snapshots (the ops log line). */
+  def maintainOnce(spark: SparkSession, root: String, vector: Boolean = false,
+      tombstoneRatio: Double = 0.1, logDepthRatio: Double = 2.0): Maintenance = {
+    val before = health(spark, root, vector)
+    val refrozen = vector && before.needsRefreeze
+    if (refrozen) CosineDedupIndex.refreeze(spark, root)
+    val indexCompacted = !refrozen && before.tombstoned > 0 &&
+      before.tombstoned >= tombstoneRatio * math.max(before.liveDocs, 1L)
+    if (indexCompacted) {
+      if (vector) CosineDedupIndex.compact(spark, root)
+      else SignatureIndex.compact(spark, root)
+    }
+    val labelsCompacted = before.labelledDocs > 0 &&
+      before.labelLogRows > logDepthRatio * before.labelledDocs
+    if (labelsCompacted) ClusterLabels.compact(spark, root)
+    Maintenance(refrozen, indexCompacted, labelsCompacted,
+      before, health(spark, root, vector))
+  }
+
   /** The LIVE keeper manifest `(doc_id, label, keep)`: derived from the
     * label log's keep-last fold — always current, no per-batch
     * materialization to go stale or to pay for. */

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One ops-snapshot shape across the persisted index family
+  * ([[CosineDedupIndex.health]], [[AnnIndex.health]], [[PqIndex.health]]),
+  * mirroring [[DedupPipeline.health]] for pipeline roots — so a scheduler
+  * polls every index kind through the same fields:
+  *
+  *  - `live` / `tombstoned`: rows serving reads vs takedowns pending a
+  *    compaction fold;
+  *  - `frozenCells`: the frozen partition-parameter's size — coarse cell
+  *    count for the IVF indexes, bucket-universe size (mask + 1) for the
+  *    LSH dedup index;
+  *  - `occupiedCells` / `occupancy`: how the live rows actually spread
+  *    over that frozen geometry (occupancy = live per occupied cell) —
+  *    the continuous drift signal; the ladder steps in powers of two, so
+  *    occupancy far past the design point means the corpus outgrew the
+  *    frozen step;
+  *  - `needsRefreeze`: the discrete drift predicate (live count's ladder
+  *    step exceeds the frozen parameter) — the scheduling signal for the
+  *    operator's `refreeze`.
+  *
+  * Every field is a metadata-scale aggregate; the probe costs one scan of
+  * the live code log (count + distinct-cell together) plus the side-table
+  * read — never more, whatever the corpus size.
+  */
+final case class IndexHealth(
+    live: Long, tombstoned: Long,
+    frozenCells: Long, occupiedCells: Long, occupancy: Double,
+    needsRefreeze: Boolean)
+
+object IndexHealth {
+
+  /** The untrained/empty-root snapshot — the natural FIRST poll of an
+    * ops loop happens before any batch lands; report zeros, don't throw. */
+  private[operators] val virgin: IndexHealth =
+    IndexHealth(0L, 0L, 0L, 0L, 0.0, needsRefreeze = false)
+
+  /** Shared probe: ONE aggregate over the live log computes row count
+    * and occupied-cell count together ("an ops probe should cost one
+    * scan per log" — the [[DedupPipeline.health]] contract); the drift
+    * predicate is evaluated from that already-computed count, never a
+    * second scan. */
+  private[operators] def probe(spark: SparkSession, root: String,
+      live: DataFrame, cellCol: String, idCol: String,
+      frozenCells: Long, drift: Long => Boolean): IndexHealth = {
+    val r = live.agg(count(lit(1)).as("n"),
+      count_distinct(col(cellCol)).as("c")).head
+    val (n, occ) = (r.getLong(0), r.getLong(1))
+    IndexHealth(
+      live = n,
+      tombstoned = Tombstones.read(spark, root, idCol).count(),
+      frozenCells = frozenCells, occupiedCells = occ,
+      occupancy = if (occ == 0L) 0.0 else n.toDouble / occ,
+      needsRefreeze = drift(n))
+  }
+}

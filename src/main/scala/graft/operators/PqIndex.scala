@@ -111,6 +111,22 @@ object PqIndex {
       TextSim.ivfCellsValue(readCodes(spark, root).count()) > cents.length
     }
 
+  /** Packaged ops snapshot — same [[IndexHealth]] shape and one-scan
+    * cost as [[AnnIndex.health]]; see there for the contract. */
+  def health(spark: SparkSession, root: String): IndexHealth = {
+    recoverState(spark, root)
+    loadQuantizer(spark, root) match {
+      case None => IndexHealth.virgin
+      case Some((cents, _)) =>
+        BatchLog.requireFormat(spark, s"$root/codes", "PqIndex.health")
+        if (!BatchLog.hasData(spark, s"$root/codes"))
+          IndexHealth.virgin.copy(frozenCells = cents.length.toLong)
+        else IndexHealth.probe(spark, root, readCodes(spark, root),
+          "cell", "vec_id", cents.length.toLong,
+          n => TextSim.ivfCellsValue(n) > cents.length)
+    }
+  }
+
   /** Scan-side encode of a `(vec_id, embedding)` frame under frozen
     * quantizers: cell argmin + pqM code positions + reconstruction
     * norm². Pure projection — no shuffle, no corpus reads. */

@@ -258,6 +258,80 @@ class DedupPipelineSpec extends SparkSpec {
     CacheJanitor.drain()
   }
 
+  test("maintainOnce: consumes the health signals; answers invariant; batch path stays O(increment)") {
+    import scala.jdk.CollectionConverters._
+    import graft.operators.CosineDedupIndex
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    def allFiles(root: String): Map[String, (Long, Long)] =
+      Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
+        .map(p => p.toString ->
+          (Files.getLastModifiedTime(p).toMillis, Files.size(p))).toMap
+
+    val root = Files.createTempDirectory("graft_dp_maint").toString
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select("vec_id", "embedding")
+    def slice(lo: Long, hi: Long) =
+      vecs.where(s"vec_id >= $lo AND vec_id < $hi")
+    // Mask frozen at 200 rows; live 400 crosses the ladder; two takedowns.
+    DedupPipeline.runOnceVectors(spark, root, slice(0, 200), batchKey = Some("b1"))
+    DedupPipeline.runOnceVectors(spark, root, slice(200, 400), batchKey = Some("b2"))
+    CosineDedupIndex.remove(spark, root, Seq(13L, 42L))
+    val manifestBefore = asMap(DedupPipeline.keeperManifest(spark, root))
+
+    // Drift predicate fired → refreeze runs and folds the tombstones into
+    // its own swap; the separate index compaction is skipped as redundant.
+    val m1 = DedupPipeline.maintainOnce(spark, root, vector = true)
+    assert(m1.refrozen && !m1.indexCompacted, m1)
+    assert(m1.before.needsRefreeze && m1.before.tombstoned == 2, m1.before)
+    assert(!m1.after.needsRefreeze && m1.after.tombstoned == 0, m1.after)
+    assert(m1.after.liveDocs == 398, m1.after)
+    // Maintenance changes representation, never answers.
+    assert(asMap(DedupPipeline.keeperManifest(spark, root)) == manifestBefore)
+
+    // Label-log compaction threshold forced: history repaid, raw == fold.
+    val m2 = DedupPipeline.maintainOnce(spark, root, vector = true,
+      logDepthRatio = 0.0)
+    assert(m2.labelsCompacted && !m2.refrozen && !m2.indexCompacted, m2)
+    assert(m2.after.labelLogRows == m2.after.labelledDocs, m2.after)
+    assert(asMap(DedupPipeline.keeperManifest(spark, root)) == manifestBefore)
+
+    // Tombstone threshold forced (drift quiet now) → index compaction.
+    CosineDedupIndex.remove(spark, root, Seq(77L))
+    val m3 = DedupPipeline.maintainOnce(spark, root, vector = true,
+      tombstoneRatio = 0.0)
+    assert(m3.indexCompacted && !m3.refrozen, m3)
+    assert(m3.before.tombstoned == 1 && m3.after.tombstoned == 0, m3)
+    assert(m3.after.liveDocs == 397, m3.after)
+    assert(asMap(DedupPipeline.keeperManifest(spark, root)) == manifestBefore)
+
+    // Nothing tripped → maintenance is a no-op poll.
+    val m4 = DedupPipeline.maintainOnce(spark, root, vector = true)
+    assert(!m4.refrozen && !m4.indexCompacted && !m4.labelsCompacted, m4)
+
+    // The batch path after maintenance still only ADDS files — the
+    // O(increment) contract survives the maintenance cycle.
+    val before = allFiles(root)
+    DedupPipeline.runOnceVectors(spark, root, slice(400, 500), batchKey = Some("b3"))
+    val after = allFiles(root)
+    before.foreach { case (f, sig) =>
+      assert(after.get(f).contains(sig), s"post-maintenance batch rewrote $f")
+    }
+    assert(DedupPipeline.health(spark, root, vector = true).liveDocs == 497)
+
+    // Text roots take the same entry: never refreeze (no frozen
+    // parameter), compaction thresholds behave identically.
+    val troot = Files.createTempDirectory("graft_dp_maint_text").toString
+    DedupPipeline.runOnce(spark, troot, docs(batchA: _*), batchKey = Some("b1"))
+    graft.operators.SignatureIndex.remove(spark, troot, Seq(2L))
+    val tm = DedupPipeline.maintainOnce(spark, troot,
+      tombstoneRatio = 0.0, logDepthRatio = 0.0)
+    assert(!tm.refrozen && tm.indexCompacted && tm.labelsCompacted, tm)
+    assert(tm.after.tombstoned == 0, tm.after)
+    CacheJanitor.drain()
+  }
+
   test("pinned snapshot: scheduled materialization, stale until refreshed") {
     val root = Files.createTempDirectory("graft_dp_pin").toString
     DedupPipeline.runOnce(spark, root, docs(batchA: _*), batchKey = Some("b1"))
