@@ -2595,6 +2595,93 @@ object TrainingData {
       })
   }
 
+  /** t72 — TAKEDOWN-aware incremental dedup, oracle-checked: the
+    * deletion semantics [[graft.operators.SignatureIndex.remove]] +
+    * [[graft.operators.DedupPipeline.maintainOnce]] guarantee, as a
+    * cross-engine answer proof (the on-disk tombstone/compaction
+    * mechanics are spec-pinned; t67/t68 prove the no-deletion
+    * lifecycle). Batch 1 resolves the even half; a takedown then
+    * removes `doc_id % 10 = 6` (an even-only residue — docs already
+    * indexed and labelled); batch 2's increment (the odd half) runs
+    * against the LIVE index only. Three effects, all replayed by the
+    * oracle: (1) a removed doc generates no batch-2 candidates — it
+    * can no longer bridge clusters; (2) document frequencies are
+    * re-evaluated over the LIVE postings, so a shingle the removal
+    * pulled back under the df cap generates candidates again (the
+    * operator's live-df contract, not a frozen-df approximation);
+    * (3) batch-1 pairs and labels persist — removal changes future
+    * candidate generation, never recorded facts. Final answer: the
+    * cluster summary of the merged label table, hash-matched against a
+    * DuckDB transitive closure over batch-1 pairs ∪ live-filtered
+    * batch-2 pairs.
+    *
+    * Scale: identical shape to t68 (the oracle's from-scratch closure
+    * is what the operator avoids); the takedown itself is O(removed)
+    * — an anti-join against a side table every read path applies. */
+  private val t72 = GQuery(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.functions.GraftFunctions.registerAll(s)
+      val sigs = graft.CacheJanitor.register(
+        graft.operators.SignatureIndex.signatures(Tables.documents(s, dir)).persist())
+      val even = sigs.where("doc_id % 2 = 0")
+      val none = s.range(0).select(col("id").as("doc_id"), col("id").as("label"))
+      val pairs1 = graft.operators.SignatureIndex.deltaPairs(even, even)
+        .select("doc_a", "doc_b")
+      val labels1 = graft.CacheJanitor.register(
+        graft.operators.ClusterLabels.mergeFrames(none, pairs1, even.select("doc_id"))
+          .persist())
+      // The takedown: %10=6 tombstoned between batches. Every read goes
+      // through Tombstones.exclude — this filter IS that anti-join's
+      // effect on the live index (the persisted form is spec-pinned).
+      val live = sigs.where("doc_id % 10 <> 6")
+      val odd = live.where("doc_id % 2 = 1")
+      val pairs2 = graft.operators.SignatureIndex.deltaPairs(live, odd)
+        .select("doc_a", "doc_b")
+      val labels2 = graft.operators.ClusterLabels
+        .mergeFrames(labels1, pairs2, odd.select("doc_id"))
+      labels2.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+        .orderBy("cluster_id")
+    },
+    oracle = Some {
+      val d = duck
+      s"""WITH RECURSIVE sh AS (${shSql(d)}),
+         |post1 AS (SELECT doc_id, ${d.explode}(shs) AS h FROM sh WHERE doc_id % 2 = 0),
+         |keep1 AS (SELECT h FROM post1 GROUP BY h HAVING count(*) <= $dfCap),
+         |postf1 AS (SELECT post1.doc_id, post1.h FROM post1 JOIN keep1 ON post1.h = keep1.h),
+         |cand1 AS (
+         |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+         |    greatest(a.doc_id, b.doc_id) AS doc_b
+         |  FROM postf1 a JOIN postf1 b ON a.h = b.h WHERE a.doc_id <> b.doc_id),
+         |p1 AS (${verifyTail(d, "sh", "cand1")}),
+         |post2 AS (SELECT doc_id, ${d.explode}(shs) AS h FROM sh WHERE doc_id % 10 <> 6),
+         |keep2 AS (SELECT h FROM post2 GROUP BY h HAVING count(*) <= $dfCap),
+         |postf2 AS (SELECT post2.doc_id, post2.h FROM post2 JOIN keep2 ON post2.h = keep2.h),
+         |newpost2 AS (SELECT doc_id AS new_id, h FROM postf2 WHERE doc_id % 2 = 1),
+         |cand2 AS (
+         |  SELECT DISTINCT least(new_id, doc_id) AS doc_a,
+         |    greatest(new_id, doc_id) AS doc_b
+         |  FROM newpost2 JOIN postf2 ON newpost2.h = postf2.h WHERE new_id <> doc_id),
+         |p2 AS (${verifyTail(d, "sh", "cand2")}),
+         |pairs AS (SELECT doc_a, doc_b FROM p1 UNION SELECT doc_a, doc_b FROM p2),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS label FROM reach GROUP BY src),
+         |labels AS (
+         |  SELECT sh.doc_id, coalesce(lab.label, sh.doc_id) AS label
+         |  FROM sh LEFT JOIN lab ON sh.doc_id = lab.doc_id)
+         |SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  max(doc_id) AS max_member
+         |FROM labels GROUP BY label ORDER BY cluster_id""".stripMargin
+    })
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -2637,5 +2724,6 @@ object TrainingData {
     "t68_incremental_clusters" -> t68,
     "t69_incremental_cosine" -> t69,
     "t70_refreeze_cosine" -> t70,
-    "t71_refreeze_ann" -> t71)
+    "t71_refreeze_ann" -> t71,
+    "t72_takedown_dedup" -> t72)
 }
