@@ -124,6 +124,22 @@ object AnnIndex {
     }
   }
 
+  /** One scheduled maintenance poll ([[IndexMaintenance]] — the
+    * standalone-index mirror of `DedupPipeline.maintainOnce`): refreeze
+    * on drift — `corpus` is only evaluated then (retraining needs the
+    * original floats; int8 codes are lossy) — else compact past the
+    * tombstone ratio. */
+  def maintain(spark: SparkSession, root: String, corpus: => DataFrame,
+      tombstoneRatio: Double = 0.1): IndexMaintenance = {
+    val before = health(spark, root)
+    val refrozen = before.needsRefreeze
+    if (refrozen) refreeze(spark, root, corpus)
+    val compacted = !refrozen && before.tombstoned > 0 &&
+      before.tombstoned >= tombstoneRatio * math.max(before.live, 1L)
+    if (compacted) compact(spark, root)
+    IndexMaintenance(refrozen, compacted, before, health(spark, root))
+  }
+
   /** Scan-side encode of a `(vec_id, embedding)` frame under a given
     * quantizer: cell assignment (argmin fold over the centroid literal)
     * + int8 codes. Pure projection — no shuffle, no corpus reads. */

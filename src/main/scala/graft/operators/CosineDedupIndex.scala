@@ -223,6 +223,21 @@ object CosineDedupIndex {
     }
   }
 
+  /** One scheduled maintenance poll ([[IndexMaintenance]] — the
+    * standalone-index mirror of `DedupPipeline.maintainOnce`): refreeze
+    * on drift (no external corpus needed — embeddings live in the code
+    * rows), else compact past the tombstone ratio. */
+  def maintain(spark: SparkSession, root: String,
+      tombstoneRatio: Double = 0.1): IndexMaintenance = {
+    val before = health(spark, root)
+    val refrozen = before.needsRefreeze
+    if (refrozen) refreeze(spark, root)
+    val compacted = !refrozen && before.tombstoned > 0 &&
+      before.tombstoned >= tombstoneRatio * math.max(before.live, 1L)
+    if (compacted) compact(spark, root)
+    IndexMaintenance(refrozen, compacted, before, health(spark, root))
+  }
+
   /** Average live vectors per occupied bucket — the drift signal an
     * operator schedules [[refreeze]] on (design point ~16; the ladder
     * steps in powers of two, so occupancy past ~32 means the corpus has

@@ -31,6 +31,18 @@ final case class IndexHealth(
     frozenCells: Long, occupiedCells: Long, occupancy: Double,
     needsRefreeze: Boolean)
 
+/** What one index-maintenance poll did ([[CosineDedupIndex.maintain]],
+  * [[AnnIndex.maintain]], [[PqIndex.maintain]] — the standalone-index
+  * mirror of [[DedupPipeline.maintainOnce]]): refreeze when the drift
+  * predicate fired (the rewrite folds tombstones into its own swap, so
+  * the separate compaction is skipped as redundant), else compaction
+  * when pending tombstones exceeded the caller's ratio of live rows.
+  * Both run under the operators' existing marker-gated / stage-swap
+  * crash protocols. */
+final case class IndexMaintenance(
+    refrozen: Boolean, compacted: Boolean,
+    before: IndexHealth, after: IndexHealth)
+
 object IndexHealth {
 
   /** The untrained/empty-root snapshot — the natural FIRST poll of an

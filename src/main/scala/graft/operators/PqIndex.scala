@@ -127,6 +127,20 @@ object PqIndex {
     }
   }
 
+  /** One scheduled maintenance poll — same contract as
+    * [[AnnIndex.maintain]] (`corpus` only evaluated when the drift
+    * predicate fires). */
+  def maintain(spark: SparkSession, root: String, corpus: => DataFrame,
+      tombstoneRatio: Double = 0.1): IndexMaintenance = {
+    val before = health(spark, root)
+    val refrozen = before.needsRefreeze
+    if (refrozen) refreeze(spark, root, corpus)
+    val compacted = !refrozen && before.tombstoned > 0 &&
+      before.tombstoned >= tombstoneRatio * math.max(before.live, 1L)
+    if (compacted) compact(spark, root)
+    IndexMaintenance(refrozen, compacted, before, health(spark, root))
+  }
+
   /** Scan-side encode of a `(vec_id, embedding)` frame under frozen
     * quantizers: cell argmin + pqM code positions + reconstruction
     * norm². Pure projection — no shuffle, no corpus reads. */

@@ -82,6 +82,61 @@ class IndexHealthSpec extends SparkSpec {
     assert(!hp.needsRefreeze && hp.occupancy == hp.live.toDouble / hp.occupiedCells, hp)
   }
 
+  test("maintain: one poll consumes the signals on every index kind; answers invariant") {
+    import graft.operators.BatchLog
+    // Cosine: drift fired → refreeze (tombstone folded in the same swap,
+    // compaction skipped as redundant); next poll with a fresh tombstone
+    // and a forced ratio → compaction; quiet poll → no-op.
+    val croot = Files.createTempDirectory("graft_im_cos").toString
+    CosineDedupIndex.ingest(spark, croot, vecs.where(col("vec_id") < 100),
+      batchKey = Some("b1"))
+    CosineDedupIndex.ingest(spark, croot, vecs.where(col("vec_id") >= 100),
+      batchKey = Some("b2"))
+    CosineDedupIndex.remove(spark, croot, Seq(7L))
+    CacheJanitor.drain()
+    val m1 = CosineDedupIndex.maintain(spark, croot)
+    assert(m1.refrozen && !m1.compacted, m1)
+    assert(m1.after.tombstoned == 0 && m1.after.live == 499 && !m1.after.needsRefreeze, m1.after)
+    CosineDedupIndex.remove(spark, croot, Seq(9L))
+    val m2 = CosineDedupIndex.maintain(spark, croot, tombstoneRatio = 0.0)
+    assert(!m2.refrozen && m2.compacted && m2.after.live == 498, m2)
+    val m3 = CosineDedupIndex.maintain(spark, croot)
+    assert(!m3.refrozen && !m3.compacted, m3)
+    CacheJanitor.drain()
+
+    // Quantized family: refreeze needs the original floats; the poll
+    // only evaluates the corpus when drift fires. Content == from-scratch
+    // is RefreezeSpec's pin; here: signals consumed, replay veto intact
+    // after the maintenance-driven rewrite.
+    val aroot = Files.createTempDirectory("graft_im_ann").toString
+    AnnIndex.ingest(spark, aroot, vecs.where(col("vec_id") < 100), batchKey = Some("b1"))
+    AnnIndex.ingest(spark, aroot, vecs.where(col("vec_id") >= 100), batchKey = Some("b2"))
+    AnnIndex.remove(spark, aroot, Seq(3L))
+    CacheJanitor.drain()
+    val a1 = AnnIndex.maintain(spark, aroot, vecs)
+    assert(a1.refrozen && !a1.compacted && a1.after.tombstoned == 0, a1)
+    assert(a1.after.live == 499 && !a1.after.needsRefreeze, a1.after)
+    // The rewrite retired the ingested keys: a crash-re-delivered batch
+    // must not double-append or resurrect the takedown.
+    AnnIndex.ingest(spark, aroot, vecs.where(col("vec_id") < 100), batchKey = Some("b1"))
+    CacheJanitor.drain()
+    assert(AnnIndex.health(spark, aroot).live == 499,
+      "replayed batch after maintenance must be a no-op")
+    assert(BatchLog.retiredKeys(spark, s"$aroot/codes").contains(BatchLog.sanitize("b1")))
+
+    val proot = Files.createTempDirectory("graft_im_pq").toString
+    PqIndex.ingest(spark, proot, vecs.where(col("vec_id") < 100), batchKey = Some("b1"))
+    PqIndex.remove(spark, proot, Seq(9L))
+    CacheJanitor.drain()
+    // No drift at 100 rows; the corpus thunk must not even be evaluated.
+    val p1 = PqIndex.maintain(spark, proot,
+      { fail("corpus must not be evaluated when drift is quiet"); vecs },
+      tombstoneRatio = 0.0)
+    assert(!p1.refrozen && p1.compacted && p1.after.tombstoned == 0, p1)
+    assert(p1.after.live == 99, p1.after)
+    CacheJanitor.drain()
+  }
+
   test("health recovers a crashed compaction swap before probing (no false live=0)") {
     import java.nio.file.Paths
     import graft.operators.BatchLog

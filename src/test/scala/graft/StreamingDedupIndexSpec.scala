@@ -78,6 +78,83 @@ class StreamingDedupIndexSpec extends SparkSpec {
       "within-batch and cross-batch pairs must both be present")
   }
 
+  test("the full maintenance loop runs inside the stream: runOnce + maintainOnce + takedown") {
+    import graft.operators.{ClusterLabels, DedupPipeline, SignatureIndex}
+    // The production composition end-to-end: each micro-batch runs the
+    // packaged pipeline step, then the health-driven maintenance step
+    // (thresholds forced so compaction actually fires mid-stream), with a
+    // takedown landing between micro-batches. Pins that maintenance
+    // inside the streaming loop changes representation only, the removed
+    // doc never pairs afterwards, and a crash-re-delivered micro-batch
+    // whose key the compaction RETIRED is a no-op (the BatchLog ×
+    // maintenance interaction, inside the stream).
+    val root = Files.createTempDirectory("graft_stream_maint").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val fired = scala.collection.mutable.ArrayBuffer.empty[DedupPipeline.Maintenance]
+
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        DedupPipeline.runOnce(spark, root, df, batchKey = Some(s"mb$batchId"))
+        fired += DedupPipeline.maintainOnce(spark, root,
+          tombstoneRatio = 0.0, logDepthRatio = 0.0)
+        CacheJanitor.drain()
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      input.addData(
+        1L -> "the quick brown fox jumps over the lazy dog today",
+        2L -> "the quick brown fox jumps over the lazy cat today",
+        3L -> "completely different text about spark engines and parquet files")
+      q.processAllAvailable()
+      // Takedown between micro-batches: doc 2 leaves the live index; the
+      // next batch's maintenance compacts it out. Its recorded pair
+      // (1,2) and label are facts and persist.
+      SignatureIndex.remove(spark, root, Seq(2L))
+      input.addData(
+        4L -> "the quick brown fox jumps over the lazy dog yesterday",
+        5L -> "another unrelated document with entirely distinct words inside",
+        6L -> "completely different text about spark engines and parquet files")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // Batch 1: no tombstones yet, labels compacted (forced threshold).
+    // Batch 2: the takedown's tombstone trips the forced ratio → index
+    // compaction folds doc 2 out; never a refreeze on a text root.
+    assert(fired.map(m => (m.refrozen, m.indexCompacted, m.labelsCompacted)).toSeq ==
+      Seq((false, false, true), (false, true, true)), fired)
+    assert(fired.last.after.tombstoned == 0 && fired.last.after.liveDocs == 5, fired.last)
+
+    // Takedown semantics across the stream (t72's answer shape): doc 4
+    // pairs with 1 only (2 was live-excluded), 6 duplicates 3, recorded
+    // labels for 2 persist.
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 1L, 5L -> 5L, 6L -> 3L)
+    def labels() = ClusterLabels.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels() === want)
+
+    // Crash-re-delivery of micro-batch 0 AFTER its key was retired by
+    // the in-stream compactions: both appends must no-op — doc 2 must
+    // not resurrect into the live index, labels must not move.
+    val (rawBefore, _) = ClusterLabels.logDepth(spark, root)
+    DedupPipeline.runOnce(spark, root,
+      Seq(
+        1L -> "the quick brown fox jumps over the lazy dog today",
+        2L -> "the quick brown fox jumps over the lazy cat today",
+        3L -> "completely different text about spark engines and parquet files")
+        .toDF("doc_id", "text"),
+      batchKey = Some("mb0"))
+    CacheJanitor.drain()
+    assert(SignatureIndex.readIndex(spark, root).count() == 5,
+      "re-delivered batch must not resurrect the compacted-out takedown")
+    assert(labels() === want, "re-delivered batch must not move labels")
+    assert(ClusterLabels.logDepth(spark, root)._1 == rawBefore,
+      "re-delivered batch must not append beside the compacted fold")
+  }
+
   test("a document stream resolves clusters incrementally alongside the index") {
     // The complete incremental dedup story in one stream: each micro-batch
     // appends signatures, detects its delta pairs, AND folds them into the
