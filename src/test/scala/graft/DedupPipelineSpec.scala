@@ -269,6 +269,13 @@ class DedupPipelineSpec extends SparkSpec {
         .map(p => p.toString ->
           (Files.getLastModifiedTime(p).toMillis, Files.size(p))).toMap
 
+    // A virgin root polls safely: the natural first maintenance tick of
+    // a scheduler fires nothing and throws nothing.
+    val virgin = Files.createTempDirectory("graft_dp_maint_virgin").toString
+    val mv = DedupPipeline.maintainOnce(spark, virgin, vector = true,
+      tombstoneRatio = 0.0, logDepthRatio = 0.0)
+    assert(!mv.refrozen && !mv.indexCompacted && !mv.labelsCompacted, mv)
+
     val root = Files.createTempDirectory("graft_dp_maint").toString
     val vecs = Tables.embeddings(spark, "/root/testdata/sf0.01")
       .select("vec_id", "embedding")

@@ -84,6 +84,14 @@ class IndexHealthSpec extends SparkSpec {
 
   test("maintain: one poll consumes the signals on every index kind; answers invariant") {
     import graft.operators.BatchLog
+    // Virgin roots poll safely through maintain too.
+    val vroot = Files.createTempDirectory("graft_im_virgin").toString
+    val mv = CosineDedupIndex.maintain(spark, vroot, tombstoneRatio = 0.0)
+    assert(!mv.refrozen && !mv.compacted, mv)
+    val mva = AnnIndex.maintain(spark, s"$vroot/ann",
+      { fail("virgin poll must not evaluate the corpus"); vecs })
+    assert(!mva.refrozen && !mva.compacted, mva)
+
     // Cosine: drift fired → refreeze (tombstone folded in the same swap,
     // compaction skipped as redundant); next poll with a fresh tombstone
     // and a forced ratio → compaction; quiet poll → no-op.
