@@ -145,6 +145,42 @@ class IndexHealthSpec extends SparkSpec {
     CacheJanitor.drain()
   }
 
+  test("bulk takedown: maintain compacts an index to EMPTY and it stays serviceable") {
+    // GDPR-style bulk erasure: every indexed row tombstoned, the next
+    // maintenance poll folds them all out. The emptied index must stay
+    // healthy (no schema-inference throw on the empty fold, no phantom
+    // drift) and accept the next batch under its still-frozen parameter.
+    val croot = Files.createTempDirectory("graft_im_empty_cos").toString
+    CosineDedupIndex.ingest(spark, croot, vecs.where(col("vec_id") < 50),
+      batchKey = Some("b1"))
+    CosineDedupIndex.remove(spark, croot, (0L until 50L).toSeq)
+    CacheJanitor.drain()
+    val m = CosineDedupIndex.maintain(spark, croot, tombstoneRatio = 0.0)
+    assert(!m.refrozen && m.compacted, m)
+    assert(m.after.live == 0 && m.after.tombstoned == 0 && !m.after.needsRefreeze, m.after)
+    val b = CosineDedupIndex.ingest(spark, croot,
+      vecs.where(col("vec_id") >= 450), batchKey = Some("b2"))
+    assert(b.allCodes.count() == 50, "the emptied index must accept the next batch")
+    CacheJanitor.drain()
+
+    val aroot = Files.createTempDirectory("graft_im_empty_ann").toString
+    AnnIndex.ingest(spark, aroot, vecs.where(col("vec_id") < 50), batchKey = Some("b1"))
+    AnnIndex.remove(spark, aroot, (0L until 50L).toSeq)
+    CacheJanitor.drain()
+    val ma = AnnIndex.maintain(spark, aroot,
+      { fail("an all-tombstoned root has no drift; corpus must stay unevaluated"); vecs },
+      tombstoneRatio = 0.0)
+    assert(!ma.refrozen && ma.compacted && ma.after.live == 0 && ma.after.tombstoned == 0, ma)
+    val ba = AnnIndex.ingest(spark, aroot, vecs.where(col("vec_id") >= 450),
+      batchKey = Some("b2"))
+    assert(ba.allCodes.count() == 50)
+    // The quantizer froze on batch 1 and survives the emptying — batch 2
+    // encodes under it, not a retrain (the frozen-artifact contract).
+    assert(AnnIndex.health(spark, aroot).frozenCells ==
+      graft.functions.TextSim.ivfCellsValue(50L).toLong)
+    CacheJanitor.drain()
+  }
+
   test("health recovers a crashed compaction swap before probing (no false live=0)") {
     import java.nio.file.Paths
     import graft.operators.BatchLog
