@@ -70,6 +70,23 @@ class TimestampEncodingSpec extends SparkSpec {
     assert(raws("ltz") == TimestampType, s"ltz wrote ${raws("ltz")}")
   }
 
+  test("the streaming file source reads µs variants under its explicit schema") {
+    // EventsStream.readEvents declares `ts TIMESTAMP` — the production
+    // streaming entry must survive a landing directory whose files were
+    // written NTZ (the regenerated-testdata shape) as well as LTZ. The
+    // batch read here exercises the same parquet requested-schema
+    // conversion; the nanos-as-long variant is out of scope for the
+    // streaming contract (the landing sink writes µs timestamps).
+    for (variant <- Seq("ltz", "ntz")) {
+      val df = spark.read
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
+        .parquet(s"${variants(variant)}/events.parquet")
+      assert(df.where(col("ts").isNotNull).count() ==
+        Tables.events(spark, srcDir).count(),
+        s"explicit-schema read lost rows under the $variant encoding")
+    }
+  }
+
   test("every registered query analyzes against every ts encoding") {
     for ((variant, dir) <- variants) {
       val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
