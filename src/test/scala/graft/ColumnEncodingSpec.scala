@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DateType, DecimalType, IntegerType}
+
+/** The e13 failure class, generalized past timestamps: a driver testdata
+  * regeneration can plausibly re-encode the OTHER column families too —
+  * dates as DATE instead of µs timestamps (the natural TPC-H type),
+  * money as DECIMAL(12,2) instead of double, key columns narrowed to
+  * INT32. Every registered query must still ANALYZE against that world
+  * (round 8 proved an analysis break silently costs a correctness row).
+  * Values/hashes are the driver gate's job — it regenerates both sides
+  * from the same files; what must never break is plan resolution. */
+class ColumnEncodingSpec extends SparkSpec {
+
+  private val srcDir = "/root/testdata/sf0.001"
+
+  private lazy val variantDir: String = {
+    val dir = Files.createTempDirectory("graft_col_enc").resolve("alt")
+    Files.createDirectories(dir)
+    for (t <- Tables.names if t != "lineitem" && t != "orders")
+      Files.copy(Paths.get(s"$srcDir/$t.parquet"),
+        dir.resolve(s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Tables.load(spark, srcDir, "lineitem")
+      .withColumn("l_shipdate", col("l_shipdate").cast(DateType))
+      .withColumn("l_quantity", col("l_quantity").cast(DecimalType(12, 2)))
+      .withColumn("l_extendedprice", col("l_extendedprice").cast(DecimalType(12, 2)))
+      .withColumn("l_discount", col("l_discount").cast(DecimalType(12, 2)))
+      .withColumn("l_tax", col("l_tax").cast(DecimalType(12, 2)))
+      .withColumn("l_partkey", col("l_partkey").cast(IntegerType))
+      .withColumn("l_suppkey", col("l_suppkey").cast(IntegerType))
+      .coalesce(1).write.parquet(dir.resolve("lineitem.parquet").toString)
+    Tables.load(spark, srcDir, "orders")
+      .withColumn("o_orderdate", col("o_orderdate").cast(DateType))
+      .withColumn("o_totalprice", col("o_totalprice").cast(DecimalType(12, 2)))
+      .withColumn("o_custkey", col("o_custkey").cast(IntegerType))
+      .coalesce(1).write.parquet(dir.resolve("orders.parquet").toString)
+    dir.toString
+  }
+
+  test("every registered query analyzes when dates/money/keys re-encode") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, variantDir).queryExecution.analyzed; None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).linesIterator.take(2).mkString(" "))
+      } finally CacheJanitor.drain()
+    }
+    assert(failures.isEmpty,
+      s"queries unplannable under DATE/DECIMAL/INT32 re-encoding:\n${failures.mkString("\n")}")
+  }
+}
