@@ -37,8 +37,9 @@ case class Sq8Dot(first: Expression, second: Expression, third: Expression, four
     case ArrayType(DoubleType, _) => true; case _ => false
   }
   override def checkInputDataTypes(): TypeCheckResult =
-    if (!isFloatArr(first.dataType))
-      TypeCheckResult.TypeCheckFailure(s"graft_sq8_dot: query is ${first.dataType.sql}, need ARRAY<FLOAT>")
+    if (!isFloatArr(first.dataType) && !isDoubleArr(first.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_sq8_dot: query is ${first.dataType.sql}, need ARRAY<FLOAT> or ARRAY<DOUBLE>")
     else if (!isLongArr(second.dataType))
       TypeCheckResult.TypeCheckFailure(s"graft_sq8_dot: codes is ${second.dataType.sql}, need ARRAY<BIGINT>")
     else if (!isDoubleArr(third.dataType) || !isDoubleArr(fourth.dataType))
@@ -50,13 +51,14 @@ case class Sq8Dot(first: Expression, second: Expression, third: Expression, four
   override def prettyName: String = "graft_sq8_dot"
 
   override protected def nullSafeEval(q: Any, c: Any, m: Any, s: Any): Any =
-    Sq8.dot(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
-      m.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData])
+    Sq8.dot(q.asInstanceOf[ArrayData], isDoubleArr(first.dataType),
+      c.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (q, c, m, s) => {
       s"""
-         |java.lang.Double ${ev.value}_boxed = graft.functions.Sq8.dot($q, $c, $m, $s);
+         |java.lang.Double ${ev.value}_boxed = graft.functions.Sq8.dot(
+         |  $q, ${isDoubleArr(first.dataType)}, $c, $m, $s);
          |if (${ev.value}_boxed == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = ${ev.value}_boxed.doubleValue(); }
        """.stripMargin
@@ -103,8 +105,11 @@ object Sq8 {
     * HOF form's, verbatim: dq_i = mns[i] + codes[i]/255.0 * spans[i]
     * (no zero-span branch — codes are 0 there, so dq_i = mns[i] falls
     * out of the same expression), acc += double(q_i) * dq_i, strictly
-    * left to right. */
-  def dot(q: ArrayData, codes: ArrayData, mns: ArrayData, spans: ArrayData): java.lang.Double = {
+    * left to right. The query side may be float or double (compile-time
+    * -constant flag from the generated code — `double(q_i)` is exact
+    * either way, so the fold stays bit-identical to the HOF form). */
+  def dot(q: ArrayData, qDouble: Boolean, codes: ArrayData,
+      mns: ArrayData, spans: ArrayData): java.lang.Double = {
     val n = codes.numElements()
     if (n != q.numElements() || n != mns.numElements() || n != spans.numElements()) return null
     var acc = 0.0
@@ -112,7 +117,8 @@ object Sq8 {
     while (i < n) {
       if (q.isNullAt(i) || codes.isNullAt(i) || mns.isNullAt(i) || spans.isNullAt(i)) return null
       val dq = mns.getDouble(i) + codes.getLong(i).toDouble / 255.0 * spans.getDouble(i)
-      acc += q.getFloat(i).toDouble * dq
+      val x = if (qDouble) q.getDouble(i) else q.getFloat(i).toDouble
+      acc += x * dq
       i += 1
     }
     acc

@@ -39,6 +39,36 @@ class ColumnEncodingSpec extends SparkSpec {
     dir.toString
   }
 
+  private lazy val doubleEmbDir: String = {
+    val dir = Files.createTempDirectory("graft_col_enc_emb").resolve("demb")
+    Files.createDirectories(dir)
+    for (t <- Tables.names if t != "embeddings")
+      Files.copy(Paths.get(s"$srcDir/$t.parquet"),
+        dir.resolve(s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Tables.load(spark, srcDir, "embeddings")
+      .withColumn("embedding",
+        col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+      .coalesce(1).write.parquet(dir.resolve("embeddings.parquet").toString)
+    dir.toString
+  }
+
+  test("every registered query analyzes when embeddings widen to ARRAY<DOUBLE>") {
+    // float32 is the common embedding width, but double-width parquet is
+    // a real wild shape; the similarity kernels (graft_dot, graft_sq8_dot,
+    // graft_dist2, graft_lsh_code) accept both element widths, so the ANN
+    // and dedup registry must keep planning.
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, doubleEmbDir).queryExecution.analyzed; None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).linesIterator.take(2).mkString(" "))
+      } finally CacheJanitor.drain()
+    }
+    assert(failures.isEmpty,
+      s"queries unplannable under ARRAY<DOUBLE> embeddings:\n${failures.mkString("\n")}")
+  }
+
   test("every registered query analyzes when dates/money/keys re-encode") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, variantDir).queryExecution.analyzed; None }

@@ -27,23 +27,35 @@ object KernelProps extends Properties("graft.kernels") {
     }
 
   private val floatArr = Gen.listOfN(16, Gen.chooseNum(-100f, 100f)).map(_.toArray)
+  private val doubleArr = Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0)).map(_.toArray)
 
   property("dot kernel equals plain-scala fold") =
     forAll(floatArr, floatArr) { (a, b) =>
       val got = DotProduct.dot(
-        new GenericArrayData(a.map(x => x: Any)),
-        new GenericArrayData(b.map(x => x: Any)))
+        new GenericArrayData(a.map(x => x: Any)), false,
+        new GenericArrayData(b.map(x => x: Any)), false)
       var want = 0.0
       var i = 0
       while (i < a.length) { want += a(i).toDouble * b(i).toDouble; i += 1 }
       java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(want)
     }
 
+  property("dot kernel equals the fold with mixed float/double element widths") =
+    forAll(floatArr, doubleArr) { (a, b) =>
+      val got = DotProduct.dot(
+        new GenericArrayData(a.map(x => x: Any)), false,
+        new GenericArrayData(b.map(x => x: Any)), true)
+      var want = 0.0
+      var i = 0
+      while (i < a.length) { want += a(i).toDouble * b(i); i += 1 }
+      java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(want)
+    }
+
   property("dot kernel returns null on length mismatch") =
     forAll(floatArr) { a =>
       DotProduct.dot(
-        new GenericArrayData(a.map(x => x: Any)),
-        new GenericArrayData((a ++ Array(1f)).map(x => x: Any))) == null
+        new GenericArrayData(a.map(x => x: Any)), false,
+        new GenericArrayData((a ++ Array(1f)).map(x => x: Any)), false) == null
     }
 
   private val codesArr = Gen.listOfN(16,
@@ -53,8 +65,6 @@ object KernelProps extends Properties("graft.kernels") {
     Gen.zip(Gen.chooseNum(-10.0, 10.0),
       Gen.frequency(6 -> Gen.chooseNum(0.001, 20.0), 1 -> Gen.const(0.0))))
     .map(_.toArray)
-
-  private val doubleArr = Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0)).map(_.toArray)
 
   property("dist2 kernel equals the HOF-order squared-difference fold, mixed element types") =
     forAll(floatArr, doubleArr) { (a, b) =>
@@ -110,7 +120,7 @@ object KernelProps extends Properties("graft.kernels") {
     forAll(floatArr, codesArr, statArr) { (q, c, st) =>
       val mns = st.map(_._1); val spans = st.map(_._2)
       val got = graft.functions.Sq8.dot(
-        new GenericArrayData(q.map(x => x: Any)),
+        new GenericArrayData(q.map(x => x: Any)), false,
         new GenericArrayData(c.map(x => x: Any)),
         new GenericArrayData(mns.map(x => x: Any)),
         new GenericArrayData(spans.map(x => x: Any)))
@@ -118,6 +128,22 @@ object KernelProps extends Properties("graft.kernels") {
       var i = 0
       while (i < q.length) {
         want += q(i).toDouble * (mns(i) + c(i).toDouble / 255.0 * spans(i)); i += 1
+      }
+      java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(want)
+    }
+
+  property("sq8 dot kernel accepts a double-width query, same fold") =
+    forAll(doubleArr, codesArr, statArr) { (q, c, st) =>
+      val mns = st.map(_._1); val spans = st.map(_._2)
+      val got = graft.functions.Sq8.dot(
+        new GenericArrayData(q.map(x => x: Any)), true,
+        new GenericArrayData(c.map(x => x: Any)),
+        new GenericArrayData(mns.map(x => x: Any)),
+        new GenericArrayData(spans.map(x => x: Any)))
+      var want = 0.0
+      var i = 0
+      while (i < q.length) {
+        want += q(i) * (mns(i) + c(i).toDouble / 255.0 * spans(i)); i += 1
       }
       java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(want)
     }
