@@ -117,7 +117,7 @@ object AnnIndex {
       case Some((cents, _, _)) =>
         BatchLog.requireFormat(spark, s"$root/codes", "AnnIndex.health")
         if (!BatchLog.hasData(spark, s"$root/codes"))
-          IndexHealth.virgin.copy(frozenCells = cents.length.toLong)
+          IndexHealth.emptyLog(spark, root, "vec_id", cents.length.toLong)
         else IndexHealth.probe(spark, root, readCodes(spark, root),
           "cell", "vec_id", cents.length.toLong,
           n => TextSim.ivfCellsValue(n) > cents.length)
@@ -134,7 +134,13 @@ object AnnIndex {
     val before = health(spark, root)
     val refrozen = before.needsRefreeze
     if (refrozen) refreeze(spark, root, corpus)
+    // hasData gate: tombstones on a trained-but-unfed root stay pending —
+    // a compact of a log with no committed files would only clear the
+    // side table, and those tombstones must keep suppressing a later
+    // ingest of the same ids (an all-tombstoned FED root still compacts
+    // to empty; that path is pinned in IndexHealthSpec).
     val compacted = !refrozen && before.tombstoned > 0 &&
+      BatchLog.hasData(spark, s"$root/codes") &&
       before.tombstoned >= tombstoneRatio * math.max(before.live, 1L)
     if (compacted) compact(spark, root)
     IndexMaintenance(refrozen, compacted, before, health(spark, root))

@@ -217,7 +217,7 @@ object CosineDedupIndex {
       case Some(m) =>
         BatchLog.requireFormat(spark, codesDir(root), "CosineDedupIndex.health")
         if (!BatchLog.hasData(spark, codesDir(root)))
-          IndexHealth.virgin.copy(frozenCells = m)
+          IndexHealth.emptyLog(spark, root, "vec_id", m)
         else IndexHealth.probe(spark, root, readIndex(spark, root),
           "bucket", "vec_id", m, n => TextSim.lshMaskValue(n).toLong > m)
     }
@@ -232,7 +232,10 @@ object CosineDedupIndex {
     val before = health(spark, root)
     val refrozen = before.needsRefreeze
     if (refrozen) refreeze(spark, root)
+    // hasData gate: see [[AnnIndex.maintain]] — unfed-root tombstones
+    // stay pending rather than being cleared by an empty-log compact.
     val compacted = !refrozen && before.tombstoned > 0 &&
+      BatchLog.hasData(spark, codesDir(root)) &&
       before.tombstoned >= tombstoneRatio * math.max(before.live, 1L)
     if (compacted) compact(spark, root)
     IndexMaintenance(refrozen, compacted, before, health(spark, root))

@@ -189,7 +189,14 @@ object DedupPipeline {
     val before = health(spark, root, vector)
     val refrozen = vector && before.needsRefreeze
     if (refrozen) CosineDedupIndex.refreeze(spark, root)
+    // hasData gate: tombstones recorded before the first committed batch
+    // stay pending — compacting a log with no committed files would only
+    // clear the side table, and those tombstones must keep suppressing a
+    // later ingest of the same ids (same contract as AnnIndex.maintain).
+    val logDir =
+      if (vector) CosineDedupIndex.codesDir(root) else s"$root/signatures"
     val indexCompacted = !refrozen && before.tombstoned > 0 &&
+      BatchLog.hasData(spark, logDir) &&
       before.tombstoned >= tombstoneRatio * math.max(before.liveDocs, 1L)
     if (indexCompacted) {
       if (vector) CosineDedupIndex.compact(spark, root)

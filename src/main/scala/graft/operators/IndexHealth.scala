@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   *  - `live` / `tombstoned`: rows serving reads vs takedowns pending a
   *    compaction fold;
   *  - `frozenCells`: the frozen partition-parameter's size — coarse cell
-  *    count for the IVF indexes, bucket-universe size (mask + 1) for the
-  *    LSH dedup index;
+  *    count for the IVF indexes, the frozen bucket modulus (= bucket
+  *    count; codes are assigned `lshCode % modulus`) for the LSH dedup
+  *    index;
   *  - `occupiedCells` / `occupancy`: how the live rows actually spread
   *    over that frozen geometry (occupancy = live per occupied cell) —
   *    the continuous drift signal; the ladder steps in powers of two, so
@@ -49,6 +50,17 @@ object IndexHealth {
     * ops loop happens before any batch lands; report zeros, don't throw. */
   private[operators] val virgin: IndexHealth =
     IndexHealth(0L, 0L, 0L, 0L, 0.0, needsRefreeze = false)
+
+  /** The trained-but-unfed snapshot: the code log has no committed data,
+    * but the side table may already carry tombstones (a `remove` is legal
+    * before the first ingest — it wins over a later re-add of the same
+    * id), so report them instead of hard-coding 0; otherwise an ops
+    * consumer alerting on pending takedowns never sees them. */
+  private[operators] def emptyLog(spark: SparkSession, root: String,
+      idCol: String, frozenCells: Long): IndexHealth =
+    virgin.copy(
+      tombstoned = Tombstones.read(spark, root, idCol).count(),
+      frozenCells = frozenCells)
 
   /** Shared probe: ONE aggregate over the live log computes row count
     * and occupied-cell count together ("an ops probe should cost one

@@ -120,7 +120,7 @@ object PqIndex {
       case Some((cents, _)) =>
         BatchLog.requireFormat(spark, s"$root/codes", "PqIndex.health")
         if (!BatchLog.hasData(spark, s"$root/codes"))
-          IndexHealth.virgin.copy(frozenCells = cents.length.toLong)
+          IndexHealth.emptyLog(spark, root, "vec_id", cents.length.toLong)
         else IndexHealth.probe(spark, root, readCodes(spark, root),
           "cell", "vec_id", cents.length.toLong,
           n => TextSim.ivfCellsValue(n) > cents.length)
@@ -135,7 +135,10 @@ object PqIndex {
     val before = health(spark, root)
     val refrozen = before.needsRefreeze
     if (refrozen) refreeze(spark, root, corpus)
+    // hasData gate: see [[AnnIndex.maintain]] — unfed-root tombstones
+    // stay pending rather than being cleared by an empty-log compact.
     val compacted = !refrozen && before.tombstoned > 0 &&
+      BatchLog.hasData(spark, s"$root/codes") &&
       before.tombstoned >= tombstoneRatio * math.max(before.live, 1L)
     if (compacted) compact(spark, root)
     IndexMaintenance(refrozen, compacted, before, health(spark, root))

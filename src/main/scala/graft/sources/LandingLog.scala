@@ -398,11 +398,86 @@ object Extract {
   def jdbc(spark: SparkSession, url: String, table: String, props: java.util.Properties): DataFrame =
     spark.read.jdbc(url, table, props)
 
-  /** JDBC full-refresh sink (reference S10: overwrite + 1000-row batches). */
-  def jdbcOverwrite(df: DataFrame, url: String, table: String, props: java.util.Properties): Unit =
+  /** JDBC full-refresh sink (reference S10: overwrite + 1000-row
+    * batches) — CRASH-ATOMIC, the JDBC twin of `commitSnapshot`'s
+    * stage-then-rename. The reference's `to_sql(mode="overwrite")`
+    * (src/warehousing_lambda.py:64-71) truncates the live table before
+    * inserting, so a crash mid-load leaves the warehouse truncated or
+    * partial until the next run; here the full refresh lands in
+    * `<table>__stage` first ([[writeJdbcStage]]) and the live table is
+    * replaced only by [[publishJdbcStage]]'s single DROP+RENAME
+    * transaction (DDL is transactional in both Derby and Postgres, so
+    * readers see the old table until the commit instant and a crash
+    * anywhere rolls back to it). A crash between the halves leaves a
+    * stale stage that the next attempt's overwrite simply replaces. */
+  def jdbcOverwrite(df: DataFrame, url: String, table: String, props: java.util.Properties): Unit = {
+    writeJdbcStage(df, url, table, props)
+    publishJdbcStage(url, table, props)
+  }
+
+  /** The staging half of [[jdbcOverwrite]]: write the refresh into
+    * `<table>__stage` (drop/recreate, so the stage schema always matches
+    * the frame). The live table is untouched. */
+  def writeJdbcStage(df: DataFrame, url: String, table: String, props: java.util.Properties): Unit =
     df.write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("truncate", "true")
       .option("batchsize", 1000)
-      .jdbc(url, table, props)
+      .jdbc(url, stageName(table), props)
+
+  /** The commit half of [[jdbcOverwrite]]: one transaction that drops the
+    * live table (if present) and renames the fully-written stage into its
+    * place. Fails loudly if the stage is missing (nothing staged = nothing
+    * to publish — never silently keep serving a half-replaced state). */
+  def publishJdbcStage(url: String, table: String, props: java.util.Properties): Unit = {
+    val conn = connect(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val stage = resolveStoredName(conn, stageName(table)).getOrElse(
+        sys.error(s"publishJdbcStage: no stage table ${stageName(table)} to publish for $table"))
+      val st = conn.createStatement()
+      try {
+        resolveStoredName(conn, table)
+          .foreach(t => st.executeUpdate(s"""DROP TABLE "$t""""))
+        // The rename target inherits the stage's stored casing (Spark's
+        // writer creates tables unquoted, so Derby stores them uppercase;
+        // a quoted lowercase target would be invisible to unquoted reads).
+        st.executeUpdate(renameSql(url, stage, stage.dropRight("__stage".length)))
+        conn.commit()
+      } finally st.close()
+    } finally {
+      // Roll back anything uncommitted before closing (an abandoned
+      // transaction would otherwise turn the refusal/crash path's
+      // exception into Derby's "close with active transaction" error).
+      try if (!conn.getAutoCommit) conn.rollback() catch { case _: java.sql.SQLException => () }
+      conn.close()
+    }
+  }
+
+  private def stageName(table: String): String = s"${table}__stage"
+
+  /** Raw JDBC connection using the same driver/credential properties the
+    * Spark writer gets (the `driver` property is loaded explicitly — the
+    * DriverManager only auto-discovers drivers on its own classpath). */
+  private def connect(url: String, props: java.util.Properties): java.sql.Connection = {
+    Option(props.getProperty("driver")).foreach(Class.forName)
+    java.sql.DriverManager.getConnection(url, props)
+  }
+
+  /** The stored identifier for `table`, however the creating writer cased
+    * it (Spark's dialects quote identifiers — lowercase survives — while
+    * hand-run DDL is usually unquoted — uppercased by Derby, lowercased
+    * by Postgres). None when no variant exists. */
+  private def resolveStoredName(conn: java.sql.Connection, table: String): Option[String] = {
+    val md = conn.getMetaData
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct.find { t =>
+      val rs = md.getTables(null, null, t, null)
+      try rs.next() finally rs.close()
+    }
+  }
+
+  /** Rename DDL differs by dialect: Derby spells it `RENAME TABLE`,
+    * Postgres (and most others) `ALTER TABLE … RENAME TO`. */
+  private def renameSql(url: String, from: String, to: String): String =
+    if (url.startsWith("jdbc:derby")) s"""RENAME TABLE "$from" TO "$to""""
+    else s"""ALTER TABLE "$from" RENAME TO "$to""""
 }

@@ -181,6 +181,56 @@ class IndexHealthSpec extends SparkSpec {
     CacheJanitor.drain()
   }
 
+  test("trained-but-unfed roots report pending tombstones; maintain leaves them pending") {
+    // A remove() is legal before the first ingest lands (takedown racing
+    // the backfill): health must surface the pending tombstones instead
+    // of hard-coding 0, and a maintenance poll must NOT fire an empty-log
+    // compaction — that would only clear the side table, re-admitting a
+    // later ingest of the removed ids.
+    // The reachable trained-but-unfed state for the quantized family is
+    // "quantizer committed, code log holds no committed files" — exactly
+    // what a bulk-erasure compaction leaves behind (the Ann/Pq fold is
+    // partitioned by cell, so an empty fold writes no data files).
+    val aroot = Files.createTempDirectory("graft_ih_unfed_ann").toString
+    AnnIndex.ingest(spark, aroot, vecs.where(col("vec_id") < 100), batchKey = Some("b1"))
+    CacheJanitor.drain()
+    // Fold the log to empty the committed data via the spec'd bulk path…
+    AnnIndex.remove(spark, aroot, (0L until 100L).toSeq)
+    CacheJanitor.drain()
+    AnnIndex.compact(spark, aroot)
+    CacheJanitor.drain()
+    // …then the takedown arrives before any new batch.
+    AnnIndex.remove(spark, aroot, Seq(400L, 401L))
+    CacheJanitor.drain()
+    val ha = AnnIndex.health(spark, aroot)
+    assert(ha.tombstoned == 2, s"unfed-root tombstones visible: $ha")
+    val ma = AnnIndex.maintain(spark, aroot,
+      { fail("no drift on an unfed root; corpus must stay unevaluated"); vecs },
+      tombstoneRatio = 0.0)
+    assert(!ma.refrozen && !ma.compacted, s"no empty-log compaction: $ma")
+    assert(AnnIndex.health(spark, aroot).tombstoned == 2, "tombstones stay pending")
+    // The pending tombstones still suppress a later ingest of those ids.
+    AnnIndex.ingest(spark, aroot, vecs.where(col("vec_id").isin(400L, 401L, 402L)),
+      batchKey = Some("b2"))
+    CacheJanitor.drain()
+    assert(AnnIndex.health(spark, aroot).live == 1,
+      "a pre-ingest tombstone must keep suppressing its id after the ingest")
+
+    val proot = Files.createTempDirectory("graft_ih_unfed_pq").toString
+    PqIndex.ingest(spark, proot, vecs.where(col("vec_id") < 100), batchKey = Some("b1"))
+    PqIndex.remove(spark, proot, (0L until 100L).toSeq)
+    CacheJanitor.drain()
+    PqIndex.compact(spark, proot)
+    PqIndex.remove(spark, proot, Seq(400L, 401L))
+    CacheJanitor.drain()
+    val hp = PqIndex.health(spark, proot)
+    assert(hp.tombstoned == 2, s"unfed-root tombstones visible: $hp")
+    val mp = PqIndex.maintain(spark, proot,
+      { fail("no drift on an unfed root"); vecs }, tombstoneRatio = 0.0)
+    assert(!mp.refrozen && !mp.compacted, mp)
+    CacheJanitor.drain()
+  }
+
   test("health recovers a crashed compaction swap before probing (no false live=0)") {
     import java.nio.file.Paths
     import graft.operators.BatchLog

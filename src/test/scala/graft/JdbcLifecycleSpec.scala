@@ -64,4 +64,53 @@ class JdbcLifecycleSpec extends SparkSpec {
       graft.model.Schemas.sources("currency")._1)
     assert(log.count() == 3, "full first extract (2 rows) + one-row increment")
   }
+
+  test("warehouse load is crash-atomic: old table serves until commit; retry completes") {
+    // The reference's to_sql(mode="overwrite") truncates the LIVE table
+    // before inserting (src/warehousing_lambda.py:64-71) — a crash
+    // mid-load leaves it truncated/partial. The engine diverges: the
+    // refresh lands in <table>__stage and a single DROP+RENAME
+    // transaction publishes it, so every crash point leaves the old
+    // table fully readable.
+    val urlA = "jdbc:derby:memory:graftatomic;create=true"
+    def readCur() =
+      Extract.jdbc(spark, urlA, "currency", props)
+        .orderBy("currency_id").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+
+    // First-ever load: no live table yet; publish is pure rename.
+    Extract.jdbcOverwrite(
+      Seq((1, "GBP"), (2, "EUR")).toDF("currency_id", "currency_code"),
+      urlA, "currency", props)
+    assert(readCur() == Seq(1 -> "GBP", 2 -> "EUR"))
+
+    // CRASH mid-load: the v2 stage is fully written (the worst observable
+    // point — any partial write is strictly less visible) but the commit
+    // transaction never ran. The live table still serves v1 in full.
+    Extract.writeJdbcStage(
+      Seq((1, "GBP"), (2, "USD"), (3, "JPY")).toDF("currency_id", "currency_code"),
+      urlA, "currency", props)
+    assert(readCur() == Seq(1 -> "GBP", 2 -> "EUR"),
+      "old table must stay fully readable while a stage is pending")
+
+    // Retry from the top: the stale stage is overwritten, then published.
+    Extract.jdbcOverwrite(
+      Seq((1, "GBP"), (2, "USD"), (3, "JPY")).toDF("currency_id", "currency_code"),
+      urlA, "currency", props)
+    assert(readCur() == Seq(1 -> "GBP", 2 -> "USD", 3 -> "JPY"))
+
+    // The stage does not outlive its publish.
+    intercept[Exception] {
+      Extract.jdbc(spark, urlA, "currency__stage", props).collect()
+    }
+
+    // Publishing with nothing staged refuses loudly instead of dropping
+    // the live table on the floor.
+    val e = intercept[RuntimeException] {
+      Extract.publishJdbcStage(urlA, "currency", props)
+    }
+    assert(e.getMessage.contains("no stage table"), e.getMessage)
+    assert(readCur() == Seq(1 -> "GBP", 2 -> "USD", 3 -> "JPY"),
+      "a refused publish must leave the live table untouched")
+  }
 }
