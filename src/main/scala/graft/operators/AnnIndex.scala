@@ -130,7 +130,7 @@ object AnnIndex {
     * original floats; int8 codes are lossy) — else compact past the
     * tombstone ratio. */
   def maintain(spark: SparkSession, root: String, corpus: => DataFrame,
-      tombstoneRatio: Double = 0.1): IndexMaintenance = {
+      tombstoneRatio: Double = 0.1): IndexMaintenance = WriterLease.withLease(spark, root) {
     val before = health(spark, root)
     val refrozen = before.needsRefreeze
     if (refrozen) refreeze(spark, root, corpus)
@@ -168,7 +168,7 @@ object AnnIndex {
     * is the landing layer's job, upstream of this (same contract as
     * [[SignatureIndex.ingest]]). */
   def ingest(spark: SparkSession, root: String, increment: DataFrame,
-      batchKey: Option[String] = None): Batch = {
+      batchKey: Option[String] = None): Batch = WriterLease.withLease(spark, root) {
     // Full recovery (refreeze AND compaction swap) BEFORE the append: an
     // ingest landing inside a crashed compaction's delete-to-rename
     // window would recreate the codes dir with only this increment, and
@@ -207,14 +207,16 @@ object AnnIndex {
   /** One-time upgrade of a legacy flat-append root into the batch-keyed
     * layout (rows unchanged; `cell=` partitioning preserved). */
   def migrateLegacy(spark: SparkSession, root: String): Unit =
-    BatchLog.adoptLegacy(spark, s"$root/codes", partitionBy = Seq("cell"))
+    WriterLease.withLease(spark, root) {
+      BatchLog.adoptLegacy(spark, s"$root/codes", partitionBy = Seq("cell"))
+    }
 
   /** Tombstone vec_ids out of the index (takedowns, re-embeds, dedup
     * keeper changes). Appends to the side table only — `cell=` code
     * files stay byte-untouched (spec-pinned); the ids stop appearing as
     * [[topK]] neighbors from this call on. The frozen quantizer is
     * unaffected: removal never retrains (same contract as ingest). */
-  def remove(spark: SparkSession, root: String, ids: DataFrame): Unit = {
+  def remove(spark: SparkSession, root: String, ids: DataFrame): Unit = WriterLease.withLease(spark, root) {
     // Compaction recovery too: a tombstone appended inside a crashed
     // compaction's swap window would be cleared when a later reader
     // adopts the staged fold (the adopt path drops the side table).
@@ -231,7 +233,7 @@ object AnnIndex {
     * probed-partition-only read path is unchanged) and clear the side
     * table. Content-identical to a frozen-quantizer [[encode]] of the
     * surviving vectors (spec-pinned). */
-  def compact(spark: SparkSession, root: String): Unit = {
+  def compact(spark: SparkSession, root: String): Unit = WriterLease.withLease(spark, root) {
     val dest = s"$root/codes"
     val tmp = s"$root/codes.__compact_tmp"
     BatchLog.stageRewrite(readCodes(spark, root), dest, tmp, partitionBy = Seq("cell"))
@@ -271,7 +273,7 @@ object AnnIndex {
     * staged subdir is already gone, i.e. already renamed — and drops an
     * unmarked partial stage, so readers can never see a new quantizer
     * with old codes or vice versa. */
-  def refreeze(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
+  def refreeze(spark: SparkSession, root: String, corpus: DataFrame): Unit = WriterLease.withLease(spark, root) {
     refreezeRecover(spark, root, deletePartial = true) // clear any prior attempt
     val liveIds = readCodes(spark, root).select("vec_id")
     val liveN = liveIds.count()

@@ -182,7 +182,7 @@ object ClusterLabels {
     * overwriting itself. `None` mints a fresh auto key (not
     * replay-idempotent, the pre-change behavior). */
   def merge(spark: SparkSession, root: String, pairs: DataFrame,
-      newDocs: DataFrame, batchKey: Option[String] = None): DataFrame = {
+      newDocs: DataFrame, batchKey: Option[String] = None): DataFrame = WriterLease.withLease(spark, root) {
     recover(spark, root)
     BatchLog.requireFormat(spark, dir(root), "ClusterLabels")
     val key = BatchLog.resolveKey(spark, dir(root), batchKey)
@@ -260,7 +260,7 @@ object ClusterLabels {
     * the end state is identical to [[read]] (and to a from-scratch
     * resolve), with the log's history dropped. Same stage-then-rename
     * commit as snapshot compaction. */
-  def compact(spark: SparkSession, root: String): Unit = {
+  def compact(spark: SparkSession, root: String): Unit = WriterLease.withLease(spark, root) {
     val dest = dir(root)
     val tmp = s"$dest.__compact_tmp"
     BatchLog.stageRewrite(read(spark, root).withColumn("batch", lit(1L)), dest, tmp)
@@ -277,5 +277,5 @@ object ClusterLabels {
     * [[BatchLog.requireFormat]]'s message points at an operator
     * migrateLegacy that every OTHER index had. */
   def migrateLegacy(spark: SparkSession, root: String): Unit =
-    BatchLog.adoptLegacy(spark, dir(root))
+    WriterLease.withLease(spark, root) { BatchLog.adoptLegacy(spark, dir(root)) }
 }

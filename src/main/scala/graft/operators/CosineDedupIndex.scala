@@ -83,7 +83,7 @@ object CosineDedupIndex {
     * the landing batch id and a crash-after-commit retry replaces its
     * own files instead of double-appending. */
   def ingest(spark: SparkSession, root: String, increment: DataFrame,
-      batchKey: Option[String] = None): Batch = {
+      batchKey: Option[String] = None): Batch = WriterLease.withLease(spark, root) {
     // Full recovery (refreeze AND compaction swap) BEFORE the append: an
     // ingest landing inside a crashed compaction's delete-to-rename
     // window would recreate the codes dir with only this increment, and
@@ -125,14 +125,14 @@ object CosineDedupIndex {
   /** One-time upgrade of a legacy flat-append root into the batch-keyed
     * layout (rows unchanged — codes carry no ordering precondition). */
   def migrateLegacy(spark: SparkSession, root: String): Unit =
-    BatchLog.adoptLegacy(spark, codesDir(root))
+    WriterLease.withLease(spark, root) { BatchLog.adoptLegacy(spark, codesDir(root)) }
 
   /** Tombstone vec_ids out of the index — snapshot files stay
     * byte-untouched; the ids vanish from reads and deltas immediately.
     * (Recovery first: a tombstone recorded between a crashed refreeze's
     * stage and its completion would be silently cleared by the deferred
     * commit.) */
-  def remove(spark: SparkSession, root: String, ids: Seq[Long]): Unit = {
+  def remove(spark: SparkSession, root: String, ids: Seq[Long]): Unit = WriterLease.withLease(spark, root) {
     import spark.implicits._
     // Compaction recovery too: a tombstone appended inside a crashed
     // compaction's swap window would be cleared when a later reader
@@ -144,7 +144,7 @@ object CosineDedupIndex {
   /** Rewrite the snapshot minus tombstones (mask unchanged — codes keep
     * their meaning) and clear the side table; content-identical to a
     * from-scratch encode of the survivors under the frozen mask. */
-  def compact(spark: SparkSession, root: String): Unit = {
+  def compact(spark: SparkSession, root: String): Unit = WriterLease.withLease(spark, root) {
     val path = codesDir(root)
     val tmp = s"$path.__compact_tmp"
     BatchLog.stageRewrite(readIndex(spark, root), path, tmp)
@@ -175,7 +175,7 @@ object CosineDedupIndex {
     * [[refreezeRecover]]: marker present → the commit is completed
     * idempotently; marker absent → the partial stage is dropped. A
     * crash can therefore never mix old buckets with a new mask. */
-  def refreeze(spark: SparkSession, root: String): Unit = {
+  def refreeze(spark: SparkSession, root: String): Unit = WriterLease.withLease(spark, root) {
     refreezeRecover(spark, root, deletePartial = true) // clear any prior attempt
     val live = graft.CacheJanitor.register(readIndex(spark, root).persist())
     // finally, not a happy-path tail call: an abort (sealStage's staged
@@ -228,7 +228,7 @@ object CosineDedupIndex {
     * on drift (no external corpus needed — embeddings live in the code
     * rows), else compact past the tombstone ratio. */
   def maintain(spark: SparkSession, root: String,
-      tombstoneRatio: Double = 0.1): IndexMaintenance = {
+      tombstoneRatio: Double = 0.1): IndexMaintenance = WriterLease.withLease(spark, root) {
     val before = health(spark, root)
     val refrozen = before.needsRefreeze
     if (refrozen) refreeze(spark, root)

@@ -52,7 +52,7 @@ object DedupPipeline {
     * job, as in the star pipeline). Returns the batch's observable
     * counts (all metadata-scale aggregates). */
   def runOnce(spark: SparkSession, root: String, increment: DataFrame,
-      batchKey: Option[String] = None): BatchStats = {
+      batchKey: Option[String] = None): BatchStats = WriterLease.withLease(spark, root) {
     val b = SignatureIndex.ingest(spark, root, increment, batchKey = batchKey)
     // One materialization of the batch's pairs, shared by the label
     // merge and the stats count — without it the count re-runs the
@@ -82,7 +82,7 @@ object DedupPipeline {
     * root — the tombstone side table and label log are per-root state
     * ([[CosineDedupIndex]]'s scaladoc contract). */
   def runOnceVectors(spark: SparkSession, root: String, increment: DataFrame,
-      batchKey: Option[String] = None): BatchStats = {
+      batchKey: Option[String] = None): BatchStats = WriterLease.withLease(spark, root) {
     val b = CosineDedupIndex.ingest(spark, root, increment, batchKey)
     val pairs = graft.CacheJanitor.register(
       b.deltaPairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
@@ -185,7 +185,7 @@ object DedupPipeline {
     * spec re-pins it end-to-end through this entry. Returns what fired
     * plus the before/after snapshots (the ops log line). */
   def maintainOnce(spark: SparkSession, root: String, vector: Boolean = false,
-      tombstoneRatio: Double = 0.1, logDepthRatio: Double = 2.0): Maintenance = {
+      tombstoneRatio: Double = 0.1, logDepthRatio: Double = 2.0): Maintenance = WriterLease.withLease(spark, root) {
     val before = health(spark, root, vector)
     val refrozen = vector && before.needsRefreeze
     if (refrozen) CosineDedupIndex.refreeze(spark, root)
@@ -221,9 +221,10 @@ object DedupPipeline {
     * read path; `keepVersions >= 2` retains history for time travel
     * (and for readers overlapping the next refresh). */
   def snapshotManifest(spark: SparkSession, root: String,
-      keepVersions: Int = 1): Unit =
+      keepVersions: Int = 1): Unit = WriterLease.withLease(spark, root) {
     LandingLog.writeSnapshot(keeperManifest(spark, root), root,
       "keeper_manifest", keepVersions = keepVersions)
+  }
 
   /** Read back the newest pinned snapshot from [[snapshotManifest]]. */
   def pinnedManifest(spark: SparkSession, root: String): DataFrame =

@@ -131,7 +131,7 @@ object PqIndex {
     * [[AnnIndex.maintain]] (`corpus` only evaluated when the drift
     * predicate fires). */
   def maintain(spark: SparkSession, root: String, corpus: => DataFrame,
-      tombstoneRatio: Double = 0.1): IndexMaintenance = {
+      tombstoneRatio: Double = 0.1): IndexMaintenance = WriterLease.withLease(spark, root) {
     val before = health(spark, root)
     val refrozen = before.needsRefreeze
     if (refrozen) refreeze(spark, root, corpus)
@@ -165,7 +165,7 @@ object PqIndex {
     * increment must carry vec_ids not already indexed. `batchKey` is
     * the replay-idempotence handle ([[BatchLog]]). */
   def ingest(spark: SparkSession, root: String, increment: DataFrame,
-      batchKey: Option[String] = None): Batch = {
+      batchKey: Option[String] = None): Batch = WriterLease.withLease(spark, root) {
     // Full recovery (refreeze AND compaction swap) BEFORE the append —
     // see [[AnnIndex.ingest]]: appending inside a crashed compaction's
     // swap window would cost the corpus in this very call.
@@ -195,11 +195,13 @@ object PqIndex {
   /** One-time upgrade of a legacy flat-append root into the batch-keyed
     * layout (rows unchanged; `cell=` partitioning preserved). */
   def migrateLegacy(spark: SparkSession, root: String): Unit =
-    BatchLog.adoptLegacy(spark, s"$root/codes", partitionBy = Seq("cell"))
+    WriterLease.withLease(spark, root) {
+      BatchLog.adoptLegacy(spark, s"$root/codes", partitionBy = Seq("cell"))
+    }
 
   /** Tombstone vec_ids out of the index — code files stay byte-untouched;
     * the frozen quantizers are never retrained. */
-  def remove(spark: SparkSession, root: String, ids: DataFrame): Unit = {
+  def remove(spark: SparkSession, root: String, ids: DataFrame): Unit = WriterLease.withLease(spark, root) {
     // Compaction recovery too — see [[AnnIndex.remove]].
     recoverState(ids.sparkSession, root)
     Tombstones.append(root, ids, "vec_id")
@@ -213,7 +215,7 @@ object PqIndex {
   /** Rewrite `codes/` minus tombstones (same `cell=` layout) and clear
     * the side table — content-identical to a frozen-quantizer
     * [[encode]] of the survivors (spec-pinned). */
-  def compact(spark: SparkSession, root: String): Unit = {
+  def compact(spark: SparkSession, root: String): Unit = WriterLease.withLease(spark, root) {
     val dest = s"$root/codes"
     val tmp = s"$root/codes.__compact_tmp"
     BatchLog.stageRewrite(readCodes(spark, root), dest, tmp, partitionBy = Seq("cell"))
@@ -238,7 +240,7 @@ object PqIndex {
     * `(vec_id, embedding)` — PQ codes are lossy), re-encode survivors,
     * fold tombstones out, swap quantizers + codes atomically under the
     * marker-gated recovery protocol. */
-  def refreeze(spark: SparkSession, root: String, corpus: DataFrame): Unit = {
+  def refreeze(spark: SparkSession, root: String, corpus: DataFrame): Unit = WriterLease.withLease(spark, root) {
     refreezeRecover(spark, root, deletePartial = true) // clear any prior attempt
     val liveIds = readCodes(spark, root).select("vec_id")
     val liveN = liveIds.count()

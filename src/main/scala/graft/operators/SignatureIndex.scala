@@ -87,7 +87,7 @@ object SignatureIndex {
     * batch REPLACES its own files instead of double-appending; `None`
     * mints a fresh auto key (not replay-idempotent). */
   def ingest(spark: SparkSession, root: String, increment: DataFrame,
-      table: String = "signatures", batchKey: Option[String] = None): Batch = {
+      table: String = "signatures", batchKey: Option[String] = None): Batch = WriterLease.withLease(spark, root) {
     val path = s"$root/$table"
     // Recovery BEFORE the append: an ingest landing inside a crashed
     // compaction's delete-to-rename window would otherwise recreate the
@@ -128,8 +128,10 @@ object SignatureIndex {
     * which the two-pointer kernel would silently miscount) and rewrites
     * into the batch-keyed layout with an atomic swap. */
   def migrateLegacy(spark: SparkSession, root: String, table: String = "signatures"): Unit =
-    BatchLog.adoptLegacy(spark, s"$root/$table",
-      _.select(col("doc_id"), sort_array(col("shs")).as("shs")))
+    WriterLease.withLease(spark, root) {
+      BatchLog.adoptLegacy(spark, s"$root/$table",
+        _.select(col("doc_id"), sort_array(col("shs")).as("shs")))
+    }
 
   /** Tombstone doc_ids out of the index. Appends to the side table only
     * — snapshot files stay byte-untouched (spec-pinned); the ids vanish
@@ -137,7 +139,7 @@ object SignatureIndex {
     * Pair deltas ALREADY emitted in prior batches are the caller's
     * accumulated table, not index state — filter them there or rerun
     * `deltaPairs(all, all)` when retroactive exactness matters. */
-  def remove(spark: SparkSession, root: String, ids: DataFrame): Unit = {
+  def remove(spark: SparkSession, root: String, ids: DataFrame): Unit = WriterLease.withLease(spark, root) {
     // Recovery first: a tombstone appended inside a crashed compaction's
     // swap window would be cleared when a later reader adopts the staged
     // fold (the adopt path drops the side table, whose removals the fold
@@ -157,7 +159,7 @@ object SignatureIndex {
     * (spec-pinned) — the reference's full-refresh end state
     * (`src/warehousing_lambda.py:64-71`) at a schedule the operator
     * chooses instead of per takedown. */
-  def compact(spark: SparkSession, root: String, table: String = "signatures"): Unit = {
+  def compact(spark: SparkSession, root: String, table: String = "signatures"): Unit = WriterLease.withLease(spark, root) {
     val path = s"$root/$table"
     val tmp = s"$path.__compact_tmp"
     BatchLog.stageRewrite(readIndex(spark, root, table), path, tmp)

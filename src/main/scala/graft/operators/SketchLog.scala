@@ -64,7 +64,7 @@ object SketchLog {
     * replay-idempotent). */
   def ingest(spark: SparkSession, root: String, increment: DataFrame,
       scopeCol: String, valueCol: String,
-      table: String = "sketches", batchKey: Option[String] = None): Unit = {
+      table: String = "sketches", batchKey: Option[String] = None): Unit = WriterLease.withLease(spark, root) {
     // Recovery FIRST: an ingest landing inside a crashed compact/rebuild
     // swap window (dest deleted, fold fully staged in tmp) would
     // otherwise recreate the log root with only this increment — and the
@@ -105,7 +105,7 @@ object SketchLog {
     * stage-then-swap commit. Read fan-in drops from `batches × scopes`
     * rows to `scopes`. */
   def compact(spark: SparkSession, root: String, scopeCol: String,
-      table: String = "sketches"): Unit = {
+      table: String = "sketches"): Unit = WriterLease.withLease(spark, root) {
     val path = s"$root/$table"
     val tmp = s"$path.__compact_tmp"
     recoverState(spark, root, table)
@@ -123,7 +123,7 @@ object SketchLog {
     * Atomic swap via the same staged-commit protocol; the new log holds
     * one batch. */
   def rebuild(spark: SparkSession, root: String, corpus: DataFrame,
-      scopeCol: String, valueCol: String, table: String = "sketches"): Unit = {
+      scopeCol: String, valueCol: String, table: String = "sketches"): Unit = WriterLease.withLease(spark, root) {
     val path = s"$root/$table"
     val tmp = s"$path.__compact_tmp"
     recoverState(spark, root, table)

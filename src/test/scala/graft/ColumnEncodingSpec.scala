@@ -69,6 +69,44 @@ class ColumnEncodingSpec extends SparkSpec {
       s"queries unplannable under ARRAY<DOUBLE> embeddings:\n${failures.mkString("\n")}")
   }
 
+  /** Order-insensitive value fingerprint of a result (rows rendered and
+    * sorted) — the driver's compare normalizes ordering the same way, so
+    * equality here is the spec-level twin of its hash match. */
+  private def fingerprint(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map {
+      case null => "∅"
+      case a: Array[_] => a.mkString("[", ",", "]")
+      case s: Seq[_] => s.mkString("[", ",", "]")
+      case x => x.toString
+    }.mkString("|")).toSeq.sorted
+
+  test("representative queries EXECUTE to identical values under each re-encoding") {
+    // Analysis-green does not prove value parity (the decimal→double bug
+    // class changes results without touching plan resolution): one
+    // representative per family runs to completion against each variant
+    // and must match the baseline row-for-row.
+    //   q01 — DECIMAL money aggregation over the re-encoded lineitem;
+    //   q08 — date-part derivation over the re-encoded date columns;
+    //   t35 — text dedup (regression guard that re-encoding neighbours
+    //         doesn't perturb an untouched family);
+    //   t41 — the ANN chain through the width-polymorphic kernels.
+    val reps = Seq("q01_pricing_summary", "q08_dim_date",
+      "t35_ngram_jaccard_dedup", "t41_ivf_ann")
+    for (name <- reps) {
+      val fn = SparkEntry.queries(name)
+      val base = fingerprint(fn(spark, srcDir))
+      CacheJanitor.drain()
+      for ((label, dir) <- Seq("DATE/DECIMAL/INT32" -> variantDir,
+                               "ARRAY<DOUBLE> embeddings" -> doubleEmbDir)) {
+        val got = fingerprint(fn(spark, dir))
+        CacheJanitor.drain()
+        assert(got == base,
+          s"$name drifts under $label re-encoding: " +
+            s"${got.diff(base).take(3)} vs ${base.diff(got).take(3)}")
+      }
+    }
+  }
+
   test("every registered query analyzes when dates/money/keys re-encode") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, variantDir).queryExecution.analyzed; None }

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.CountDownLatch
+
+import graft.operators.{ConcurrentWriterException, CosineDedupIndex, DedupPipeline, WriterLease}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-writer discipline on index roots: one writer proceeds, any
+  * second writer — another thread here, another process simulated by a
+  * foreign lease file — refuses loudly with no state loss. The refusal
+  * asserts double as the mutation check: removing the lease acquisition
+  * from the entry points makes the interceptions fail. */
+class WriterLeaseSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private def vecs: DataFrame =
+    Tables.embeddings(spark, dir).select("vec_id", "embedding")
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def plantForeignLease(root: String): java.nio.file.Path = {
+    val p = Paths.get(root, WriterLease.fileName)
+    Files.createDirectories(Paths.get(root))
+    Files.write(p, "pid999@elsewhere/deadbeef\n".getBytes("UTF-8"))
+    p
+  }
+
+  test("a foreign writer's fresh lease refuses every mutating entry; no state loss") {
+    val root = Files.createTempDirectory("graft_wl_foreign").toString
+    CosineDedupIndex.ingest(spark, root, vecs.where(col("vec_id") < 100),
+      batchKey = Some("b1"))
+    CacheJanitor.drain()
+    val before = CosineDedupIndex.health(spark, root)
+
+    val lease = plantForeignLease(root)
+    val e = intercept[ConcurrentWriterException] {
+      CosineDedupIndex.ingest(spark, root, vecs.where(col("vec_id") >= 100),
+        batchKey = Some("b2"))
+    }
+    assert(e.getMessage.contains("pid999@elsewhere"), e.getMessage)
+    intercept[ConcurrentWriterException] {
+      CosineDedupIndex.remove(spark, root, Seq(3L))
+    }
+    intercept[ConcurrentWriterException] { CosineDedupIndex.compact(spark, root) }
+    intercept[ConcurrentWriterException] { CosineDedupIndex.refreeze(spark, root) }
+    intercept[ConcurrentWriterException] { CosineDedupIndex.maintain(spark, root) }
+    CacheJanitor.drain()
+
+    // Reads never lease; state is untouched by the refusals.
+    assert(CosineDedupIndex.health(spark, root) == before,
+      "refused writers must leave the root byte-identical")
+
+    // The foreign writer releases; the next mutation proceeds.
+    Files.delete(lease)
+    CosineDedupIndex.ingest(spark, root, vecs.where(col("vec_id") >= 100),
+      batchKey = Some("b2"))
+    CacheJanitor.drain()
+    assert(CosineDedupIndex.health(spark, root).live == 500)
+    assert(!Files.exists(lease), "the lease must not outlive its mutation")
+  }
+
+  test("a stale lease (crashed holder) is broken, loudly, and the writer proceeds") {
+    val root = Files.createTempDirectory("graft_wl_stale").toString
+    CosineDedupIndex.ingest(spark, root, vecs.where(col("vec_id") < 100),
+      batchKey = Some("b1"))
+    CacheJanitor.drain()
+    val lease = plantForeignLease(root)
+    // Backdate past the TTL: the holder is presumed crashed.
+    Files.setLastModifiedTime(lease, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - WriterLease.defaultTtlMs - 60_000L))
+    CosineDedupIndex.remove(spark, root, Seq(3L))
+    CacheJanitor.drain()
+    assert(CosineDedupIndex.health(spark, root).tombstoned == 1,
+      "the writer must steal a stale lease and complete")
+    assert(!Files.exists(lease))
+  }
+
+  test("two threads in one process: the second refuses while the first holds, then proceeds") {
+    val root = Files.createTempDirectory("graft_wl_threads").toString
+    val acquired = new CountDownLatch(1)
+    val releaseIt = new CountDownLatch(1)
+    val holder = new Thread(() =>
+      WriterLease.withLease(spark, root) {
+        acquired.countDown()
+        releaseIt.await()
+      })
+    holder.start()
+    acquired.await()
+    try {
+      val e = intercept[ConcurrentWriterException] {
+        CosineDedupIndex.ingest(spark, root, vecs.where(col("vec_id") < 100),
+          batchKey = Some("b1"))
+      }
+      assert(e.getMessage.contains("single-writer"), e.getMessage)
+    } finally {
+      releaseIt.countDown()
+      holder.join()
+    }
+    CacheJanitor.drain()
+    // Holder released: same mutation now proceeds.
+    CosineDedupIndex.ingest(spark, root, vecs.where(col("vec_id") < 100),
+      batchKey = Some("b1"))
+    CacheJanitor.drain()
+    assert(CosineDedupIndex.health(spark, root).live == 100)
+  }
+
+  test("composed entries are reentrant: one lease spans runOnce and maintainOnce") {
+    // DedupPipeline.runOnce nests SignatureIndex.ingest + ClusterLabels
+    // .merge under the same root — all three lease it; reentrancy makes
+    // that one acquisition. A non-reentrant design would deadlock or
+    // self-refuse here.
+    val root = Files.createTempDirectory("graft_wl_reentrant").toString
+    val s = DedupPipeline.runOnce(spark, root,
+      docs(1L -> "alpha beta gamma delta epsilon zeta eta theta",
+           2L -> "alpha beta gamma delta epsilon zeta eta theta",
+           3L -> "completely different text with its own words here"),
+      batchKey = Some("b1"))
+    assert(s.newDocs == 3 && s.deltaPairs >= 1, s)
+    val m = DedupPipeline.maintainOnce(spark, root)
+    assert(m.before.liveDocs == 3, m)
+    assert(!Files.exists(Paths.get(root, WriterLease.fileName)),
+      "the lease must be released after each composed entry")
+  }
+}
