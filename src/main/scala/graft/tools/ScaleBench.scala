@@ -1,0 +1,206 @@
+package graft.tools
+
+import graft.{CacheJanitor, GraftSession, SparkEntry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-ladder evidence run (round-10 verdict item #1).
+  *
+  * Every 100 TB claim so far is design-level — plan shapes pinned in
+  * specs, O(increment) byte fingerprints in `DedupPipelineSpec` — with
+  * no measured wall-time above sf0.1 (~17 MB). This main converts the
+  * two load-bearing claims into data:
+  *
+  *  1. **Sub-quadratic candidate generation** (t35/t36/t37 and the
+  *     two-batch lifecycle proofs t68/t72): wall-time and output-pair
+  *     counts at 1× vs F× (default 10×) of the sf0.1 corpus. A
+  *     quadratic candidate stage would show ~F² growth in time or
+  *     candidate work; the df-capped/banded designs must track the
+  *     genuine-pair count, which the corpus construction pins to
+  *     exactly F× (see below).
+  *  2. **O(increment) maintenance** ([[graft.operators.DedupPipeline]]):
+  *     F batches of constant increment size through
+  *     `runOnce` + `maintainOnce`; per-batch wall-time must stay FLAT
+  *     as the accumulated corpus grows from 1 to F increments. A
+  *     corpus-sized batch cost would show a linear ramp.
+  *
+  * **Corpus construction — why pair counts are exactly linear by
+  * design.** Replica 0 is the seed corpus verbatim; replica r > 0
+  * prefixes every whitespace token with a replica-unique salt
+  * (`zz<r>q`). Token salting is a bijection on each replica's
+  * vocabulary, so every within-replica word/shingle equality — and
+  * therefore every Jaccard/MinHash/SimHash relationship — is preserved
+  * exactly, while cross-replica token sets are disjoint (no seed token
+  * starts with a salt; residual birthday collisions of shingle hashes
+  * mod 1e9+7 are single-hash overlaps far below the Jaccard verify
+  * threshold — no cross-replica pair survives, pinned in
+  * `ScaleLadderSpec`). The F× corpus is thus F independent copies of
+  * the seed's similarity structure: genuine near-dup pairs scale
+  * exactly ×F, per-shingle document frequencies are unchanged (the df
+  * cap fires identically per replica), and any super-linear growth in
+  * time or candidate counts is the algorithm's, not the data's. (One
+  * family is only approximately linear by construction: SimHash's
+  * Hamming-ball pairs (t37) depend on hash VALUES, not just equality
+  * structure — salting rehashes every token, so replica r's signature
+  * cloud differs from the seed's and its near-ball pair count moves;
+  * the rows_ratio for t37 is reported but ~F, not exactly F.)
+  * Embeddings replicate the same way via coordinate rotation (a
+  * permutation — inner products and norms are exactly preserved within
+  * a replica; cross-replica cosines decorrelate).
+  *
+  * Output: ONE JSON line (and `SPARK_GRAFT_SCALE_OUT_JSON` file) with
+  * per-query medians/spreads/row-counts per tier, the time and row
+  * ratios, the per-batch loop trace, and /proc/loadavg at both ends so
+  * a contended machine is adjudicable from the artifact alone.
+  *
+  * Env knobs: `SPARK_GRAFT_SF_DIR` (seed, default sf0.1),
+  * `SPARK_GRAFT_SCALE_DIR` (work dir, default target/scalebench),
+  * `SPARK_GRAFT_SCALE_FACTOR` (default 10), `SPARK_GRAFT_SCALE_REPS`
+  * (default 3), `SPARK_GRAFT_SCALE_QUERIES` (comma list override).
+  */
+object ScaleBench {
+
+  /** Even stride keeps doc_id parity, which t68/t72 use as their
+    * batch-split key — every replica contributes to both halves. */
+  val idStride = 100000000L
+
+  private def saltedDocs(docs: DataFrame, r: Int): DataFrame = {
+    val text =
+      if (r == 0) col("text")
+      else expr(s"array_join(transform(split(text, ' '), w -> concat('zz${r}q', w)), ' ')")
+    docs.select(
+      (col("doc_id") + lit(r * idStride)).as("doc_id"),
+      text.as("text"),
+      col("lang"), col("source"),
+      length(text).cast("long").as("n_chars"))
+  }
+
+  private def rotatedEmbeddings(emb: DataFrame, r: Int): DataFrame =
+    emb.select(
+      (col("vec_id") + lit(r * idStride)).as("vec_id"),
+      expr(s"transform(embedding, (x, i) -> element_at(embedding, ((cast(i AS INT) + $r) % size(embedding)) + 1))")
+        .as("embedding"),
+      col("label"))
+
+  /** Materialize one tier (`replicas` copies of the seed) under `dir`
+    * with the testdata layout the registry queries expect. Replica 0
+    * round-trips through the same writer so the 1× and F× tiers share
+    * file layout and encodings — the comparison is data volume only. */
+  def writeTier(spark: SparkSession, seedDir: String, dir: String, replicas: Int): (Long, Long) = {
+    val docs = spark.read.parquet(s"$seedDir/documents.parquet")
+    val emb = spark.read.parquet(s"$seedDir/embeddings.parquet")
+    val allDocs = (0 until replicas).map(saltedDocs(docs, _)).reduce(_ unionAll _)
+    val allEmb = (0 until replicas).map(rotatedEmbeddings(emb, _)).reduce(_ unionAll _)
+    allDocs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    allEmb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    (spark.read.parquet(s"$dir/documents.parquet").count(),
+      spark.read.parquet(s"$dir/embeddings.parquet").count())
+  }
+
+  val defaultQueries: Seq[String] = Seq(
+    "t35_ngram_jaccard_dedup", "t36_minhash_lsh_dedup", "t37_simhash_dedup",
+    "t54_embedding_dedup", "t68_incremental_clusters", "t72_takedown_dedup")
+
+  final case class Tier(median: Double, min: Double, max: Double, rows: Long)
+
+  private def benchQuery(spark: SparkSession, name: String, dir: String, reps: Int): Tier = {
+    val fn = SparkEntry.queries(name)
+    var rows = 0L
+    val times = (0 until reps).map { _ =>
+      val t0 = System.nanoTime()
+      rows = fn(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      CacheJanitor.drain()
+      dt
+    }.sorted
+    Tier(times(times.size / 2), times.head, times.last, rows)
+  }
+
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+    catch { case _: Throwable => "unavailable" }
+
+  private def f(d: Double): String = f"$d%.3f".replace(",", ".")
+
+  def main(args: Array[String]): Unit = {
+    val seedDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scalebench")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt.max(1)
+    val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(defaultQueries)
+    val spark = GraftSession.build("graft-scale-bench")
+    val loadStart = loadavg()
+
+    val x1Dir = s"$workDir/x1"
+    val xFDir = s"$workDir/x$factor"
+    val (d1, e1) = writeTier(spark, seedDir, x1Dir, 1)
+    val (dF, eF) = writeTier(spark, seedDir, xFDir, factor)
+
+    // --- Ladder: each registry query at 1× then F× -------------------
+    // Untimed warmup at 1× first: JIT + codegen-cache warmup otherwise
+    // lands entirely on the x1 timings and biases every ratio low.
+    queries.foreach { name =>
+      SparkEntry.queries(name)(spark, x1Dir).count(); CacheJanitor.drain()
+    }
+    val ladder = queries.map { name =>
+      val a = benchQuery(spark, name, x1Dir, reps)
+      val b = benchQuery(spark, name, xFDir, reps)
+      println(s"# $name  x1=${f(a.median)}s/${a.rows}r  x$factor=${f(b.median)}s/${b.rows}r" +
+        s"  time x${f(b.median / a.median)}  rows x${f(b.rows.toDouble / math.max(a.rows, 1L))}")
+      name -> ((a, b))
+    }
+
+    // --- Maintenance loop: F constant-size increments ----------------
+    // Batch r = replica r of the F× corpus (constant increment size);
+    // the accumulated index grows 1..F increments underneath it. The
+    // O(increment) claim is per-batch wall-time staying flat.
+    val loopRoot = s"$workDir/pipeline_root"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(loopRoot), true)
+    val corpus = spark.read.parquet(s"$xFDir/documents.parquet")
+    val loop = (0 until factor).map { r =>
+      val inc = corpus.where(
+        col("doc_id") >= lit(r * idStride) && col("doc_id") < lit((r + 1) * idStride))
+      val t0 = System.nanoTime()
+      val stats = graft.operators.DedupPipeline.runOnce(
+        spark, loopRoot, inc, batchKey = Some(s"scale_b$r"))
+      val t1 = System.nanoTime()
+      val maint = graft.operators.DedupPipeline.maintainOnce(spark, loopRoot)
+      val t2 = System.nanoTime()
+      val row = (r, (t1 - t0) / 1e9, (t2 - t1) / 1e9, stats,
+        maint.labelsCompacted, maint.after.liveDocs)
+      println(s"# batch $r  runOnce=${f(row._2)}s maintain=${f(row._3)}s " +
+        s"docs=${stats.newDocs} pairs=${stats.deltaPairs} live=${row._6}" +
+        (if (row._5) " [labels compacted]" else ""))
+      row
+    }
+    val loadEnd = loadavg()
+
+    val batchTimes = loop.map(_._2).sorted
+    val qJson = ladder.map { case (name, (a, b)) =>
+      s""""$name":{"x1":{"median":${f(a.median)},"min":${f(a.min)},"max":${f(a.max)},"rows":${a.rows}},""" +
+        s""""x$factor":{"median":${f(b.median)},"min":${f(b.min)},"max":${f(b.max)},"rows":${b.rows}},""" +
+        s""""time_ratio":${f(b.median / a.median)},"rows_ratio":${f(b.rows.toDouble / math.max(a.rows, 1L))}}"""
+    }.mkString("{", ",", "}")
+    val loopJson = loop.map { case (r, ing, mnt, st, lc, live) =>
+      s"""{"batch":$r,"run_once_sec":${f(ing)},"maintain_sec":${f(mnt)},""" +
+        s""""new_docs":${st.newDocs},"delta_pairs":${st.deltaPairs},"clusters":${st.clusters},""" +
+        s""""keepers":${st.keepers},"labels_compacted":$lc,"live_docs_after":$live}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"scale_ladder","seed":"$seedDir","factor":$factor,"reps":$reps,""" +
+        s""""tiers":{"x1":{"documents":$d1,"embeddings":$e1},"x$factor":{"documents":$dF,"embeddings":$eF}},""" +
+        s""""queries":$qJson,"pipeline_loop":$loopJson,""" +
+        s""""loop_batch_median_sec":${f(batchTimes(batchTimes.size / 2))},""" +
+        s""""loop_batch_min_sec":${f(batchTimes.head)},"loop_batch_max_sec":${f(batchTimes.last)},""" +
+        s""""loop_first_to_last_ratio":${f(loop.last._2 / loop.head._2)},""" +
+        s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
+    println(json)
+    sys.env.get("SPARK_GRAFT_SCALE_OUT_JSON").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+    }
+    spark.stop()
+  }
+}

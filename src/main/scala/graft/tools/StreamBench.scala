@@ -1,0 +1,153 @@
+package graft.tools
+
+import graft.{CacheJanitor, GraftSession}
+import graft.star.{Runner, StarBench}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming latency envelope (round-10 verdict item #5).
+  *
+  * The micro-batch compositions are correctness-spec'd
+  * (`StreamingStarSpec`, `StreamingDedupIndexSpec`) but no latency was
+  * ever recorded — a regression in per-batch wall-time would be
+  * invisible until a user hit it. This main records the envelope for
+  * the two production loops and emits one JSON artifact
+  * (`STREAMBENCH_r{N}.json`) as the round-over-round baseline:
+  *
+  *  1. **Landing → star loop** (`star.Runner.runOnce`): the source
+  *     tables grow over N micro-batches (facts sliced into N
+  *     quantile buckets of their `last_updated` timeline; dimensions
+  *     land whole in batch 0 — the reference's daily-dims/continuous-
+  *     facts shape). Each batch pays ingest (watermark gates + CSV
+  *     landing append) + process (selective star rebuild over the log
+  *     replay) + load. Per-batch wall-time is the user-visible batch
+  *     latency of the Lambda pipeline.
+  *  2. **Index loop** (`DedupPipeline.runOnce` + `maintainOnce` per
+  *     batch): the documents corpus arrives in N disjoint mod-slices
+  *     (pairs SPAN slices — unlike ScaleBench's independent replicas,
+  *     this is the worst case for the touched-components merge), with
+  *     the maintenance cycle firing mid-stream whenever its health
+  *     thresholds trip (label-log compaction typically fires once the
+  *     log depth doubles the fold).
+  *
+  * Stats: full per-batch trace plus p50/p95/min/max over the
+  * steady-state batches (batch 0 excluded — it lands all dimensions
+  * and pays JIT/codegen warmup). Loadavg recorded at both ends.
+  *
+  * Env knobs: `SPARK_GRAFT_STAR_SF_DIR` (default sf0.01 — the star
+  * loop replays the full landing log per batch, so sf0.1 would
+  * measure rebuild throughput, not batch latency),
+  * `SPARK_GRAFT_INDEX_SF_DIR` (default sf0.1),
+  * `SPARK_GRAFT_STREAM_BATCHES` (default 10),
+  * `SPARK_GRAFT_STREAM_DIR` (work dir), `SPARK_GRAFT_STREAM_OUT_JSON`.
+  */
+object StreamBench {
+
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+    catch { case _: Throwable => "unavailable" }
+
+  private def f(d: Double): String = f"$d%.3f".replace(",", ".")
+
+  private def stats(xs: Seq[Double]): String = {
+    val s = xs.sorted
+    val p95 = s(math.min(s.size - 1, math.ceil(0.95 * s.size).toInt - 1))
+    s"""{"p50":${f(s(s.size / 2))},"p95":${f(p95)},"min":${f(s.head)},"max":${f(s.last)}}"""
+  }
+
+  /** Fact-table slice cutoffs: N quantiles of the union of the fact
+    * sources' last_updated timelines (even row volume per batch). */
+  private def cutoffs(srcs: Map[String, DataFrame], n: Int): Seq[Any] = {
+    val factTs = Seq("sales_order", "purchase_order", "payment", "transaction")
+      .map(t => srcs(t).select(col("last_updated").as("ts")))
+      .reduce(_ unionAll _)
+    val qs = (1 to n).map(_.toDouble / n)
+    // External type varies with the parquet physical encoding
+    // (Timestamp for LTZ, LocalDateTime for NTZ) — keep it opaque; lit()
+    // round-trips either back into the comparison.
+    factTs.selectExpr(
+      s"percentile_approx(ts, array(${qs.mkString(",")}), 10000) AS c")
+      .collect()(0).getSeq[Any](0).toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val starSf = sys.env.getOrElse("SPARK_GRAFT_STAR_SF_DIR", "/root/testdata/sf0.01")
+    val indexSf = sys.env.getOrElse("SPARK_GRAFT_INDEX_SF_DIR", "/root/testdata/sf0.1")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt.max(2)
+    val workDir = sys.env.getOrElse("SPARK_GRAFT_STREAM_DIR", "target/streambench")
+    val spark = GraftSession.build("graft-stream-bench")
+    val loadStart = loadavg()
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(workDir), true)
+
+    // --- Loop 1: landing → star, N growing-source micro-batches ------
+    val srcs = StarBench.sources(spark, starSf)
+    val cuts = cutoffs(srcs, nBatches)
+    val constantTs = srcs.keys.filter { t =>
+      // Dimension feeds carry one constant last_updated; they are not
+      // sliced (batch 0 lands them whole, later gates no-op on them).
+      val mm = srcs(t).agg(min("last_updated"), max("last_updated")).collect()(0)
+      mm.get(0) == mm.get(1)
+    }.toSet
+    val starTrace = (0 until nBatches).map { b =>
+      val cut = cuts(b)
+      val sliced = srcs.map { case (t, df) =>
+        t -> (if (constantTs(t)) df else df.where(col("last_updated") <= lit(cut)))
+      }
+      val t0 = System.nanoTime()
+      val written = Runner.runOnce(spark, sliced,
+        s"$workDir/landing", s"$workDir/processed", s"$workDir/warehouse",
+        s"$workDir/state.json", batchId = f"2025-09-01 10:$b%02d:00.000")
+      val dt = (System.nanoTime() - t0) / 1e9
+      CacheJanitor.drain()
+      println(s"# star batch $b  ${f(dt)}s  tables=${written.size}")
+      dt
+    }
+
+    // --- Loop 2: index maintenance, N mod-slice micro-batches --------
+    val docs = spark.read.parquet(s"$indexSf/documents.parquet")
+    val idxRoot = s"$workDir/index_root"
+    val idxTrace = (0 until nBatches).map { b =>
+      val inc = docs.where(col("doc_id") % nBatches === b)
+      val t0 = System.nanoTime()
+      val st = graft.operators.DedupPipeline.runOnce(
+        spark, idxRoot, inc, batchKey = Some(f"stream_b$b%02d"))
+      val t1 = System.nanoTime()
+      val m = graft.operators.DedupPipeline.maintainOnce(spark, idxRoot)
+      val t2 = System.nanoTime()
+      val fired = Seq(
+        if (m.refrozen) Some("refreeze") else None,
+        if (m.indexCompacted) Some("index_compact") else None,
+        if (m.labelsCompacted) Some("labels_compact") else None).flatten
+      println(s"# index batch $b  run=${f((t1 - t0) / 1e9)}s maint=${f((t2 - t1) / 1e9)}s " +
+        s"docs=${st.newDocs} pairs=${st.deltaPairs}" +
+        (if (fired.nonEmpty) fired.mkString("  [", "+", "]") else ""))
+      (b, (t1 - t0) / 1e9, (t2 - t1) / 1e9, st, fired)
+    }
+    val loadEnd = loadavg()
+
+    val starSteady = starTrace.drop(1)
+    val idxTotal = idxTrace.map(r => r._2 + r._3)
+    val idxSteady = idxTrace.drop(1)
+    val idxJson = idxTrace.map { case (b, run, mnt, st, fired) =>
+      s"""{"batch":$b,"run_once_sec":${f(run)},"maintain_sec":${f(mnt)},""" +
+        s""""new_docs":${st.newDocs},"delta_pairs":${st.deltaPairs},""" +
+        s""""maintenance_fired":[${fired.map("\"" + _ + "\"").mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"stream_latency","batches":$nBatches,""" +
+        s""""star_sf":"$starSf","index_sf":"$indexSf",""" +
+        s""""star_batch_sec":[${starTrace.map(f).mkString(",")}],""" +
+        s""""star_steady":${stats(starSteady)},""" +
+        s""""index_batches":$idxJson,""" +
+        s""""index_steady_run_once":${stats(idxSteady.map(_._2))},""" +
+        s""""index_steady_maintain":${stats(idxSteady.map(_._3))},""" +
+        s""""index_steady_total":${stats(idxTotal.drop(1))},""" +
+        s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
+    println(json)
+    sys.env.get("SPARK_GRAFT_STREAM_OUT_JSON").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+    }
+    spark.stop()
+  }
+}

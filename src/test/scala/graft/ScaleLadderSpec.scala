@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.SignatureIndex
+import graft.tools.ScaleBench
+import org.apache.spark.sql.functions._
+
+/** Pins the DATA argument under `tools.ScaleBench`'s scale ladder: the
+  * F× corpus must be F independent copies of the seed's similarity
+  * structure, or the ladder's "pair counts scale exactly ×F ⇒ any
+  * super-linear time is the algorithm's" reasoning is circular.
+  *
+  * Three load-bearing properties of the salted-replica construction:
+  *  1. within-replica structure preserved EXACTLY — replica r's
+  *     verified near-dup pair set is the seed's pair set shifted by
+  *     r·idStride (token salting is a vocabulary bijection);
+  *  2. cross-replica postings DISJOINT — no shingle hash appears in two
+  *     replicas (salts are replica-unique, so no cross-replica
+  *     candidates and no df-cap interference);
+  *  3. the F× tier's pair count is exactly F × the seed's.
+  *
+  * Mutation check (run by hand): replacing the per-replica salt
+  * `zz${r}q` with a shared `zzq` in ScaleBench.saltedDocs collapses
+  * replicas onto one vocabulary — property 2 fails (shared shingles)
+  * and property 3 inflates past F (cross-replica duplicates pair up).
+  */
+class ScaleLadderSpec extends SparkSpec {
+
+  private lazy val seedDir = "/root/testdata/sf0.001"
+  private lazy val work =
+    java.nio.file.Files.createTempDirectory("graft_ladder_spec").toString
+  private val factor = 3
+
+  private def pairs(dir: String): Set[(Long, Long)] = {
+    val sigs = SignatureIndex.signatures(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    SignatureIndex.deltaPairs(sigs, sigs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("salted replicas preserve within-replica pairs and keep postings disjoint") {
+    val (d1, _) = ScaleBench.writeTier(spark, seedDir, s"$work/x1", 1)
+    val (dF, _) = ScaleBench.writeTier(spark, seedDir, s"$work/xF", factor)
+    val seedDocs = spark.read.parquet(s"$seedDir/documents.parquet").count()
+    assert(d1 === seedDocs && dF === factor * seedDocs)
+
+    val seedPairs = pairs(s"$work/x1")
+    assert(seedPairs.nonEmpty, "seed corpus must have near-dup pairs for the ladder to measure")
+    val tierPairs = pairs(s"$work/xF")
+
+    // (1) each replica's pairs are the seed's, id-shifted
+    (0 until factor).foreach { r =>
+      val shift = r * ScaleBench.idStride
+      val replicaPairs = tierPairs.filter { case (a, _) =>
+        a >= shift && a < shift + ScaleBench.idStride }
+      assert(replicaPairs === seedPairs.map { case (a, b) => (a + shift, b + shift) },
+        s"replica $r pair set must be the seed's shifted by $shift")
+    }
+    // (3) and nothing else: exactly F × the seed's pairs, no cross-replica pair
+    assert(tierPairs.size === factor * seedPairs.size)
+    assert(tierPairs.forall { case (a, b) =>
+      a / ScaleBench.idStride === b / ScaleBench.idStride }, "no pair may span replicas")
+
+    // (2) cross-replica shingle postings are disjoint at the TOKEN level;
+    // at the HASH level (shingles live mod 1e9+7) birthday collisions
+    // leak a handful of shared hashes across replicas — bounded here at
+    // the birthday rate (E[collisions] ≈ n²/2P), and harmless to the
+    // ladder: one shared hash out of dozens per doc is far below the
+    // 0.5-Jaccard verify threshold, so no cross-replica PAIR survives
+    // (asserted exactly above).
+    val sigs = SignatureIndex.signatures(
+      spark.read.parquet(s"$work/xF/documents.parquet"))
+    val ex = sigs.select(
+      (col("doc_id") / lit(ScaleBench.idStride)).cast("long").as("replica"),
+      explode(col("shs")).as("h"))
+    val distinctHashes = ex.select("h").distinct().count()
+    val crossShingles = ex
+      .groupBy("h").agg(countDistinct("replica").as("n_replicas"))
+      .where(col("n_replicas") > 1).count()
+    val birthdayBound = (distinctHashes.toDouble * distinctHashes / (2 * 1000000007.0)) * 10 + 5
+    assert(crossShingles <= birthdayBound,
+      s"cross-replica shared hashes ($crossShingles) exceed birthday collision level ($birthdayBound)")
+  }
+
+  test("embedding rotation preserves within-replica inner products exactly") {
+    ScaleBench.writeTier(spark, seedDir, s"$work/emb", 2)
+    val emb = spark.read.parquet(s"$work/emb/embeddings.parquet")
+    // Gram fingerprint per replica: sum over vecs of dot(vec, vec) and a
+    // fixed linear probe — a coordinate rotation is a permutation, so
+    // norms (and all within-replica dot products) are bit-identical.
+    val norms = emb.select(
+      (col("vec_id") / lit(ScaleBench.idStride)).cast("long").as("replica"),
+      expr("aggregate(embedding, cast(0 as double), (s, x) -> s + cast(x as double) * cast(x as double))").as("n2"))
+      .groupBy("replica").agg(sum("n2").as("g")).orderBy("replica")
+      .collect().map(_.getDouble(1))
+    assert(norms.length === 2 && norms(0) === norms(1),
+      "replica norm fingerprints must match bit-for-bit")
+  }
+}
