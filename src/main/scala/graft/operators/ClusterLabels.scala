@@ -96,6 +96,30 @@ object ClusterLabels {
     }
   }
 
+  /** All three ops-poll aggregates `(logRows, labelledDocs, keepers)` in
+    * ONE keep-last fold — the health-probe form of [[logDepth]] +
+    * keeper count. Separately those pay two shuffles over the log
+    * (distinct-count, then the manifest's own fold); a between-batches
+    * health poll runs on every maintenance cycle, so its cost is a
+    * per-batch tax that must not grow a second corpus-sized exchange.
+    * `logRows` itself is a parquet metadata count (no shuffle). */
+  def labelStats(spark: SparkSession, root: String): (Long, Long, Long) = {
+    recover(spark, root)
+    BatchLog.requireFormat(spark, dir(root), "ClusterLabels.labelStats")
+    if (!BatchLog.hasData(spark, dir(root))) (0L, 0L, 0L)
+    else {
+      val raw = BatchLog.read(spark, dir(root), "ClusterLabels")
+      val folded = raw
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("label"), col("batch")).as("label"))
+        .agg(count(lit(1)).as("labelled"),
+          sum(when(col("doc_id") === col("label"), 1L).otherwise(0L)).as("keepers"))
+        .head
+      (raw.count(), folded.getLong(0),
+        if (folded.isNullAt(1)) 0L else folded.getLong(1))
+    }
+  }
+
   /** Pure-frame merge (no I/O — also the form t68's oracle query runs):
     * the FULL new label table from the old one plus one batch of delta
     * pairs `(doc_a, doc_b)` and the batch's ingested doc ids. */

@@ -142,10 +142,11 @@ object DedupPipeline {
       else SignatureIndex.readIndex(spark, root).count()
     val tombstoned =
       Tombstones.read(spark, root, if (vector) "vec_id" else "doc_id").count()
-    val (logRows, labelled) = ClusterLabels.logDepth(spark, root)
-    val keepers =
-      if (labelled == 0) 0L
-      else keeperManifest(spark, root).where(col("keep")).count()
+    // One keep-last fold serves all three label aggregates — a health
+    // poll runs between every pair of batches, so a second corpus-sized
+    // exchange here would be a per-batch tax that grows with the corpus
+    // (visible as the maintain-ramp in STREAMBENCH/SCALEBENCH traces).
+    val (logRows, labelled, keepers) = ClusterLabels.labelStats(spark, root)
     Health(
       liveDocs = liveDocs, tombstoned = tombstoned,
       labelLogRows = logRows, labelledDocs = labelled, keepers = keepers,
