@@ -1,6 +1,7 @@
 package graft.star
 
 import graft.model.Schemas
+import graft.operators.WriterLease
 import graft.sources.{Extract, LandingLog, WatermarkStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -138,7 +139,12 @@ object Runner {
       processedRoot: String,
       updates: Set[String],
       stableDateIds: Boolean = true,
-      cacheMemoryBound: Long = factCacheMemoryBoundBytes): Seq[String] = {
+      cacheMemoryBound: Long = factCacheMemoryBoundBytes): Seq[String] = WriterLease.withLease(spark, processedRoot) {
+    // Snapshot commits are atomic against READERS, but two concurrent
+    // WRITERS could still stage the same `_versions/<n>` directory or
+    // interleave GC with a commit — the same second-writer class the
+    // index roots close with this lease (one rebuild per processed root;
+    // a second refuses loudly instead of corrupting a stage).
     def log(table: String): DataFrame =
       LandingLog.readLog(spark, landingRoot, table, Schemas.sources(table)._1)
 
@@ -295,9 +301,10 @@ object Runner {
   /** Manual full reload (reference C4): scan every written snapshot and
     * load the whole star schema into the warehouse. */
   def fullReload(spark: SparkSession, processedRoot: String, warehouseRoot: String,
-      preview: Boolean = false): Seq[String] =
+      preview: Boolean = false): Seq[String] = WriterLease.withLease(spark, processedRoot) {
     loadWarehouse(spark, processedRoot, warehouseRoot,
       LandingLog.listSnapshots(processedRoot), preview)
+  }
 
   /** One end-to-end micro-batch: ingest → process → load. With
     * `jdbcWarehouse = Some((url, props))` the load stage targets the JDBC
@@ -312,7 +319,15 @@ object Runner {
       statePath: String,
       batchId: String,
       jdbcWarehouse: Option[(String, java.util.Properties)] = None,
-      stableDateIds: Boolean = true): Seq[String] = {
+      stableDateIds: Boolean = true): Seq[String] = WriterLease.withLease(spark, processedRoot) {
+    // The composed batch holds ONE lease on the processed root for all
+    // three stages (reentrant with processBatch's own acquisition), so
+    // two pipeline drivers pointed at the same root serialize at the
+    // batch boundary: the second refuses before touching landing files
+    // or watermark state rather than interleaving CSV appends, state
+    // merges, and snapshot stages with the holder. Pipelines with
+    // distinct processed roots (and distinct landing/state paths — the
+    // deployment unit) stay fully concurrent.
     val store = new WatermarkStore(statePath)
     val updated = ingestOnce(sources, landingRoot, store, batchId)
     if (updated.isEmpty) Seq.empty
