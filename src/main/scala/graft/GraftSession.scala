@@ -14,6 +14,17 @@ object GraftSession {
   val cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
     Runtime.getRuntime.availableProcessors().toString)
 
+  /** Shuffle partition count — defaults to the core count (the local
+    * harness choice), overridable independently because partitions must
+    * scale with DATA, not just cores: per-task shuffle state at a fixed
+    * 32 partitions grows linearly with input and eventually OOMs a task
+    * however big the heap (observed: t35's candidate join at 100× the
+    * sf0.1 corpus). On a cluster this is the ~2–3×-total-cores setting;
+    * AQE coalescing shrinks small stages back down either way, so a
+    * higher value costs small runs nothing. */
+  val shufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+
   def build(appName: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,7 +36,7 @@ object GraftSession {
       // registerAll below stays as the idempotent API-level fallback for
       // sessions graft didn't build.
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

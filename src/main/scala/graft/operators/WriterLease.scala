@@ -37,12 +37,14 @@ final class ConcurrentWriterException(msg: String) extends RuntimeException(msg)
   *    in this engine, documented in SCALE.md). The file carries the
   *    holder id for the refusal message.
   *
-  * Crashed holders: a lease older than `ttlMs` (default 30 min — longer
-  * than any single maintenance action at design scale) is presumed
-  * abandoned and STOLEN, with a loud log line. A still-live holder
-  * whose action outruns the TTL must re-acquire per action (each entry
-  * point takes its own lease, so the file's mtime refreshes at every
-  * entry — only a single action exceeding the TTL can be stolen from).
+  * Crashed holders: a lease older than `ttlMs` (default 30 min) is
+  * presumed abandoned and STOLEN, with a loud log line. Staleness is
+  * judged by the lease file's mtime, which a HEARTBEAT daemon thread
+  * refreshes every `ttlMs / 3` while the lease is held — so a live
+  * holder can never be stolen from, however long a single action runs
+  * (a 100 TB refreeze can legitimately outrun any fixed TTL); only a
+  * crashed process stops heartbeating and ages out. The heartbeat is
+  * one `setTimes` metadata call per interval — no data traffic.
   */
 object WriterLease {
 
@@ -74,17 +76,50 @@ object WriterLease {
         s"root $root is being mutated by another writer thread in this process; " +
           "index roots are single-writer — schedule one maintenance loop per root")
     val first = lock.getHoldCount == 1
+    var beat: Option[Thread] = None
     if (first) {
-      try acquireFile(fs, rootP, ttlMs)
-      catch { case t: Throwable => lock.unlock(); throw t }
+      try {
+        acquireFile(fs, rootP, ttlMs)
+        beat = Some(startHeartbeat(fs, leasePath(rootP), ttlMs))
+      } catch { case t: Throwable => lock.unlock(); throw t }
     }
     try f
     finally {
       if (first) {
-        try fs.delete(leasePath(rootP), false)
-        finally lock.unlock()
+        try {
+          beat.foreach { t => t.interrupt(); t.join(1000) }
+          fs.delete(leasePath(rootP), false)
+        } finally lock.unlock()
       } else lock.unlock()
     }
+  }
+
+  /** Refresh the held lease's mtime every `ttlMs / 3` so a LIVE holder
+    * never ages past the steal threshold mid-action; a crashed process
+    * stops heartbeating and its lease ages out normally. Daemon thread —
+    * it can never keep the JVM alive; interrupted (and joined) before
+    * the lease file is deleted on release. */
+  private def startHeartbeat(fs: FileSystem, p: HPath, ttlMs: Long): Thread = {
+    val interval = math.max(50L, ttlMs / 3)
+    val t = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(interval)
+          val now = System.currentTimeMillis()
+          // Touch mtime only; atime -1 = leave unchanged. Failure is
+          // non-fatal (worst case the lease ages out as before) but
+          // loud, since silent heartbeat loss re-opens the steal window.
+          try fs.setTimes(p, now, -1)
+          catch {
+            case e: java.io.IOException =>
+              System.err.println(s"[graft] WriterLease: heartbeat on $p failed: $e")
+          }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-heartbeat-${p.getName}")
+    t.setDaemon(true)
+    t.start()
+    t
   }
 
   private def leasePath(rootP: HPath) = new HPath(rootP, fileName)

@@ -2682,6 +2682,105 @@ object TrainingData {
          |FROM labels GROUP BY label ORDER BY cluster_id""".stripMargin
     })
 
+  /** Shared t73 SQL fragments over a dialect: positional k-gram rolling
+    * hashes (k = [[esdK]] tokens), starts [1..n-k+1], hash = 131-base
+    * fold of the k word hashes mod P (t33's fingerprint arithmetic —
+    * BIGINT-exact in both engines). */
+  private val esdK = 8
+
+  private def esdSlice(d: Dialect, arr: String, i: String, len: Int): String =
+    if (d eq sprk) s"slice($arr, $i, $len)"
+    else s"list_slice($arr, $i, $i + ${len - 1})"
+
+  private def esdWSql(d: Dialect): String =
+    // `n` stays the engine-native size type (INT in Spark, BIGINT in
+    // DuckDB): it feeds ramp()/slice()/element_at(), which take INT
+    // indices on the Spark side; the output column casts to BIGINT.
+    s"""SELECT doc_id, wh, ${d.size}(wh) AS n
+       |FROM (SELECT doc_id, ${TextSim.wordHashes(d, "text")} AS wh FROM documents)""".stripMargin
+
+  private def esdKgSql(d: Dialect, w: String): String =
+    s"""SELECT doc_id, i,
+       |  ${d.foldLong(esdSlice(d, "wh", "i", esdK), 7L, s"(h, x) -> (h * 131 + x) % ${TextSim.P}")} AS kh
+       |FROM (SELECT doc_id, wh, ${d.explode}(${d.ramp(s"n - ${esdK - 1}")}) AS i
+       |      FROM $w WHERE n >= $esdK)""".stripMargin
+
+  /** The report/act tail over views/CTEs `w` (doc_id, wh, n) and `kg`
+    * (doc_id, i, kh): duplicated k-grams → covered positions → per-doc
+    * removal accounting + cleaned-stream fingerprint. */
+  private def esdTail(d: Dialect, w: String, kg: String): String = {
+    val filterFn = if (d eq sprk) "filter" else "list_filter"
+    val containsFn = if (d eq sprk) "array_contains" else "list_contains"
+    val sortList = if (d eq sprk) "sort_array" else "list_sort"
+    val aggList = if (d eq sprk) "collect_list(p)" else "list(p)"
+    // Kept word hashes in original order: positions not covered by any
+    // duplicated window (filter preserves the ramp's ascending order in
+    // both engines, so the fold replays the cleaned token stream).
+    val kept = filterFn match {
+      case "filter" => s"transform(filter(${d.ramp("n")}, p -> NOT $containsFn(ps, p)), p -> element_at(wh, p))"
+      case _ => s"list_transform(list_filter(${d.ramp("n")}, p -> NOT $containsFn(ps, p)), p -> wh[p])"
+    }
+    val fp = (arr: String) => d.foldLong(arr, 7L, s"(h, x) -> (h * 131 + x) % ${TextSim.P}")
+    s"""dup AS (SELECT kh FROM $kg GROUP BY kh HAVING count(*) >= 2),
+       |ds AS (SELECT g.doc_id, g.i FROM $kg g JOIN dup ON g.kh = dup.kh),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, i + j - 1 AS p
+       |  FROM (SELECT doc_id, i, ${d.explode}(${d.ramp(esdK.toString)}) AS j FROM ds)),
+       |cv AS (SELECT doc_id, $sortList($aggList) AS ps FROM cov GROUP BY doc_id),
+       |dupdocs AS (
+       |  SELECT w.doc_id, w.n, CAST(${d.size}(cv.ps) AS BIGINT) AS n_dup,
+       |    ${fp(kept)} AS clean_fp
+       |  FROM $w w JOIN cv ON w.doc_id = cv.doc_id),
+       |cleandocs AS (
+       |  SELECT doc_id, n, CAST(0 AS BIGINT) AS n_dup, ${fp("wh")} AS clean_fp
+       |  FROM $w WHERE doc_id NOT IN (SELECT doc_id FROM cv)),
+       |u AS (SELECT * FROM dupdocs UNION ALL SELECT * FROM cleandocs)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, n_dup,
+       |  CAST(n_dup AS DOUBLE) / CAST(n AS DOUBLE) AS dup_ratio, clean_fp
+       |FROM u ORDER BY doc_id""".stripMargin
+  }
+
+  /** t73 — EXACT-SUBSTRING dedup (the second half of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": their
+    * ExactSubstr pass removes any ≥50-BPE-token span that appears
+    * verbatim elsewhere in the corpus). Re-expressed for a distributed
+    * engine as a POSITIONAL k-gram inverted index (k = 8 word tokens at
+    * this corpus scale): any window whose rolling hash occurs at ≥ 2
+    * sites (cross-document or a self-repeat) marks all k of its token
+    * positions duplicated; the output is the per-doc removal accounting
+    * (duplicated positions, removal ratio) plus a BIGINT-exact
+    * fingerprint of the CLEANED token stream — duplicated positions
+    * dropped, order preserved — i.e. the act step's result, hash-checkable
+    * without comparing full rewritten text blobs.
+    *
+    * Scale: the reference implementation builds a single suffix array —
+    * inherently single-machine; the positional k-gram index is the
+    * shuffle-friendly equivalent. kg has one row per token (scan-side
+    * slice-fold, O(k) per row), `dup` is one hash-keyed aggregate, and
+    * `ds` joins kg against the duplicated-hash SET — fan-out ≤ |kg|,
+    * never a pair self-join, so a k-gram repeated m times costs m rows
+    * (not m²). Coverage expansion is a bounded ×k explode, and the
+    * per-doc tail is one aggregation + one broadcast-able join. The
+    * heavy kg frame is computed ONCE and persisted on the Spark side
+    * (referenced by both `dup` and `ds` — an unpersisted CTE would
+    * recompute the corpus-sized slice-fold scan twice). */
+  private val t73 = GQuery(
+    fn = (s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      val w = graft.CacheJanitor.register(s.sql(esdWSql(sprk)).persist())
+      w.createOrReplaceTempView("t73_w")
+      val kg = graft.CacheJanitor.register(s.sql(esdKgSql(sprk, "t73_w")).persist())
+      kg.createOrReplaceTempView("t73_kg")
+      s.sql(s"WITH ${esdTail(sprk, "t73_w", "t73_kg")}")
+    },
+    oracle = Some {
+      val d = duck
+      s"""WITH w AS (${esdWSql(d)}),
+         |kg AS (${esdKgSql(d, "w")}),
+         |${esdTail(d, "w", "kg")}""".stripMargin
+    })
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -2725,5 +2824,6 @@ object TrainingData {
     "t69_incremental_cosine" -> t69,
     "t70_refreeze_cosine" -> t70,
     "t71_refreeze_ann" -> t71,
-    "t72_takedown_dedup" -> t72)
+    "t72_takedown_dedup" -> t72,
+    "t73_exact_substring_dedup" -> t73)
 }

@@ -191,6 +191,8 @@ object ScaleBench {
     }.mkString("[", ",", "]")
     val json =
       s"""{"metric":"scale_ladder","seed":"$seedDir","factor":$factor,"reps":$reps,""" +
+        s""""cpus":${graft.GraftSession.cpus},"shuffle_partitions":${graft.GraftSession.shufflePartitions},""" +
+        s""""driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",""" +
         s""""tiers":{"x1":{"documents":$d1,"embeddings":$e1},"x$factor":{"documents":$dF,"embeddings":$eF}},""" +
         s""""queries":$qJson,"pipeline_loop":$loopJson,""" +
         s""""loop_batch_median_sec":${f(batchTimes(batchTimes.size / 2))},""" +

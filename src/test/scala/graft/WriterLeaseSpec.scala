@@ -108,6 +108,38 @@ class WriterLeaseSpec extends SparkSpec {
     assert(CosineDedupIndex.health(spark, root).live == 100)
   }
 
+  test("the heartbeat keeps a LIVE holder's lease fresh past the TTL (no mid-action steal)") {
+    // A single action outrunning the TTL (a 100 TB refreeze, say) must
+    // not age into the steal window while its holder is alive. Hold a
+    // lease with a small TTL for longer than that TTL and pin that the
+    // lease file's mtime keeps advancing — the staleness clock every
+    // would-be stealer consults. Removing the heartbeat fails this
+    // (mtime stays at creation, age > ttl).
+    val root = Files.createTempDirectory("graft_wl_heartbeat").toString
+    val ttl = 2100L // heartbeat interval = ttl / 3 = 700 ms
+    val stillHeld = new CountDownLatch(1)
+    val mayExit = new CountDownLatch(1)
+    val holder = new Thread(() =>
+      WriterLease.withLease(spark, root, ttlMs = ttl) {
+        Thread.sleep(3 * ttl)
+        stillHeld.countDown()
+        mayExit.await()
+      })
+    holder.start()
+    stillHeld.await()
+    // Still held (inside the body): the lease must look FRESH, i.e.
+    // younger than the TTL despite 3×ttl of wall-time since creation.
+    // (Local-FS mtime can truncate to whole seconds — the 700 ms beat
+    // plus ≤1 s truncation stays well under the 2.1 s TTL.)
+    val lease = Paths.get(root, WriterLease.fileName)
+    val age = System.currentTimeMillis() - Files.getLastModifiedTime(lease).toMillis
+    mayExit.countDown()
+    holder.join()
+    assert(age >= 0 && age <= ttl,
+      s"a live holder's lease aged $age ms past its last heartbeat (ttl $ttl)")
+    assert(!Files.exists(lease), "released on exit as always")
+  }
+
   test("composed entries are reentrant: one lease spans runOnce and maintainOnce") {
     // DedupPipeline.runOnce nests SignatureIndex.ingest + ClusterLabels
     // .merge under the same root — all three lease it; reentrancy makes
