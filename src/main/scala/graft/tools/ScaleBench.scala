@@ -56,7 +56,15 @@ import org.apache.spark.sql.functions._
   * Env knobs: `SPARK_GRAFT_SF_DIR` (seed, default sf0.1),
   * `SPARK_GRAFT_SCALE_DIR` (work dir, default target/scalebench),
   * `SPARK_GRAFT_SCALE_FACTOR` (default 10), `SPARK_GRAFT_SCALE_REPS`
-  * (default 3), `SPARK_GRAFT_SCALE_QUERIES` (comma list override).
+  * (default 3), `SPARK_GRAFT_SCALE_QUERIES` (comma list override; the
+  * empty string skips the ladder), `SPARK_GRAFT_SCALE_LOOP` (loop
+  * batch count, default = factor; 0 skips the loop). Ladder and loop
+  * are separable because their right-sized sessions DIFFER at large
+  * factors: the one-shot x100 queries need a big heap and
+  * data-proportional shuffle partitions (`SPARK_GRAFT_SHUFFLE_
+  * PARTITIONS`), while the loop's per-batch working set stays
+  * increment-sized by design — running IT at 256 partitions measures
+  * small-stage scheduling overhead, not the operator.
   */
 object ScaleBench {
 
@@ -130,6 +138,8 @@ object ScaleBench {
     val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(defaultQueries)
+    val loopBatches = sys.env.get("SPARK_GRAFT_SCALE_LOOP")
+      .map(_.toInt).getOrElse(factor).min(factor)
     val spark = GraftSession.build("graft-scale-bench")
     val loadStart = loadavg()
 
@@ -160,7 +170,7 @@ object ScaleBench {
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(loopRoot), true)
     val corpus = spark.read.parquet(s"$xFDir/documents.parquet")
-    val loop = (0 until factor).map { r =>
+    val loop = (0 until loopBatches).map { r =>
       val inc = corpus.where(
         col("doc_id") >= lit(r * idStride) && col("doc_id") < lit((r + 1) * idStride))
       val t0 = System.nanoTime()
@@ -195,9 +205,10 @@ object ScaleBench {
         s""""driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",""" +
         s""""tiers":{"x1":{"documents":$d1,"embeddings":$e1},"x$factor":{"documents":$dF,"embeddings":$eF}},""" +
         s""""queries":$qJson,"pipeline_loop":$loopJson,""" +
-        s""""loop_batch_median_sec":${f(batchTimes(batchTimes.size / 2))},""" +
-        s""""loop_batch_min_sec":${f(batchTimes.head)},"loop_batch_max_sec":${f(batchTimes.last)},""" +
-        s""""loop_first_to_last_ratio":${f(loop.last._2 / loop.head._2)},""" +
+        (if (loop.isEmpty) ""
+         else s""""loop_batch_median_sec":${f(batchTimes(batchTimes.size / 2))},""" +
+           s""""loop_batch_min_sec":${f(batchTimes.head)},"loop_batch_max_sec":${f(batchTimes.last)},""" +
+           s""""loop_first_to_last_ratio":${f(loop.last._2 / loop.head._2)},""") +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
     println(json)
     sys.env.get("SPARK_GRAFT_SCALE_OUT_JSON").foreach { p =>

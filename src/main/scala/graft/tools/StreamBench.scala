@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
   *  2. **Index loop** (`DedupPipeline.runOnce` + `maintainOnce` per
   *     batch): the documents corpus arrives in N disjoint mod-slices
   *     (pairs SPAN slices — unlike ScaleBench's independent replicas,
-  *     this is the worst case for the touched-components merge), with
-  *     the maintenance cycle firing mid-stream whenever its health
-  *     thresholds trip (label-log compaction typically fires once the
-  *     log depth doubles the fold).
+  *     this is the worst case for the touched-components merge). The
+  *     halfway batch injects a TAKEDOWN of 20% of everything indexed
+  *     so far, tripping the tombstone ratio so that batch's
+  *     `maintainOnce` pays a real index compaction — the envelope
+  *     must contain the maintenance actions' latency, not just quiet
+  *     batches (`maintenance_fired` + `remove_sec` record which batch
+  *     paid what).
   *
   * Stats: full per-batch trace plus p50/p95/min/max over the
   * steady-state batches (batch 0 excluded — it lands all dimensions
@@ -107,8 +110,22 @@ object StreamBench {
     // --- Loop 2: index maintenance, N mod-slice micro-batches --------
     val docs = spark.read.parquet(s"$indexSf/documents.parquet")
     val idxRoot = s"$workDir/index_root"
+    // Mid-stream takedown: without one, no health signal ever trips in
+    // N quiet batches and the "latency envelope" never contains a
+    // maintenance action. At the halfway batch, 20% of everything
+    // indexed so far is tombstoned (doc_id % 5 — crosses every slice),
+    // which trips the 10% tombstone ratio so THAT batch's maintainOnce
+    // pays the index compaction — the worst per-batch cost a steady
+    // production loop actually sees, now measured instead of implied.
+    val takedownBatch = nBatches / 2
     val idxTrace = (0 until nBatches).map { b =>
       val inc = docs.where(col("doc_id") % nBatches === b)
+      val tR = System.nanoTime()
+      val takedown = b == takedownBatch
+      if (takedown)
+        graft.operators.SignatureIndex.remove(spark, idxRoot,
+          docs.where(col("doc_id") % nBatches < b && col("doc_id") % 5 === 0)
+            .select(col("doc_id")))
       val t0 = System.nanoTime()
       val st = graft.operators.DedupPipeline.runOnce(
         spark, idxRoot, inc, batchKey = Some(f"stream_b$b%02d"))
@@ -116,21 +133,23 @@ object StreamBench {
       val m = graft.operators.DedupPipeline.maintainOnce(spark, idxRoot)
       val t2 = System.nanoTime()
       val fired = Seq(
+        if (takedown) Some("takedown") else None,
         if (m.refrozen) Some("refreeze") else None,
         if (m.indexCompacted) Some("index_compact") else None,
         if (m.labelsCompacted) Some("labels_compact") else None).flatten
       println(s"# index batch $b  run=${f((t1 - t0) / 1e9)}s maint=${f((t2 - t1) / 1e9)}s " +
         s"docs=${st.newDocs} pairs=${st.deltaPairs}" +
         (if (fired.nonEmpty) fired.mkString("  [", "+", "]") else ""))
-      (b, (t1 - t0) / 1e9, (t2 - t1) / 1e9, st, fired)
+      (b, (t1 - t0) / 1e9, (t2 - t1) / 1e9, st, fired, (t0 - tR) / 1e9)
     }
     val loadEnd = loadavg()
 
     val starSteady = starTrace.drop(1)
-    val idxTotal = idxTrace.map(r => r._2 + r._3)
+    val idxTotal = idxTrace.map(r => r._2 + r._3 + r._6)
     val idxSteady = idxTrace.drop(1)
-    val idxJson = idxTrace.map { case (b, run, mnt, st, fired) =>
+    val idxJson = idxTrace.map { case (b, run, mnt, st, fired, rm) =>
       s"""{"batch":$b,"run_once_sec":${f(run)},"maintain_sec":${f(mnt)},""" +
+        s""""remove_sec":${f(rm)},""" +
         s""""new_docs":${st.newDocs},"delta_pairs":${st.deltaPairs},""" +
         s""""maintenance_fired":[${fired.map("\"" + _ + "\"").mkString(",")}]}"""
     }.mkString("[", ",", "]")

@@ -53,7 +53,11 @@ class PlanPropertiesSpec extends SparkSpec {
       "t39_lsh_bucket_ann", "t41_ivf_ann", "t49_ivf_sq8_ann", "t50_decontam_removal",
       "t51_crossmodal_ann", "t54_embedding_dedup", "t56_semdedup",
       "t63_ivf_pq_ann", "t67_incremental_dedup", "t69_incremental_cosine",
-      "t70_refreeze_cosine").foreach { q =>
+      "t70_refreeze_cosine",
+      // t73: positional k-grams join the duplicated-hash SET (a
+      // hash-keyed aggregate), never themselves — an m-fold repeat
+      // costs m rows, not m².
+      "t73_exact_substring_dedup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not cartesian-join:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must pair via equi-joins:\n$p")
