@@ -78,6 +78,19 @@ private[graft] object BatchLog {
   private def dirFor(path: String, key: String): String =
     s"$path/batch_key=$key"
 
+  /** Public form of the batch directory layout, for operators that
+    * stow per-batch METADATA sidecars inside a batch's own directory
+    * (underscore-prefixed names — invisible to parquet readers — so
+    * they ride the directory's commit/replace/compact lifecycle). */
+  def dirOf(path: String, key: String): String = dirFor(path, key)
+
+  /** [[keys]] restricted to directories holding committed data files —
+    * the batches a read actually sees (a crashed write's
+    * `_temporary`-only directory is excluded, exactly as parquet's
+    * FileIndex excludes it). */
+  def committedKeys(spark: SparkSession, path: String): Seq[String] =
+    keys(spark, path).filter(k => hasCommittedFiles(spark, dirFor(path, k)))
+
   /** Existing batch keys (directory names after `batch_key=`), committed
     * or not — the namespace [[nextAutoKey]] must avoid. */
   def keys(spark: SparkSession, path: String): Seq[String] = {

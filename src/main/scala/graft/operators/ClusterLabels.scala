@@ -96,28 +96,117 @@ object ClusterLabels {
     }
   }
 
-  /** All three ops-poll aggregates `(logRows, labelledDocs, keepers)` in
-    * ONE keep-last fold — the health-probe form of [[logDepth]] +
-    * keeper count. Separately those pay two shuffles over the log
-    * (distinct-count, then the manifest's own fold); a between-batches
-    * health poll runs on every maintenance cycle, so its cost is a
-    * per-batch tax that must not grow a second corpus-sized exchange.
-    * `logRows` itself is a parquet metadata count (no shuffle). */
+  /** All three ops-poll aggregates `(logRows, labelledDocs, keepers)`.
+    * `logRows` is a parquet metadata count (no shuffle). The label
+    * totals come from the newest STATS SIDECAR when the sidecar chain
+    * is complete (O(1) metadata reads — see [[LabelStats]]); any gap —
+    * legacy dirs, a merge that crashed between its append and its
+    * sidecar write, a torn sidecar file — falls back to the exact
+    * keep-last fold (ONE shuffle over the log). The fallback is why a
+    * sidecar anomaly can never produce a wrong answer, only a slower
+    * poll; the x100 loop measured the fold at ~16 µs/doc/poll, which
+    * is the corpus-linear maintain tax this fast path removes. */
   def labelStats(spark: SparkSession, root: String): (Long, Long, Long) = {
+    val (rows, labelled, keepers, _) = labelStatsDetail(spark, root)
+    (rows, labelled, keepers)
+  }
+
+  /** [[labelStats]] plus whether the sidecar fast path served the
+    * totals — exposed for the spec that pins fast path == fold. */
+  private[graft] def labelStatsDetail(
+      spark: SparkSession, root: String): (Long, Long, Long, Boolean) = {
     recover(spark, root)
     BatchLog.requireFormat(spark, dir(root), "ClusterLabels.labelStats")
-    if (!BatchLog.hasData(spark, dir(root))) (0L, 0L, 0L)
+    if (!BatchLog.hasData(spark, dir(root))) (0L, 0L, 0L, false)
     else {
       val raw = BatchLog.read(spark, dir(root), "ClusterLabels")
-      val folded = raw
-        .groupBy(col("doc_id"))
-        .agg(max_by(col("label"), col("batch")).as("label"))
-        .agg(count(lit(1)).as("labelled"),
-          sum(when(col("doc_id") === col("label"), 1L).otherwise(0L)).as("keepers"))
-        .head
-      (raw.count(), folded.getLong(0),
-        if (folded.isNullAt(1)) 0L else folded.getLong(1))
+      val logRows = raw.count()
+      val committed = BatchLog.committedKeys(spark, dir(root))
+      val sidecars = committed.flatMap(k => readStats(spark, root, k))
+      // Exact iff EVERY committed batch wrote its sidecar and the newest
+      // one saw exactly today's directory set: any crashed-merge gap or
+      // manual surgery breaks one of the two and we fold instead.
+      if (sidecars.size == committed.size && sidecars.nonEmpty && {
+        val top = sidecars.maxBy(_.batch)
+        top.nKeys == committed.size
+      }) {
+        val top = sidecars.maxBy(_.batch)
+        (logRows, top.labelled, top.keepers, true)
+      } else {
+        val (labelled, keepers) = foldTotals(raw)
+        (logRows, labelled, keepers, false)
+      }
     }
+  }
+
+  /** The exact keep-last fold `(labelled, keepers)` — the fallback and
+    * the source of truth every sidecar must equal. */
+  private def foldTotals(raw: DataFrame): (Long, Long) = {
+    val folded = raw
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("label"), col("batch")).as("label"))
+      .agg(count(lit(1)).as("labelled"),
+        sum(when(col("doc_id") === col("label"), 1L).otherwise(0L)).as("keepers"))
+      .head
+    (folded.getLong(0), if (folded.isNullAt(1)) 0L else folded.getLong(1))
+  }
+
+  // ---------------------------------------------------- stats sidecars
+
+  /** Per-batch label totals, stowed as `_label_stats.json` INSIDE the
+    * batch directory (underscore name — parquet readers skip it) so it
+    * rides the directory's whole lifecycle: committed with it (written
+    * just after the data commit), replaced by a replay's overwrite,
+    * dropped by a compaction fold. `batch` is the merge's batch number,
+    * `labelled`/`keepers` the post-merge corpus totals, `nKeys` the
+    * committed-directory count the writer saw — the completeness check
+    * [[labelStats]] uses to detect a later batch whose sidecar never
+    * landed. A sidecar is only ever written with EXACT totals:
+    * incrementally from an exact predecessor when the chain is intact,
+    * from the full fold otherwise (first batch, replay of an existing
+    * key, healing a gap) — so by induction any readable sidecar is
+    * exact for its batch. */
+  private[graft] final case class LabelStats(
+      batch: Long, labelled: Long, keepers: Long, nKeys: Long)
+
+  private val statsName = "_label_stats.json"
+
+  private def statsPath(root: String, key: String): HPath =
+    new HPath(BatchLog.dirOf(dir(root), key), statsName)
+
+  private def readStats(spark: SparkSession, root: String, key: String): Option[LabelStats] = {
+    val p = statsPath(root, key)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+        val m = graft.sources.MiniJson.parseFlat(s)
+        Some(LabelStats(m("batch").toLong, m("labelled").toLong,
+          m("keepers").toLong, m("n_keys").toLong))
+      }
+    } catch {
+      // A torn/garbled sidecar (crash mid-write) means SLOW, not wrong:
+      // the poll folds instead, and the next merge or compaction
+      // overwrites the file. Loud because it should be rare.
+      case e: Exception =>
+        System.err.println(s"[graft] ClusterLabels: unreadable stats sidecar $p ($e); falling back to fold")
+        None
+    }
+  }
+
+  private def writeStats(spark: SparkSession, root: String, key: String,
+      st: LabelStats): Unit = {
+    val p = statsPath(root, key)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val s = graft.sources.MiniJson.renderFlat(Map(
+      "batch" -> st.batch.toString, "labelled" -> st.labelled.toString,
+      "keepers" -> st.keepers.toString, "n_keys" -> st.nKeys.toString))
+    val out = fs.create(p, true)
+    try out.write((s + "\n").getBytes("UTF-8")) finally out.close()
   }
 
   /** Pure-frame merge (no I/O — also the form t68's oracle query runs):
@@ -224,7 +313,10 @@ object ClusterLabels {
       .union(p.select(col("doc_b").as("doc_id"))).distinct()
     val touchedLabels = currentOf(log.join(touched, Seq("doc_id"), "left_semi"))
       .select("label").distinct()
-    val members = currentOf(log.join(touchedLabels, Seq("label"), "left_semi"))
+    // Persisted: feeds the CC edge set AND the stats-sidecar counts
+    // below (touched-component-sized, never the corpus).
+    val members = graft.CacheJanitor.register(
+      currentOf(log.join(touchedLabels, Seq("label"), "left_semi")).persist())
     val edges = p.union(members.select(col("doc_id"), col("label")))
     val relabeled = Relational.connectedComponents(edges)
       .select(col("node").cast("long").as("doc_id"), col("label").cast("long").as("label"))
@@ -245,8 +337,51 @@ object ClusterLabels {
         val r = log.agg(max(col("batch"))).head
         if (r.isNullAt(0)) 1L else r.getLong(0) + 1L
       }
+    val committedBefore = BatchLog.committedKeys(spark, dir(root))
     BatchLog.appendResolved(delta.withColumn("batch", lit(nextBatch)),
       dir(root), key, "ClusterLabels")
+    // Stats sidecar for the O(1) health poll ([[labelStats]]). Only
+    // written when the append actually landed (the retired-keys ledger
+    // can veto a replay of a compaction-absorbed batch — no dir, no
+    // sidecar). Totals are EXACT by construction: incremental from an
+    // intact predecessor chain, full fold otherwise.
+    val committedAfter = BatchLog.committedKeys(spark, dir(root))
+    if (committedAfter.contains(key)) {
+      val replay = committedBefore.contains(key)
+      val prevSidecars = committedBefore.flatMap(k => readStats(spark, root, k))
+      val chainIntact = prevSidecars.size == committedBefore.size &&
+        (committedBefore.isEmpty || {
+          val top = prevSidecars.maxBy(_.batch)
+          top.nKeys == committedBefore.size && top.batch == nextBatch - 1
+        })
+      val (labelled, keepers) =
+        if (!replay && chainIntact) {
+          // delta replaces EXACTLY the members rows and adds the batch's
+          // new docs (relabeled ⊇ members; singletons are new): so
+          //   labelled' = labelled − |members| + |delta|
+          //   keepers'  = keepers − keepers(members) + keepers(delta)
+          // Two touched-sized aggregates over frames the merge already
+          // materialized — never a corpus fold.
+          def agg2(df: DataFrame): (Long, Long) = {
+            val r = df.agg(count(lit(1)),
+              sum(when(col("doc_id") === col("label"), 1L).otherwise(0L))).head
+            (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+          }
+          val (mN, mK) = agg2(members)
+          val (dN, dK) = agg2(delta)
+          val (pL, pK) =
+            if (committedBefore.isEmpty) (0L, 0L)
+            else { val t = prevSidecars.maxBy(_.batch); (t.labelled, t.keepers) }
+          (pL - mN + dN, pK - mK + dK)
+        } else
+          // Replay of an existing key (its old rows left the fold) or a
+          // chain gap (crashed sidecar write, legacy dirs): pay one
+          // exact fold NOW so the chain heals and later merges go back
+          // to incremental.
+          foldTotals(BatchLog.read(spark, dir(root), "ClusterLabels"))
+      writeStats(spark, root, key,
+        LabelStats(nextBatch, labelled, keepers, committedAfter.size))
+    }
     read(spark, root)
   }
 
@@ -293,6 +428,20 @@ object ClusterLabels {
     fs.delete(new HPath(dest), true)
     require(fs.rename(new HPath(tmp), new HPath(dest)),
       s"label compaction commit failed: could not move $tmp into $dest")
+    // Fresh stats sidecar for the folded directory (the fold dropped any
+    // per-batch sidecars with the history) — this is also what HEALS a
+    // chain gap left by a crashed sidecar write: post-compaction the
+    // poll is O(1) again. One aggregate over the just-written single
+    // fold; a crash before this write only costs the poll its fast path.
+    BatchLog.committedKeys(spark, dest) match {
+      case Seq(k) =>
+        val (labelled, keepers) =
+          foldTotals(BatchLog.read(spark, dest, "ClusterLabels.compact"))
+        writeStats(spark, root, k, LabelStats(1L, labelled, keepers, 1L))
+      case ks =>
+        System.err.println(
+          s"[graft] ClusterLabels.compact: expected one folded batch dir, saw $ks; skipping stats sidecar")
+    }
   }
 
   /** One-time upgrade of a legacy flat-append label log into the

@@ -136,12 +136,20 @@ object DedupPipeline {
     // Virgin-root guard: the natural FIRST poll of an ops loop happens
     // before any batch lands — report zeros, don't throw on the missing
     // log directory.
-    val liveDocs =
-      if (!graft.operators.BatchLog.hasData(spark, logDir)) 0L
-      else if (vector) CosineDedupIndex.readIndex(spark, root).count()
-      else SignatureIndex.readIndex(spark, root).count()
     val tombstoned =
       Tombstones.read(spark, root, if (vector) "vec_id" else "doc_id").count()
+    // With no tombstones pending, live == the raw log row count (one row
+    // per ingested doc/vec; replays overwrite their own directory) — a
+    // footer-metadata count, skipping readIndex's anti-join over the
+    // whole log. The anti-join runs only while takedowns are pending
+    // (and compaction clears them, restoring the cheap path).
+    val liveDocs =
+      if (!graft.operators.BatchLog.hasData(spark, logDir)) 0L
+      else if (tombstoned == 0L)
+        graft.operators.BatchLog.read(spark, logDir,
+          "DedupPipeline.health").count()
+      else if (vector) CosineDedupIndex.readIndex(spark, root).count()
+      else SignatureIndex.readIndex(spark, root).count()
     // One keep-last fold serves all three label aggregates — a health
     // poll runs between every pair of batches, so a second corpus-sized
     // exchange here would be a per-batch tax that grows with the corpus
