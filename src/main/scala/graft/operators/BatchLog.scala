@@ -91,6 +91,66 @@ private[graft] object BatchLog {
   def committedKeys(spark: SparkSession, path: String): Seq[String] =
     keys(spark, path).filter(k => hasCommittedFiles(spark, dirFor(path, k)))
 
+  // ---------------------------------------------------- row-count sidecars
+
+  private val countName = "_row_count.json"
+
+  /** Row-count sidecar, written into a batch directory right after its
+    * data commit: one footer-metadata count over THAT directory only
+    * (O(increment) files), so LOG-level row counts become driver-side
+    * file reads ([[committedRowCount]]) instead of a footer job over
+    * every directory — the job the x100 loop measured growing linearly
+    * with batch count in the health poll. Best-effort: a failed or
+    * crashed sidecar write only costs callers their fast path. */
+  private def writeRowCount(spark: SparkSession, dir: String): Unit =
+    try {
+      val n = spark.read.parquet(dir).count()
+      val p = new HPath(dir, countName)
+      val out = fsOf(spark, dir).create(p, true)
+      try out.write(
+        (graft.sources.MiniJson.renderFlat(Map("rows" -> n.toString)) + "\n")
+          .getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      case e: Exception =>
+        System.err.println(
+          s"[graft] BatchLog: row-count sidecar for $dir failed ($e); counts fall back to footers")
+    }
+
+  private def readRowCount(spark: SparkSession, dir: String): Option[Long] = {
+    val p = new HPath(dir, countName)
+    val fs = fsOf(spark, dir)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+        Some(graft.sources.MiniJson.parseFlat(s)("rows").toLong)
+      }
+    } catch {
+      // Torn or garbled (crash mid-write): slower, never wrong — the
+      // caller falls back to the footer count; the next replay or
+      // compaction of this directory rewrites the sidecar.
+      case e: Exception =>
+        System.err.println(
+          s"[graft] BatchLog: unreadable row-count sidecar in $dir ($e); falling back to footers")
+        None
+    }
+  }
+
+  /** Total committed rows of the log from per-directory sidecars —
+    * `Some` iff EVERY committed directory carries a readable one
+    * (pre-sidecar dirs and crashed writes return `None`, telling the
+    * caller to run the footer count). O(#directories) driver-side file
+    * reads, no Spark job. */
+  def committedRowCount(spark: SparkSession, path: String): Option[Long] = {
+    val ks = committedKeys(spark, path)
+    val counts = ks.flatMap(k => readRowCount(spark, dirFor(path, k)))
+    if (counts.size == ks.size) Some(counts.sum) else None
+  }
+
   /** Existing batch keys (directory names after `batch_key=`), committed
     * or not — the namespace [[nextAutoKey]] must avoid. */
   def keys(spark: SparkSession, path: String): Seq[String] = {
@@ -245,6 +305,7 @@ private[graft] object BatchLog {
     val w = df.write.mode("overwrite")
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
       .parquet(dirFor(path, key))
+    writeRowCount(spark, dirFor(path, key))
   }
 
   /** Read the whole log (all batches), `batch_key` dropped — the raw
@@ -323,6 +384,7 @@ private[graft] object BatchLog {
     val w = df.write.mode("overwrite")
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
       .parquet(dirFor(tmpPath, key))
+    writeRowCount(df.sparkSession, dirFor(tmpPath, key))
     writeMarker(df.sparkSession, tmpPath)
   }
 

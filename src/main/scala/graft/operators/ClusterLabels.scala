@@ -119,8 +119,11 @@ object ClusterLabels {
     BatchLog.requireFormat(spark, dir(root), "ClusterLabels.labelStats")
     if (!BatchLog.hasData(spark, dir(root))) (0L, 0L, 0L, false)
     else {
-      val raw = BatchLog.read(spark, dir(root), "ClusterLabels")
-      val logRows = raw.count()
+      lazy val raw = BatchLog.read(spark, dir(root), "ClusterLabels")
+      // Row-count sidecars first (driver-side reads): with the stats
+      // chain also intact, the whole poll runs ZERO Spark jobs.
+      val logRows = BatchLog.committedRowCount(spark, dir(root))
+        .getOrElse(raw.count())
       val committed = BatchLog.committedKeys(spark, dir(root))
       val sidecars = committed.flatMap(k => readStats(spark, root, k))
       // Exact iff EVERY committed batch wrote its sidecar and the newest

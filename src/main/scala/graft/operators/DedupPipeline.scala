@@ -139,15 +139,18 @@ object DedupPipeline {
     val tombstoned =
       Tombstones.read(spark, root, if (vector) "vec_id" else "doc_id").count()
     // With no tombstones pending, live == the raw log row count (one row
-    // per ingested doc/vec; replays overwrite their own directory) — a
-    // footer-metadata count, skipping readIndex's anti-join over the
-    // whole log. The anti-join runs only while takedowns are pending
-    // (and compaction clears them, restoring the cheap path).
+    // per ingested doc/vec; replays overwrite their own directory) —
+    // served from the per-directory row-count sidecars when the chain is
+    // complete (driver-side file reads, NO Spark job), else one
+    // footer-metadata count; either way the anti-join over the whole log
+    // runs only while takedowns are pending (and compaction clears them,
+    // restoring the cheap path).
     val liveDocs =
       if (!graft.operators.BatchLog.hasData(spark, logDir)) 0L
       else if (tombstoned == 0L)
-        graft.operators.BatchLog.read(spark, logDir,
-          "DedupPipeline.health").count()
+        graft.operators.BatchLog.committedRowCount(spark, logDir).getOrElse(
+          graft.operators.BatchLog.read(spark, logDir,
+            "DedupPipeline.health").count())
       else if (vector) CosineDedupIndex.readIndex(spark, root).count()
       else SignatureIndex.readIndex(spark, root).count()
     // One keep-last fold serves all three label aggregates — a health

@@ -144,6 +144,38 @@ class BatchLogSpec extends SparkSpec {
     CacheJanitor.drain()
   }
 
+  test("row-count sidecars: driver-side totals == footer counts; any gap falls back") {
+    val root = Files.createTempDirectory("graft_bk_rows").toString
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("b1"))
+    SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("b2"))
+    CacheJanitor.drain()
+    val log = s"$root/signatures"
+    val footer = spark.read.parquet(log).count()
+    assert(BatchLog.committedRowCount(spark, log).contains(footer),
+      "sidecar total must equal the footer count")
+
+    // Replay overwrites its directory — the sidecar must follow, not stack.
+    SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("b2"))
+    CacheJanitor.drain()
+    assert(BatchLog.committedRowCount(spark, log).contains(footer))
+
+    // A crashed sidecar write (simulated): the total must become None —
+    // callers fall back to the footer job, never a wrong number.
+    val p = Paths.get(BatchLog.dirOf(log, BatchLog.sanitize("b1")), "_row_count.json")
+    Files.delete(p)
+    assert(BatchLog.committedRowCount(spark, log).isEmpty,
+      "a directory without a sidecar must force the footer fallback")
+    Files.write(p, "{\"rows\": garbage".getBytes("UTF-8"))
+    assert(BatchLog.committedRowCount(spark, log).isEmpty,
+      "a torn sidecar must force the footer fallback, loudly, never throw")
+
+    // Compaction rewrites the log into one fold directory WITH a fresh
+    // sidecar — the fast path heals along with the stats chain.
+    SignatureIndex.compact(spark, root)
+    assert(BatchLog.committedRowCount(spark, log)
+      .contains(spark.read.parquet(log).count()))
+  }
+
   test("keyless ingests still accumulate distinct auto-keyed batches") {
     val root = Files.createTempDirectory("graft_bk_auto").toString
     SignatureIndex.ingest(spark, root, docs(batchA: _*))
