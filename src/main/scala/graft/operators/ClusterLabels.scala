@@ -98,11 +98,14 @@ object ClusterLabels {
 
   /** All three ops-poll aggregates `(logRows, labelledDocs, keepers)`.
     * `logRows` is a parquet metadata count (no shuffle). The label
-    * totals come from the newest STATS SIDECAR when the sidecar chain
-    * is complete (O(1) metadata reads — see [[LabelStats]]); any gap —
-    * legacy dirs, a merge that crashed between its append and its
-    * sidecar write, a torn sidecar file — falls back to the exact
-    * keep-last fold (ONE shuffle over the log). The fallback is why a
+    * totals come from the newest STATS SIDECAR when that sidecar is
+    * CURRENT — it exists and saw exactly today's committed-directory
+    * set (O(1) metadata reads — see [[LabelStats]]; older batches'
+    * sidecars may be missing, only the newest is consulted). A stale or
+    * missing newest sidecar — legacy dirs, a merge that crashed between
+    * its append and its sidecar write, a torn file — falls back to the
+    * exact keep-last fold (ONE shuffle over the log), and the next
+    * merge's heal fold restores the fast path. The fallback is why a
     * sidecar anomaly can never produce a wrong answer, only a slower
     * poll; the x100 loop measured the fold at ~16 µs/doc/poll, which
     * is the corpus-linear maintain tax this fast path removes. */
@@ -126,13 +129,16 @@ object ClusterLabels {
         .getOrElse(raw.count())
       val committed = BatchLog.committedKeys(spark, dir(root))
       val sidecars = committed.flatMap(k => readStats(spark, root, k))
-      // Exact iff EVERY committed batch wrote its sidecar and the newest
-      // one saw exactly today's directory set: any crashed-merge gap or
-      // manual surgery breaks one of the two and we fold instead.
-      if (sidecars.size == committed.size && sidecars.nonEmpty && {
-        val top = sidecars.maxBy(_.batch)
-        top.nKeys == committed.size
-      }) {
+      // Exact iff the NEWEST sidecar saw exactly today's directory set.
+      // Only the newest matters: every sidecar ever written carries
+      // EXACT post-merge totals (by induction — see [[LabelStats]]), so
+      // its values serve the poll regardless of gaps in OLDER batches'
+      // sidecars; `nKeys == committed.size` proves no batch landed (or
+      // vanished) after it was written. A crashed-merge gap at the TAIL
+      // fails the nKeys check and we fold instead — and the next merge's
+      // heal fold writes a fresh newest sidecar, restoring the fast
+      // path without waiting for a compaction.
+      if (sidecars.nonEmpty && sidecars.maxBy(_.batch).nKeys == committed.size) {
         val top = sidecars.maxBy(_.batch)
         (logRows, top.labelled, top.keepers, true)
       } else {
@@ -352,11 +358,15 @@ object ClusterLabels {
     if (committedAfter.contains(key)) {
       val replay = committedBefore.contains(key)
       val prevSidecars = committedBefore.flatMap(k => readStats(spark, root, k))
-      val chainIntact = prevSidecars.size == committedBefore.size &&
-        (committedBefore.isEmpty || {
-          val top = prevSidecars.maxBy(_.batch)
-          top.nKeys == committedBefore.size && top.batch == nextBatch - 1
-        })
+      // Intact iff the NEWEST predecessor sidecar is current (saw every
+      // pre-merge directory, carries the immediately-preceding batch
+      // number): the incremental arithmetic below only consumes that one
+      // sidecar's totals, and any written sidecar is exact by induction
+      // — gaps in OLDER batches' sidecars don't matter.
+      val chainIntact = committedBefore.isEmpty || (prevSidecars.nonEmpty && {
+        val top = prevSidecars.maxBy(_.batch)
+        top.nKeys == committedBefore.size && top.batch == nextBatch - 1
+      })
       val (labelled, keepers) =
         if (!replay && chainIntact) {
           // delta replaces EXACTLY the members rows and adds the batch's
@@ -378,9 +388,11 @@ object ClusterLabels {
           (pL - mN + dN, pK - mK + dK)
         } else
           // Replay of an existing key (its old rows left the fold) or a
-          // chain gap (crashed sidecar write, legacy dirs): pay one
-          // exact fold NOW so the chain heals and later merges go back
-          // to incremental.
+          // stale/missing newest sidecar (crashed sidecar write, legacy
+          // dirs): pay one exact fold NOW. The sidecar written below is
+          // then the NEWEST with nKeys == the post-merge directory count,
+          // so the very next poll and merge are back on the fast path —
+          // one fold heals the chain; compaction is not needed for it.
           foldTotals(BatchLog.read(spark, dir(root), "ClusterLabels"))
       writeStats(spark, root, key,
         LabelStats(nextBatch, labelled, keepers, committedAfter.size))

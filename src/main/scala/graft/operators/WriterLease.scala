@@ -98,12 +98,26 @@ object WriterLease {
     * never ages past the steal threshold mid-action; a crashed process
     * stops heartbeating and its lease ages out normally. Daemon thread —
     * it can never keep the JVM alive; interrupted (and joined) before
-    * the lease file is deleted on release. */
-  private def startHeartbeat(fs: FileSystem, p: HPath, ttlMs: Long): Thread = {
+    * the lease file is deleted on release.
+    *
+    * The loop must either BEAT or EXIT — never die silently, never
+    * outlive release. Two failure shapes matter: (1) a filesystem whose
+    * `setTimes` throws a non-IO exception (some object-store impls throw
+    * UnsupportedOperationException) must not kill the thread — that
+    * would silently re-open the live-holder steal window — so the catch
+    * is NonFatal, loudly logged; (2) the release-time interrupt can
+    * surface INSIDE `setTimes` as an InterruptedIOException (which
+    * clears the interrupt flag) — swallowing it would leave a zombie
+    * beat touching the lease path forever, including refreshing a LATER
+    * crashed holder's lease at the same path and making a genuinely
+    * dead lease un-stealable. So an interrupt observed through any
+    * caught exception exits the loop. */
+  private[graft] def startHeartbeat(fs: FileSystem, p: HPath, ttlMs: Long): Thread = {
     val interval = math.max(50L, ttlMs / 3)
     val t = new Thread(() => {
       try {
-        while (!Thread.interrupted()) {
+        var run = true
+        while (run && !Thread.interrupted()) {
           Thread.sleep(interval)
           val now = System.currentTimeMillis()
           // Touch mtime only; atime -1 = leave unchanged. Failure is
@@ -111,8 +125,10 @@ object WriterLease {
           // loud, since silent heartbeat loss re-opens the steal window.
           try fs.setTimes(p, now, -1)
           catch {
-            case e: java.io.IOException =>
+            case _: java.io.InterruptedIOException => run = false
+            case scala.util.control.NonFatal(e) =>
               System.err.println(s"[graft] WriterLease: heartbeat on $p failed: $e")
+              if (Thread.currentThread().isInterrupted) run = false
           }
         }
       } catch { case _: InterruptedException => () }

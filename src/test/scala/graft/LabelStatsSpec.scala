@@ -61,23 +61,47 @@ class LabelStatsSpec extends SparkSpec {
     assert(d._2 == 4 && d._3 == 2, d)
   }
 
-  test("a missing sidecar degrades to the fold (correct, slower); compaction heals") {
-    val root = Files.createTempDirectory("graft_lstats_gap").toString
+  test("a MIDDLE sidecar gap keeps the fast path (only the newest is consulted)") {
+    // Every written sidecar carries exact totals by induction, so a gap
+    // in an OLDER batch's sidecar must not disable the O(1) poll — the
+    // newest sidecar alone serves it (the pre-round-11 check demanded
+    // every directory carry one, paying corpus folds for a gap that
+    // changed nothing).
+    val root = Files.createTempDirectory("graft_lstats_midgap").toString
     ClusterLabels.merge(spark, root, pairs(1L -> 2L), docs(1L, 2L), Some("b1"))
     ClusterLabels.merge(spark, root, pairs(2L -> 3L), docs(3L), Some("b2"))
-    Files.delete(sidecarPath(root, "b1")) // a crashed sidecar write, simulated
+    Files.delete(sidecarPath(root, "b1")) // a crashed OLD sidecar, simulated
     val d = ClusterLabels.labelStatsDetail(spark, root)
-    assert(!d._4, "a chain gap must force the fold")
-    assert((d._2, d._3) == foldTruth(root), "the fallback is the exact fold")
-
-    ClusterLabels.compact(spark, root)
-    val dc = ClusterLabels.labelStatsDetail(spark, root)
-    assert(dc._4, "compaction writes a fresh sidecar — the fast path heals")
-    assert((dc._2, dc._3) == foldTruth(root))
-    // And the chain continues incrementally after the heal.
+    assert(d._4, "a middle gap must not force the fold — the newest sidecar is exact")
+    assert((d._2, d._3) == foldTruth(root))
+    // And the next merge stays incremental (its arithmetic reads only
+    // the newest predecessor sidecar).
     ClusterLabels.merge(spark, root, pairs(4L -> 5L), docs(4L, 5L), Some("b3"))
     val dn = ClusterLabels.labelStatsDetail(spark, root)
     assert(dn._4 && (dn._2, dn._3) == foldTruth(root))
+  }
+
+  test("a missing NEWEST sidecar degrades to the fold; ONE merge heals it (no compaction needed)") {
+    val root = Files.createTempDirectory("graft_lstats_tailgap").toString
+    ClusterLabels.merge(spark, root, pairs(1L -> 2L), docs(1L, 2L), Some("b1"))
+    ClusterLabels.merge(spark, root, pairs(2L -> 3L), docs(3L), Some("b2"))
+    Files.delete(sidecarPath(root, "b2")) // the crashed-merge shape: newest dir, no sidecar
+    val d = ClusterLabels.labelStatsDetail(spark, root)
+    assert(!d._4, "a tail gap must force the fold (the surviving newest sidecar is stale)")
+    assert((d._2, d._3) == foldTruth(root), "the fallback is the exact fold")
+
+    // The next merge detects the stale chain, pays ONE heal fold, and its
+    // own sidecar restores the fast path — previously only compaction did.
+    ClusterLabels.merge(spark, root, pairs(4L -> 5L), docs(4L, 5L), Some("b3"))
+    val dh = ClusterLabels.labelStatsDetail(spark, root)
+    assert(dh._4, "one healing merge must restore the O(1) poll")
+    assert((dh._2, dh._3) == foldTruth(root))
+
+    // Compaction still heals too (and stays exact).
+    Files.delete(sidecarPath(root, "b3"))
+    ClusterLabels.compact(spark, root)
+    val dc = ClusterLabels.labelStatsDetail(spark, root)
+    assert(dc._4 && (dc._2, dc._3) == foldTruth(root))
   }
 
   test("a torn sidecar file is survived loudly: fallback, never a throw or a wrong answer") {

@@ -140,6 +140,61 @@ class WriterLeaseSpec extends SparkSpec {
     assert(!Files.exists(lease), "released on exit as always")
   }
 
+  test("the heartbeat survives a non-IO setTimes failure (object-store FS impls)") {
+    // Some object-store FileSystem impls throw UnsupportedOperationException
+    // from setTimes. That must not KILL the daemon thread — a dead beat
+    // silently re-opens the mid-action steal window — it must log and
+    // keep looping (worst case the lease ages out, exactly the pre-
+    // heartbeat behavior), and still exit promptly on release interrupt.
+    val root = Files.createTempDirectory("graft_wl_hb_nonio").toString
+    val lease = Paths.get(root, "lease"); Files.write(lease, "x".getBytes)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fs = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def setTimes(p: org.apache.hadoop.fs.Path, m: Long, a: Long): Unit = {
+        calls.incrementAndGet()
+        throw new UnsupportedOperationException("setTimes unsupported on this store")
+      }
+    }
+    fs.initialize(new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val t = operators.WriterLease.startHeartbeat(fs,
+      new org.apache.hadoop.fs.Path(lease.toString), 150L) // 50 ms beats
+    try {
+      val deadline = System.currentTimeMillis() + 5000L
+      while (calls.get() < 3 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(calls.get() >= 3, "the beat must keep looping through non-IO failures")
+      assert(t.isAlive, "a setTimes failure must never kill the heartbeat thread")
+    } finally { t.interrupt(); t.join(2000) }
+    assert(!t.isAlive, "the beat must exit on release interrupt")
+  }
+
+  test("an interrupt surfacing as InterruptedIOException exits the beat (no zombie)") {
+    // The release interrupt can land INSIDE fs.setTimes and surface as an
+    // InterruptedIOException — which CLEARS the thread's interrupt flag.
+    // A beat that swallows it as a generic IO failure loops forever after
+    // join(1000) gives up: a zombie that keeps touching the lease path,
+    // refreshing any LATER crashed holder's lease file at the same path.
+    val root = Files.createTempDirectory("graft_wl_hb_intr").toString
+    val lease = Paths.get(root, "lease"); Files.write(lease, "x".getBytes)
+    val entered = new CountDownLatch(1)
+    val fs = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def setTimes(p: org.apache.hadoop.fs.Path, m: Long, a: Long): Unit = {
+        entered.countDown()
+        try Thread.sleep(60_000) // park until the release interrupt lands here
+        catch { case _: InterruptedException =>
+          throw new java.io.InterruptedIOException("interrupted in setTimes")
+        }
+      }
+    }
+    fs.initialize(new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val t = operators.WriterLease.startHeartbeat(fs,
+      new org.apache.hadoop.fs.Path(lease.toString), 150L)
+    entered.await()
+    t.interrupt()
+    t.join(5000)
+    assert(!t.isAlive,
+      "an interrupt consumed by InterruptedIOException must still exit the beat")
+  }
+
   test("composed entries are reentrant: one lease spans runOnce and maintainOnce") {
     // DedupPipeline.runOnce nests SignatureIndex.ingest + ClusterLabels
     // .merge under the same root — all three lease it; reentrancy makes
