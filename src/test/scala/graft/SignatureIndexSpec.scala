@@ -80,6 +80,88 @@ class SignatureIndexSpec extends SparkSpec {
     assert(d1 ++ d2 == full, s"incremental union ${d1 ++ d2} != full recompute $full")
   }
 
+  private def pairMap(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+    df.select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("indexed delta pairs == the frame-level recompute, bit-for-bit incl. jaccard") {
+    // The per-batch fast path (persisted posting/df side tables, no
+    // signature-array re-explode) must be answer-identical to
+    // deltaPairs(allSigs, newSigs) — same pair set, same jaccard DOUBLES
+    // (the verify arithmetic divides the same longs).
+    val root = Files.createTempDirectory("graft_sigidx_fast").toString
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("b1"))
+    CacheJanitor.drain()
+    val b2 = SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("b2"))
+    val fast = pairMap(b2.deltaPairs)
+    val truth = pairMap(SignatureIndex.deltaPairs(b2.allSigs, b2.newSigs))
+    CacheJanitor.drain()
+    assert(fast.nonEmpty && fast == truth, s"fast $fast != frame $truth")
+  }
+
+  test("live-df takedown: a shingle pulled back under the cap pairs again (fast == frame)") {
+    // 25 identical docs push every shingle to df 25 > dfCap. A takedown
+    // of 6 brings live df to 19; a new identical doc must then pair with
+    // ALL 19 survivors — the live-df re-evaluation t72 pins, served from
+    // the df log MINUS the tombstoned docs' posting rows at read time.
+    val root = Files.createTempDirectory("graft_sigidx_livedf").toString
+    val text = "alpha beta gamma delta epsilon"
+    SignatureIndex.ingest(spark, root,
+      docs((1L to 25L).map(_ -> text): _*), batchKey = Some("b1"))
+    CacheJanitor.drain()
+    SignatureIndex.remove(spark, root, (20L to 25L))
+    val b2 = SignatureIndex.ingest(spark, root, docs(26L -> text), batchKey = Some("b2"))
+    val fast = pairMap(b2.deltaPairs)
+    val truth = pairMap(SignatureIndex.deltaPairs(b2.allSigs, b2.newSigs))
+    CacheJanitor.drain()
+    assert(fast == truth, s"fast $fast != frame $truth")
+    assert(fast.keySet == (1L to 19L).map(i => (i, 26L)).toSet, fast)
+    assert(fast.values.forall(_ == 1.0), fast)
+  }
+
+  test("a coverage gap (crashed derived append, simulated) heals by rebuild; answers unchanged") {
+    val root = Files.createTempDirectory("graft_sigidx_heal").toString
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("b1"))
+    CacheJanitor.drain()
+    assert(SignatureIndex.derivedCovered(spark, root))
+    // The crash shape: the signature batch committed but its derived
+    // rows (or the coverage marker) never landed.
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      java.nio.file.Paths.get(SignatureIndex.dfDir(root)).toFile)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      SignatureIndex.postingsDir(root), "_covers_bb1"))
+    assert(!SignatureIndex.derivedCovered(spark, root),
+      "a gapped cache must fail the coverage check")
+    val b2 = SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("b2"))
+    val fast = pairMap(b2.deltaPairs)
+    val truth = pairMap(SignatureIndex.deltaPairs(b2.allSigs, b2.newSigs))
+    CacheJanitor.drain()
+    assert(SignatureIndex.derivedCovered(spark, root),
+      "the next ingest must heal the cache")
+    assert(fast == truth, s"post-heal fast $fast != frame $truth")
+  }
+
+  test("replay of a committed batch leaves the derived cache exact (no double rows)") {
+    val root = Files.createTempDirectory("graft_sigidx_replay").toString
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("b1"))
+    CacheJanitor.drain()
+    SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("b2"))
+    CacheJanitor.drain()
+    // Crash-retry shape: batch b2 lands again.
+    val b2r = SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("b2"))
+    val fast = pairMap(b2r.deltaPairs)
+    val truth = pairMap(SignatureIndex.deltaPairs(b2r.allSigs, b2r.newSigs))
+    CacheJanitor.drain()
+    assert(fast == truth, s"replayed fast $fast != frame $truth")
+    // df must not have double-counted the replayed batch: a doubled df
+    // would push shared shingles over the cap and drop pairs.
+    assert(fast.keySet.contains((8L, 9L)), fast)
+    // And compaction keeps the cache consistent (eager rebuild).
+    SignatureIndex.compact(spark, root)
+    assert(SignatureIndex.derivedCovered(spark, root),
+      "compaction must rebuild the derived cache eagerly")
+  }
+
   test("remove tombstones a doc out of pairs without touching snapshot files; compact == rebuild") {
     val root = Files.createTempDirectory("graft_sigidx3").toString
     def pairSet(df: org.apache.spark.sql.DataFrame) =
