@@ -104,8 +104,28 @@ object SignatureIndex {
     BatchLog.appendResolved(newCached, path, key, "SignatureIndex")
     maintainDerived(spark, root, table, key, newCached, coveredBefore)
     val all = readIndex(spark, root, table)
-    Batch(newCached, all, deltaPairsIndexed(spark, root, table, newCached))
+    // Cost-based path choice, decided from the row-count sidecars
+    // (driver-side file reads, zero Spark jobs): the indexed path's
+    // per-batch cost is FLAT (broadcast-round scheduling ~constant,
+    // slim-columnar scans) while the frame path's grows with the corpus
+    // (explode + shuffle of every posting) but has ~3× less fixed
+    // overhead — measured crossover on local[32] is ~100k signature
+    // rows. Below it the frame recompute is simply faster; above it the
+    // indexed path caps the corpus term. Both are spec-pinned equal, so
+    // this is a plan choice, not a semantic one. A sidecar gap reports
+    // "unknown" and takes the indexed path (safe at any size).
+    val corpusRows = BatchLog.committedRowCount(spark, path).getOrElse(Long.MaxValue)
+    val pairs =
+      if (corpusRows < indexedPathMinRows) deltaPairs(all, newCached)
+      else deltaPairsIndexed(spark, root, table, newCached)
+    Batch(newCached, all, pairs)
   }
+
+  /** Signature-log row count at which [[ingest]] switches pair
+    * detection from the frame recompute to the posting/df side tables
+    * (see the path-choice comment in [[ingest]]). */
+  val indexedPathMinRows: Long =
+    sys.env.getOrElse("SPARK_GRAFT_INDEXED_PAIRS_MIN_ROWS", "100000").toLong
 
   /** Live signature rows: the snapshot minus tombstoned doc_ids. Every
     * read path goes through this, so a removed doc stops contributing
@@ -287,7 +307,7 @@ object SignatureIndex {
   /** Bring the derived logs up to date after this batch's signature
     * append: the incremental path appends the increment's posting/df
     * rows under the same key; any coverage anomaly rebuilds instead. */
-  private def maintainDerived(spark: SparkSession, root: String, table: String,
+  private[graft] def maintainDerived(spark: SparkSession, root: String, table: String,
       key: String, newSigs: DataFrame, coveredBefore: Boolean): Unit = {
     // A compaction-retired key's rows already live in the fold — the
     // signature append above was vetoed, and appending derived rows
@@ -325,14 +345,16 @@ object SignatureIndex {
   }
 
   /** [[deltaPairs]]'s exact semantics served from the persisted side
-    * tables — the per-batch path [[ingest]] uses. Identical output
+    * tables — the large-corpus path [[ingest]] uses. Identical output
     * (pair set AND jaccard values, spec-pinned): the df cap folds the
-    * df log restricted to the increment's shingles; candidates join the
-    * capped posting rows; the exact verify counts the FULL (uncapped)
-    * intersection and set sizes from posting rows of candidate docs —
-    * the signature arrays are never re-exploded and never even read.
-    * Every join here broadcasts an increment/candidate-bounded side, so
-    * the corpus-side logs are only ever scanned, never shuffled. */
+    * df log restricted to the increment's shingles; candidates come
+    * from ONE streamed pass over the postings log against the broadcast
+    * cap-set and new side; the exact verify is [[deltaPairs]]'s own
+    * two-pointer array kernel, but over a candidate-semi-joined scan of
+    * the signature log instead of two full array scans. The signature
+    * arrays are never re-EXPLODED, and every join broadcasts an
+    * increment/candidate-bounded side — the corpus-side logs are only
+    * ever scanned, never shuffled. */
   private[graft] def deltaPairsIndexed(spark: SparkSession, root: String,
       table: String, newSigs: DataFrame): DataFrame = {
     val newPost = newSigs.select(col("doc_id"), explode(col("shs")).as("h"))
@@ -359,39 +381,45 @@ object SignatureIndex {
         dfBase.join(gone, Seq("h"), "left")
           .select(col("h"), (col("df") - coalesce(col("gone"), lit(0L))).as("df"))
       }
-    val keep = graft.CacheJanitor.register(
-      dfLive.where(col("df") <= dfCap).select("h").persist())
+    // No persist on `keep`: its two broadcast uses are identical
+    // subplans, deduped by ReuseExchange into one build — a persist
+    // would only add a materialization job to the fixed per-batch cost.
+    val keep = dfLive.where(col("df") <= dfCap).select("h")
     val postLive =
       if (!tombPending) post
       else post.join(broadcast(tomb), Seq("doc_id"), "left_anti")
-    val postF = postLive.join(broadcast(keep), Seq("h"))
+    // Candidates in ONE streamed pass over the postings log: both the
+    // df-cap set and the new side broadcast, so the big side never
+    // shuffles and never re-partitions (newKeep is increment × dfCap
+    // bounded by construction).
     val newKeep = newPost.join(broadcast(keep), Seq("h"))
       .select(col("doc_id").as("new_id"), col("h"))
     val cand = graft.CacheJanitor.register(
-      newKeep.join(postF, Seq("h"))
+      postLive.join(broadcast(keep), Seq("h"))
+        .join(broadcast(newKeep), Seq("h"))
         .where(col("new_id") =!= col("doc_id"))
         .select(least(col("new_id"), col("doc_id")).as("doc_a"),
           greatest(col("new_id"), col("doc_id")).as("doc_b"))
         .distinct().persist())
-    val candIds = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    // Exact verify from postings: |A∩B| = shared (uncapped) posting rows,
-    // |A| = doc's posting count (signature arrays are distinct, so rows
-    // per doc == size(shs)). A candidate doc with no live posting rows
-    // (tombstoned) drops its pairs in these inner joins — exactly where
-    // the array-join form dropped them.
-    val vp = graft.CacheJanitor.register(
-      postLive.join(broadcast(candIds), Seq("doc_id"), "left_semi").persist())
-    val sizes = vp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(vp.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-      .join(vp.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
-      .withColumn("jaccard", col("c").cast("double") /
-        (col("sza") + col("szb") - col("c")).cast("double"))
+    val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    // Exact verify exactly as [[deltaPairs]]'s tail — the two-pointer
+    // kernel over the stored arrays — but over ONLY the candidate docs'
+    // signature rows (one semi-joined scan of the signature log instead
+    // of two full array scans). A candidate doc with no live signature
+    // row (tombstoned) drops its pairs in these inner joins — the same
+    // place the full-frame form drops them.
+    val sigs = graft.CacheJanitor.register(
+      readIndex(spark, root, table)
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi").persist())
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"))
+    graft.functions.GraftFunctions.registerAll(spark)
+    cand.join(broadcast(sa), Seq("doc_a")).join(broadcast(sb), Seq("doc_b"))
+      .withColumn("c", expr("graft_inter_count(shs_a, shs_b)"))
+      .withColumn("jaccard",
+        col("c").cast("double") /
+          (size(col("shs_a")).cast("long") + size(col("shs_b")).cast("long") - col("c")).cast("double"))
       .where(col("jaccard") >= jaccardMin)
       .select("doc_a", "doc_b", "jaccard")
   }

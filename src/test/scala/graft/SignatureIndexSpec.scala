@@ -93,7 +93,10 @@ class SignatureIndexSpec extends SparkSpec {
     SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("b1"))
     CacheJanitor.drain()
     val b2 = SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("b2"))
-    val fast = pairMap(b2.deltaPairs)
+    // Call the indexed path DIRECTLY: ingest's size switch would route a
+    // corpus this small to the frame path, and the equality would test
+    // nothing.
+    val fast = pairMap(SignatureIndex.deltaPairsIndexed(spark, root, "signatures", b2.newSigs))
     val truth = pairMap(SignatureIndex.deltaPairs(b2.allSigs, b2.newSigs))
     CacheJanitor.drain()
     assert(fast.nonEmpty && fast == truth, s"fast $fast != frame $truth")
@@ -111,7 +114,7 @@ class SignatureIndexSpec extends SparkSpec {
     CacheJanitor.drain()
     SignatureIndex.remove(spark, root, (20L to 25L))
     val b2 = SignatureIndex.ingest(spark, root, docs(26L -> text), batchKey = Some("b2"))
-    val fast = pairMap(b2.deltaPairs)
+    val fast = pairMap(SignatureIndex.deltaPairsIndexed(spark, root, "signatures", b2.newSigs))
     val truth = pairMap(SignatureIndex.deltaPairs(b2.allSigs, b2.newSigs))
     CacheJanitor.drain()
     assert(fast == truth, s"fast $fast != frame $truth")
@@ -133,7 +136,7 @@ class SignatureIndexSpec extends SparkSpec {
     assert(!SignatureIndex.derivedCovered(spark, root),
       "a gapped cache must fail the coverage check")
     val b2 = SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("b2"))
-    val fast = pairMap(b2.deltaPairs)
+    val fast = pairMap(SignatureIndex.deltaPairsIndexed(spark, root, "signatures", b2.newSigs))
     val truth = pairMap(SignatureIndex.deltaPairs(b2.allSigs, b2.newSigs))
     CacheJanitor.drain()
     assert(SignatureIndex.derivedCovered(spark, root),
@@ -149,7 +152,7 @@ class SignatureIndexSpec extends SparkSpec {
     CacheJanitor.drain()
     // Crash-retry shape: batch b2 lands again.
     val b2r = SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("b2"))
-    val fast = pairMap(b2r.deltaPairs)
+    val fast = pairMap(SignatureIndex.deltaPairsIndexed(spark, root, "signatures", b2r.newSigs))
     val truth = pairMap(SignatureIndex.deltaPairs(b2r.allSigs, b2r.newSigs))
     CacheJanitor.drain()
     assert(fast == truth, s"replayed fast $fast != frame $truth")
