@@ -9,10 +9,10 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Codegen'd random-hyperplane LSH sign code — the native form of
-  * [[TextSim.lshCode]]'s 12 independent projection folds. The HOF
-  * rendering walks the embedding once PER PLANE (12 interpreted
-  * `aggregate(transform(...))` passes per row); this kernel computes all
-  * 12 projections in ONE loop over the array, accumulating each plane's
+  * [[TextSim.lshCode]]'s `lshPlanes` independent projection folds. The
+  * HOF rendering walks the embedding once PER PLANE (one interpreted
+  * `aggregate(transform(...))` pass per plane per row); this kernel
+  * computes all planes in ONE loop over the array, accumulating each plane's
   * dot product in strict left-to-right element order with the identical
   * per-element arithmetic (element ::DOUBLE × LCG-integer weight
   * ::DOUBLE), so plans using it still hash-match the DuckDB oracle's
@@ -59,7 +59,7 @@ case class LshCode(child: Expression) extends UnaryExpression {
 
 object LshCode {
   /** Static kernel — called from generated code. One pass over the
-    * array; `projs` holds the 12 running plane sums. Weight for (plane
+    * array; `projs` holds the running per-plane sums. Weight for (plane
     * j, 0-based dim i) replays [[TextSim]]'s LCG exactly:
     * ((1103515245·(j·64 + i) + 12345) mod 2001) − 1000. */
   def code(a: ArrayData, aDouble: Boolean): Long = {

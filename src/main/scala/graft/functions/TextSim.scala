@@ -166,13 +166,21 @@ object TextSim {
   /** Random-hyperplane sign code over `lshPlanes` planes. The FULL code is
     * always computed; callers take `code % mask` to use however many low
     * planes the corpus size warrants ([[lshMask]]) — the masked-off planes
-    * cost nothing extra and keep the template static. The Spark side is
-    * the codegen'd [[LshCode]] kernel (ONE pass over the array for all
-    * planes instead of 12 interpreted folds); the HOF form below is the
-    * portable twin the DuckDB oracle runs — bit-identical by
-    * construction (KernelProps fuzz + the oracle hash compare through
-    * t39/t51/t54). */
-  val lshPlanes = 12
+    * cost only their per-element multiply and keep the template static.
+    * 20 planes carries the bucket ladder to 2^20 (~16M vectors at the
+    * ~16/bucket design point); the round-10 x100 tier measured the old
+    * 12-plane cap clamping at 4096 buckets, with occupancy growing
+    * linearly past ~64k vectors and the Hamming-1 probe join spilling
+    * out of disk at 200k. Raising the constant changes NOTHING at
+    * masks ≤ 4096: `code % 2^k` reads only the low k planes, so stored
+    * 12-plane-era bucket values and every gate-scale oracle answer are
+    * bit-identical (the extra planes only become visible when the
+    * ladder assigns a mask above 4096). The Spark side is the codegen'd
+    * [[LshCode]] kernel (ONE pass over the array for all planes instead
+    * of 20 interpreted folds); the HOF form below is the portable twin
+    * the DuckDB oracle runs — bit-identical by construction (KernelProps
+    * fuzz + the oracle hash compare through t39/t51/t54). */
+  val lshPlanes = 20
   def lshCode(d: Dialect, emb: String): String =
     if (d eq spark) s"graft_lsh_code($emb)" else lshCodeHof(d, emb)
 
@@ -191,12 +199,19 @@ object TextSim {
     * chain over the corpus row count `n` — targets ~16 vectors/bucket so
     * per-bucket pair generation stays bounded as the corpus grows. A
     * deterministic integer ladder, NOT floor(log2(n)): libm log2 is not
-    * bit-identical across engines. Clamped to [16, 4096]; beyond ~64k
-    * vectors production raises lshPlanes and extends the ladder. */
+    * bit-identical across engines. Clamped to [16, 2^20] (the 20-plane
+    * code width — ~16M vectors at the design point; the next decade
+    * raises [[lshPlanes]] again, one constant + CASE arms). The first
+    * nine arms are unchanged from the 12-plane era, so every frozen mask
+    * and gate-scale oracle answer carries over bit-identically. */
   def lshMask(n: String): String =
     s"""CASE WHEN $n < 256 THEN 16 WHEN $n < 512 THEN 32 WHEN $n < 1024 THEN 64
        | WHEN $n < 2048 THEN 128 WHEN $n < 4096 THEN 256 WHEN $n < 8192 THEN 512
-       | WHEN $n < 16384 THEN 1024 WHEN $n < 32768 THEN 2048 ELSE 4096 END""".stripMargin
+       | WHEN $n < 16384 THEN 1024 WHEN $n < 32768 THEN 2048 WHEN $n < 65536 THEN 4096
+       | WHEN $n < 131072 THEN 8192 WHEN $n < 262144 THEN 16384
+       | WHEN $n < 524288 THEN 32768 WHEN $n < 1048576 THEN 65536
+       | WHEN $n < 2097152 THEN 131072 WHEN $n < 4194304 THEN 262144
+       | WHEN $n < 8388608 THEN 524288 ELSE 1048576 END""".stripMargin
 
   /** Scala mirror of [[lshMask]] — the incremental cosine-dedup index
     * freezes its bucket mask from the FIRST batch's count (codes must
@@ -207,7 +222,11 @@ object TextSim {
   def lshMaskValue(n: Long): Int =
     if (n < 256) 16 else if (n < 512) 32 else if (n < 1024) 64
     else if (n < 2048) 128 else if (n < 4096) 256 else if (n < 8192) 512
-    else if (n < 16384) 1024 else if (n < 32768) 2048 else 4096
+    else if (n < 16384) 1024 else if (n < 32768) 2048 else if (n < 65536) 4096
+    else if (n < 131072) 8192 else if (n < 262144) 16384
+    else if (n < 524288) 32768 else if (n < 1048576) 65536
+    else if (n < 2097152) 131072 else if (n < 4194304) 262144
+    else if (n < 8388608) 524288 else 1048576
 
   /** IVF cell count ladder over corpus size `n` — tracks ~sqrt(n) (the
     * classical nlist choice balancing probe cost against cell size),

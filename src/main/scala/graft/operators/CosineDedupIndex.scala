@@ -37,7 +37,8 @@ import org.apache.spark.sql.functions._
   * Scale shape: codes are scan-side (one kernel pass per vector, no
   * shuffle); the probe join is an equi-join on integer bucket keys with
   * ~16 vectors/bucket by construction, so candidates are bounded by
-  * |increment| × 13 probes × occupancy, independent of corpus size; the
+  * |increment| × (log2(mask)+1) live probes × occupancy, independent
+  * of corpus size; the
   * snapshot is the big side and never moves. Deletion is
   * tombstone-then-compact ([[Tombstones]]), O(removed) per batch.
   *
@@ -102,7 +103,7 @@ object CosineDedupIndex {
     val newCached = graft.CacheJanitor.register(encode(increment, mask).persist())
     BatchLog.append(newCached, codesDir(root), batchKey, "CosineDedupIndex")
     val all = readIndex(spark, root)
-    Batch(newCached, all, deltaPairs(all, newCached))
+    Batch(newCached, all, deltaPairs(all, newCached, Some(mask)))
   }
 
   /** Live code rows: the snapshot minus tombstoned vec_ids (compaction
@@ -283,12 +284,21 @@ object CosineDedupIndex {
   /** Near-dup pairs touching at least one `newCodes` vector: Hamming≤1
     * probe equi-join → normalized distinct candidates → exact cosine ≥
     * [[cosineMin]] on the stored embeddings. With `newCodes == allCodes`
-    * this is the from-scratch t54 pair pipeline under the given mask. */
-  def deltaPairs(allCodes: DataFrame, newCodes: DataFrame): DataFrame = {
+    * this is the from-scratch t54 pair pipeline under the given mask.
+    *
+    * `mask` (when the caller knows it — [[ingest]] always does) prunes
+    * DEAD probes before the join: a flip of a plane at or above
+    * log2(mask) yields a key ≥ mask that can match no bucket, so with
+    * the 20-plane code only the log2(mask)+1 live probes ship —
+    * answer-identical with or without (the oracle templates join the
+    * full probe set and agree), purely a probe-volume saver. */
+  def deltaPairs(allCodes: DataFrame, newCodes: DataFrame,
+      mask: Option[Long] = None): DataFrame = {
     val d = TextSim.spark
     val probes = d.arrayOf("bucket" +: (0 until TextSim.lshPlanes)
       .map(k => d.xor("bucket", (1L << k).toString)))
-    val newP = newCodes.selectExpr("vec_id", s"explode($probes) AS probe")
+    val newPAll = newCodes.selectExpr("vec_id", s"explode($probes) AS probe")
+    val newP = mask.map(m => newPAll.where(col("probe") < lit(m))).getOrElse(newPAll)
     val cand = newP.join(
         allCodes.select(col("vec_id").as("other_id"), col("bucket")),
         newP("probe") === col("bucket") && newP("vec_id") =!= col("other_id"))

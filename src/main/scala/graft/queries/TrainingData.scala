@@ -400,9 +400,10 @@ object TrainingData {
     * per-bucket pair cost stays bounded as the corpus grows — the fixed
     * 256 buckets of the first cut went O((n/256)²). Each vector probes
     * its own bucket plus every 1-bit-flip neighbor (recall for vectors
-    * that straddle one hyperplane); flips above the active mask produce
-    * keys ≥ mask that match nothing, so the probe array is static over
-    * all 12 planes. Candidates via the probe→bucket equi-join, then
+    * that straddle one hyperplane); the probe array is static over all
+    * 20 planes, and a `probe < mask` filter drops the dead flips (keys
+    * ≥ mask match nothing) before the join, so only the log2(mask)+1
+    * live probes ship. Candidates via the probe→bucket equi-join, then
     * exact cosine ≥ 0.4. */
   private val t39 = dual() { d =>
     s"""WITH ${lshPairCtes(d)}
@@ -430,7 +431,9 @@ object TrainingData {
        |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2,
        |    ${TextSim.lshCode(d, "embedding")} % (SELECT mask FROM m) AS bucket
        |  FROM embeddings),
-       |p AS (SELECT vec_id, ${d.explode}($probes) AS probe FROM v),
+       |p AS (SELECT vec_id, probe
+       |      FROM (SELECT vec_id, ${d.explode}($probes) AS probe FROM v) pr
+       |      WHERE probe < (SELECT mask FROM m)),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM p a JOIN v b ON a.probe = b.bucket AND a.vec_id < b.vec_id),
@@ -1121,7 +1124,9 @@ object TrainingData {
     def tail(d: Dialect): String = {
       val probes = d.arrayOf("bucket" +: (0 until TextSim.lshPlanes)
         .map(k => d.xor("bucket", (1L << k).toString)))
-      s"""p AS (SELECT doc_id, ${d.explode}($probes) AS probe FROM qv),
+      s"""p AS (SELECT doc_id, probe
+         |      FROM (SELECT doc_id, ${d.explode}($probes) AS probe FROM qv) pr
+         |      WHERE probe < (SELECT mask FROM m)),
          |cand AS (
          |  SELECT DISTINCT p.doc_id AS query_id, mv.doc_id AS media_id
          |  FROM p JOIN mv ON p.probe = mv.bucket AND p.doc_id <> mv.doc_id),
@@ -2399,8 +2404,8 @@ object TrainingData {
         graft.operators.CosineDedupIndex.encode(emb, mask).persist())
       val evenCodes = allCodes.where("vec_id % 2 = 0")
       val oddCodes = allCodes.where("vec_id % 2 = 1")
-      val pairs1 = graft.operators.CosineDedupIndex.deltaPairs(evenCodes, evenCodes)
-      val pairs2 = graft.operators.CosineDedupIndex.deltaPairs(allCodes, oddCodes)
+      val pairs1 = graft.operators.CosineDedupIndex.deltaPairs(evenCodes, evenCodes, Some(mask))
+      val pairs2 = graft.operators.CosineDedupIndex.deltaPairs(allCodes, oddCodes, Some(mask))
       pairs1.unionByName(pairs2).orderBy(col("vec_a"), col("vec_b"))
     },
     oracle = Some {
@@ -2471,11 +2476,11 @@ object TrainingData {
       val refrozen = graft.CacheJanitor.register(
         graft.operators.CosineDedupIndex.encode(emb, mask2).persist())
       val b1 = oldCodes.where("vec_id % 3 = 0")
-      val pairs1 = graft.operators.CosineDedupIndex.deltaPairs(b1, b1)
+      val pairs1 = graft.operators.CosineDedupIndex.deltaPairs(b1, b1, Some(mask1))
       val pairs2 = graft.operators.CosineDedupIndex.deltaPairs(
-        oldCodes, oldCodes.where("vec_id % 3 = 1"))
+        oldCodes, oldCodes.where("vec_id % 3 = 1"), Some(mask1))
       val pairs3 = graft.operators.CosineDedupIndex.deltaPairs(
-        refrozen, refrozen.where("vec_id % 3 = 2"))
+        refrozen, refrozen.where("vec_id % 3 = 2"), Some(mask2))
       pairs1.unionByName(pairs2).unionByName(pairs3)
         .orderBy(col("vec_a"), col("vec_b"))
     },
