@@ -34,6 +34,9 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.build("graft-bench")
+    // Data-proportional partitions (env override kept) — the knob the
+    // x100 tier showed must scale with input, now derived per session.
+    GraftSession.tuneShufflePartitions(spark, Seq(sfDir))
     val loadStart = loadavg()
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -25,6 +25,41 @@ object GraftSession {
   val shufflePartitions: String =
     sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
 
+  /** Data-proportional shuffle partition count: one partition per
+    * 128 MB of input (the parquet split size — a shuffle stage over the
+    * whole input then keeps per-task state bounded by one split), never
+    * below the core count. This is the derivation the x100 tier forced
+    * manually last round (`SPARK_GRAFT_SHUFFLE_PARTITIONS=256` + 48 GB
+    * heap carried t35 at 500k docs); with it computed per session the
+    * ladder runs green with no knob set. AQE coalesces small stages
+    * back down, so over-partitioning costs small runs nothing —
+    * under-partitioning is the failure mode (fixed per-task state grows
+    * with input until a task OOMs however large the heap). */
+  def autoShufflePartitions(inputBytes: Long, cores: Int = cpus.toInt): Int =
+    math.max(cores, ((inputBytes + (128L << 20) - 1) / (128L << 20)).toInt)
+
+  /** Total bytes of regular files under `dirs` (recursive; a missing
+    * dir contributes 0) — the `inputBytes` for
+    * [[autoShufflePartitions]]. Driver-side file metadata only. */
+  def dirBytes(dirs: Seq[String]): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    dirs.map(d => walk(new java.io.File(d))).sum
+  }
+
+  /** Re-derive `spark.sql.shuffle.partitions` from the data a session
+    * is about to process (a RUNTIME conf — callable between queries, so
+    * a multi-tier run right-sizes each tier). The explicit
+    * `SPARK_GRAFT_SHUFFLE_PARTITIONS` env keeps the last word. Returns
+    * the partition count in effect. */
+  def tuneShufflePartitions(spark: SparkSession, dirs: Seq[String]): Int = {
+    val n = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
+      .getOrElse(autoShufflePartitions(dirBytes(dirs)))
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    n
+  }
+
   def build(appName: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

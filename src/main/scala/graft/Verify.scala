@@ -12,6 +12,7 @@ object Verify {
     // the driver passes exactly two args and gets the full dump.
     val prefixes = args.drop(2).toSeq
     val spark = GraftSession.build("graft-verify")
+    GraftSession.tuneShufflePartitions(spark, Seq(sfDir))
     run(spark, SparkEntry.queries, SparkEntry.oracleSql, sfDir, outDir, prefixes)
     spark.stop()
   }

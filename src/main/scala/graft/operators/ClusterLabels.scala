@@ -347,7 +347,15 @@ object ClusterLabels {
         if (r.isNullAt(0)) 1L else r.getLong(0) + 1L
       }
     val committedBefore = BatchLog.committedKeys(spark, dir(root))
-    BatchLog.appendResolved(delta.withColumn("batch", lit(nextBatch)),
+    // ONE file per batch directory: the delta is O(increment ∪ touched
+    // components) rows by contract, but its lineage (CC output unioned
+    // with singletons) arrives at shuffle-partition granularity — at 32
+    // partitions that is ~64 near-empty files per batch, and every
+    // later merge/fold re-opens ALL of them (measured: 3.7k label files
+    // by batch 55 of the x100 loop, a file-open tax growing linearly
+    // with batch count). Coalesce is safe exactly because the delta is
+    // touched-sized, never the corpus.
+    BatchLog.appendResolved(delta.withColumn("batch", lit(nextBatch)).coalesce(1),
       dir(root), key, "ClusterLabels")
     // Stats sidecar for the O(1) health poll ([[labelStats]]). Only
     // written when the append actually landed (the retired-keys ledger

@@ -315,10 +315,15 @@ object SignatureIndex {
     if (BatchLog.retiredKeys(spark, s"$root/$table").contains(key)) return
     if (coveredBefore && coveredKeys(spark, root, table).contains(key)) return // covered replay
     if (coveredBefore) {
+      // ONE file per batch directory (the frames are increment-sized by
+      // contract): at shuffle-partition granularity each batch would
+      // add ~32 near-empty files to a log every later batch re-scans —
+      // a file-open tax growing linearly with batch count.
       val newPost = newSigs.select(col("doc_id"), explode(col("shs")).as("h"))
-      BatchLog.appendResolved(newPost, postingsDir(root, table), key,
+      BatchLog.appendResolved(newPost.coalesce(1), postingsDir(root, table), key,
         "SignatureIndex.postings")
-      BatchLog.appendResolved(newPost.groupBy("h").agg(count(lit(1)).as("n")),
+      BatchLog.appendResolved(
+        newPost.groupBy("h").agg(count(lit(1)).as("n")).coalesce(1),
         dfDir(root, table), key, "SignatureIndex.dfcounts")
       writeMarker(spark, root, table, key)
     } else rebuildDerived(spark, root, table)

@@ -155,7 +155,12 @@ object ScaleBench {
       SparkEntry.queries(name)(spark, x1Dir).count(); CacheJanitor.drain()
     }
     val ladder = queries.map { name =>
+      // Right-size partitions per TIER (runtime conf): the x100 one-shot
+      // queries need data-proportional partitions while the x1 pass
+      // stays at core count — previously a manual env knob, now derived.
+      graft.GraftSession.tuneShufflePartitions(spark, Seq(x1Dir))
       val a = benchQuery(spark, name, x1Dir, reps)
+      graft.GraftSession.tuneShufflePartitions(spark, Seq(xFDir))
       val b = benchQuery(spark, name, xFDir, reps)
       println(s"# $name  x1=${f(a.median)}s/${a.rows}r  x$factor=${f(b.median)}s/${b.rows}r" +
         s"  time x${f(b.median / a.median)}  rows x${f(b.rows.toDouble / math.max(a.rows, 1L))}")
@@ -166,6 +171,11 @@ object ScaleBench {
     // Batch r = replica r of the F× corpus (constant increment size);
     // the accumulated index grows 1..F increments underneath it. The
     // O(increment) claim is per-batch wall-time staying flat.
+    // The LOOP's working set is increment-sized by design: partitions
+    // derive from ONE replica (= the seed), not the accumulated tier —
+    // at 256 partitions the loop measures small-stage scheduling
+    // overhead, not the operator (measured in round 10).
+    graft.GraftSession.tuneShufflePartitions(spark, Seq(x1Dir))
     val loopRoot = s"$workDir/pipeline_root"
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(loopRoot), true)
