@@ -25,18 +25,24 @@ object GraftSession {
   val shufflePartitions: String =
     sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
 
-  /** Data-proportional shuffle partition count: one partition per
-    * 128 MB of input (the parquet split size — a shuffle stage over the
-    * whole input then keeps per-task state bounded by one split), never
-    * below the core count. This is the derivation the x100 tier forced
-    * manually last round (`SPARK_GRAFT_SHUFFLE_PARTITIONS=256` + 48 GB
-    * heap carried t35 at 500k docs); with it computed per session the
-    * ladder runs green with no knob set. AQE coalesces small stages
-    * back down, so over-partitioning costs small runs nothing —
-    * under-partitioning is the failure mode (fixed per-task state grows
-    * with input until a task OOMs however large the heap). */
+  /** Data-proportional shuffle partition count: one partition per 2 MB
+    * of ON-DISK input, floored at the core count and capped at 65536.
+    *
+    * Why 2 MB and not the 128 MB split size: shuffle state is sized by
+    * the EXPANDED data, not the compressed scan. The heaviest operators
+    * here explode text into 3-word shingle postings and join them —
+    * measured ~64× the parquet bytes in shuffle+join state (the x100
+    * tier: ~200 MB on disk, t35's candidate join OOM'ed a task at 32
+    * partitions however large the heap; 256 partitions carried it). So
+    * bytes/2MB ≈ expandedBytes/128MB for this workload family. AQE
+    * coalesces small stages back down, so over-partitioning costs light
+    * queries nothing — under-partitioning is the failure mode. The cap
+    * bounds task-scheduling overhead; a deployment past it (≳128 GB
+    * compressed per query) sizes partitions explicitly, as every
+    * cluster operator does. */
   def autoShufflePartitions(inputBytes: Long, cores: Int = cpus.toInt): Int =
-    math.max(cores, ((inputBytes + (128L << 20) - 1) / (128L << 20)).toInt)
+    math.min(65536L,
+      math.max(cores.toLong, (inputBytes + (2L << 20) - 1) / (2L << 20))).toInt
 
   /** Total bytes of regular files under `dirs` (recursive; a missing
     * dir contributes 0) — the `inputBytes` for

@@ -7,17 +7,21 @@ import java.nio.file.Files
   * env knob; the knob must be a derivation). */
 class GraftSessionSpec extends SparkSpec {
 
-  test("autoShufflePartitions: one partition per 128 MB, floored at the core count") {
+  test("autoShufflePartitions: one partition per 2 MB on disk, floored at cores, capped") {
     val mb = 1L << 20
     assert(GraftSession.autoShufflePartitions(0L, cores = 32) == 32)
-    assert(GraftSession.autoShufflePartitions(128 * mb, cores = 32) == 32)
-    assert(GraftSession.autoShufflePartitions(100L * 1024 * mb, cores = 32) == 800,
-      "100 GB / 128 MB = 800 partitions")
-    // Ceil at the split boundary: one byte over adds a partition.
-    assert(GraftSession.autoShufflePartitions(40 * 128 * mb, cores = 2) == 40)
-    assert(GraftSession.autoShufflePartitions(40 * 128 * mb + 1, cores = 2) == 41)
+    // sf0.1 (~17 MB) stays at the core count — the bench is unchanged.
+    assert(GraftSession.autoShufflePartitions(17 * mb, cores = 32) == 32)
+    // The x100 tier (~200 MB on disk) gets ~100 partitions with no knob
+    // set — the regime that OOM'ed at a fixed 32 last round.
+    assert(GraftSession.autoShufflePartitions(200 * mb, cores = 32) == 100)
+    // Ceil at the 2 MB boundary: one byte over adds a partition.
+    assert(GraftSession.autoShufflePartitions(40 * 2 * mb, cores = 2) == 40)
+    assert(GraftSession.autoShufflePartitions(40 * 2 * mb + 1, cores = 2) == 41)
     // Small data never drops below cores (parallelism floor).
     assert(GraftSession.autoShufflePartitions(1 * mb, cores = 8) == 8)
+    // Bounded above: task-scheduling overhead, not partitions, past 128 GB.
+    assert(GraftSession.autoShufflePartitions(1L << 40, cores = 32) == 65536)
   }
 
   test("dirBytes: recursive file sizes; missing dirs contribute zero") {
