@@ -338,15 +338,26 @@ object ClusterLabels {
       .select(col("doc_id"), col("doc_id").as("label"))
     val delta = graft.CacheJanitor.register(
       relabeled.unionByName(singletons).persist())
+    val committedBefore = BatchLog.committedKeys(spark, dir(root))
+    // Read BEFORE the append: for a replayed key the append overwrites
+    // the directory (and its old sidecar) — the replay branch below
+    // must not see its own half-replaced state.
+    val prevSidecars = committedBefore.flatMap(k => readStats(spark, root, k))
+    val sidecarCurrent = prevSidecars.nonEmpty &&
+      prevSidecars.maxBy(_.batch).nKeys == committedBefore.size
     // Max over the log MINUS this key's own rows: a replay computes the
-    // same next batch number its first run did.
+    // same next batch number its first run did. Served from the newest
+    // sidecar when it is current and this is NOT a replay (the newest
+    // sidecar's batch IS the log's max batch then) — the max-batch
+    // aggregate was one more per-batch job scanning the whole log.
     val nextBatch =
       if (!hasLog) 1L
+      else if (sidecarCurrent && !committedBefore.contains(key))
+        prevSidecars.maxBy(_.batch).batch + 1L
       else {
         val r = log.agg(max(col("batch"))).head
         if (r.isNullAt(0)) 1L else r.getLong(0) + 1L
       }
-    val committedBefore = BatchLog.committedKeys(spark, dir(root))
     // ONE file per batch directory: the delta is O(increment ∪ touched
     // components) rows by contract, but its lineage (CC output unioned
     // with singletons) arrives at shuffle-partition granularity — at 32
@@ -365,16 +376,13 @@ object ClusterLabels {
     val committedAfter = BatchLog.committedKeys(spark, dir(root))
     if (committedAfter.contains(key)) {
       val replay = committedBefore.contains(key)
-      val prevSidecars = committedBefore.flatMap(k => readStats(spark, root, k))
       // Intact iff the NEWEST predecessor sidecar is current (saw every
       // pre-merge directory, carries the immediately-preceding batch
       // number): the incremental arithmetic below only consumes that one
       // sidecar's totals, and any written sidecar is exact by induction
       // — gaps in OLDER batches' sidecars don't matter.
-      val chainIntact = committedBefore.isEmpty || (prevSidecars.nonEmpty && {
-        val top = prevSidecars.maxBy(_.batch)
-        top.nKeys == committedBefore.size && top.batch == nextBatch - 1
-      })
+      val chainIntact = committedBefore.isEmpty || (sidecarCurrent &&
+        prevSidecars.maxBy(_.batch).batch == nextBatch - 1)
       val (labelled, keepers) =
         if (!replay && chainIntact) {
           // delta replaces EXACTLY the members rows and adds the batch's

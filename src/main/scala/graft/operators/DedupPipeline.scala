@@ -60,16 +60,24 @@ object DedupPipeline {
     // at sf0.1).
     val pairs = graft.CacheJanitor.register(
       b.deltaPairs.select(col("doc_a"), col("doc_b")).persist())
-    val labels = graft.CacheJanitor.register(
-      ClusterLabels.merge(spark, root, pairs,
-        increment.select(col("doc_id")), batchKey).persist())
-    val stats = BatchStats(
-      newDocs = increment.count(),
-      deltaPairs = pairs.count(),
-      clusters = labels.select("label").distinct().count(),
-      keepers = labels.where(col("doc_id") === col("label")).count())
+    ClusterLabels.merge(spark, root, pairs, increment.select(col("doc_id")), batchKey)
+    val stats = batchStats(spark, root, increment.count(), pairs.count())
     graft.CacheJanitor.drain()
     stats
+  }
+
+  /** Post-merge batch stats from the label-stats sidecars (O(1) when
+    * the chain is intact, exact fold otherwise — never wrong). The
+    * label totals used to be TWO corpus-sized folds of the merge's
+    * returned table per batch — a measured corpus-linear term in the
+    * x100 loop's runOnce. `clusters == keepers` by the min-id keeper
+    * invariant: every component's label is its min member's id, so
+    * exactly one doc per cluster satisfies `doc_id == label`. */
+  private def batchStats(spark: SparkSession, root: String,
+      newDocs: Long, deltaPairs: Long): BatchStats = {
+    val (_, _, keepers) = ClusterLabels.labelStats(spark, root)
+    BatchStats(newDocs = newDocs, deltaPairs = deltaPairs,
+      clusters = keepers, keepers = keepers)
   }
 
   /** One maintenance batch over a `(vec_id, embedding)` increment — the
@@ -87,14 +95,9 @@ object DedupPipeline {
     val pairs = graft.CacheJanitor.register(
       b.deltaPairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
         .persist())
-    val labels = graft.CacheJanitor.register(
-      ClusterLabels.merge(spark, root, pairs,
-        increment.select(col("vec_id").as("doc_id")), batchKey).persist())
-    val stats = BatchStats(
-      newDocs = increment.count(),
-      deltaPairs = pairs.count(),
-      clusters = labels.select("label").distinct().count(),
-      keepers = labels.where(col("doc_id") === col("label")).count())
+    ClusterLabels.merge(spark, root, pairs,
+      increment.select(col("vec_id").as("doc_id")), batchKey)
+    val stats = batchStats(spark, root, increment.count(), pairs.count())
     graft.CacheJanitor.drain()
     stats
   }
