@@ -154,13 +154,14 @@ object ScaleBench {
     queries.foreach { name =>
       SparkEntry.queries(name)(spark, x1Dir).count(); CacheJanitor.drain()
     }
+    var (p1, pF) = (0, 0)
     val ladder = queries.map { name =>
       // Right-size partitions per TIER (runtime conf): the x100 one-shot
       // queries need data-proportional partitions while the x1 pass
       // stays at core count — previously a manual env knob, now derived.
-      graft.GraftSession.tuneShufflePartitions(spark, Seq(x1Dir))
+      p1 = graft.GraftSession.tuneShufflePartitions(spark, Seq(x1Dir))
       val a = benchQuery(spark, name, x1Dir, reps)
-      graft.GraftSession.tuneShufflePartitions(spark, Seq(xFDir))
+      pF = graft.GraftSession.tuneShufflePartitions(spark, Seq(xFDir))
       val b = benchQuery(spark, name, xFDir, reps)
       println(s"# $name  x1=${f(a.median)}s/${a.rows}r  x$factor=${f(b.median)}s/${b.rows}r" +
         s"  time x${f(b.median / a.median)}  rows x${f(b.rows.toDouble / math.max(a.rows, 1L))}")
@@ -212,6 +213,7 @@ object ScaleBench {
     val json =
       s"""{"metric":"scale_ladder","seed":"$seedDir","factor":$factor,"reps":$reps,""" +
         s""""cpus":${graft.GraftSession.cpus},"shuffle_partitions":${graft.GraftSession.shufflePartitions},""" +
+        (if (p1 > 0) s""""x1_partitions":$p1,"x$factor${"_partitions"}":$pF,""" else "") +
         s""""driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",""" +
         s""""tiers":{"x1":{"documents":$d1,"embeddings":$e1},"x$factor":{"documents":$dF,"embeddings":$eF}},""" +
         s""""queries":$qJson,"pipeline_loop":$loopJson,""" +
