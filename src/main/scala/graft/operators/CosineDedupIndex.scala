@@ -299,15 +299,27 @@ object CosineDedupIndex {
       .map(k => d.xor("bucket", (1L << k).toString)))
     val newPAll = newCodes.selectExpr("vec_id", s"explode($probes) AS probe")
     val newP = mask.map(m => newPAll.where(col("probe") < lit(m))).getOrElse(newPAll)
-    val cand = newP.join(
-        allCodes.select(col("vec_id").as("other_id"), col("bucket")),
-        newP("probe") === col("bucket") && newP("vec_id") =!= col("other_id"))
-      .select(least(col("vec_id"), col("other_id")).as("vec_a"),
-        greatest(col("vec_id"), col("other_id")).as("vec_b"))
+    // The probe join reads only (vec_id, bucket) — parquet prunes the
+    // embedding column out of the corpus-side scan entirely.
+    val cand = graft.CacheJanitor.register(
+      newP.join(
+          allCodes.select(col("vec_id").as("other_id"), col("bucket")),
+          newP("probe") === col("bucket") && newP("vec_id") =!= col("other_id"))
+        .select(least(col("vec_id"), col("other_id")).as("vec_a"),
+          greatest(col("vec_id"), col("other_id")).as("vec_b"))
+        .distinct().persist())
+    // Exact verify over ONE candidate-semi-joined pass of the heavy
+    // embedding column (it used to stream the full corpus twice, once
+    // per pair side) — same rows, same fold arithmetic, bit-identical
+    // cosines.
+    val candIds = cand.select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
       .distinct()
-    val ea = allCodes.select(col("vec_id").as("vec_a"),
+    val cv = graft.CacheJanitor.register(
+      allCodes.select(col("vec_id"), col("embedding"), col("n2"))
+        .join(broadcast(candIds), Seq("vec_id"), "left_semi").persist())
+    val ea = cv.select(col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"), col("n2").as("n2_a"))
-    val eb = allCodes.select(col("vec_id").as("vec_b"),
+    val eb = cv.select(col("vec_id").as("vec_b"),
       col("embedding").as("emb_b"), col("n2").as("n2_b"))
     cand.join(ea, "vec_a").join(eb, "vec_b")
       .withColumn("cosine",

@@ -58,7 +58,10 @@ import org.apache.spark.sql.functions._
   * `SPARK_GRAFT_SCALE_FACTOR` (default 10), `SPARK_GRAFT_SCALE_REPS`
   * (default 3), `SPARK_GRAFT_SCALE_QUERIES` (comma list override; the
   * empty string skips the ladder), `SPARK_GRAFT_SCALE_LOOP` (loop
-  * batch count, default = factor; 0 skips the loop). Ladder and loop
+  * batch count, default = factor; 0 skips the loop),
+  * `SPARK_GRAFT_SCALE_VECLOOP` (vector-loop batch count, default = the
+  * text loop's; 0 skips — the cosine family's lifecycle with mid-loop
+  * refreezes at the same tier). Ladder and loop
   * are separable because their right-sized sessions DIFFER at large
   * factors: the one-shot x100 queries need a big heap and
   * data-proportional shuffle partitions (`SPARK_GRAFT_SHUFFLE_
@@ -197,6 +200,36 @@ object ScaleBench {
         (if (row._5) " [labels compacted]" else ""))
       row
     }
+    // --- VECTOR maintenance loop: the cosine family's lifecycle at the
+    // same tier (round-11 item: the CosineDedupIndex loop at 200k+
+    // vectors). Batch r = replica r's embeddings (constant increment);
+    // the mask FREEZES at batch 0's count, so as the corpus outgrows
+    // the ladder step, `maintainOnce(vector = true)` must fire real
+    // REFREEZES mid-loop — the recorded envelope contains them
+    // (`refrozen` marks which batches paid a migration).
+    val vecBatches = sys.env.get("SPARK_GRAFT_SCALE_VECLOOP")
+      .map(_.toInt).getOrElse(loopBatches).min(factor)
+    val vecRoot = s"$workDir/vector_root"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(vecRoot), true)
+    val vecCorpus = spark.read.parquet(s"$xFDir/embeddings.parquet")
+    val vecLoop = (0 until vecBatches).map { r =>
+      val inc = vecCorpus.where(
+          col("vec_id") >= lit(r * idStride) && col("vec_id") < lit((r + 1) * idStride))
+        .select("vec_id", "embedding")
+      val t0 = System.nanoTime()
+      val stats = graft.operators.DedupPipeline.runOnceVectors(
+        spark, vecRoot, inc, batchKey = Some(s"scale_v$r"))
+      val t1 = System.nanoTime()
+      val maint = graft.operators.DedupPipeline.maintainOnce(spark, vecRoot, vector = true)
+      val t2 = System.nanoTime()
+      val row = (r, (t1 - t0) / 1e9, (t2 - t1) / 1e9, stats,
+        maint.refrozen, maint.after.liveDocs)
+      println(s"# vec batch $r  runOnce=${f(row._2)}s maintain=${f(row._3)}s " +
+        s"vecs=${stats.newDocs} pairs=${stats.deltaPairs} live=${row._6}" +
+        (if (row._5) " [REFROZEN]" else ""))
+      row
+    }
     val loadEnd = loadavg()
 
     val batchTimes = loop.map(_._2).sorted
@@ -210,13 +243,18 @@ object ScaleBench {
         s""""new_docs":${st.newDocs},"delta_pairs":${st.deltaPairs},"clusters":${st.clusters},""" +
         s""""keepers":${st.keepers},"labels_compacted":$lc,"live_docs_after":$live}"""
     }.mkString("[", ",", "]")
+    val vecLoopJson = vecLoop.map { case (r, ing, mnt, st, rf, live) =>
+      s"""{"batch":$r,"run_once_sec":${f(ing)},"maintain_sec":${f(mnt)},""" +
+        s""""new_vecs":${st.newDocs},"delta_pairs":${st.deltaPairs},""" +
+        s""""refrozen":$rf,"live_vecs_after":$live}"""
+    }.mkString("[", ",", "]")
     val json =
       s"""{"metric":"scale_ladder","seed":"$seedDir","factor":$factor,"reps":$reps,""" +
         s""""cpus":${graft.GraftSession.cpus},"shuffle_partitions":${graft.GraftSession.shufflePartitions},""" +
         (if (p1 > 0) s""""x1_partitions":$p1,"x$factor${"_partitions"}":$pF,""" else "") +
         s""""driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",""" +
         s""""tiers":{"x1":{"documents":$d1,"embeddings":$e1},"x$factor":{"documents":$dF,"embeddings":$eF}},""" +
-        s""""queries":$qJson,"pipeline_loop":$loopJson,""" +
+        s""""queries":$qJson,"pipeline_loop":$loopJson,"vector_loop":$vecLoopJson,""" +
         (if (loop.isEmpty) ""
          else s""""loop_batch_median_sec":${f(batchTimes(batchTimes.size / 2))},""" +
            s""""loop_batch_min_sec":${f(batchTimes.head)},"loop_batch_max_sec":${f(batchTimes.last)},""" +
