@@ -300,27 +300,41 @@ object CosineDedupIndex {
     val newPAll = newCodes.selectExpr("vec_id", s"explode($probes) AS probe")
     val newP = mask.map(m => newPAll.where(col("probe") < lit(m))).getOrElse(newPAll)
     // The probe join reads only (vec_id, bucket) — parquet prunes the
-    // embedding column out of the corpus-side scan entirely.
-    val cand = graft.CacheJanitor.register(
-      newP.join(
-          allCodes.select(col("vec_id").as("other_id"), col("bucket")),
-          newP("probe") === col("bucket") && newP("vec_id") =!= col("other_id"))
-        .select(least(col("vec_id"), col("other_id")).as("vec_a"),
-          greatest(col("vec_id"), col("other_id")).as("vec_b"))
-        .distinct().persist())
-    // Exact verify over ONE candidate-semi-joined pass of the heavy
-    // embedding column (it used to stream the full corpus twice, once
-    // per pair side) — same rows, same fold arithmetic, bit-identical
-    // cosines.
-    val candIds = cand.select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
+    // embedding column out of a disk-backed corpus scan entirely.
+    val candRaw = newP.join(
+        allCodes.select(col("vec_id").as("other_id"), col("bucket")),
+        newP("probe") === col("bucket") && newP("vec_id") =!= col("other_id"))
+      .select(least(col("vec_id"), col("other_id")).as("vec_a"),
+        greatest(col("vec_id"), col("other_id")).as("vec_b"))
       .distinct()
-    val cv = graft.CacheJanitor.register(
-      allCodes.select(col("vec_id"), col("embedding"), col("n2"))
-        .join(broadcast(candIds), Seq("vec_id"), "left_semi").persist())
-    val ea = cv.select(col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"), col("n2").as("n2_a"))
-    val eb = cv.select(col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"), col("n2").as("n2_b"))
+    // Verify-side cost choice, by the corpus frame's storage: DISK-
+    // backed (ingest's readIndex) pays one candidate-semi-joined pass
+    // over the heavy embedding column instead of streaming the corpus
+    // twice; an already-CACHED frame (t69/t70's replay queries, the
+    // spec harnesses) joins the cache directly — the semi-join's extra
+    // rounds would only re-read memory it cannot save. Same rows, same
+    // fold arithmetic, bit-identical cosines either way.
+    val cached = allCodes.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val (cand, ea, eb) =
+      if (cached)
+        (candRaw,
+          allCodes.select(col("vec_id").as("vec_a"),
+            col("embedding").as("emb_a"), col("n2").as("n2_a")),
+          allCodes.select(col("vec_id").as("vec_b"),
+            col("embedding").as("emb_b"), col("n2").as("n2_b")))
+      else {
+        val c = graft.CacheJanitor.register(candRaw.persist())
+        val candIds = c.select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
+          .distinct()
+        val cv = graft.CacheJanitor.register(
+          allCodes.select(col("vec_id"), col("embedding"), col("n2"))
+            .join(broadcast(candIds), Seq("vec_id"), "left_semi").persist())
+        (c,
+          cv.select(col("vec_id").as("vec_a"),
+            col("embedding").as("emb_a"), col("n2").as("n2_a")),
+          cv.select(col("vec_id").as("vec_b"),
+            col("embedding").as("emb_b"), col("n2").as("n2_b")))
+      }
     cand.join(ea, "vec_a").join(eb, "vec_b")
       .withColumn("cosine",
         expr(s"${TextSim.dot(d, "emb_a", "emb_b")} / (sqrt(n2_a) * sqrt(n2_b))"))
