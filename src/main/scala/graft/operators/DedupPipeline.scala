@@ -187,10 +187,16 @@ object DedupPipeline {
     *     tombstone threshold is satisfied by the same rewrite;
     *  2. index compaction, when pending tombstones exceed
     *     `tombstoneRatio` × live (skipped when a refreeze just folded
-    *     them);
+    *     them), OR when the log has accreted more than `maxLogDirs`
+    *     batch directories — an endless maintenance loop otherwise
+    *     grows one directory (and its listing/open cost) per batch
+    *     forever; folding every ~`maxLogDirs` batches bounds the
+    *     per-batch file tax at an amortized cost of one corpus rewrite
+    *     per `maxLogDirs` increments;
     *  3. label-log compaction, when raw rows exceed `logDepthRatio` ×
     *     the fold (readers are paying more than that multiple of their
-    *     useful rows).
+    *     useful rows) — or, same as above, past `maxLogDirs`
+    *     directories.
     *
     * All three run under the operators' existing crash protocols
     * (marker-gated refreeze, stage-then-swap compaction), so a crash
@@ -200,7 +206,8 @@ object DedupPipeline {
     * spec re-pins it end-to-end through this entry. Returns what fired
     * plus the before/after snapshots (the ops log line). */
   def maintainOnce(spark: SparkSession, root: String, vector: Boolean = false,
-      tombstoneRatio: Double = 0.1, logDepthRatio: Double = 2.0): Maintenance = WriterLease.withLease(spark, root) {
+      tombstoneRatio: Double = 0.1, logDepthRatio: Double = 2.0,
+      maxLogDirs: Int = 64): Maintenance = WriterLease.withLease(spark, root) {
     val before = health(spark, root, vector)
     val refrozen = vector && before.needsRefreeze
     if (refrozen) CosineDedupIndex.refreeze(spark, root)
@@ -210,15 +217,17 @@ object DedupPipeline {
     // later ingest of the same ids (same contract as AnnIndex.maintain).
     val logDir =
       if (vector) CosineDedupIndex.codesDir(root) else s"$root/signatures"
-    val indexCompacted = !refrozen && before.tombstoned > 0 &&
-      BatchLog.hasData(spark, logDir) &&
-      before.tombstoned >= tombstoneRatio * math.max(before.liveDocs, 1L)
+    val indexCompacted = !refrozen && BatchLog.hasData(spark, logDir) && (
+      (before.tombstoned > 0 &&
+        before.tombstoned >= tombstoneRatio * math.max(before.liveDocs, 1L)) ||
+      BatchLog.committedKeys(spark, logDir).size > maxLogDirs)
     if (indexCompacted) {
       if (vector) CosineDedupIndex.compact(spark, root)
       else SignatureIndex.compact(spark, root)
     }
-    val labelsCompacted = before.labelledDocs > 0 &&
-      before.labelLogRows > logDepthRatio * before.labelledDocs
+    val labelsCompacted = before.labelledDocs > 0 && (
+      before.labelLogRows > logDepthRatio * before.labelledDocs ||
+      BatchLog.committedKeys(spark, ClusterLabels.dir(root)).size > maxLogDirs)
     if (labelsCompacted) ClusterLabels.compact(spark, root)
     Maintenance(refrozen, indexCompacted, labelsCompacted,
       before, health(spark, root, vector))

@@ -2786,6 +2786,39 @@ object TrainingData {
          |${esdTail(d, "w", "kg")}""".stripMargin
     })
 
+  /** t74 — the PERSISTED indexed batch path, oracle-checked: t67 proves
+    * the frame-level delta-pair semantics; this runs the same parity
+    * split THROUGH [[graft.operators.SignatureIndex.ingest]]'s on-disk
+    * posting/df side tables (fresh throwaway root per invocation — the
+    * evens land as batch 1, the odds as batch 2) and hash-compares the
+    * batch-2 delta, computed by `deltaPairsIndexed` explicitly so the
+    * size switch cannot route around the path under test, against the
+    * identical DuckDB replay. The oracle-level proof that the
+    * derived-log fast path IS [[graft.operators.SignatureIndex
+    * .deltaPairs]] — candidate df caps from the persisted df log,
+    * candidates from the persisted postings, verify over the
+    * candidate-semi-joined signature scan.
+    *
+    * Scale: t67's story plus the round-11 side tables — the corpus-side
+    * logs are scanned (slim columns, broadcast-filtered), never
+    * shuffled or re-exploded; measured ~4 µs/doc residual slope in the
+    * 100-batch x100 loop (SCALEBENCH_r11_x100loop). */
+  private val t74 = GQuery(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.functions.GraftFunctions.registerAll(s)
+      val root = java.nio.file.Files.createTempDirectory("graft_t74").toString
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      graft.operators.SignatureIndex.ingest(s, root,
+        docs.where("doc_id % 2 = 0"), batchKey = Some("b1"))
+      val b2 = graft.operators.SignatureIndex.ingest(s, root,
+        docs.where("doc_id % 2 = 1"), batchKey = Some("b2"))
+      graft.operators.SignatureIndex
+        .deltaPairsIndexed(s, root, "signatures", b2.newSigs)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    oracle = t67.oracle) // same semantics, same replay — by design
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -2830,5 +2863,6 @@ object TrainingData {
     "t70_refreeze_cosine" -> t70,
     "t71_refreeze_ann" -> t71,
     "t72_takedown_dedup" -> t72,
-    "t73_exact_substring_dedup" -> t73)
+    "t73_exact_substring_dedup" -> t73,
+    "t74_indexed_dedup" -> t74)
 }

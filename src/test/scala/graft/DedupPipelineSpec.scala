@@ -339,6 +339,39 @@ class DedupPipelineSpec extends SparkSpec {
     CacheJanitor.drain()
   }
 
+  test("maintainOnce: directory-count trigger folds the logs; answers invariant") {
+    // An endless loop accretes one directory per batch per log forever
+    // (listing + file-open cost growing with batch count — the residual
+    // O(#dirs) term the x100 loop measures in its maintain poll). Past
+    // maxLogDirs, maintenance folds even with zero tombstones.
+    import graft.operators.{BatchLog, ClusterLabels, SignatureIndex}
+    val root = Files.createTempDirectory("graft_dp_dirs").toString
+    DedupPipeline.runOnce(spark, root, docs(batchA: _*), batchKey = Some("b1"))
+    DedupPipeline.runOnce(spark, root, docs(batchB: _*), batchKey = Some("b2"))
+    DedupPipeline.runOnce(spark, root,
+      docs(10L -> "yet another entirely unrelated document body right here"),
+      batchKey = Some("b3"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val manifestBefore = asMap(DedupPipeline.keeperManifest(spark, root))
+    assert(BatchLog.committedKeys(spark, s"$root/signatures").size == 3)
+
+    val m = DedupPipeline.maintainOnce(spark, root, maxLogDirs = 2)
+    assert(m.indexCompacted && m.labelsCompacted, m)
+    assert(BatchLog.committedKeys(spark, s"$root/signatures").size == 1,
+      "the signature log must fold to one directory")
+    assert(BatchLog.committedKeys(spark, ClusterLabels.dir(root)).size == 1,
+      "the label log must fold to one directory")
+    assert(SignatureIndex.derivedCovered(spark, root),
+      "the derived posting/df cache must be rebuilt with the fold")
+    assert(asMap(DedupPipeline.keeperManifest(spark, root)) == manifestBefore,
+      "compaction changes representation, never answers")
+    // Below the threshold nothing fires.
+    val m2 = DedupPipeline.maintainOnce(spark, root, maxLogDirs = 2)
+    assert(!m2.indexCompacted && !m2.labelsCompacted, m2)
+    CacheJanitor.drain()
+  }
+
   test("pinned snapshot: scheduled materialization, stale until refreshed") {
     val root = Files.createTempDirectory("graft_dp_pin").toString
     DedupPipeline.runOnce(spark, root, docs(batchA: _*), batchKey = Some("b1"))

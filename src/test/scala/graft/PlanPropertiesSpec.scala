@@ -35,6 +35,19 @@ class PlanPropertiesSpec extends SparkSpec {
       s"both enrichment joins must broadcast:\n$p4")
   }
 
+  test("t74: the indexed batch path only ever broadcasts against the corpus-side logs") {
+    // The whole point of the posting/df side tables is that the
+    // corpus-side logs are SCANNED, never shuffled: every join in the
+    // delta-pair plan must be a broadcast hash join (the increment/
+    // cap/candidate side is the bounded one by construction). A
+    // SortMergeJoin or ShuffledHashJoin here means a refactor dropped
+    // a broadcast hint and the corpus logs started moving per batch.
+    val p = plan("t74_indexed_dedup")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus-side logs must never shuffle into a join:\n$p")
+  }
+
   test("q01/q05: aggregates split partial/final (map-side combine)") {
     assert("HashAggregate".r.findAllIn(plan("q01_pricing_summary")).size >= 2)
     assert("HashAggregate".r.findAllIn(plan("q05_big_join_agg")).size >= 2)
@@ -57,7 +70,11 @@ class PlanPropertiesSpec extends SparkSpec {
       // t73: positional k-grams join the duplicated-hash SET (a
       // hash-keyed aggregate), never themselves — an m-fold repeat
       // costs m rows, not m².
-      "t73_exact_substring_dedup").foreach { q =>
+      "t73_exact_substring_dedup",
+      // t74: the persisted indexed batch path — candidates and verify
+      // from the posting/df side tables; its corpus-side scans must
+      // only ever meet broadcast sides (asserted separately below).
+      "t74_indexed_dedup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not cartesian-join:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must pair via equi-joins:\n$p")
