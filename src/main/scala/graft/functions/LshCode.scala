@@ -58,10 +58,21 @@ case class LshCode(child: Expression) extends UnaryExpression {
 }
 
 object LshCode {
+  /** Plane weights precomputed for dims < [[maxTableDim]] (the 20 ×
+    * 1024 table is 160 KB, built once per JVM): weight for (plane j,
+    * 0-based dim i) replays [[TextSim]]'s LCG exactly —
+    * ((1103515245·(j·64 + i) + 12345) mod 2001) − 1000. The inner loop
+    * previously paid that multiply+mod per element per plane; with 20
+    * planes the weight arithmetic had grown to half the kernel. Layout
+    * is [i][j] so one element's 20 plane weights are contiguous. */
+  private val maxTableDim = 1024
+  private def weightOf(j: Int, i: Int): Double =
+    (((1103515245L * (j * 64 + i) + 12345L) % 2001L) - 1000L).toDouble
+  private val weights: Array[Array[Double]] =
+    Array.tabulate(maxTableDim)(i => Array.tabulate(TextSim.lshPlanes)(j => weightOf(j, i)))
+
   /** Static kernel — called from generated code. One pass over the
-    * array; `projs` holds the running per-plane sums. Weight for (plane
-    * j, 0-based dim i) replays [[TextSim]]'s LCG exactly:
-    * ((1103515245·(j·64 + i) + 12345) mod 2001) − 1000. */
+    * array; `projs` holds the running per-plane sums. */
   def code(a: ArrayData, aDouble: Boolean): Long = {
     val planes = TextSim.lshPlanes
     val n = a.numElements()
@@ -74,11 +85,14 @@ object LshCode {
         return 0L
       }
       val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
-      var j = 0
-      while (j < planes) {
-        val w = ((1103515245L * (j * 64 + i) + 12345L) % 2001L) - 1000L
-        projs(j) += x * w.toDouble
-        j += 1
+      if (i < maxTableDim) {
+        val w = weights(i)
+        var j = 0
+        while (j < planes) { projs(j) += x * w(j); j += 1 }
+      } else {
+        // Dims past the table replay the LCG inline — same values.
+        var j = 0
+        while (j < planes) { projs(j) += x * weightOf(j, i); j += 1 }
       }
       i += 1
     }

@@ -362,6 +362,14 @@ object SignatureIndex {
     * ever scanned, never shuffled. */
   private[graft] def deltaPairsIndexed(spark: SparkSession, root: String,
       table: String, newSigs: DataFrame): DataFrame = {
+    // Degenerate-root guard: a first batch whose increment produced no
+    // signature rows can leave the derived logs absent (an empty write
+    // may commit no data file) — there is nothing to pair against, and
+    // reading an absent parquet dir would throw instead.
+    if (!BatchLog.hasData(spark, postingsDir(root, table)) ||
+        !BatchLog.hasData(spark, dfDir(root, table)))
+      return spark.range(0).selectExpr("id AS doc_a", "id AS doc_b",
+        "CAST(0.0 AS DOUBLE) AS jaccard").where(lit(false))
     val newPost = newSigs.select(col("doc_id"), explode(col("shs")).as("h"))
     val incShingles = newPost.select("h").distinct()
     val post = BatchLog.read(spark, postingsDir(root, table), "SignatureIndex.postings")

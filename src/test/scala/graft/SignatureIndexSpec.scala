@@ -144,6 +144,16 @@ class SignatureIndexSpec extends SparkSpec {
     assert(fast == truth, s"post-heal fast $fast != frame $truth")
   }
 
+  test("degenerate first batch (no shingleable docs): indexed path returns empty, never throws") {
+    val root = Files.createTempDirectory("graft_sigidx_degenerate").toString
+    val b = SignatureIndex.ingest(spark, root, docs(7L -> "short doc"), batchKey = Some("b1"))
+    assert(b.newSigs.count() == 0)
+    val fast = SignatureIndex.deltaPairsIndexed(spark, root, "signatures", b.newSigs)
+    assert(fast.count() == 0)
+    assert(fast.columns.toSeq == Seq("doc_a", "doc_b", "jaccard"))
+    CacheJanitor.drain()
+  }
+
   test("replay of a committed batch leaves the derived cache exact (no double rows)") {
     val root = Files.createTempDirectory("graft_sigidx_replay").toString
     SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("b1"))
