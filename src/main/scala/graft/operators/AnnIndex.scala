@@ -130,7 +130,7 @@ object AnnIndex {
     * original floats; int8 codes are lossy) — else compact past the
     * tombstone ratio. */
   def maintain(spark: SparkSession, root: String, corpus: => DataFrame,
-      tombstoneRatio: Double = 0.1): IndexMaintenance = WriterLease.withLease(spark, root) {
+      tombstoneRatio: Double = 0.1, maxLogDirs: Int = 64): IndexMaintenance = WriterLease.withLease(spark, root) {
     val before = health(spark, root)
     val refrozen = before.needsRefreeze
     if (refrozen) refreeze(spark, root, corpus)
@@ -139,9 +139,14 @@ object AnnIndex {
     // side table, and those tombstones must keep suppressing a later
     // ingest of the same ids (an all-tombstoned FED root still compacts
     // to empty; that path is pinned in IndexHealthSpec).
-    val compacted = !refrozen && before.tombstoned > 0 &&
-      BatchLog.hasData(spark, s"$root/codes") &&
-      before.tombstoned >= tombstoneRatio * math.max(before.live, 1L)
+    // Directory-count trigger (same contract as DedupPipeline
+    // .maintainOnce): past maxLogDirs committed batch directories the
+    // log folds even with zero tombstones, bounding the per-batch
+    // listing/open tax of an endless append loop.
+    val compacted = !refrozen && BatchLog.hasData(spark, s"$root/codes") && (
+      (before.tombstoned > 0 &&
+        before.tombstoned >= tombstoneRatio * math.max(before.live, 1L)) ||
+      BatchLog.committedKeys(spark, s"$root/codes").size > maxLogDirs)
     if (compacted) compact(spark, root)
     IndexMaintenance(refrozen, compacted, before, health(spark, root))
   }

@@ -229,15 +229,17 @@ object CosineDedupIndex {
     * on drift (no external corpus needed — embeddings live in the code
     * rows), else compact past the tombstone ratio. */
   def maintain(spark: SparkSession, root: String,
-      tombstoneRatio: Double = 0.1): IndexMaintenance = WriterLease.withLease(spark, root) {
+      tombstoneRatio: Double = 0.1, maxLogDirs: Int = 64): IndexMaintenance = WriterLease.withLease(spark, root) {
     val before = health(spark, root)
     val refrozen = before.needsRefreeze
     if (refrozen) refreeze(spark, root)
     // hasData gate: see [[AnnIndex.maintain]] — unfed-root tombstones
     // stay pending rather than being cleared by an empty-log compact.
-    val compacted = !refrozen && before.tombstoned > 0 &&
-      BatchLog.hasData(spark, codesDir(root)) &&
-      before.tombstoned >= tombstoneRatio * math.max(before.live, 1L)
+    // Directory-count trigger: see [[AnnIndex.maintain]].
+    val compacted = !refrozen && BatchLog.hasData(spark, codesDir(root)) && (
+      (before.tombstoned > 0 &&
+        before.tombstoned >= tombstoneRatio * math.max(before.live, 1L)) ||
+      BatchLog.committedKeys(spark, codesDir(root)).size > maxLogDirs)
     if (compacted) compact(spark, root)
     IndexMaintenance(refrozen, compacted, before, health(spark, root))
   }

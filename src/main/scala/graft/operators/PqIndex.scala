@@ -131,15 +131,17 @@ object PqIndex {
     * [[AnnIndex.maintain]] (`corpus` only evaluated when the drift
     * predicate fires). */
   def maintain(spark: SparkSession, root: String, corpus: => DataFrame,
-      tombstoneRatio: Double = 0.1): IndexMaintenance = WriterLease.withLease(spark, root) {
+      tombstoneRatio: Double = 0.1, maxLogDirs: Int = 64): IndexMaintenance = WriterLease.withLease(spark, root) {
     val before = health(spark, root)
     val refrozen = before.needsRefreeze
     if (refrozen) refreeze(spark, root, corpus)
     // hasData gate: see [[AnnIndex.maintain]] — unfed-root tombstones
     // stay pending rather than being cleared by an empty-log compact.
-    val compacted = !refrozen && before.tombstoned > 0 &&
-      BatchLog.hasData(spark, s"$root/codes") &&
-      before.tombstoned >= tombstoneRatio * math.max(before.live, 1L)
+    // Directory-count trigger: see [[AnnIndex.maintain]].
+    val compacted = !refrozen && BatchLog.hasData(spark, s"$root/codes") && (
+      (before.tombstoned > 0 &&
+        before.tombstoned >= tombstoneRatio * math.max(before.live, 1L)) ||
+      BatchLog.committedKeys(spark, s"$root/codes").size > maxLogDirs)
     if (compacted) compact(spark, root)
     IndexMaintenance(refrozen, compacted, before, health(spark, root))
   }

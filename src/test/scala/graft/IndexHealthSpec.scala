@@ -145,6 +145,45 @@ class IndexHealthSpec extends SparkSpec {
     CacheJanitor.drain()
   }
 
+  test("maintain: directory-count trigger folds every index kind with zero tombstones") {
+    // Endless append loops grow one batch directory per increment per
+    // log forever; past maxLogDirs the maintenance poll folds even when
+    // no tombstone is pending (the same contract as DedupPipeline
+    // .maintainOnce — answers invariant, listing/open tax bounded).
+    import graft.operators.BatchLog
+    def dirs(path: String) = BatchLog.committedKeys(spark, path).size
+
+    val croot = Files.createTempDirectory("graft_ih_dirs_cos").toString
+    CosineDedupIndex.ingest(spark, croot, vecs.where(col("vec_id") < 100), Some("b1"))
+    CosineDedupIndex.ingest(spark, croot,
+      vecs.where(col("vec_id") >= 100 && col("vec_id") < 200), Some("b2"))
+    CacheJanitor.drain()
+    val cLive = CosineDedupIndex.readIndex(spark, croot).count()
+    val cm = CosineDedupIndex.maintain(spark, croot, maxLogDirs = 1)
+    assert(cm.compacted && !cm.refrozen, cm)
+    assert(dirs(s"$croot/codes") == 1 &&
+      CosineDedupIndex.readIndex(spark, croot).count() == cLive)
+    assert(!CosineDedupIndex.maintain(spark, croot, maxLogDirs = 1).compacted,
+      "below the threshold nothing fires")
+
+    val aroot = Files.createTempDirectory("graft_ih_dirs_ann").toString
+    AnnIndex.ingest(spark, aroot, vecs.where(col("vec_id") < 100), batchKey = Some("b1"))
+    AnnIndex.ingest(spark, aroot,
+      vecs.where(col("vec_id") >= 100 && col("vec_id") < 200), batchKey = Some("b2"))
+    CacheJanitor.drain()
+    val am = AnnIndex.maintain(spark, aroot, vecs, maxLogDirs = 1)
+    assert(am.compacted && dirs(s"$aroot/codes") == 1, am)
+
+    val proot = Files.createTempDirectory("graft_ih_dirs_pq").toString
+    PqIndex.ingest(spark, proot, vecs.where(col("vec_id") < 100), batchKey = Some("b1"))
+    PqIndex.ingest(spark, proot,
+      vecs.where(col("vec_id") >= 100 && col("vec_id") < 200), batchKey = Some("b2"))
+    CacheJanitor.drain()
+    val pm = PqIndex.maintain(spark, proot, vecs, maxLogDirs = 1)
+    assert(pm.compacted && dirs(s"$proot/codes") == 1, pm)
+    CacheJanitor.drain()
+  }
+
   test("bulk takedown: maintain compacts an index to EMPTY and it stays serviceable") {
     // GDPR-style bulk erasure: every indexed row tombstoned, the next
     // maintenance poll folds them all out. The emptied index must stay
