@@ -44,15 +44,19 @@ object GraftSession {
     math.min(65536L,
       math.max(cores.toLong, (inputBytes + (2L << 20) - 1) / (2L << 20))).toInt
 
-  /** Total bytes of regular files under `dirs` (recursive; a missing
-    * dir contributes 0) — the `inputBytes` for
-    * [[autoShufflePartitions]]. Driver-side file metadata only. */
-  def dirBytes(dirs: Seq[String]): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-    dirs.map(d => walk(new java.io.File(d))).sum
-  }
+  /** Total bytes under `dirs` (recursive; a missing dir contributes 0)
+    * — the `inputBytes` for [[autoShufflePartitions]]. Hadoop
+    * FileSystem metadata, like every other path probe in the engine: a
+    * java.io walk would silently measure ANY non-local root
+    * (hdfs://, s3a://) as 0 bytes and the derivation would floor at the
+    * core count — quietly reintroducing the under-partitioning OOM this
+    * feature removes. */
+  def dirBytes(spark: SparkSession, dirs: Seq[String]): Long =
+    dirs.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
 
   /** Re-derive `spark.sql.shuffle.partitions` from the data a session
     * is about to process (a RUNTIME conf — callable between queries, so
@@ -61,7 +65,7 @@ object GraftSession {
     * the partition count in effect. */
   def tuneShufflePartitions(spark: SparkSession, dirs: Seq[String]): Int = {
     val n = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
-      .getOrElse(autoShufflePartitions(dirBytes(dirs)))
+      .getOrElse(autoShufflePartitions(dirBytes(spark, dirs)))
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
     n
   }

@@ -129,16 +129,17 @@ object ClusterLabels {
         .getOrElse(raw.count())
       val committed = BatchLog.committedKeys(spark, dir(root))
       val sidecars = committed.flatMap(k => readStats(spark, root, k))
-      // Exact iff the NEWEST sidecar saw exactly today's directory set.
-      // Only the newest matters: every sidecar ever written carries
-      // EXACT post-merge totals (by induction — see [[LabelStats]]), so
-      // its values serve the poll regardless of gaps in OLDER batches'
-      // sidecars; `nKeys == committed.size` proves no batch landed (or
-      // vanished) after it was written. A crashed-merge gap at the TAIL
-      // fails the nKeys check and we fold instead — and the next merge's
-      // heal fold writes a fresh newest sidecar, restoring the fast
-      // path without waiting for a compaction.
-      if (sidecars.nonEmpty && sidecars.maxBy(_.batch).nKeys == committed.size) {
+      // Exact iff the NEWEST sidecar saw exactly today's directory SET
+      // (key-set hash, not a count — a vanished directory plus a
+      // crashed merge cancel out in a count). Only the newest matters:
+      // every sidecar ever written carries EXACT post-merge totals (by
+      // induction — see [[LabelStats]]), so its values serve the poll
+      // regardless of gaps in OLDER batches' sidecars. A crashed-merge
+      // gap at the TAIL fails the hash check and we fold instead — and
+      // the next merge's heal fold writes a fresh newest sidecar,
+      // restoring the fast path without waiting for a compaction.
+      if (sidecars.nonEmpty &&
+          sidecars.maxBy(_.batch).keysHash == keySetHash(committed)) {
         val top = sidecars.maxBy(_.batch)
         (logRows, top.labelled, top.keepers, true)
       } else {
@@ -176,7 +177,17 @@ object ClusterLabels {
     * key, healing a gap) — so by induction any readable sidecar is
     * exact for its batch. */
   private[graft] final case class LabelStats(
-      batch: Long, labelled: Long, keepers: Long, nKeys: Long)
+      batch: Long, labelled: Long, keepers: Long, nKeys: Long,
+      keysHash: String)
+
+  /** Order-insensitive fingerprint of a committed-directory key SET —
+    * what a sidecar records as "the directories I saw". A COUNT is not
+    * enough: a vanished directory plus a crashed merge cancel out in
+    * the count, and the fast paths would then mint a next-batch number
+    * colliding with the crashed merge's rows (ambiguous keep-last
+    * folds) or serve stale totals. */
+  private[graft] def keySetHash(keys: Seq[String]): String =
+    scala.util.hashing.MurmurHash3.orderedHash(keys.sorted).toString
 
   private val statsName = "_label_stats.json"
 
@@ -194,8 +205,13 @@ object ClusterLabels {
           org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
         finally in.close()
         val m = graft.sources.MiniJson.parseFlat(s)
+        // Pre-r11 sidecars lack keys_hash: the getOrElse("") can never
+        // match a real hash, so old-format sidecars read as stale and
+        // the poll folds until the next merge/compaction rewrites them
+        // — slow once, never wrong.
         Some(LabelStats(m("batch").toLong, m("labelled").toLong,
-          m("keepers").toLong, m("n_keys").toLong))
+          m("keepers").toLong, m("n_keys").toLong,
+          m.getOrElse("keys_hash", "")))
       }
     } catch {
       // A torn/garbled sidecar (crash mid-write) means SLOW, not wrong:
@@ -213,7 +229,8 @@ object ClusterLabels {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val s = graft.sources.MiniJson.renderFlat(Map(
       "batch" -> st.batch.toString, "labelled" -> st.labelled.toString,
-      "keepers" -> st.keepers.toString, "n_keys" -> st.nKeys.toString))
+      "keepers" -> st.keepers.toString, "n_keys" -> st.nKeys.toString,
+      "keys_hash" -> st.keysHash))
     val out = fs.create(p, true)
     try out.write((s + "\n").getBytes("UTF-8")) finally out.close()
   }
@@ -344,7 +361,7 @@ object ClusterLabels {
     // must not see its own half-replaced state.
     val prevSidecars = committedBefore.flatMap(k => readStats(spark, root, k))
     val sidecarCurrent = prevSidecars.nonEmpty &&
-      prevSidecars.maxBy(_.batch).nKeys == committedBefore.size
+      prevSidecars.maxBy(_.batch).keysHash == keySetHash(committedBefore)
     // Max over the log MINUS this key's own rows: a replay computes the
     // same next batch number its first run did. Served from the newest
     // sidecar when it is current and this is NOT a replay (the newest
@@ -364,9 +381,12 @@ object ClusterLabels {
     // partitions that is ~64 near-empty files per batch, and every
     // later merge/fold re-opens ALL of them (measured: 3.7k label files
     // by batch 55 of the x100 loop, a file-open tax growing linearly
-    // with batch count). Coalesce is safe exactly because the delta is
-    // touched-sized, never the corpus.
-    BatchLog.appendResolved(delta.withColumn("batch", lit(nextBatch)).coalesce(1),
+    // with batch count). repartition, not coalesce: the single-file
+    // collapse must not serialize the upstream CC/singleton stages into
+    // one task — safe either way because the delta is touched-sized,
+    // never the corpus.
+    BatchLog.appendResolved(
+      delta.withColumn("batch", lit(nextBatch)).repartition(1),
       dir(root), key, "ClusterLabels")
     // Stats sidecar for the O(1) health poll ([[labelStats]]). Only
     // written when the append actually landed (the retired-keys ledger
@@ -411,7 +431,8 @@ object ClusterLabels {
           // one fold heals the chain; compaction is not needed for it.
           foldTotals(BatchLog.read(spark, dir(root), "ClusterLabels"))
       writeStats(spark, root, key,
-        LabelStats(nextBatch, labelled, keepers, committedAfter.size))
+        LabelStats(nextBatch, labelled, keepers, committedAfter.size,
+          keySetHash(committedAfter)))
     }
     read(spark, root)
   }
@@ -468,7 +489,8 @@ object ClusterLabels {
       case Seq(k) =>
         val (labelled, keepers) =
           foldTotals(BatchLog.read(spark, dest, "ClusterLabels.compact"))
-        writeStats(spark, root, k, LabelStats(1L, labelled, keepers, 1L))
+        writeStats(spark, root, k,
+          LabelStats(1L, labelled, keepers, 1L, keySetHash(Seq(k))))
       case ks =>
         System.err.println(
           s"[graft] ClusterLabels.compact: expected one folded batch dir, saw $ks; skipping stats sidecar")

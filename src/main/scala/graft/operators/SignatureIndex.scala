@@ -115,9 +115,17 @@ object SignatureIndex {
     // this is a plan choice, not a semantic one. A sidecar gap reports
     // "unknown" and takes the indexed path (safe at any size).
     val corpusRows = BatchLog.committedRowCount(spark, path).getOrElse(Long.MaxValue)
+    // The indexed path BROADCASTS increment- and candidate-bounded
+    // frames; a BULK increment (a large first load, a backfill) breaks
+    // that boundedness — its postings are the broadcast. Such batches
+    // take the frame path, whose shuffle joins handle any increment
+    // size; the indexed path is for the steady state the maintenance
+    // loop measures (small increments against a large corpus).
+    val incrementRows = newCached.count() // cache-backed, increment-sized
     val pairs =
-      if (corpusRows < indexedPathMinRows) deltaPairs(all, newCached)
-      else deltaPairsIndexed(spark, root, table, newCached)
+      if (corpusRows >= indexedPathMinRows && incrementRows <= indexedPathMaxIncrementRows)
+        deltaPairsIndexed(spark, root, table, newCached)
+      else deltaPairs(all, newCached)
     Batch(newCached, all, pairs)
   }
 
@@ -126,6 +134,14 @@ object SignatureIndex {
     * (see the path-choice comment in [[ingest]]). */
   val indexedPathMinRows: Long =
     sys.env.getOrElse("SPARK_GRAFT_INDEXED_PAIRS_MIN_ROWS", "100000").toLong
+
+  /** Increment-size ceiling for the indexed path: above this many
+    * signature rows the increment's own postings stop being a sane
+    * broadcast (~100k docs × ~150 shingles ≈ 15M 8-byte keys ≈ a few
+    * hundred MB of broadcast relation) and the frame path's shuffle
+    * joins take over. */
+  val indexedPathMaxIncrementRows: Long =
+    sys.env.getOrElse("SPARK_GRAFT_INDEXED_PAIRS_MAX_INCREMENT_ROWS", "100000").toLong
 
   /** Live signature rows: the snapshot minus tombstoned doc_ids. Every
     * read path goes through this, so a removed doc stops contributing
@@ -318,9 +334,13 @@ object SignatureIndex {
       // ONE file per batch directory (the frames are increment-sized by
       // contract): at shuffle-partition granularity each batch would
       // add ~32 near-empty files to a log every later batch re-scans —
-      // a file-open tax growing linearly with batch count.
+      // a file-open tax growing linearly with batch count. repartition,
+      // NOT coalesce: coalesce(1) would propagate up the shuffle-free
+      // lineage and run the whole explode in one task; the exchange
+      // keeps the explode parallel and only the (small) write lands in
+      // one task.
       val newPost = newSigs.select(col("doc_id"), explode(col("shs")).as("h"))
-      BatchLog.appendResolved(newPost.coalesce(1), postingsDir(root, table), key,
+      BatchLog.appendResolved(newPost.repartition(1), postingsDir(root, table), key,
         "SignatureIndex.postings")
       BatchLog.appendResolved(
         newPost.groupBy("h").agg(count(lit(1)).as("n")).coalesce(1),

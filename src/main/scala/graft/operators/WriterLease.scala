@@ -125,6 +125,13 @@ object WriterLease {
           // loud, since silent heartbeat loss re-opens the steal window.
           try fs.setTimes(p, now, -1)
           catch {
+            // SocketTimeoutException EXTENDS InterruptedIOException but
+            // is a transient network failure, not the release interrupt
+            // — exiting on it would silently kill the beat and re-open
+            // the mid-action steal window on flaky object-store links.
+            case e: java.net.SocketTimeoutException =>
+              System.err.println(s"[graft] WriterLease: heartbeat on $p timed out: $e")
+              if (Thread.currentThread().isInterrupted) run = false
             case _: java.io.InterruptedIOException => run = false
             case scala.util.control.NonFatal(e) =>
               System.err.println(s"[graft] WriterLease: heartbeat on $p failed: $e")

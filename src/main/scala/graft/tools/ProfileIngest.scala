@@ -35,7 +35,8 @@ object ProfileIngest {
     val n = docs.count()
     val per = n / batches
     for (b <- 0 until batches) {
-      println(s"[profile] batch $b (corpus ${b * per} -> ${(b + 1) * per})")
+      println(s"[profile] batch $b (~$per docs, doc_id % $batches == $b; " +
+        s"accumulated corpus ${b * per} -> ${(b + 1) * per})")
       val inc = docs.where(col("doc_id") % batches === b)
         .select("doc_id", "text")
       graft.operators.WriterLease.withLease(spark, root) {

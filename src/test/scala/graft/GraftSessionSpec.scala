@@ -29,8 +29,8 @@ class GraftSessionSpec extends SparkSpec {
     Files.write(d.resolve("a.bin"), new Array[Byte](1000))
     val sub = Files.createDirectory(d.resolve("sub"))
     Files.write(sub.resolve("b.bin"), new Array[Byte](234))
-    assert(GraftSession.dirBytes(Seq(d.toString)) == 1234L)
-    assert(GraftSession.dirBytes(Seq(d.toString, "/nonexistent/graft")) == 1234L)
+    assert(GraftSession.dirBytes(spark, Seq(d.toString)) == 1234L)
+    assert(GraftSession.dirBytes(spark, Seq(d.toString, "/nonexistent/graft")) == 1234L)
   }
 
   test("tuneShufflePartitions sets the runtime conf from the dirs (env keeps the last word)") {

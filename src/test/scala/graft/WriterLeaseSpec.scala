@@ -167,6 +167,32 @@ class WriterLeaseSpec extends SparkSpec {
     assert(!t.isAlive, "the beat must exit on release interrupt")
   }
 
+  test("a socket timeout (an InterruptedIOException SUBCLASS) does not kill the beat") {
+    // java.net.SocketTimeoutException extends InterruptedIOException but
+    // is a transient network failure, not the release interrupt — on a
+    // flaky object-store link the beat must log and keep looping, or a
+    // single timeout silently re-opens the mid-action steal window.
+    val root = Files.createTempDirectory("graft_wl_hb_sockto").toString
+    val lease = Paths.get(root, "lease"); Files.write(lease, "x".getBytes)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fs = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def setTimes(p: org.apache.hadoop.fs.Path, m: Long, a: Long): Unit = {
+        calls.incrementAndGet()
+        throw new java.net.SocketTimeoutException("read timed out")
+      }
+    }
+    fs.initialize(new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val t = operators.WriterLease.startHeartbeat(fs,
+      new org.apache.hadoop.fs.Path(lease.toString), 150L)
+    try {
+      val deadline = System.currentTimeMillis() + 5000L
+      while (calls.get() < 3 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(calls.get() >= 3 && t.isAlive,
+        "a socket timeout must never kill the heartbeat thread")
+    } finally { t.interrupt(); t.join(2000) }
+    assert(!t.isAlive, "the beat must still exit on release interrupt")
+  }
+
   test("an interrupt surfacing as InterruptedIOException exits the beat (no zombie)") {
     // The release interrupt can land INSIDE fs.setTimes and surface as an
     // InterruptedIOException — which CLEARS the thread's interrupt flag.
