@@ -185,9 +185,22 @@ object ClusterLabels {
     * enough: a vanished directory plus a crashed merge cancel out in
     * the count, and the fast paths would then mint a next-batch number
     * colliding with the crashed merge's rows (ambiguous keep-last
-    * folds) or serve stale totals. */
-  private[graft] def keySetHash(keys: Seq[String]): String =
-    scala.util.hashing.MurmurHash3.orderedHash(keys.sorted).toString
+    * folds) or serve stale totals. SHA-256, not a 32-bit hash: this
+    * check is the fast path's ONLY soundness gate, and a 32-bit
+    * collision between a stale sidecar's set and the current set would
+    * silently validate it — serving stale totals or minting a colliding
+    * batch number, the exact failure the hash exists to prevent. Keys
+    * are length-delimited (NUL can't appear in sanitized keys) so two
+    * different sets can never concatenate to one digest input. Pre-SHA
+    * sidecars (r11's 32-bit values) simply fail the equality and fold
+    * once — slow, never wrong. */
+  private[graft] def keySetHash(keys: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    keys.sorted.foreach { k =>
+      md.update(k.getBytes("UTF-8")); md.update(0.toByte)
+    }
+    md.digest().map(b => f"$b%02x").mkString
+  }
 
   private val statsName = "_label_stats.json"
 

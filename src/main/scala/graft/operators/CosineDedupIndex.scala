@@ -283,6 +283,19 @@ object CosineDedupIndex {
       }
   }
 
+  /** True when `df` is served from the block-manager cache — directly
+    * persisted, OR any covered ancestor subtree (the t69/t70 call
+    * shapes are `codes.where(...)` over a persisted frame, whose own
+    * `storageLevel` is NONE): the optimized plan is probed because
+    * that is where the cache manager substitutes covered subtrees with
+    * their InMemoryRelation. */
+  private[graft] def planCached(df: DataFrame): Boolean =
+    df.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
+      df.queryExecution.optimizedPlan.exists {
+        case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+        case _ => false
+      }
+
   /** Near-dup pairs touching at least one `newCodes` vector: Hamming≤1
     * probe equi-join → normalized distinct candidates → exact cosine ≥
     * [[cosineMin]] on the stored embeddings. With `newCodes == allCodes`
@@ -316,7 +329,14 @@ object CosineDedupIndex {
     // spec harnesses) joins the cache directly — the semi-join's extra
     // rounds would only re-read memory it cannot save. Same rows, same
     // fold arithmetic, bit-identical cosines either way.
-    val cached = allCodes.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    // `storageLevel` only reflects persistence of the EXACT Dataset
+    // reference, so a filtered child of a cached frame (the t69/t70
+    // call shapes, `codes.where(...)`) would be misclassified as
+    // disk-backed and pay the wasted candidate persist + semi-join
+    // passes — so additionally probe the optimized plan, where the
+    // cache manager has substituted any covered subtree with its
+    // InMemoryRelation.
+    val cached = planCached(allCodes)
     val (cand, ea, eb) =
       if (cached)
         (candRaw,

@@ -143,6 +143,12 @@ object SignatureIndex {
   val indexedPathMaxIncrementRows: Long =
     sys.env.getOrElse("SPARK_GRAFT_INDEXED_PAIRS_MAX_INCREMENT_ROWS", "100000").toLong
 
+  /** On-disk byte bound under which the pending tombstone side table is
+    * explicitly broadcast inside [[deltaPairsIndexed]] (8-byte ids
+    * compress well — 32 MB is several million pending removals; a
+    * steady loop compacts long before that). */
+  val tombstoneBroadcastMaxBytes: Long = 32L << 20
+
   /** Live signature rows: the snapshot minus tombstoned doc_ids. Every
     * read path goes through this, so a removed doc stops contributing
     * postings, candidates, and exact-verify rows immediately — without
@@ -329,7 +335,15 @@ object SignatureIndex {
     // signature append above was vetoed, and appending derived rows
     // here would double them beside the fold.
     if (BatchLog.retiredKeys(spark, s"$root/$table").contains(key)) return
-    if (coveredBefore && coveredKeys(spark, root, table).contains(key)) return // covered replay
+    // A replay of an already-covered key does NOT early-return: the
+    // signature append above just overwrote the batch directory, and a
+    // contract-violating replay with DIVERGENT content would leave the
+    // old derived rows (and the coverage marker) silently poisoning
+    // deltaPairsIndexed until something forced a rebuild. Falling
+    // through re-derives the key's posting/df rows from the frame that
+    // actually landed (mode-overwrite replaces the key's derived
+    // directories) — a byte-identical replay rewrites identical rows,
+    // a divergent one HEALS, both at O(increment).
     if (coveredBefore) {
       // ONE file per batch directory (the frames are increment-sized by
       // contract): at shuffle-partition granularity each batch would
@@ -404,11 +418,20 @@ object SignatureIndex {
       .groupBy("h").agg(sum(col("n")).as("df"))
     val tombPending = fsOf(spark, Tombstones.dir(root))
       .exists(new org.apache.hadoop.fs.Path(Tombstones.dir(root)))
-    val tomb = Tombstones.read(spark, root, "doc_id")
+    // The broadcast hint is gated on the side table's measured on-disk
+    // size: steady-state removals are tiny and the hint saves a
+    // shuffle, but a BULK takedown's pending set is bounded only by
+    // removed-doc count — past the bound the strategy is left to the
+    // planner, mirroring the frame path's Tombstones.exclude.
+    val tombRaw = Tombstones.read(spark, root, "doc_id")
+    val tomb =
+      if (Tombstones.bytesOnDisk(spark, root) <= tombstoneBroadcastMaxBytes)
+        broadcast(tombRaw)
+      else tombRaw
     val dfLive =
       if (!tombPending) dfBase
       else {
-        val gone = post.join(broadcast(tomb), Seq("doc_id"), "left_semi")
+        val gone = post.join(tomb, Seq("doc_id"), "left_semi")
           .join(broadcast(incShingles), Seq("h"))
           .groupBy("h").agg(count(lit(1)).as("gone"))
         dfBase.join(gone, Seq("h"), "left")
@@ -420,7 +443,7 @@ object SignatureIndex {
     val keep = dfLive.where(col("df") <= dfCap).select("h")
     val postLive =
       if (!tombPending) post
-      else post.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      else post.join(tomb, Seq("doc_id"), "left_anti")
     // Candidates in ONE streamed pass over the postings log: both the
     // df-cap set and the new side broadcast, so the big side never
     // shuffles and never re-partitions (newKeep is increment × dfCap

@@ -50,6 +50,19 @@ private[graft] object Tombstones {
     ids.select(col(idCol).cast("long").as(idCol)).distinct()
       .coalesce(1).write.mode("append").parquet(dir(root))
 
+  /** Total on-disk bytes of the tombstone side table (0 when absent) —
+    * the driver-side proxy read paths gate explicit broadcast() hints
+    * on: steady-state removals keep the set tiny, but a BULK takedown
+    * (the GDPR path) is bounded only by removed-doc count, and a forced
+    * broadcast of millions of ids would blow the driver/broadcast
+    * limits that AQE's planner-decided join would have avoided. */
+  def bytesOnDisk(spark: SparkSession, root: String): Long = {
+    val d = new HPath(dir(root))
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) 0L
+    else fs.getContentSummary(d).getLength
+  }
+
   /** `df` minus tombstoned rows (anti-join on `idCol`). */
   def exclude(df: DataFrame, root: String, idCol: String): DataFrame = {
     val t = read(df.sparkSession, root, idCol)

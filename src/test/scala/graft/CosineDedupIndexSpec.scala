@@ -44,6 +44,23 @@ class CosineDedupIndexSpec extends SparkSpec {
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("planCached sees filtered children of a cached frame (the t69/t70 call shape)") {
+    // The verify-plan choice must not misclassify `codes.where(...)`
+    // over a persisted frame as disk-backed: identical answers, but the
+    // semi-join branch's extra candidate persist + passes are pure
+    // waste against an in-memory corpus.
+    val codes = CosineDedupIndex.encode(vecs(batchA: _*), 4L).persist()
+    try {
+      codes.count()
+      assert(CosineDedupIndex.planCached(codes), "the persisted frame itself")
+      assert(CosineDedupIndex.planCached(
+        codes.where(org.apache.spark.sql.functions.col("vec_id") > 0L)),
+        "a filtered child served from the cache")
+      assert(!CosineDedupIndex.planCached(CosineDedupIndex.encode(vecs(batchA: _*), 8L)),
+        "an uncached plan (different mask, no covered subtree) must read as disk-backed")
+    } finally codes.unpersist()
+  }
+
   test("batch 2 encodes only the increment, reuses the frozen mask, appends files") {
     val root = Files.createTempDirectory("graft_cosidx").toString
     val b1 = CosineDedupIndex.ingest(spark, root, vecs(batchA: _*))

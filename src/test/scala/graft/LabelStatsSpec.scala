@@ -30,6 +30,17 @@ class LabelStatsSpec extends SparkSpec {
     Paths.get(BatchLog.dirOf(ClusterLabels.dir(root), BatchLog.sanitize(key)),
       "_label_stats.json")
 
+  test("keySetHash: order-insensitive, length-delimited, collision-resistant width") {
+    // The hash is the fast path's ONLY soundness gate — SHA-256 so a
+    // stale sidecar's set can't collide with the current set, and
+    // length-delimited so adjacent keys can't re-segment into the same
+    // digest input.
+    assert(ClusterLabels.keySetHash(Seq("x", "y")) == ClusterLabels.keySetHash(Seq("y", "x")))
+    assert(ClusterLabels.keySetHash(Seq("ab", "c")) != ClusterLabels.keySetHash(Seq("a", "bc")))
+    assert(ClusterLabels.keySetHash(Seq("b1")) != ClusterLabels.keySetHash(Seq("b1", "b2")))
+    assert(ClusterLabels.keySetHash(Nil).length == 64, "hex SHA-256 digest")
+  }
+
   test("fast path == fold across merges, including a keeper demotion") {
     val root = Files.createTempDirectory("graft_lstats").toString
     ClusterLabels.merge(spark, root, pairs(1L -> 2L), docs(1L, 2L, 5L), Some("b1"))

@@ -175,6 +175,46 @@ class SignatureIndexSpec extends SparkSpec {
       "compaction must rebuild the derived cache eagerly")
   }
 
+  test("a DIVERGENT replay of a covered key heals the derived cache (fast == frame)") {
+    // Contract-violating shape: a replay of batch key b2 lands with
+    // DIFFERENT content. The signature batch directory is replaced by
+    // the append's mode(overwrite); the derived posting/df rows must be
+    // replaced with it — a skip-on-covered-replay would leave the old
+    // rows (and marker) silently poisoning deltaPairsIndexed.
+    val root = Files.createTempDirectory("graft_sigidx_divreplay").toString
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("b1"))
+    CacheJanitor.drain()
+    SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("b2"))
+    CacheJanitor.drain()
+    // Divergent replay: doc 8 now pairs with nobody, doc 10 dups doc 5.
+    val divergent = Seq(
+      4L -> "the quick brown fox jumps over the lazy dog yesterday",
+      5L -> "another unrelated document with entirely distinct words inside",
+      6L -> "completely different text about spark engines and parquet files",
+      8L -> "thunder over iceland wakes the glacier birds at dawn sometimes",
+      10L -> "another unrelated document with entirely distinct words inside")
+    val b2r = SignatureIndex.ingest(spark, root, docs(divergent: _*), batchKey = Some("b2"))
+    val fast = pairMap(SignatureIndex.deltaPairsIndexed(spark, root, "signatures", b2r.newSigs))
+    val truth = pairMap(SignatureIndex.deltaPairs(b2r.allSigs, b2r.newSigs))
+    CacheJanitor.drain()
+    assert(fast == truth, s"divergent-replay fast $fast != frame $truth")
+    assert(fast.keySet.contains((5L, 10L)), fast)
+    assert(!fast.keySet.contains((8L, 9L)),
+      "the pre-replay (8,9) pair must not survive the divergent replay")
+  }
+
+  test("tombstone side-table size probe: 0 when absent, >0 after appends (the broadcast-gate input)") {
+    val root = Files.createTempDirectory("graft_sigidx_tombsize").toString
+    assert(graft.operators.Tombstones.bytesOnDisk(spark, root) == 0L)
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("b1"))
+    CacheJanitor.drain()
+    SignatureIndex.remove(spark, root, Seq(1L, 2L))
+    assert(graft.operators.Tombstones.bytesOnDisk(spark, root) > 0L)
+    assert(graft.operators.Tombstones.bytesOnDisk(spark, root) <=
+      SignatureIndex.tombstoneBroadcastMaxBytes,
+      "a 2-id side table must stay far under the broadcast bound")
+  }
+
   test("remove tombstones a doc out of pairs without touching snapshot files; compact == rebuild") {
     val root = Files.createTempDirectory("graft_sigidx3").toString
     def pairSet(df: org.apache.spark.sql.DataFrame) =
