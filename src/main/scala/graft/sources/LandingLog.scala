@@ -83,6 +83,46 @@ object LandingLog {
         regexp_extract(input_file_name(), "/([^/]+)\\.csv$", 1)))
   }
 
+  /** The landing batch FILE KEYS present for a table, ascending
+    * (lexicographic = chronological by the [[fileKey]] contract) —
+    * single-file `<key>.csv` increments and `<key>.batch` backfill
+    * directories both. The incremental star path's folded-watermark
+    * bookkeeping is in terms of these keys. */
+  def logKeys(root: String, table: String): Seq[String] = {
+    val dir = Paths.get(s"$root/$table")
+    if (!Files.isDirectory(dir)) Seq.empty
+    else ls(dir).map(_.getFileName.toString).collect {
+      case n if n.endsWith(".csv") => n.stripSuffix(".csv")
+      case n if n.endsWith(".batch") => n.stripSuffix(".batch")
+    }.sorted
+  }
+
+  /** [[readLog]] restricted to the batches with file key STRICTLY after
+    * `afterKey` (None = everything): the incremental star path reads
+    * only the landing increments its folded watermark has not absorbed,
+    * so per-batch read cost is O(new increments), not O(log history).
+    * `_ingest_ts` is derived exactly as [[readLog]] does, so keep-last
+    * semantics across the returned batches are unchanged. */
+  def readLogSince(spark: SparkSession, root: String, table: String,
+      schema: StructType, afterKey: Option[String]): DataFrame = {
+    val keys = logKeys(root, table).filter(k => afterKey.forall(_ < k))
+    val paths = keys.map { k =>
+      val csv = Paths.get(s"$root/$table/$k.csv")
+      if (Files.exists(csv)) csv.toString else s"$root/$table/$k.batch"
+    }
+    val base =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.option("header", "true").option("recursiveFileLookup", "true")
+          .schema(schema).csv(paths: _*)
+    base.withColumn(
+      "_ingest_ts",
+      coalesce(
+        nullif(regexp_extract(input_file_name(), "/([^/]+)\\.batch/[^/]+$", 1), lit("")),
+        regexp_extract(input_file_name(), "/([^/]+)\\.csv$", 1)))
+  }
+
   /** Parquet snapshot sink (reference S7: one logical snapshot per star
     * table, overwritten each run). With `partitionBy`, the snapshot is
     * laid out hive-style on MIRROR keys (`__p_<col>` = floor(col /
@@ -139,9 +179,13 @@ object LandingLog {
   }
 
   /** Resolve the directory holding the CURRENT committed snapshot data:
-    * the newest committed version dir, or (legacy/unversioned layout —
-    * snapshots written by hand or by older builds) the table directory
-    * itself when it holds data files directly. None = never written. */
+    * the newest committed version dir, or (unversioned layout) the
+    * table directory itself when it holds data directly — plain data
+    * files (snapshots written by hand or by older builds) OR `__p_*`
+    * mirror-partition trees (the incremental star path's fact tables,
+    * which live unversioned so per-batch upserts swap single partition
+    * directories instead of staging whole versions). None = never
+    * written. */
   def snapshotDataDir(root: String, table: String): Option[String] = {
     val v = currentVersion(root, table)
     if (v > 0) Some(versionDir(root, table, v).toString)
@@ -149,7 +193,7 @@ object LandingLog {
       val dir = Paths.get(s"$root/$table")
       if (Files.isDirectory(dir) && ls(dir).exists { p =>
         val n = p.getFileName.toString
-        !n.startsWith("_") && !n.startsWith(".")
+        (!n.startsWith("_") && !n.startsWith(".")) || n.startsWith("__p_")
       }) Some(s"$root/$table")
       else None
     }
@@ -166,16 +210,25 @@ object LandingLog {
     val next = currentVersion(root, table) + 1
     val dest = versionDir(root, table, next).toString
     if (partitionBy.isEmpty) df.write.mode("overwrite").parquet(dest)
-    else {
-      val mirrors = partitionBy.map(c => s"__p_$c")
-      val withKeys = partitionBy.zip(mirrors).foldLeft(df) { case (d, (c, m)) =>
-        d.withColumn(m, floor(col(c).cast("long") / rangeSize).cast("string"))
-      }
-      withKeys
-        .repartition(mirrors.map(col): _*)
-        .write.mode("overwrite").partitionBy(mirrors: _*).parquet(dest)
-    }
+    else writePartitioned(df, dest, partitionBy, rangeSize)
     next
+  }
+
+  /** The mirror-key partitioned write (the layout [[writeSnapshot]]'s
+    * scaladoc documents), reusable outside the versioned protocol — the
+    * incremental star path writes fact partition trees and per-batch
+    * merge stages through it so every reader sees ONE physical layout.
+    * repartition-on-mirror bounds files to ~1 per directory; the write
+    * is `mode(overwrite)` into `dest`. */
+  def writePartitioned(df: DataFrame, dest: String,
+      partitionBy: Seq[String], rangeSize: Long = 100): Unit = {
+    val mirrors = partitionBy.map(c => s"__p_$c")
+    val withKeys = partitionBy.zip(mirrors).foldLeft(df) { case (d, (c, m)) =>
+      d.withColumn(m, floor(col(c).cast("long") / rangeSize).cast("string"))
+    }
+    withKeys
+      .repartition(mirrors.map(col): _*)
+      .write.mode("overwrite").partitionBy(mirrors: _*).parquet(dest)
   }
 
   /** Publish a staged version: ONE atomic rename of a marker file into
@@ -302,14 +355,17 @@ object LandingLog {
   /** List all COMMITTED snapshot keys (C4: the manual-trigger full scan
     * of the processed store, src/warehousing_lambda.py:130-134). A table
     * directory whose only content is a crashed, never-committed stage is
-    * not a snapshot and is not listed. */
+    * not a snapshot and is not listed. Underscore-prefixed directories
+    * are BOOKKEEPING by repo-wide convention (`_versions`, `_commits`,
+    * the incremental star path's `_sources` current-snapshot store) and
+    * never star tables — listing them would feed a full reload garbage. */
   def listSnapshots(root: String): Seq[String] = {
     val p = Paths.get(root)
     if (!Files.isDirectory(p)) Seq.empty
     else ls(p)
       .filter(Files.isDirectory(_))
       .map(_.getFileName.toString)
-      .filterNot(_.startsWith("."))
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
       .filter(t => snapshotDataDir(root, t).isDefined)
       .sorted
   }

@@ -1,0 +1,433 @@
+package graft.star
+
+import graft.model.Schemas
+import graft.operators.WriterLease
+import graft.sources.{LandingLog, WatermarkStore}
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental star maintenance — the replacement for the per-batch
+  * FULL-landing-log replay the reference (and [[Runner.processBatch]],
+  * faithfully) pays on every micro-batch (`src/process_lambda.py:48-56`
+  * re-reads every historical increment; the warehouse is full-refreshed
+  * at `src/warehousing_lambda.py:64-71`). Replay cost is corpus-linear
+  * in HISTORY: a 20-minute cadence over a years-deep landing log pays
+  * the whole log per batch — the same death the dedup maintenance loop
+  * escaped with its persisted side tables. This runner folds ONLY the
+  * not-yet-folded landing increments into the star snapshots:
+  *
+  *  - **source currents** (`_sources/<table>`): per-batch keep-last
+  *    upsert by pk. EXACT vs the full-log dedup because landing batch
+  *    keys are minted monotone (F11), so every new row's `_ingest_ts`
+  *    outranks every folded row's — the lexicographic keep-last max
+  *    over the union IS "increment wins on pk collision";
+  *  - **dimensions**: rebuilt from the (dimension-sized, by the star
+  *    contract) source currents through the SAME [[StarSchema]]
+  *    builders — no log replay, no corpus term;
+  *  - **dim_date**: maintained through a date REFCOUNT side table
+  *    (`_sources/_date_refs`): each batch adds the increment rows'
+  *    date-column tallies and subtracts the replaced rows' (recovered
+  *    from the stored facts' yyyymmdd FKs), so a date whose last
+  *    referencing row is updated away drops out exactly as a full
+  *    replay would drop it. dim_date = the refcount-positive dates
+  *    through [[StarSchema.dimDateFromDates]] — the identical value
+  *    function;
+  *  - **facts**: per-row value-determined under the STABLE id policies
+  *    (yyyymmdd date ids, natural-key record ids), so the increment's
+  *    rows build through the same fact builders and upsert by pk into
+  *    a created_date-range-partitioned table, rewriting ONLY the
+  *    partitions the batch touches (stage + per-partition swap).
+  *
+  * **Policy contract.** The fast path REQUIRES `stableDateIds &&
+  * stableRecordIds`: dense 1..n ids (dates W1, records W2 — the
+  * reference's policies) are ORDER-determined, so one out-of-order
+  * natural key renumbers every row after it — the snapshot genuinely
+  * changes corpus-wide and no merge can avoid the rewrite. Under any
+  * dense policy this runner DELEGATES to [[Runner.processBatch]]'s
+  * full replay (bit-for-bit the reference semantics, `MergeStarSpec`
+  * pins both policies); the watermark bookkeeping still advances so a
+  * later switch to stable ids starts incremental from the flip's full
+  * rebuild.
+  *
+  * **Crash contract** (the house at-least-once discipline): the folded
+  * watermark advances ONLY after every write of the batch committed,
+  * so a crash anywhere replays the same increments — the current/dim/
+  * fact upserts are idempotent by construction (pure pk-upserts and
+  * pure functions of the currents). The one non-idempotent piece, the
+  * refcount delta (its subtract side reads pre-merge fact rows), is
+  * guarded by an INTENT flag in the state file: an entry that finds
+  * the flag set rebuilds the refcounts from the merged facts' FK
+  * columns instead (every source date column surfaces as a fact FK,
+  * so the refcounts are a pure cache of the fact tables) — the
+  * SignatureIndex rebuild-on-anomaly pattern: wrong is impossible,
+  * slow is the recovery mode.
+  *
+  * **Scale ledger, honest:** per batch the increments shuffle (tiny),
+  * dims and currents are dimension-sized, and the fact upsert writes
+  * O(touched partitions). The one corpus-term left is the pk PROBE —
+  * one slim (pk + FK columns) scan of each updated fact to find
+  * replaced rows' old locations and date refs; created_date
+  * partitioning cannot prune a pk probe. At gate scale it is noise;
+  * at 100 TB the production binding is a pk-bucketed fact layout
+  * (bucketBy on the natural key) so the probe reads only the
+  * increment's buckets — same residual class, and same fix, as the
+  * posting-store scan documented in SCALE.md.
+  */
+object MergeRunner {
+
+  private val stateName = "_merge_state.json"
+  private val sourcesDir = "_sources"
+  private val refsTable = "_date_refs"
+
+  /** Fact snapshot key per fact source. */
+  private val factKeys = Map(
+    "payment" -> "fact-payment",
+    "purchase_order" -> "fact-purchase_order",
+    "sales_order" -> "fact-sales_order")
+
+  /** The stored date-FK columns of each fact table — every date-valued
+    * source column of [[StarSchema.dateColumns]] surfaces as exactly one
+    * of these (yyyymmdd under stable ids), which is what makes the
+    * refcounts rebuildable from the facts alone. */
+  private val factDateFkCols = Map(
+    "fact-payment" -> Seq("created_date", "last_updated_date", "payment_date"),
+    "fact-purchase_order" -> Seq("created_date", "last_updated_date",
+      "agreed_delivery_date", "agreed_payment_date"),
+    "fact-sales_order" -> Seq("created_date", "last_updated_date",
+      "agreed_delivery_date", "agreed_payment_date"))
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def policyString(stableDateIds: Boolean, stableRecordIds: Boolean) =
+    s"dates=$stableDateIds,records=$stableRecordIds"
+
+  /** Feed an already-deduped current snapshot to the [[StarSchema]]
+    * builders, which expect a landing log carrying `_ingest_ts`: the
+    * builders' keep-last over singleton pk groups is the identity, so
+    * any constant version satisfies the contract. */
+  private def asLog(cur: DataFrame): DataFrame =
+    cur.withColumn("_ingest_ts", lit("merged"))
+
+  /** One merge batch: fold every landing increment newer than the
+    * folded watermark into the star snapshots. Returns the written
+    * snapshot keys (empty = nothing new landed). */
+  def processMerge(
+      spark: SparkSession,
+      landingRoot: String,
+      processedRoot: String,
+      stableDateIds: Boolean = true,
+      stableRecordIds: Boolean = true): Seq[String] = WriterLease.withLease(spark, processedRoot) {
+    val store = new WatermarkStore(s"$processedRoot/$stateName")
+    val state = store.read()
+    val wanted = policyString(stableDateIds, stableRecordIds)
+
+    // Policy flip: ids minted under the other policy are incompatible
+    // with rows this batch would write — one loud full rebuild, exactly
+    // processBatch's storedPolicyMismatch contract.
+    if (state.get("policy").exists(_ != wanted)) {
+      System.err.println(s"[graft] MergeRunner: id-policy flip " +
+        s"(${state("policy")} -> $wanted) at $processedRoot — full rebuild")
+      resetProcessed(spark, processedRoot)
+      return processMerge(spark, landingRoot, processedRoot, stableDateIds, stableRecordIds)
+    }
+
+    val allTables = Schemas.sources.keys.toSeq.sorted
+    val keysByTable = allTables.map(t => t -> LandingLog.logKeys(landingRoot, t)).toMap
+    // Out-of-order landing guard: a backfill landed UNDER the folded
+    // watermark would be invisible to the incremental read forever.
+    // Folded-count bookkeeping detects it (the count of keys at or
+    // below the watermark must equal what was folded) and the answer is
+    // a loud full rebuild — rare by the landing contract (F11 monotone
+    // batch ids), never silent.
+    val outOfOrder = allTables.exists { t =>
+      val folded = state.get(s"folded|$t")
+      val below = keysByTable(t).count(k => folded.exists(k <= _)).toLong
+      folded.isDefined && below != state.get(s"count|$t").map(_.toLong).getOrElse(-1L)
+    }
+    if (outOfOrder) {
+      System.err.println(
+        s"[graft] MergeRunner: landing keys appeared below the folded watermark " +
+          s"at $landingRoot — full rebuild")
+      resetProcessed(spark, processedRoot)
+      return processMerge(spark, landingRoot, processedRoot, stableDateIds, stableRecordIds)
+    }
+
+    val newKeys = keysByTable.map { case (t, ks) =>
+      t -> ks.filter(k => state.get(s"folded|$t").forall(_ < k))
+    }
+    val changed = newKeys.filter(_._2.nonEmpty).keys.toSet
+    if (changed.isEmpty) return Seq.empty
+
+    // Dense policies: order-determined ids are replay-bound — delegate
+    // to the faithful full-replay processor and just advance bookkeeping.
+    if (!(stableDateIds && stableRecordIds)) {
+      val written = Runner.processBatch(spark, landingRoot, processedRoot, changed,
+        stableDateIds, stableRecordIds = stableRecordIds)
+      store.update(foldedUpdates(state, keysByTable, newKeys) + ("policy" -> wanted))
+      return written
+    }
+
+    val recovery = state.get("intent").exists(_.nonEmpty)
+    store.update(Map("intent" -> "1", "policy" -> wanted))
+    val written = Seq.newBuilder[String]
+
+    def currentOf(t: String): DataFrame =
+      LandingLog.readSnapshotIfExists(spark, s"$processedRoot/$sourcesDir", t)
+        .getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.sources(t)._1))
+
+    // ---- 1. non-fact sources: keep-last upsert into the currents ----
+    val nonFactChanged = (changed -- Runner.factSources).toSeq.sorted
+    nonFactChanged.foreach { t =>
+      val pk = Schemas.sources(t)._2
+      val inc = StarSchema.currentSnapshot(t)(
+        LandingLog.readLogSince(spark, landingRoot, t, Schemas.sources(t)._1,
+          state.get(s"folded|$t")))
+      val merged =
+        if (LandingLog.snapshotDataDir(s"$processedRoot/$sourcesDir", t).isEmpty) inc
+        else currentOf(t).join(inc.select(pk), Seq(pk), "left_anti").unionByName(inc)
+      LandingLog.writeSnapshot(merged, s"$processedRoot/$sourcesDir", t)
+    }
+
+    // ---- 2. affected dimensions, rebuilt from the currents ----------
+    def buildDim(key: String): DataFrame = key match {
+      case "dim-location" => StarSchema.dimLocation(asLog(currentOf("address")))
+      case "dim-counterparty" =>
+        StarSchema.dimCounterparty(asLog(currentOf("counterparty")), asLog(currentOf("address")))
+      case "dim-currency" => StarSchema.dimCurrency(asLog(currentOf("currency")))
+      case "dim-design" => StarSchema.dimDesign(asLog(currentOf("design")))
+      case "dim-payment_type" => StarSchema.dimPaymentType(asLog(currentOf("payment_type")))
+      case "dim-staff" =>
+        StarSchema.dimStaff(asLog(currentOf("staff")), asLog(currentOf("department")))
+      case "dim-transaction" => StarSchema.dimTransaction(asLog(currentOf("transaction")))
+    }
+    nonFactChanged.flatMap(Runner.dependencies(_)).distinct.sorted
+      .filter(k => k.startsWith("dim-") && k != "dim-date")
+      .foreach { k =>
+        LandingLog.writeSnapshot(buildDim(k), processedRoot, k)
+        written += k
+      }
+
+    // ---- 3. facts: per-partition upsert + refcount deltas -----------
+    val factChanged = (changed & Runner.factSources).toSeq.sorted
+    if (factChanged.nonEmpty) {
+      // (date, n) deltas accumulated across the updated facts; the
+      // subtract side is captured from the PRE-merge probe below.
+      var deltas = Seq.empty[DataFrame]
+      factChanged.foreach { s =>
+        val key = factKeys(s)
+        val pk = Schemas.sources(s)._2
+        val inc = graft.CacheJanitor.register(StarSchema.currentSnapshot(s)(
+          LandingLog.readLogSince(spark, landingRoot, s, Schemas.sources(s)._1,
+            state.get(s"folded|$s"))).persist())
+        if (!inc.isEmpty) {
+          // Minimal date lookup from the increment's own dates: under
+          // stable ids the FK is the pure function yyyymmdd(date), and
+          // full replay's dim_date contains every date a fact row
+          // carries, so joining this increment-sized lookup yields FKs
+          // identical to replay's broadcast join against full dim_date.
+          val incDates = StarSchema.dateColumns(s)
+            .map(c => inc.select(to_date(col(c)).as("date")))
+            .reduce(_ unionByName _).where(col("date").isNotNull).distinct()
+            .withColumn("date_id", date_format(col("date"), "yyyyMMdd").cast("long"))
+          val newRows = graft.CacheJanitor.register((s match {
+            case "payment" => StarSchema.factPayment(inc, incDates, stableRecordIds = true)
+            case "purchase_order" => StarSchema.factPurchaseOrder(inc, incDates, stableRecordIds = true)
+            case "sales_order" => StarSchema.factSalesOrder(inc, incDates, stableRecordIds = true)
+          }).persist())
+          deltas :+= inc.select(
+            explode(array(StarSchema.dateColumns(s).map(c => to_date(col(c))): _*)).as("date"))
+            .where(col("date").isNotNull)
+            .groupBy("date").agg(count(lit(1)).as("n"))
+          val factDir = s"$processedRoot/$key"
+          val fs = fsOf(spark, factDir)
+          if (!fs.exists(new HPath(factDir)) || !fs.listStatus(new HPath(factDir))
+            .exists(st => st.isDirectory && st.getPath.getName.startsWith("__p_"))) {
+            // Bootstrap (or an empty prior table): the increment IS the
+            // corpus; write the whole partitioned tree.
+            LandingLog.writePartitioned(newRows, factDir, Seq("created_date"))
+          } else {
+            val prevRaw = spark.read.parquet(factDir)
+            val incPks = inc.select(col(pk))
+            // The pk probe: replaced rows' partitions (for the rewrite
+            // set) and old date FKs (for the refcount subtract) in ONE
+            // slim pass — pk, FK and mirror columns only; parquet prunes
+            // the rest of the fact row out of the scan.
+            val oldRows = graft.CacheJanitor.register(
+              prevRaw.join(broadcast(incPks), Seq(pk), "left_semi")
+                .select((factDateFkCols(key).map(col) :+
+                  col("__p_created_date").cast("string").as("__p")): _*)
+                .persist())
+            deltas :+= oldRows.select(
+              explode(array(factDateFkCols(key)
+                .map(c => to_date(col(c).cast("string"), "yyyyMMdd")): _*)).as("date"))
+              .where(col("date").isNotNull)
+              .groupBy("date").agg((-count(lit(1))).as("n"))
+            val affected = (oldRows.select("__p").distinct().collect().map(_.getString(0)) ++
+              newRows.select(floor(col("created_date").cast("long") / 100).cast("string"))
+                .distinct().collect().map(_.getString(0))).toSet
+            // select in builder column order: the USING-column anti-join
+            // moves the pk first, and parquet files persist frame order —
+            // the snapshot must stay schema-identical to replay's.
+            val mergedAffected = prevRaw
+              .where(col("__p_created_date").cast("string").isin(affected.toSeq: _*))
+              .join(broadcast(incPks), Seq(pk), "left_anti")
+              .select(newRows.columns.map(col).toSeq: _*)
+              .unionByName(newRows)
+            // Stage then per-partition swap: the table stays readable
+            // (legacy snapshot layout) and a crash anywhere is healed by
+            // the intent-replay (the upsert is idempotent over a torn
+            // table — swapped partitions already hold merged content).
+            val stage = s"$processedRoot/.merge_stage_$key"
+            fs.delete(new HPath(stage), true)
+            LandingLog.writePartitioned(mergedAffected, stage, Seq("created_date"))
+            val staged = fs.listStatus(new HPath(stage)).toSeq
+              .filter(st => st.isDirectory && st.getPath.getName.startsWith("__p_"))
+              .map(_.getPath.getName)
+            staged.foreach { d =>
+              fs.delete(new HPath(factDir, d), true)
+              require(fs.rename(new HPath(stage, d), new HPath(factDir, d)),
+                s"merge swap failed for $key/$d")
+            }
+            // Vacated months (every row moved or was replaced away).
+            affected.map(v => s"__p_created_date=$v").diff(staged.toSet)
+              .foreach(d => fs.delete(new HPath(factDir, d), true))
+            fs.delete(new HPath(stage), true)
+          }
+          written += key
+        }
+      }
+
+      // ---- refcounts + dim_date --------------------------------------
+      val refsRoot = s"$processedRoot/$sourcesDir"
+      val refsVersionOk = state.get("refs_version").map(_.toLong)
+        .contains(LandingLog.currentVersion(refsRoot, refsTable))
+      val refsNew =
+        if (recovery || !refsVersionOk) rebuildRefs(spark, processedRoot)
+        else {
+          val prev =
+            if (LandingLog.currentVersion(refsRoot, refsTable) == 0)
+              emptyRefs(spark)
+            else LandingLog.readSnapshot(spark, refsRoot, refsTable)
+          deltas.foldLeft(prev)(_ unionByName _)
+            .groupBy("date").agg(sum(col("n")).as("n"))
+            .where(col("n") > 0)
+        }
+      // keepVersions=2: the pinned-input version must survive one commit
+      // so an intact-chain reader never races the GC.
+      LandingLog.writeSnapshot(refsNew, refsRoot, refsTable, keepVersions = 2)
+      LandingLog.writeSnapshot(
+        StarSchema.dimDateFromDates(
+          LandingLog.readSnapshot(spark, refsRoot, refsTable).select("date").distinct(),
+          stableIds = true),
+        processedRoot, "dim-date")
+      written += "dim-date"
+    }
+
+    // ---- 4. advance the watermark — the batch's commit point --------
+    store.update(foldedUpdates(state, keysByTable, newKeys) ++ Map(
+      "intent" -> "",
+      "policy" -> wanted,
+      "refs_version" ->
+        LandingLog.currentVersion(s"$processedRoot/$sourcesDir", refsTable).toString))
+    graft.CacheJanitor.drain()
+    written.result()
+  }
+
+  private def foldedUpdates(state: Map[String, String],
+      keysByTable: Map[String, Seq[String]],
+      newKeys: Map[String, Seq[String]]): Map[String, String] =
+    newKeys.filter(_._2.nonEmpty).flatMap { case (t, ks) =>
+      Map(s"folded|$t" -> ks.max,
+        s"count|$t" -> keysByTable(t).count(_ <= ks.max).toString)
+    }
+
+  /** The refcounts recomputed from the merged facts alone — the
+    * recovery path (and the spec's source of truth): every source date
+    * column is stored as a yyyymmdd FK in exactly one fact column, so
+    * the per-date tally over the fact tables equals the incremental
+    * bookkeeping. One slim FK-columns scan per fact, paid only on an
+    * anomaly (crash replay, tampered state). */
+  private[star] def rebuildRefs(spark: SparkSession, processedRoot: String): DataFrame = {
+    val parts = factKeys.values.toSeq.sorted.flatMap { key =>
+      LandingLog.snapshotDataDir(processedRoot, key).map { dir =>
+        val raw = spark.read.parquet(dir)
+        raw.select(explode(array(factDateFkCols(key)
+          .map(c => to_date(col(c).cast("string"), "yyyyMMdd")): _*)).as("date"))
+          .where(col("date").isNotNull)
+      }
+    }
+    if (parts.isEmpty) emptyRefs(spark)
+    else parts.reduce(_ unionByName _).groupBy("date").agg(count(lit(1)).as("n"))
+  }
+
+  private def emptyRefs(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("date", org.apache.spark.sql.types.DateType),
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType))))
+
+  /** Clear every star artifact under the processed root (policy flip /
+    * out-of-order landing): snapshots, currents, merge state. The next
+    * merge bootstraps from the full landing log. */
+  private def resetProcessed(spark: SparkSession, processedRoot: String): Unit = {
+    val fs = fsOf(spark, processedRoot)
+    val root = new HPath(processedRoot)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("dim-") || n.startsWith("fact-") || n == sourcesDir ||
+        n == stateName || n.startsWith(".merge_stage_"))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Zero-copy warehouse load: the star snapshots ARE the warehouse —
+    * each changed table is (re)registered as a catalog VIEW over its
+    * current snapshot directory (mirror partition keys projected away),
+    * so the load stage is O(1) DDL per changed table instead of the
+    * reference's full-refresh copy. The JDBC production sink would pair
+    * this with a staged MERGE; the full-refresh `loadWarehouseJdbc`
+    * remains the reference-faithful alternative. */
+  def loadWarehouseViews(spark: SparkSession, processedRoot: String,
+      keys: Seq[String]): Seq[String] = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${Runner.warehouseDb}")
+    keys.map { key =>
+      val table = key.replaceFirst("^dim-", "").replaceFirst("^fact-", "").replace("-", "_")
+      val dir = LandingLog.snapshotDataDir(processedRoot, key)
+        .getOrElse(sys.error(s"no snapshot for $key under $processedRoot"))
+      val cols = spark.read.parquet(dir).columns.filterNot(_.startsWith("__p_"))
+        .map(c => s"`$c`").mkString(", ")
+      // A warehouse previously loaded through the copy path holds a
+      // TABLE under this name; the zero-copy view displaces it (CREATE
+      // OR REPLACE VIEW refuses to shadow a table on its own).
+      if (spark.catalog.tableExists(s"${Runner.warehouseDb}.$table") &&
+        spark.catalog.getTable(Runner.warehouseDb, table).tableType != "VIEW")
+        spark.sql(s"DROP TABLE ${Runner.warehouseDb}.`$table`")
+      spark.sql(s"CREATE OR REPLACE VIEW ${Runner.warehouseDb}.`$table` AS " +
+        s"SELECT $cols FROM parquet.`$dir`")
+      table
+    }
+  }
+
+  /** One end-to-end incremental micro-batch: ingest → merge → view
+    * refresh — [[Runner.runOnce]]'s shape with the corpus-linear stages
+    * replaced by their incremental forms. */
+  def runOnce(
+      spark: SparkSession,
+      sources: Map[String, DataFrame],
+      landingRoot: String,
+      processedRoot: String,
+      statePath: String,
+      batchId: String): Seq[String] = WriterLease.withLease(spark, processedRoot) {
+    val store = new WatermarkStore(statePath)
+    val updated = Runner.ingestOnce(sources, landingRoot, store, batchId)
+    if (updated.isEmpty) Seq.empty
+    else {
+      val written = processMerge(spark, landingRoot, processedRoot)
+      loadWarehouseViews(spark, processedRoot, written)
+      written
+    }
+  }
+}

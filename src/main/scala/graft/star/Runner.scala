@@ -139,7 +139,8 @@ object Runner {
       processedRoot: String,
       updates: Set[String],
       stableDateIds: Boolean = true,
-      cacheMemoryBound: Long = factCacheMemoryBoundBytes): Seq[String] = WriterLease.withLease(spark, processedRoot) {
+      cacheMemoryBound: Long = factCacheMemoryBoundBytes,
+      stableRecordIds: Boolean = false): Seq[String] = WriterLease.withLease(spark, processedRoot) {
     // Snapshot commits are atomic against READERS, but two concurrent
     // WRITERS could still stage the same `_versions/<n>` directory or
     // interleave GC with a commit — the same second-writer class the
@@ -176,11 +177,19 @@ object Runner {
       // dim) and force every non-empty fact to rebuild once; after that
       // batch the snapshot is self-consistent and selective skipping
       // resumes.
+      // The record-id policy can't be sniffed from stored values (stable
+      // ids ARE the natural keys, which may themselves be dense), so it
+      // is recorded in a marker at the processed root; absence means the
+      // root predates the marker — always dense. A flip forces the same
+      // one-time full fact rebuild as a date-policy flip: facts skipped
+      // by the selective rebuild would otherwise keep ids minted under
+      // the other policy, silently mixing the two in one star schema.
       val storedPolicyMismatch =
         LandingLog.readSnapshotIfExists(spark, processedRoot, "dim-date").exists { prev =>
           val mx = prev.agg(max(col("date_id").cast("long"))).collect()(0)
           !mx.isNullAt(0) && (mx.getLong(0) >= 10000000L) != stableDateIds
-        }
+        } || (storedRecordPolicy(spark, processedRoot) != stableRecordIds &&
+          LandingLog.readSnapshotIfExists(spark, processedRoot, "dim-date").isDefined)
       // dim_date is built from the full current snapshots of all three fact
       // inputs, then cached: three fact builders each broadcast-join it.
       // One log replay + dedup per fact input, shared by dim_date and the
@@ -210,15 +219,44 @@ object Runner {
       def fact(src: String, key: String, snap: DataFrame, build: => DataFrame): Unit =
         if (updates(src) || ((!stableDateIds || storedPolicyMismatch) && !snap.isEmpty))
           put(key, build, partitionBy = Seq("created_date"))
-      fact("payment", "fact-payment", pay, StarSchema.factPayment(pay, dates))
-      fact("purchase_order", "fact-purchase_order", po, StarSchema.factPurchaseOrder(po, dates))
-      fact("sales_order", "fact-sales_order", so, StarSchema.factSalesOrder(so, dates))
+      fact("payment", "fact-payment", pay,
+        StarSchema.factPayment(pay, dates, stableRecordIds))
+      fact("purchase_order", "fact-purchase_order", po,
+        StarSchema.factPurchaseOrder(po, dates, stableRecordIds))
+      fact("sales_order", "fact-sales_order", so,
+        StarSchema.factSalesOrder(so, dates, stableRecordIds))
       Seq(dates, pay, po, so).foreach(_.unpersist())
+      writeRecordPolicy(spark, processedRoot, stableRecordIds)
     }
     // Release operator-internal persists (sequentialId's sorted frames)
     // now that every snapshot write has materialized them.
     graft.CacheJanitor.drain()
     written.result()
+  }
+
+  /** Stored record-id policy marker (`_id_policy.json` at the processed
+    * root, atomic-rename committed like every state file here): true =
+    * facts were last written with stable (natural-key) record ids.
+    * Absent = a pre-marker root, which can only hold dense ids. */
+  private[star] def storedRecordPolicy(spark: SparkSession, processedRoot: String): Boolean = {
+    val p = java.nio.file.Paths.get(s"$processedRoot/_id_policy.json")
+    java.nio.file.Files.exists(p) &&
+      graft.sources.MiniJson.parseFlat(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        .get("stable_record_ids").contains("true")
+  }
+
+  private def writeRecordPolicy(spark: SparkSession, processedRoot: String,
+      stableRecordIds: Boolean): Unit = {
+    val p = java.nio.file.Paths.get(s"$processedRoot/_id_policy.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling("_id_policy.json.tmp")
+    java.nio.file.Files.write(tmp,
+      (graft.sources.MiniJson.renderFlat(
+        Map("stable_record_ids" -> stableRecordIds.toString)) + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** The warehouse database every load registers its tables under (S11:
@@ -319,7 +357,8 @@ object Runner {
       statePath: String,
       batchId: String,
       jdbcWarehouse: Option[(String, java.util.Properties)] = None,
-      stableDateIds: Boolean = true): Seq[String] = WriterLease.withLease(spark, processedRoot) {
+      stableDateIds: Boolean = true,
+      stableRecordIds: Boolean = false): Seq[String] = WriterLease.withLease(spark, processedRoot) {
     // The composed batch holds ONE lease on the processed root for all
     // three stages (reentrant with processBatch's own acquisition), so
     // two pipeline drivers pointed at the same root serialize at the
@@ -332,7 +371,8 @@ object Runner {
     val updated = ingestOnce(sources, landingRoot, store, batchId)
     if (updated.isEmpty) Seq.empty
     else {
-      val written = processBatch(spark, landingRoot, processedRoot, updated.toSet, stableDateIds)
+      val written = processBatch(spark, landingRoot, processedRoot, updated.toSet,
+        stableDateIds, stableRecordIds = stableRecordIds)
       jdbcWarehouse match {
         case Some((url, props)) => loadWarehouseJdbc(spark, processedRoot, written, url, props)
         case None => loadWarehouse(spark, processedRoot, warehouseRoot, written)

@@ -98,19 +98,34 @@ object StarSchema {
       stableIds: Boolean = false): DataFrame = {
     def datesOf(df: DataFrame, cols: Seq[String]): DataFrame =
       df.select(explode(array(cols.map(c => to_date(col(c))): _*)).as("date"))
-    val all = datesOf(payment, Seq("created_at", "last_updated", "payment_date"))
-      .unionByName(datesOf(purchaseOrder,
-        Seq("created_at", "last_updated", "agreed_delivery_date", "agreed_payment_date")))
-      .unionByName(datesOf(salesOrder,
-        Seq("created_at", "last_updated", "agreed_delivery_date", "agreed_payment_date")))
+    val all = datesOf(payment, dateColumns("payment"))
+      .unionByName(datesOf(purchaseOrder, dateColumns("purchase_order")))
+      .unionByName(datesOf(salesOrder, dateColumns("sales_order")))
       .filter(col("date").isNotNull)
       .distinct()
-    // stableIds: date_id = yyyymmdd — a pure function of the date value,
-    // so a rebuild that discovers a NEW earlier date never renumbers
-    // existing ids and previously-written fact FKs stay valid (the dense
-    // 1..n policy below is the reference's, which has exactly that
-    // renumbering defect — Runner compensates by rebuilding all facts
-    // whenever dim_date is rebuilt under dense ids).
+    dimDateFromDates(all, stableIds)
+  }
+
+  /** The date/timestamp source columns each fact input contributes to
+    * dim_date (exactly [[dimDate]]'s melt lists — the merge path's
+    * refcount bookkeeping must tally the same multiset). */
+  val dateColumns: Map[String, Seq[String]] = Map(
+    "payment" -> Seq("created_at", "last_updated", "payment_date"),
+    "purchase_order" -> Seq("created_at", "last_updated", "agreed_delivery_date", "agreed_payment_date"),
+    "sales_order" -> Seq("created_at", "last_updated", "agreed_delivery_date", "agreed_payment_date"))
+
+  /** [[dimDate]]'s tail over an already-distinct `date` column — split
+    * out so the incremental star path ([[MergeRunner]]) can rebuild
+    * dim_date from its maintained date set through the IDENTICAL value
+    * function (ids, calendar parts, column set).
+    *
+    * stableIds: date_id = yyyymmdd — a pure function of the date value,
+    * so a rebuild that discovers a NEW earlier date never renumbers
+    * existing ids and previously-written fact FKs stay valid (the dense
+    * 1..n policy below is the reference's, which has exactly that
+    * renumbering defect — Runner compensates by rebuilding all facts
+    * whenever dim_date is rebuilt under dense ids). */
+  def dimDateFromDates(all: DataFrame, stableIds: Boolean): DataFrame = {
     val numbered =
       if (stableIds) all.withColumn("date_id", date_format(col("date"), "yyyyMMdd").cast("long"))
       else sequentialId("date_id", Seq(col("date")))(all)
@@ -134,16 +149,35 @@ object StarSchema {
     splitTimestamp("last_updated", "_lu_date", "last_updated_time")(
       splitTimestamp("created_at", "_c_date", "created_time")(df))
 
+  /** Surrogate record-id policy shared by the three fact builders.
+    *
+    * Dense (`stableRecordIds = false`, the reference's W2): 1..n by
+    * row_number over the natural-key order. Order-determined, so ONE
+    * out-of-order natural key arriving later renumbers every row after
+    * it — the fact table is inherently replay-bound (the same defect
+    * class as dense date ids, on the row axis). Stable
+    * (`stableRecordIds = true`, the scale policy): record_id = the
+    * natural key itself, cast to the same LONG the dense path mints —
+    * a pure per-row value function, which is what lets the incremental
+    * star path ([[MergeRunner]]) upsert fact rows without touching the
+    * rest of the corpus. Natural keys are unique by the source-pk
+    * contract, so both policies yield unique ids. */
+  private def recordId(idName: String, naturalKey: String, stable: Boolean)(
+      df: DataFrame): DataFrame =
+    if (stable) df.withColumn(idName, col(naturalKey).cast("long"))
+    else sequentialId(idName, Seq(col(naturalKey)))(df)
+
   /** Fact builders take the already-deduped current snapshot (one log
     * replay per fact input, shared with dimDate — at scale the log replay
     * is the dominant read, so it must not happen twice). */
-  def factPayment(payment: DataFrame, dates: DataFrame): DataFrame = {
+  def factPayment(payment: DataFrame, dates: DataFrame,
+      stableRecordIds: Boolean = false): DataFrame = {
     val base = splitAudit(payment)
     val withFks =
       dateFk("payment_date", "payment_date_fk", dates)(
         dateFk("_lu_date", "last_updated_date", dates)(
           dateFk("_c_date", "created_date", dates)(base)))
-    sequentialId("record_payment_id", Seq(col("payment_id")))(withFks)
+    recordId("record_payment_id", "payment_id", stableRecordIds)(withFks)
       .select(col("record_payment_id"), col("payment_id"), col("created_date"),
         col("created_time"), col("last_updated_date"), col("last_updated_time"),
         col("transaction_id"), col("counterparty_id"), col("payment_amount"),
@@ -151,14 +185,15 @@ object StarSchema {
         col("payment_date_fk").as("payment_date"))
   }
 
-  def factPurchaseOrder(purchaseOrder: DataFrame, dates: DataFrame): DataFrame = {
+  def factPurchaseOrder(purchaseOrder: DataFrame, dates: DataFrame,
+      stableRecordIds: Boolean = false): DataFrame = {
     val base = splitAudit(purchaseOrder)
     val withFks =
       dateFk("agreed_payment_date", "agreed_payment_date_fk", dates)(
         dateFk("agreed_delivery_date", "agreed_delivery_date_fk", dates)(
           dateFk("_lu_date", "last_updated_date", dates)(
             dateFk("_c_date", "created_date", dates)(base))))
-    sequentialId("purchase_record_id", Seq(col("purchase_order_id")))(withFks)
+    recordId("purchase_record_id", "purchase_order_id", stableRecordIds)(withFks)
       .select(col("purchase_record_id"), col("purchase_order_id"), col("created_date"),
         col("created_time"), col("last_updated_date"), col("last_updated_time"),
         col("staff_id"), col("counterparty_id"), col("item_code"), col("item_quantity"),
@@ -168,14 +203,15 @@ object StarSchema {
         col("agreed_delivery_location_id"))
   }
 
-  def factSalesOrder(salesOrder: DataFrame, dates: DataFrame): DataFrame = {
+  def factSalesOrder(salesOrder: DataFrame, dates: DataFrame,
+      stableRecordIds: Boolean = false): DataFrame = {
     val base = splitAudit(salesOrder)
     val withFks =
       dateFk("agreed_payment_date", "agreed_payment_date_fk", dates)(
         dateFk("agreed_delivery_date", "agreed_delivery_date_fk", dates)(
           dateFk("_lu_date", "last_updated_date", dates)(
             dateFk("_c_date", "created_date", dates)(base))))
-    sequentialId("sales_record_id", Seq(col("sales_order_id")))(withFks)
+    recordId("sales_record_id", "sales_order_id", stableRecordIds)(withFks)
       .select(col("sales_record_id"), col("sales_order_id"), col("created_date"),
         col("created_time"), col("last_updated_date"), col("last_updated_time"),
         col("staff_id").as("sales_staff_id"), col("counterparty_id"),

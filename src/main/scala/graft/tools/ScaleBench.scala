@@ -131,6 +131,82 @@ object ScaleBench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
     catch { case _: Throwable => "unavailable" }
 
+  /** ANN recall at tier scale (round-12 verdict item #4). AnnRecallSpec
+    * pins the floors at sf0.01 only; the quantizers train on bounded
+    * samples, so recall at 200k+ vectors was unmeasured. This probe
+    * computes the exact top-3 companion (brute force over the WHOLE
+    * tier, t41's bounded query set — replica 0's `vec_id % 100 = 0 AND
+    * vec_id < 2500`, so the query set is identical at every tier) and
+    * grades the three ANN registry queries against it, then walks the
+    * PERSISTED index lifecycle at the tier: ingest in two halves (the
+    * quantizer freezes on half 1 — the drifted, worst-case shape),
+    * topK recall, refreeze on the live corpus, topK recall again — the
+    * ladder-step migration must PRESERVE recall. Floors are asserted:
+    * a recall collapse fails the evidence run loudly instead of
+    * shipping a quietly-degraded artifact. The floors sit below the
+    * gate-scale ones (0.5/0.8) because a 10–100× denser corpus has
+    * more near-ties by chance; the measured values are in the JSON. */
+  def annRecall(spark: SparkSession, dir: String, workDir: String): Map[String, Double] = {
+    import graft.functions.TextSim
+    graft.functions.GraftFunctions.registerAll(spark)
+    val d = TextSim.spark
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    emb.createOrReplaceTempView("scale_recall_emb")
+    val truth = spark.sql(
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, ${TextSim.norm2(d, "embedding")} AS n2
+         |  FROM scale_recall_emb),
+         |q AS (SELECT * FROM v WHERE vec_id % 100 = 0 AND vec_id < 2500),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |    ${TextSim.dot(d, "q.embedding", "v.embedding")} / (sqrt(q.n2) * sqrt(v.n2)) AS cosine
+         |  FROM q JOIN v ON v.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) WHERE rnk <= 3""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    require(truth.nonEmpty, "recall probe: empty ground truth")
+    def recallOf(got: Set[(Long, Long)]): Double = (truth & got).size.toDouble / truth.size
+    val queryRecall = Seq("t41_ivf_ann", "t48_quantized_ann", "t49_ivf_sq8_ann").map { name =>
+      val got = SparkEntry.queries(name)(spark, dir)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      CacheJanitor.drain()
+      name -> recallOf(got)
+    }.toMap
+    // Persisted lifecycle: frozen-on-half-1 quantizer, then refreeze.
+    val root = s"$workDir/ann_recall_root"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val vecs = emb.selectExpr("vec_id", "embedding")
+    graft.operators.AnnIndex.ingest(spark, root,
+      vecs.where(col("vec_id") % 2 === 0), batchKey = Some("h1"))
+    graft.operators.AnnIndex.ingest(spark, root,
+      vecs.where(col("vec_id") % 2 === 1), batchKey = Some("h2"))
+    val qs = emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 2500)
+      .selectExpr("vec_id AS query_id", "embedding")
+    def persistedRecall(): Double = {
+      val got = graft.operators.AnnIndex.topK(spark, root, qs, 3, rerank = Some(vecs))
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      CacheJanitor.drain()
+      recallOf(got)
+    }
+    val before = persistedRecall()
+    graft.operators.AnnIndex.refreeze(spark, root, vecs)
+    val after = persistedRecall()
+    val all = queryRecall ++ Map(
+      "persisted_before_refreeze" -> before, "persisted_after_refreeze" -> after)
+    require(all("t41_ivf_ann") >= 0.4, s"t41 recall collapsed at tier: $all")
+    require(all("t48_quantized_ann") >= 0.6, s"t48 recall collapsed at tier: $all")
+    require(all("t49_ivf_sq8_ann") >= 0.35, s"t49 recall collapsed at tier: $all")
+    require(before >= 0.35 && after >= 0.35, s"persisted-index recall collapsed: $all")
+    require(after >= before - 0.05,
+      s"refreeze degraded recall ($before -> $after) — the migration must preserve it")
+    all
+  }
+
   private def f(d: Double): String = f"$d%.3f".replace(",", ".")
 
   def main(args: Array[String]): Unit = {
@@ -170,6 +246,20 @@ object ScaleBench {
         s"  time x${f(b.median / a.median)}  rows x${f(b.rows.toDouble / math.max(a.rows, 1L))}")
       name -> ((a, b))
     }
+
+    // --- ANN recall at both tiers (skippable; see [[annRecall]]) -----
+    val recall: Map[String, Map[String, Double]] =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_RECALL", "1") == "0" || queries.isEmpty)
+        Map.empty
+      else {
+        graft.GraftSession.tuneShufflePartitions(spark, Seq(x1Dir))
+        val r1 = annRecall(spark, x1Dir, s"$workDir/recall_x1")
+        graft.GraftSession.tuneShufflePartitions(spark, Seq(xFDir))
+        val rF = annRecall(spark, xFDir, s"$workDir/recall_x$factor")
+        println(s"# recall x1=$r1")
+        println(s"# recall x$factor=$rF")
+        Map("x1" -> r1, s"x$factor" -> rF)
+      }
 
     // --- Maintenance loop: F constant-size increments ----------------
     // Batch r = replica r of the F× corpus (constant increment size);
@@ -255,6 +345,12 @@ object ScaleBench {
         s""""driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",""" +
         s""""tiers":{"x1":{"documents":$d1,"embeddings":$e1},"x$factor":{"documents":$dF,"embeddings":$eF}},""" +
         s""""queries":$qJson,"pipeline_loop":$loopJson,"vector_loop":$vecLoopJson,""" +
+        (if (recall.isEmpty) "" else {
+          val r = recall.map { case (tier, m) =>
+            s""""$tier":${m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")}"""
+          }.mkString("{", ",", "}")
+          s""""ann_recall":$r,"""
+        }) +
         (if (loop.isEmpty) ""
          else s""""loop_batch_median_sec":${f(batchTimes(batchTimes.size / 2))},""" +
            s""""loop_batch_min_sec":${f(batchTimes.head)},"loop_batch_max_sec":${f(batchTimes.last)},""" +
