@@ -219,9 +219,29 @@ object MergeRunner {
       factChanged.foreach { s =>
         val key = factKeys(s)
         val pk = Schemas.sources(s)._2
+        // The increment is read several times (emptiness, date lookup,
+        // row build, refcount add, pk set) — persist it, but size-gate
+        // the LEVEL on the new landing bytes like Runner's fact caches:
+        // a steady increment rides memory, a bulk bootstrap (the whole
+        // log) stays DISK_ONLY and never competes with shuffle memory.
+        // Hadoop FS, not java.nio: a java.nio walk measures any
+        // non-local landing root (hdfs://, s3a://) as 0 bytes and the
+        // gate would ride a 100 TB bootstrap into executor memory.
+        val newBytes = newKeys(s).map { k =>
+          val lfs = fsOf(spark, landingRoot)
+          val csv = new HPath(s"$landingRoot/$s/$k.csv")
+          val dir = new HPath(s"$landingRoot/$s/$k.batch")
+          if (lfs.exists(csv)) lfs.getFileStatus(csv).getLen
+          else if (lfs.exists(dir)) lfs.getContentSummary(dir).getLength
+          else 0L
+        }.sum
+        val level =
+          if (newBytes <= Runner.factCacheMemoryBoundBytes)
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+          else org.apache.spark.storage.StorageLevel.DISK_ONLY
         val inc = graft.CacheJanitor.register(StarSchema.currentSnapshot(s)(
           LandingLog.readLogSince(spark, landingRoot, s, Schemas.sources(s)._1,
-            state.get(s"folded|$s"))).persist())
+            state.get(s"folded|$s"))).persist(level))
         if (!inc.isEmpty) {
           // Minimal date lookup from the increment's own dates: under
           // stable ids the FK is the pure function yyyymmdd(date), and

@@ -82,6 +82,61 @@ class ScaleLadderSpec extends SparkSpec {
       s"cross-replica shared hashes ($crossShingles) exceed birthday collision level ($birthdayBound)")
   }
 
+  test("per-query ladder invariants: which rows_ratios are EXACT and which are banded") {
+    // Round-11 verdict item: the ladder artifacts report rows_ratio per
+    // query, but only some families are structure-preserved under the
+    // replica construction — without pinning WHICH, a regression in the
+    // approximate ones reads as "not pinned" and gets shrugged off.
+    //
+    //  EXACT (ratio == F, asserted to the row): t35 (shingle equality is
+    //  vocabulary-bijection-invariant), t54 (cosine structure is
+    //  rotation-invariant per replica; both the manifest rows AND the
+    //  dropped-doc count pin the pair structure), t68/t72 (per-replica
+    //  lifecycle queries over the same signatures as t35).
+    //
+    //  BANDED (ratio ≈ F): t36 — MinHash signatures depend on hash
+    //  VALUES, and salting rehashes every token, so each replica draws
+    //  fresh min-hashes; band groupings move and the LSH recall noise
+    //  resamples per replica (r11 x100 measured 0.998F). t37 — SimHash
+    //  codes likewise resample, and Hamming-ball membership is
+    //  value-sensitive (r11 x100 measured 0.96F). The bands below are
+    //  wide enough for per-replica resampling at F=3, tight enough
+    //  that a broken candidate stage (ratio ~1 or ~F²) fails loudly.
+    val (d1, _) = ScaleBench.writeTier(spark, "/root/testdata/sf0.01", s"$work/inv_x1", 1)
+    val (dF, _) = ScaleBench.writeTier(spark, "/root/testdata/sf0.01", s"$work/inv_xF", factor)
+    assert(dF == factor * d1)
+    def rows(name: String, dir: String): Long = {
+      val n = SparkEntry.queries(name)(spark, dir).count(); CacheJanitor.drain(); n
+    }
+    // exact families
+    Seq("t35_ngram_jaccard_dedup", "t68_incremental_clusters", "t72_takedown_dedup")
+      .foreach { q =>
+        val (a, b) = (rows(q, s"$work/inv_x1"), rows(q, s"$work/inv_xF"))
+        assert(a > 0, s"$q must be non-trivial at x1")
+        assert(b == factor * a, s"$q rows must scale EXACTLY ×$factor: $a -> $b")
+      }
+    // t54: manifest rows AND dropped-doc count both exact
+    val t54x1 = SparkEntry.queries("t54_embedding_dedup")(spark, s"$work/inv_x1")
+    val (m1, drop1) = (t54x1.count(), t54x1.where(!org.apache.spark.sql.functions.col("keep")).count())
+    CacheJanitor.drain()
+    val t54xF = SparkEntry.queries("t54_embedding_dedup")(spark, s"$work/inv_xF")
+    val (mF, dropF) = (t54xF.count(), t54xF.where(!org.apache.spark.sql.functions.col("keep")).count())
+    CacheJanitor.drain()
+    assert(drop1 > 0, "t54 must drop near-dups at x1 for the invariant to bite")
+    assert(mF == factor * m1 && dropF == factor * drop1,
+      s"t54 manifest/dropped must scale EXACTLY ×$factor: ($m1,$drop1) -> ($mF,$dropF)")
+    // banded families
+    Seq("t36_minhash_lsh_dedup" -> (0.8, 1.2), "t37_simhash_dedup" -> (0.7, 1.3))
+      .foreach { case (q, (lo, hi)) =>
+        val (a, b) = (rows(q, s"$work/inv_x1"), rows(q, s"$work/inv_xF"))
+        assert(a > 0, s"$q must be non-trivial at x1")
+        val ratio = b.toDouble / (factor * a)
+        assert(ratio >= lo && ratio <= hi,
+          s"$q rows_ratio ${b.toDouble / a} outside the documented ~×$factor band " +
+            s"[${lo * factor}, ${hi * factor}] — candidate structure changed")
+      }
+  }
+
   test("embedding rotation preserves within-replica inner products exactly") {
     ScaleBench.writeTier(spark, seedDir, s"$work/emb", 2)
     val emb = spark.read.parquet(s"$work/emb/embeddings.parquet")
