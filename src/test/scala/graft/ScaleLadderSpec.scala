@@ -89,10 +89,9 @@ class ScaleLadderSpec extends SparkSpec {
     // approximate ones reads as "not pinned" and gets shrugged off.
     //
     //  EXACT (ratio == F, asserted to the row): t35 (shingle equality is
-    //  vocabulary-bijection-invariant), t54 (cosine structure is
-    //  rotation-invariant per replica; both the manifest rows AND the
-    //  dropped-doc count pin the pair structure), t68/t72 (per-replica
-    //  lifecycle queries over the same signatures as t35).
+    //  vocabulary-bijection-invariant), t54's MANIFEST (one row per
+    //  vec_id), t68/t72 (per-replica lifecycle queries over the same
+    //  signatures as t35).
     //
     //  BANDED (ratio ≈ F): t36 — MinHash signatures depend on hash
     //  VALUES, and salting rehashes every token, so each replica draws
@@ -115,16 +114,28 @@ class ScaleLadderSpec extends SparkSpec {
         assert(a > 0, s"$q must be non-trivial at x1")
         assert(b == factor * a, s"$q rows must scale EXACTLY ×$factor: $a -> $b")
       }
-    // t54: manifest rows AND dropped-doc count both exact
+    // t54: manifest rows exact; the DROPPED count is lower-bounded by
+    // ×F, not pinned to it — a coordinate rotation preserves every
+    // within-replica cosine (so each replica re-drops its ×1 set
+    // exactly), but a vector CAN have genuine cosine ≥ threshold with
+    // its own rotation (lag autocorrelation), and those cross-replica
+    // pairs are real verified pairs that merge clusters and only ever
+    // ADD drops (measured 24 -> 136 at F=3 on sf0.01). The ceiling
+    // catches a candidate-structure collapse (everything pairing would
+    // drop ~all rows) while leaving the genuine cross-replica term room.
     val t54x1 = SparkEntry.queries("t54_embedding_dedup")(spark, s"$work/inv_x1")
-    val (m1, drop1) = (t54x1.count(), t54x1.where(!org.apache.spark.sql.functions.col("keep")).count())
+    val (m1, drop1) = (t54x1.count(), t54x1.where(org.apache.spark.sql.functions.col("is_dup") === 1).count())
     CacheJanitor.drain()
     val t54xF = SparkEntry.queries("t54_embedding_dedup")(spark, s"$work/inv_xF")
-    val (mF, dropF) = (t54xF.count(), t54xF.where(!org.apache.spark.sql.functions.col("keep")).count())
+    val (mF, dropF) = (t54xF.count(), t54xF.where(org.apache.spark.sql.functions.col("is_dup") === 1).count())
     CacheJanitor.drain()
     assert(drop1 > 0, "t54 must drop near-dups at x1 for the invariant to bite")
-    assert(mF == factor * m1 && dropF == factor * drop1,
-      s"t54 manifest/dropped must scale EXACTLY ×$factor: ($m1,$drop1) -> ($mF,$dropF)")
+    assert(mF == factor * m1,
+      s"t54 manifest rows must scale EXACTLY ×$factor: $m1 -> $mF")
+    assert(dropF >= factor * drop1,
+      s"t54 dropped lost within-replica pairs: ($m1,$drop1) -> ($mF,$dropF)")
+    assert(dropF <= mF / 2,
+      s"t54 dropped ($dropF of $mF) looks like a candidate collapse")
     // banded families
     Seq("t36_minhash_lsh_dedup" -> (0.8, 1.2), "t37_simhash_dedup" -> (0.7, 1.3))
       .foreach { case (q, (lo, hi)) =>
