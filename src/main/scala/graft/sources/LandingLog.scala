@@ -87,11 +87,16 @@ object LandingLog {
     * (lexicographic = chronological by the [[fileKey]] contract) —
     * single-file `<key>.csv` increments and `<key>.batch` backfill
     * directories both. The incremental star path's folded-watermark
-    * bookkeeping is in terms of these keys. */
-  def logKeys(root: String, table: String): Seq[String] = {
-    val dir = Paths.get(s"$root/$table")
-    if (!Files.isDirectory(dir)) Seq.empty
-    else ls(dir).map(_.getFileName.toString).collect {
+    * bookkeeping is in terms of these keys. Listed through the Hadoop
+    * FileSystem API (not java.nio) so a non-local landing root
+    * (hdfs://, s3a://) enumerates correctly instead of silently
+    * reading as empty — the merge path's byte gate already made this
+    * choice for the same reason. */
+  def logKeys(spark: SparkSession, root: String, table: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$table")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir) || !fs.getFileStatus(dir).isDirectory) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
       case n if n.endsWith(".csv") => n.stripSuffix(".csv")
       case n if n.endsWith(".batch") => n.stripSuffix(".batch")
     }.sorted
@@ -105,10 +110,12 @@ object LandingLog {
     * semantics across the returned batches are unchanged. */
   def readLogSince(spark: SparkSession, root: String, table: String,
       schema: StructType, afterKey: Option[String]): DataFrame = {
-    val keys = logKeys(root, table).filter(k => afterKey.forall(_ < k))
+    val keys = logKeys(spark, root, table).filter(k => afterKey.forall(_ < k))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val paths = keys.map { k =>
-      val csv = Paths.get(s"$root/$table/$k.csv")
-      if (Files.exists(csv)) csv.toString else s"$root/$table/$k.batch"
+      val csv = new org.apache.hadoop.fs.Path(s"$root/$table/$k.csv")
+      if (fs.exists(csv)) csv.toString else s"$root/$table/$k.batch"
     }
     val base =
       if (paths.isEmpty)
@@ -504,6 +511,62 @@ object Extract {
       // Roll back anything uncommitted before closing (an abandoned
       // transaction would otherwise turn the refusal/crash path's
       // exception into Derby's "close with active transaction" error).
+      try if (!conn.getAutoCommit) conn.rollback() catch { case _: java.sql.SQLException => () }
+      conn.close()
+    }
+  }
+
+  /** Incremental JDBC publish — the staged MERGE the merge path pairs
+    * with (`MergeRunner`'s commit message named it; the full-refresh
+    * [[jdbcOverwrite]] stays the reference-faithful mode,
+    * `src/warehousing_lambda.py:64-71`). The increment stages into
+    * `<table>__stage` exactly like the refresh path, then ONE
+    * transaction deletes the live rows the increment replaces (by
+    * `pk`) and inserts the staged rows; the stage is dropped inside
+    * the same transaction. DELETE+INSERT-in-one-transaction is the
+    * dialect-portable MERGE: Derby has no MERGE statement and
+    * Postgres' INSERT..ON CONFLICT requires a unique index the
+    * refresh-created tables don't carry — the end state is identical,
+    * and the envelope (stage outside, mutate inside, single commit)
+    * matches the refresh path's crash contract. Idempotent under
+    * at-least-once replay: re-upserting the same rows deletes and
+    * re-inserts them; a crash after the stage write is healed by the
+    * stage's own mode(Overwrite). A FIRST publish (no live table)
+    * falls back to the rename commit so the writer's dialect creates
+    * the schema. INSERT uses SELECT * — the stage and the live table
+    * are created by the same writer from the same frame schema, so
+    * column order matches by construction; a drifted schema fails
+    * loudly in the INSERT, never silently misaligns. */
+  def jdbcUpsert(df: DataFrame, url: String, table: String, pk: String,
+      props: java.util.Properties): Unit = {
+    writeJdbcStage(df, url, table, props)
+    publishJdbcUpsert(url, table, pk, props)
+  }
+
+  /** The commit half of [[jdbcUpsert]] (separable so the Postgres
+    * branch can be driven through the recording driver, exactly like
+    * [[publishJdbcStage]] in `JdbcDialectSpec`). */
+  def publishJdbcUpsert(url: String, table: String, pk: String,
+      props: java.util.Properties): Unit = {
+    val conn = connect(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val stage = resolveStoredName(conn, stageName(table)).getOrElse(
+        sys.error(s"jdbcUpsert: no stage table ${stageName(table)} for $table"))
+      val st = conn.createStatement()
+      try {
+        resolveStoredName(conn, table) match {
+          case None =>
+            st.executeUpdate(renameSql(url, stage, stage.dropRight("__stage".length)))
+          case Some(live) =>
+            st.executeUpdate(
+              s"""DELETE FROM "$live" WHERE "$pk" IN (SELECT "$pk" FROM "$stage")""")
+            st.executeUpdate(s"""INSERT INTO "$live" SELECT * FROM "$stage"""")
+            st.executeUpdate(s"""DROP TABLE "$stage"""")
+        }
+        conn.commit()
+      } finally st.close()
+    } finally {
       try if (!conn.getAutoCommit) conn.rollback() catch { case _: java.sql.SQLException => () }
       conn.close()
     }

@@ -246,7 +246,7 @@ object Runner {
         .get("stable_record_ids").contains("true")
   }
 
-  private def writeRecordPolicy(spark: SparkSession, processedRoot: String,
+  private[star] def writeRecordPolicy(spark: SparkSession, processedRoot: String,
       stableRecordIds: Boolean): Unit = {
     val p = java.nio.file.Paths.get(s"$processedRoot/_id_policy.json")
     java.nio.file.Files.createDirectories(p.getParent)

@@ -44,7 +44,7 @@ object StarLoopBench {
 
   /** Fact-source slice cutoffs — N last_updated quantiles, as in
     * StreamBench: even row volume per batch, dims constant. */
-  private def cutoffs(srcs: Map[String, DataFrame], n: Int): Seq[Any] = {
+  private[tools] def cutoffs(srcs: Map[String, DataFrame], n: Int): Seq[Any] = {
     val factTs = Seq("sales_order", "purchase_order", "payment", "transaction")
       .map(t => srcs(t).select(col("last_updated").as("ts")))
       .reduce(_ unionAll _)

@@ -36,6 +36,9 @@ class JdbcDialectSpec extends SparkSpec {
     private val drop = """(?s)DROP TABLE "([^"]+)"""".r
     private val derbyRename = """(?s)RENAME TABLE "([^"]+)" TO "([^"]+)"""".r
     private val alterRename = """(?s)ALTER TABLE "([^"]+)" RENAME TO "([^"]+)"""".r
+    private val deleteIn =
+      """(?s)DELETE FROM "([^"]+)" WHERE "[^"]+" IN \(SELECT "[^"]+" FROM "([^"]+)"\)""".r
+    private val insertSel = """(?s)INSERT INTO "([^"]+)" SELECT \* FROM "([^"]+)"""".r
 
     def execute(sql: String): Unit = {
       executed += sql
@@ -48,6 +51,12 @@ class JdbcDialectSpec extends SparkSpec {
         case alterRename(from, to) =>
           require(working.remove(from), s"ALTER RENAME of absent table $from")
           working += to
+        case deleteIn(t, st) =>
+          require(working.contains(t), s"DELETE on absent table $t")
+          require(working.contains(st), s"DELETE subselect on absent table $st")
+        case insertSel(t, st) =>
+          require(working.contains(t), s"INSERT into absent table $t")
+          require(working.contains(st), s"INSERT select from absent table $st")
         case other => sys.error(s"mock db: unsupported DDL $other")
       }
     }
@@ -199,5 +208,42 @@ class JdbcDialectSpec extends SparkSpec {
         """RENAME TABLE "CATALOG__STAGE" TO "CATALOG""""), db.executed)
       assert(db.committed == Set("CATALOG"))
     } finally DriverManager.deregisterDriver(derbyMock)
+  }
+
+  test("Postgres upsert: DELETE-by-pk + INSERT + DROP stage inside ONE transaction") {
+    // The staged MERGE's commit half (r13): live table present, stage
+    // fully written — the whole mutation must be one committed
+    // transaction, and the stage must be gone afterwards.
+    val db = new MockDb(Set("payment__stage", "payment"))
+    MockPgDriver.db = db
+    Extract.publishJdbcUpsert(pgUrl, "payment", "payment_id", props)
+    assert(db.executed.toList == List(
+      """DELETE FROM "payment" WHERE "payment_id" IN (SELECT "payment_id" FROM "payment__stage")""",
+      """INSERT INTO "payment" SELECT * FROM "payment__stage"""",
+      """DROP TABLE "payment__stage""""),
+      db.executed)
+    assert(db.commits == 1 && db.committed == Set("payment"),
+      s"commits=${db.commits} tables=${db.committed}")
+    assert(!db.autoCommit, "the upsert must run under an explicit transaction")
+  }
+
+  test("Postgres upsert: no live table => bootstrap rename, not a DELETE against nothing") {
+    val db = new MockDb(Set("payment__stage"))
+    MockPgDriver.db = db
+    Extract.publishJdbcUpsert(pgUrl, "payment", "payment_id", props)
+    assert(db.executed.toList == List(
+      """ALTER TABLE "payment__stage" RENAME TO "payment""""), db.executed)
+    assert(db.committed == Set("payment"))
+  }
+
+  test("Postgres upsert: no stage => loud refusal, rollback, nothing changed") {
+    val db = new MockDb(Set("payment"))
+    MockPgDriver.db = db
+    val e = intercept[RuntimeException] {
+      Extract.publishJdbcUpsert(pgUrl, "payment", "payment_id", props)
+    }
+    assert(e.getMessage.contains("no stage table"), e.getMessage)
+    assert(db.executed.isEmpty && db.commits == 0 && db.committed == Set("payment"))
+    assert(db.rollbacks >= 1)
   }
 }
