@@ -145,6 +145,11 @@ private[graft] object BatchLog {
     * (pre-sidecar dirs and crashed writes return `None`, telling the
     * caller to run the footer count). O(#directories) driver-side file
     * reads, no Spark job. */
+  /** The committed row count of ONE batch directory, from its sidecar
+    * (None on a sidecar gap) — driver-side file read, zero Spark jobs. */
+  def rowCountOf(spark: SparkSession, path: String, key: String): Option[Long] =
+    readRowCount(spark, dirFor(path, key))
+
   def committedRowCount(spark: SparkSession, path: String): Option[Long] = {
     val ks = committedKeys(spark, path)
     val counts = ks.flatMap(k => readRowCount(spark, dirFor(path, k)))
@@ -313,6 +318,30 @@ private[graft] object BatchLog {
   def read(spark: SparkSession, path: String, op: String): DataFrame = {
     requireFormat(spark, path, op)
     spark.read.parquet(path).drop("batch_key")
+  }
+
+  /** [[read]] KEEPING the `batch_key` column — for probe paths that use
+    * the log as a per-batch summary (e.g. [[graft.operators
+    * .SignatureIndex]] treating the df log as the batch-level inverted
+    * index that decides which posting/signature directories a probe
+    * must read at all). */
+  def readWithKey(spark: SparkSession, path: String, op: String): DataFrame = {
+    requireFormat(spark, path, op)
+    spark.read.parquet(path)
+  }
+
+  /** Read ONLY the given committed batch keys' directories (`batch_key`
+    * dropped) — the restricted form of [[read]] for probe paths that
+    * have PROVEN the other batches irrelevant (callers own that proof;
+    * this is mechanism). `basePath` keeps partition discovery identical
+    * to the full read, so schemas agree. */
+  def readKeys(spark: SparkSession, path: String, ks: Seq[String],
+      op: String): DataFrame = {
+    requireFormat(spark, path, op)
+    require(ks.nonEmpty, s"$op: readKeys needs at least one key")
+    spark.read.option("basePath", path)
+      .parquet(ks.map(k => dirFor(path, k)): _*)
+      .drop("batch_key")
   }
 
   // ------------------------------------------------------- retired keys

@@ -221,6 +221,23 @@ object ScaleBench {
       .map(_.toInt).getOrElse(factor).min(factor)
     val spark = GraftSession.build("graft-scale-bench")
     val loadStart = loadavg()
+    // Per-batch INPUT BYTES (Hadoop-level reads, cache hits excluded):
+    // the loop artifacts carry, for every maintenance batch, how many
+    // bytes the batch actually read next to how big the on-disk index
+    // root is — the "per-batch bytes-read vs log bytes" evidence for
+    // the matched-batch-pruned probe path (round-12 verdict item #4).
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) { bytesRead.addAndGet(m.inputMetrics.bytesRead); () }
+      }
+    })
+    def rootBytes(path: String): Long = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(path)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }
 
     val x1Dir = s"$workDir/x1"
     val xFDir = s"$workDir/x$factor"
@@ -277,16 +294,20 @@ object ScaleBench {
     val loop = (0 until loopBatches).map { r =>
       val inc = corpus.where(
         col("doc_id") >= lit(r * idStride) && col("doc_id") < lit((r + 1) * idStride))
+      val b0 = bytesRead.get()
       val t0 = System.nanoTime()
       val stats = graft.operators.DedupPipeline.runOnce(
         spark, loopRoot, inc, batchKey = Some(s"scale_b$r"))
       val t1 = System.nanoTime()
+      val runMb = (bytesRead.get() - b0) / 1e6
       val maint = graft.operators.DedupPipeline.maintainOnce(spark, loopRoot)
       val t2 = System.nanoTime()
+      val rootMb = rootBytes(loopRoot) / 1e6
       val row = (r, (t1 - t0) / 1e9, (t2 - t1) / 1e9, stats,
-        maint.labelsCompacted, maint.after.liveDocs)
+        maint.labelsCompacted, maint.after.liveDocs, runMb, rootMb)
       println(s"# batch $r  runOnce=${f(row._2)}s maintain=${f(row._3)}s " +
-        s"docs=${stats.newDocs} pairs=${stats.deltaPairs} live=${row._6}" +
+        s"docs=${stats.newDocs} pairs=${stats.deltaPairs} live=${row._6} " +
+        s"read=${f(runMb)}MB root=${f(rootMb)}MB" +
         (if (row._5) " [labels compacted]" else ""))
       row
     }
@@ -328,10 +349,11 @@ object ScaleBench {
         s""""x$factor":{"median":${f(b.median)},"min":${f(b.min)},"max":${f(b.max)},"rows":${b.rows}},""" +
         s""""time_ratio":${f(b.median / a.median)},"rows_ratio":${f(b.rows.toDouble / math.max(a.rows, 1L))}}"""
     }.mkString("{", ",", "}")
-    val loopJson = loop.map { case (r, ing, mnt, st, lc, live) =>
+    val loopJson = loop.map { case (r, ing, mnt, st, lc, live, runMb, rootMb) =>
       s"""{"batch":$r,"run_once_sec":${f(ing)},"maintain_sec":${f(mnt)},""" +
         s""""new_docs":${st.newDocs},"delta_pairs":${st.deltaPairs},"clusters":${st.clusters},""" +
-        s""""keepers":${st.keepers},"labels_compacted":$lc,"live_docs_after":$live}"""
+        s""""keepers":${st.keepers},"labels_compacted":$lc,"live_docs_after":$live,""" +
+        s""""run_input_mb":${f(runMb)},"root_mb":${f(rootMb)}}"""
     }.mkString("[", ",", "]")
     val vecLoopJson = vecLoop.map { case (r, ing, mnt, st, rf, live) =>
       s"""{"batch":$r,"run_once_sec":${f(ing)},"maintain_sec":${f(mnt)},""" +

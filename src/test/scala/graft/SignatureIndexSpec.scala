@@ -260,4 +260,80 @@ class SignatureIndexSpec extends SparkSpec {
     assert(SignatureIndex.readIndex(spark, root).count() == rebuilt.size)
     CacheJanitor.drain()
   }
+
+  // ---- matched-batch pruning (r13): the df log as the batch index ----
+
+  private def scanFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Nil
+        }
+    }.flatten
+
+  // Vocabulary fully disjoint from batchA/batchB (no shared words, so
+  // no shared shingles beyond hash collisions the spec corpus is far
+  // too small to produce).
+  private val batchDisjoint = Seq(
+    21L -> "zebra quokka wombat capuchin lemur gibbon macaque tamarin howler",
+    22L -> "zebra quokka wombat capuchin lemur gibbon macaque tamarin colobus")
+
+  test("matched-batch pruning: a disjoint-vocabulary increment reads no prior posting/signature dir") {
+    val root = Files.createTempDirectory("graft_sigidx_prune").toString
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("b1"))
+    CacheJanitor.drain()
+    val b2 = SignatureIndex.ingest(spark, root, docs(batchDisjoint: _*), batchKey = Some("b2"))
+    val pairs = SignatureIndex.deltaPairsIndexed(spark, root, "signatures", b2.newSigs)
+    val truth = pairMap(SignatureIndex.deltaPairs(b2.allSigs, b2.newSigs))
+    assert(pairMap(pairs) == truth && truth.keySet == Set((21L, 22L)),
+      "pruned fast path must still equal the frame recompute")
+    val k1 = graft.operators.BatchLog.sanitize("b1")
+    val files = scanFiles(pairs)
+    assert(files.exists(_.contains(s"signatures_dfcounts/batch_key=$k1")),
+      "the df log IS the batch index — every batch's df rows are scanned")
+    assert(!files.exists(_.contains(s"signatures_postings/batch_key=$k1")),
+      s"disjoint batch must not read b1's postings: $files")
+    assert(!files.exists(_.contains(s"signatures/batch_key=$k1")),
+      s"disjoint batch must not read b1's signature arrays: $files")
+    CacheJanitor.drain()
+  }
+
+  test("matched-batch pruning survives compaction: the fold keeps one shared key across all three logs") {
+    val root = Files.createTempDirectory("graft_sigidx_prunec").toString
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("b1"))
+    SignatureIndex.ingest(spark, root, docs(batchB: _*), batchKey = Some("b2"))
+    CacheJanitor.drain()
+    SignatureIndex.compact(spark, root)
+    // Identity mapping after the fold: sig/posting/df logs hold the
+    // SAME single key (the per-key rebuild preserves it).
+    val sigKeys = graft.operators.BatchLog.committedKeys(spark, s"$root/signatures")
+    assert(sigKeys.size == 1)
+    assert(graft.operators.BatchLog.committedKeys(
+      spark, SignatureIndex.postingsDir(root)).toSet == sigKeys.toSet)
+    assert(graft.operators.BatchLog.committedKeys(
+      spark, SignatureIndex.dfDir(root)).toSet == sigKeys.toSet)
+    // A disjoint increment skips the fold's posting/signature dirs...
+    val b3 = SignatureIndex.ingest(spark, root, docs(batchDisjoint: _*), batchKey = Some("b3"))
+    val pairs = SignatureIndex.deltaPairsIndexed(spark, root, "signatures", b3.newSigs)
+    assert(pairMap(pairs) == pairMap(SignatureIndex.deltaPairs(b3.allSigs, b3.newSigs)))
+    val foldKey = sigKeys.head
+    val files = scanFiles(pairs)
+    assert(!files.exists(_.contains(s"signatures_postings/batch_key=$foldKey")),
+      s"disjoint batch must not read the fold's postings: $files")
+    assert(!files.exists(_.contains(s"signatures/batch_key=$foldKey")),
+      s"disjoint batch must not read the fold's signature arrays: $files")
+    CacheJanitor.drain()
+    // ...while an OVERLAPPING increment still finds its new-vs-old pair
+    // through the fold (the pruning is exact, not lossy).
+    val b4 = SignatureIndex.ingest(spark, root,
+      docs(10L -> "the quick brown fox jumps over the lazy dog tonight"),
+      batchKey = Some("b4"))
+    val d4 = pairMap(SignatureIndex.deltaPairsIndexed(spark, root, "signatures", b4.newSigs))
+    assert(d4 == pairMap(SignatureIndex.deltaPairs(b4.allSigs, b4.newSigs)))
+    assert(d4.keySet.exists { case (a, b) => b == 10L && a <= 4L },
+      s"new-vs-old pair through the fold must survive pruning: $d4")
+    CacheJanitor.drain()
+  }
 }
