@@ -328,16 +328,20 @@ object ScaleBench {
       val inc = vecCorpus.where(
           col("vec_id") >= lit(r * idStride) && col("vec_id") < lit((r + 1) * idStride))
         .select("vec_id", "embedding")
+      val b0 = bytesRead.get()
       val t0 = System.nanoTime()
       val stats = graft.operators.DedupPipeline.runOnceVectors(
         spark, vecRoot, inc, batchKey = Some(s"scale_v$r"))
       val t1 = System.nanoTime()
+      val runMb = (bytesRead.get() - b0) / 1e6
       val maint = graft.operators.DedupPipeline.maintainOnce(spark, vecRoot, vector = true)
       val t2 = System.nanoTime()
+      val rootMb = rootBytes(vecRoot) / 1e6
       val row = (r, (t1 - t0) / 1e9, (t2 - t1) / 1e9, stats,
-        maint.refrozen, maint.after.liveDocs)
+        maint.refrozen, maint.after.liveDocs, runMb, rootMb)
       println(s"# vec batch $r  runOnce=${f(row._2)}s maintain=${f(row._3)}s " +
-        s"vecs=${stats.newDocs} pairs=${stats.deltaPairs} live=${row._6}" +
+        s"vecs=${stats.newDocs} pairs=${stats.deltaPairs} live=${row._6} " +
+        s"read=${f(runMb)}MB root=${f(rootMb)}MB" +
         (if (row._5) " [REFROZEN]" else ""))
       row
     }
@@ -355,10 +359,11 @@ object ScaleBench {
         s""""keepers":${st.keepers},"labels_compacted":$lc,"live_docs_after":$live,""" +
         s""""run_input_mb":${f(runMb)},"root_mb":${f(rootMb)}}"""
     }.mkString("[", ",", "]")
-    val vecLoopJson = vecLoop.map { case (r, ing, mnt, st, rf, live) =>
+    val vecLoopJson = vecLoop.map { case (r, ing, mnt, st, rf, live, runMb, rootMb) =>
       s"""{"batch":$r,"run_once_sec":${f(ing)},"maintain_sec":${f(mnt)},""" +
         s""""new_vecs":${st.newDocs},"delta_pairs":${st.deltaPairs},""" +
-        s""""refrozen":$rf,"live_vecs_after":$live}"""
+        s""""refrozen":$rf,"live_vecs_after":$live,""" +
+        s""""run_input_mb":${f(runMb)},"root_mb":${f(rootMb)}}"""
     }.mkString("[", ",", "]")
     val json =
       s"""{"metric":"scale_ladder","seed":"$seedDir","factor":$factor,"reps":$reps,""" +
