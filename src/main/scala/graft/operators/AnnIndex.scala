@@ -50,6 +50,19 @@ object AnnIndex {
   val probeCells = 3
   val rerankPool = 10
 
+  /** Probe count for a cell ladder step: the scanned corpus FRACTION is
+    * what recall tracks (classical IVF: recall at fixed nprobe falls as
+    * nlist grows, which is why FAISS scales nprobe with nlist), so the
+    * persisted index probes max(3, cells/4) — ~25% of cells at every
+    * ladder step, 3-of-8 (37%) at the gate scale the recall floors were
+    * measured at. Round-13 receipts: the tier recall probe caught a
+    * refreeze HALVING recall (0.62 -> 0.32 at 2000 vectors) because the
+    * ladder doubled cells under a fixed nprobe=3 — the probed fraction,
+    * not the quantizer, was the loss. The registry queries (t41/t49/
+    * t63) keep their pinned nprobe=3 bench form; their tier recall
+    * declines by design and is reported, not floored. */
+  def probesFor(cells: Int): Int = math.max(probeCells, cells / 4)
+
   final case class Batch(newCodes: DataFrame, allCodes: DataFrame)
 
   private def arr(a: Array[Double]): String =
@@ -377,18 +390,19 @@ object AnnIndex {
   /** Approximate (or exactly re-ranked) top-k neighbors for a
     * `(query_id, embedding)` frame against the persisted index. */
   def topK(spark: SparkSession, root: String, queries: DataFrame, k: Int = 3,
-      rerank: Option[DataFrame] = None): DataFrame = {
+      rerank: Option[DataFrame] = None, nprobe: Option[Int] = None): DataFrame = {
     refreezeRecover(spark, root)
     val (cents, mn, span) = loadQuantizer(spark, root)
       .getOrElse(sys.error(s"no ANN index at $root — ingest at least one batch first"))
     val d = sprk
     val cl = TrainingData.centsLit(cents)
+    val np = nprobe.getOrElse(probesFor(cents.length))
     val qs = queries
       .selectExpr("query_id", "embedding",
         s"${TextSim.dotHof(d, "embedding", "embedding")} AS n2",
         s"transform(sequence(1, ${cents.length}), ci -> ${TextSim.dist2(d, "embedding", s"element_at($cl, ci)")}) AS ds")
       .selectExpr("query_id", "embedding", "n2",
-        s"${TrainingData.top3Cells(d, "ds")} AS probes")
+        s"${TrainingData.topNCells(d, "ds", np)} AS probes")
     val qp = graft.CacheJanitor.register(
       qs.selectExpr("query_id", "embedding", "n2", "explode(probes) AS cell").persist())
     // Bounded collect (≤ probeCells·|Q| longs) → static partition filter:

@@ -323,19 +323,22 @@ object PqIndex {
   /** ADC top-k neighbors for a `(query_id, embedding)` frame against the
     * persisted index; optional exact re-rank against a float corpus. */
   def topK(spark: SparkSession, root: String, queries: DataFrame, k: Int = 3,
-      rerank: Option[DataFrame] = None): DataFrame = {
+      rerank: Option[DataFrame] = None, nprobe: Option[Int] = None): DataFrame = {
     refreezeRecover(spark, root)
     val (cents, cb) = loadQuantizer(spark, root)
       .getOrElse(sys.error(s"no PQ index at $root — ingest at least one batch first"))
     val d = sprk
     val cl = TrainingData.centsLit(cents)
+    // Ladder-aware probe count — see [[AnnIndex.probesFor]]: the probed
+    // corpus fraction, not the probe COUNT, is what recall tracks.
+    val np = nprobe.getOrElse(AnnIndex.probesFor(cents.length))
     val qs = queries
       .selectExpr("query_id", "embedding", s"${TrainingData.pqVe(d)} AS ve",
         s"${TextSim.dotHof(d, "embedding", "embedding")} AS n2",
         s"transform(sequence(1, ${cents.length}), ci -> ${TextSim.dist2(d, "embedding", s"element_at($cl, ci)")}) AS ds")
       .selectExpr("query_id", "embedding", "n2",
         s"${TrainingData.pqLutExpr(d, cbLit(cb))} AS luts",
-        s"${TrainingData.top3Cells(d, "ds")} AS probes")
+        s"${TrainingData.topNCells(d, "ds", np)} AS probes")
     val qp = graft.CacheJanitor.register(
       qs.selectExpr("query_id", "embedding", "n2", "luts", "explode(probes) AS cell").persist())
     // Bounded collect (≤ probeCells·|Q| longs) → static partition filter.

@@ -475,13 +475,20 @@ object TrainingData {
   /** Top-3 nearest cells from a per-row centroid-distance array: sorted
     * (dist, idx) structs (ties break on idx, consistent with first-min
     * cell assignment) — no window, no join. */
-  private[graft] def top3Cells(d: Dialect, ds: String): String =
+  private[graft] def top3Cells(d: Dialect, ds: String): String = topNCells(d, ds, 3)
+
+  /** The `n` nearest cell indices by ascending distance — the IVF probe
+    * set. The registry queries pin n=3 (their oracle-replayed bench
+    * form); the PERSISTED indexes scale n with the cell ladder
+    * ([[graft.operators.AnnIndex.probesFor]]) so the probed corpus
+    * FRACTION survives refreezes instead of halving per ladder step. */
+  private[graft] def topNCells(d: Dialect, ds: String, n: Int): String =
     if (d eq sprk)
       s"transform(slice(array_sort(zip_with($ds, sequence(1, size($ds)), " +
-        s"(dd, ii) -> named_struct('d', dd, 'i', ii))), 1, 3), s0 -> CAST(s0.i AS BIGINT))"
+        s"(dd, ii) -> named_struct('d', dd, 'i', ii))), 1, $n), s0 -> CAST(s0.i AS BIGINT))"
     else
       s"list_transform(list_sort(list_transform(range(1, len($ds) + 1), " +
-        s"ii -> {'d': $ds[ii], 'i': ii}))[1:3], s0 -> CAST(s0.i AS BIGINT))"
+        s"ii -> {'d': $ds[ii], 'i': ii}))[1:$n], s0 -> CAST(s0.i AS BIGINT))"
 
   /** Driver-stepwise bounded k-means — the t41/t49 coarse quantizer.
     * Seed = first `cells` vectors; `ivfLloydIters` deterministic Lloyd
