@@ -84,7 +84,7 @@ object ProfileMerge {
       .sortBy(-_._2)
       .foreach { case (t, v) => println(f"  $t%-32s ${f(v)}s") }
     val accounted = p50(steady.map(_._2.values.sum))
-    println(s"  ${"(unaccounted)"}%-32s ${f(p50(steady.map(_._1)) - accounted)}s")
+    println(f"  ${"(unaccounted)"}%-32s ${f(p50(steady.map(_._1)) - accounted)}s")
     spark.stop()
   }
 }
