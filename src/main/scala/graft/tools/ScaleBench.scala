@@ -279,8 +279,13 @@ object ScaleBench {
     }
 
     // --- ANN recall at both tiers (skippable; see [[annRecall]]) -----
+    // Recall is independent of the ladder-query list: a loop-only run
+    // (queries="") can still record recall at the tier — the r12 item's
+    // done-criterion is recall AT 200k VECTORS, i.e. the x100 tier,
+    // where the full ladder would dwarf the recall probe's cost. Skip
+    // only on the explicit env flag.
     val recall: Map[String, Map[String, Double]] =
-      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_RECALL", "1") == "0" || queries.isEmpty)
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_RECALL", "1") == "0")
         Map.empty
       else {
         graft.GraftSession.tuneShufflePartitions(spark, Seq(x1Dir))
