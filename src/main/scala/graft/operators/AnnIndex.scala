@@ -405,8 +405,9 @@ object AnnIndex {
         s"${TrainingData.topNCells(d, "ds", np)} AS probes")
     val qp = graft.CacheJanitor.register(
       qs.selectExpr("query_id", "embedding", "n2", "explode(probes) AS cell").persist())
-    // Bounded collect (≤ probeCells·|Q| longs) → static partition filter:
-    // only probed cell= directories are ever read.
+    // Bounded collect (≤ np·|Q| longs, np = max(probeCells, cells/4) by
+    // default — the bound GROWS with the cell ladder, ~cells/4·|Q|) →
+    // static partition filter: only probed cell= directories are read.
     val probed = qp.select("cell").distinct().collect().map(_.getLong(0)).toSeq
     // Partition filter FIRST (on the raw inferred partition column, so
     // the `cell=` pruning is static — batch_key dirs above it prune

@@ -313,11 +313,54 @@ private[graft] object BatchLog {
     writeRowCount(spark, dirFor(path, key))
   }
 
+  /** Batch keys whose directory carries a `<partCol>=` partition level —
+    * fold-time layouts ([[graft.operators.CosineDedupIndex]] partitions
+    * its compaction/refreeze folds by a bucket-group column so probe
+    * reads can skip directories). Committed keys only. */
+  def partitionedKeys(spark: SparkSession, path: String, partCol: String): Set[String] = {
+    val fs = fsOf(spark, path)
+    committedKeys(spark, path).filter { k =>
+      fs.listStatus(new HPath(dirFor(path, k))).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+    }.toSet
+  }
+
+  /** Read the given keys KEEPING their partition columns (the caller
+    * filters on them before dropping); `batch_key` dropped. The keys
+    * must share one layout — mixing partitioned and flat directories in
+    * one parquet read is a discovery error. */
+  def readKeysPartitioned(spark: SparkSession, path: String, ks: Seq[String],
+      op: String): DataFrame = {
+    requireFormat(spark, path, op)
+    require(ks.nonEmpty, s"$op: readKeysPartitioned needs at least one key")
+    spark.read.option("basePath", path)
+      .parquet(ks.map(k => dirFor(path, k)): _*)
+      .drop("batch_key")
+  }
+
   /** Read the whole log (all batches), `batch_key` dropped — the raw
-    * row stream a keep-last fold or tombstone exclusion runs over. */
+    * row stream a keep-last fold or tombstone exclusion runs over.
+    * Mixed-layout safe: when SOME batch directories carry a fold-time
+    * partition level (`<col>=` subdirectories) and others are flat, the
+    * two subsets are read separately and unioned with the fold-layout
+    * partition columns dropped — they are a read-pruning artifact of
+    * the fold, not data (a uniform log keeps its partition columns,
+    * e.g. AnnIndex's `cell`). */
   def read(spark: SparkSession, path: String, op: String): DataFrame = {
     requireFormat(spark, path, op)
-    spark.read.parquet(path).drop("batch_key")
+    val fs = fsOf(spark, path)
+    def partColsOf(k: String): Set[String] =
+      fs.listStatus(new HPath(dirFor(path, k))).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(_.getPath.getName.takeWhile(_ != '=')).toSet
+    val byLayout = committedKeys(spark, path).groupBy(partColsOf)
+    if (byLayout.size <= 1) spark.read.parquet(path).drop("batch_key")
+    else {
+      val common = byLayout.keys.reduce(_ & _)
+      byLayout.toSeq.sortBy(_._1.size).map { case (cols, ks) =>
+        (cols -- common).foldLeft(readKeysPartitioned(spark, path, ks, op))(_ drop _)
+      }.reduce(_ unionByName _)
+    }
   }
 
   /** [[read]] KEEPING the `batch_key` column — for probe paths that use
@@ -427,9 +470,11 @@ private[graft] object BatchLog {
     * marker plus the retirement ledger carrying every key the fold
     * absorbs (the prior ledger ∪ the keys being folded), ready for an
     * atomic swap onto the log root ([[Tombstones.commitCompaction]] or
-    * the operator's own rename commit). */
+    * the operator's own rename commit). Returns the fold's minted batch
+    * key, for operators that stow layout sidecars inside the staged fold
+    * directory before the swap. */
   def stageRewrite(df: DataFrame, srcPath: String, tmpPath: String,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil): String = {
     val spark = df.sparkSession
     // Retire exactly the keys whose files the fold's plan actually READ
     // (`df.inputFiles` — the FileIndex snapshot the scan resolved when
@@ -470,7 +515,8 @@ private[graft] object BatchLog {
       s"stageRewrite: the fold frame read no files under $srcPath " +
         "(lineage truncated?) — it must be derived from the log it rewrites")
     val folded = retiredKeys(spark, srcPath) ++ absorbed
-    writeFold(df, tmpPath, nextAutoKey(spark, srcPath), partitionBy)
+    val foldKey = nextAutoKey(spark, srcPath)
+    writeFold(df, tmpPath, foldKey, partitionBy)
     writeRetired(spark, tmpPath, folded)
     // The legacy-name snapshot must survive the swap: post-compaction
     // replays of pre-upgrade keys still resolve through it (and are then
@@ -478,6 +524,7 @@ private[graft] object BatchLog {
     writeLegacy(spark, tmpPath, legacyKeys(spark, srcPath).getOrElse(
       (keys(spark, srcPath) ++ retiredKeys(spark, srcPath))
         .filter(_.startsWith("b")).toSet))
+    foldKey
   }
 
   /** Migrate a legacy flat-append root in place: read its rows, apply

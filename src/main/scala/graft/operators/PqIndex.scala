@@ -341,7 +341,8 @@ object PqIndex {
         s"${TrainingData.topNCells(d, "ds", np)} AS probes")
     val qp = graft.CacheJanitor.register(
       qs.selectExpr("query_id", "embedding", "n2", "luts", "explode(probes) AS cell").persist())
-    // Bounded collect (≤ probeCells·|Q| longs) → static partition filter.
+    // Bounded collect (≤ np·|Q| longs, np = max(probeCells, cells/4) by
+    // default — grows with the cell ladder) → static partition filter.
     val probed = qp.select("cell").distinct().collect().map(_.getLong(0)).toSeq
     BatchLog.requireFormat(spark, s"$root/codes", "PqIndex")
     val codes = Tombstones.exclude(

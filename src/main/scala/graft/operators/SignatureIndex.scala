@@ -120,8 +120,12 @@ object SignatureIndex {
     // that boundedness — its postings are the broadcast. Such batches
     // take the frame path, whose shuffle joins handle any increment
     // size; the indexed path is for the steady state the maintenance
-    // loop measures (small increments against a large corpus).
-    val incrementRows = newCached.count() // cache-backed, increment-sized
+    // loop measures (small increments against a large corpus). The
+    // count comes from the sidecar the append just wrote (driver-side
+    // file read) — the r14 bench adjudication attributed part of t74's
+    // regressed constant to this having been a per-batch Spark job.
+    val incrementRows = BatchLog.rowCountOf(spark, path, key)
+      .getOrElse(newCached.count())
     val pairs =
       if (corpusRows >= indexedPathMinRows && incrementRows <= indexedPathMaxIncrementRows)
         deltaPairsIndexed(spark, root, table, newCached)
@@ -355,14 +359,21 @@ object SignatureIndex {
       // ONE file per batch directory (the frames are increment-sized by
       // contract): at shuffle-partition granularity each batch would
       // add ~32 near-empty files to a log every later batch re-scans —
-      // a file-open tax growing linearly with batch count. repartition,
-      // NOT coalesce: coalesce(1) would propagate up the shuffle-free
-      // lineage and run the whole explode in one task; the exchange
-      // keeps the explode parallel and only the (small) write lands in
-      // one task.
+      // a file-open tax growing linearly with batch count. HOW the one
+      // file lands is size-gated (r14 bench adjudication: the
+      // unconditional exchange was part of t74's regressed per-batch
+      // constant): a SMALL increment — the steady state, row count free
+      // from the sidecar the signature append just wrote — serializes
+      // its tiny explode through coalesce(1) (no shuffle, one task,
+      // bounded by the gate); only a big one pays the repartition
+      // exchange that keeps the explode parallel while the (small)
+      // write lands in one task.
       val newPost = newSigs.select(col("doc_id"), explode(col("shs")).as("h"))
-      BatchLog.appendResolved(newPost.repartition(1), postingsDir(root, table), key,
-        "SignatureIndex.postings")
+      val smallIncrement = BatchLog.rowCountOf(spark, s"$root/$table", key)
+        .exists(_ <= 50000L)
+      BatchLog.appendResolved(
+        if (smallIncrement) newPost.coalesce(1) else newPost.repartition(1),
+        postingsDir(root, table), key, "SignatureIndex.postings")
       BatchLog.appendResolved(
         newPost.groupBy("h").agg(count(lit(1)).as("n")).coalesce(1),
         dfDir(root, table), key, "SignatureIndex.dfcounts")
@@ -465,9 +476,19 @@ object SignatureIndex {
     val sigKeys = BatchLog.committedKeys(spark, s"$root/$table").toSet
     val postKeys = BatchLog.committedKeys(spark, postingsDir(root, table)).toSet
     val aligned = matched.nonEmpty && matched.forall(k => sigKeys(k) && postKeys(k))
-    if (matched.isEmpty)
-      return spark.range(0).selectExpr("id AS doc_a", "id AS doc_b",
-        "CAST(0.0 AS DOUBLE) AS jaccard").where(lit(false))
+    if (matched.isEmpty) {
+      // An increment WITH shingles always matches at least its own batch
+      // — ingest runs maintainDerived before this, so its df rows are in
+      // the log. An empty match with a non-empty increment therefore
+      // means the derived logs LAG the increment (a direct call on a
+      // root whose cache is stale): that is a misalignment, and it takes
+      // the same full-scan fallback as a mis-keyed root — returning the
+      // empty frame would silently drop increment-internal pairs.
+      if (incShingles.isEmpty)
+        return spark.range(0).selectExpr("id AS doc_a", "id AS doc_b",
+          "CAST(0.0 AS DOUBLE) AS jaccard").where(lit(false))
+      return deltaPairs(readIndex(spark, root, table), newSigs)
+    }
     val post =
       if (aligned) BatchLog.readKeys(spark, postingsDir(root, table), matched,
         "SignatureIndex.postings")

@@ -490,6 +490,19 @@ object TrainingData {
       s"list_transform(list_sort(list_transform(range(1, len($ds) + 1), " +
         s"ii -> {'d': $ds[ii], 'i': ii}))[1:$n], s0 -> CAST(s0.i AS BIGINT))"
 
+  /** [[topNCells]] with an EXPRESSION-valued probe count — the oracle
+    * form for queries replaying the ladder-aware default
+    * (`max(3, cells/4)`, [[graft.operators.AnnIndex.probesFor]]) whose
+    * value depends on the corpus count and so cannot be a build-time
+    * literal in SQL that must hold at every SF. */
+  private[graft] def topNCellsExpr(d: Dialect, ds: String, nExpr: String): String =
+    if (d eq sprk)
+      s"transform(slice(array_sort(zip_with($ds, sequence(1, size($ds)), " +
+        s"(dd, ii) -> named_struct('d', dd, 'i', ii))), 1, CAST($nExpr AS INT)), s0 -> CAST(s0.i AS BIGINT))"
+    else
+      s"list_transform(list_slice(list_sort(list_transform(range(1, len($ds) + 1), " +
+        s"ii -> {'d': $ds[ii], 'i': ii})), 1, CAST($nExpr AS BIGINT)), s0 -> CAST(s0.i AS BIGINT))"
+
   /** Driver-stepwise bounded k-means — the t41/t49 coarse quantizer.
     * Seed = first `cells` vectors; `ivfLloydIters` deterministic Lloyd
     * iterations over the first `cells × ivfTrainPerCell` vectors with
@@ -2826,6 +2839,93 @@ object TrainingData {
     },
     oracle = t67.oracle) // same semantics, same replay — by design
 
+  /** t75 — the PERSISTED `AnnIndex.topK` DEFAULT-nprobe path through a
+    * refreeze, oracle-checked (round-13 verdict item #3): t49 proves the
+    * IVF-SQ8 plan shape inline, t71 proves the refreeze retraining, and
+    * the recall probe measures the ladder-aware default at tier scale —
+    * but no oracle row exercised the persisted `topK` answering at its
+    * DEFAULT probe count (`probesFor(cells) = max(3, cells/4)`) the way
+    * t74 does for the pruned dedup probe. Here the index is built the
+    * production way: two halved ingests (quantizer frozen on the evens),
+    * then [[graft.operators.AnnIndex.refreeze]] over the live corpus,
+    * then `topK` with `nprobe = None` and exact re-rank. The oracle
+    * replays the REFROZEN state — spec-pinned content-identical to a
+    * from-scratch full-corpus build — as one train + encode chain, with
+    * the probe count derived IN SQL from the same cell ladder
+    * (`greatest(3, floor(cells/4))`), so a probesFor drift at any SF
+    * where the formula departs from the floor breaks the hash match.
+    *
+    * Scale: the query-side collect is np·|Q| longs (the ladder-aware
+    * bound [[graft.operators.AnnIndex.topK]] documents); the codes read
+    * stays probed-cells-only. */
+  private val t75 = GQuery(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.functions.GraftFunctions.registerAll(s)
+      val root = java.nio.file.Files.createTempDirectory("graft_t75").toString
+      val emb = Tables.embeddings(s, dir)
+      val vecs = emb.selectExpr("vec_id", "embedding")
+      graft.operators.AnnIndex.ingest(s, root,
+        vecs.where("vec_id % 2 = 0"), batchKey = Some("h1"))
+      graft.operators.AnnIndex.ingest(s, root,
+        vecs.where("vec_id % 2 = 1"), batchKey = Some("h2"))
+      graft.operators.AnnIndex.refreeze(s, root, vecs)
+      val qs = emb.where("vec_id % 100 = 0 AND vec_id < 2500")
+        .selectExpr("vec_id AS query_id", "embedding")
+      graft.operators.AnnIndex.topK(s, root, qs, 3, rerank = Some(vecs))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    oracle = Some {
+      val d = duck
+      val pos = "list_position"
+      s"""WITH ${duckKmeansCtes()},
+         |${duckQuantCtes()},
+         |raw AS (SELECT vec_id, embedding, cj.cents AS cents_, a.mns AS mns_, a.spans AS spans_
+         |        FROM embeddings CROSS JOIN c${TextSim.ivfLloydIters} cj CROSS JOIN arrs a),
+         |base AS (
+         |  SELECT vec_id, embedding, mns_, spans_, ${TextSim.norm2(d, "embedding")} AS n2,
+         |    ${d.transform(d.ramp(s"${d.size}(cents_)"), s"ci -> ${TextSim.dist2(d, "embedding", d.at("cents_", "ci"))}")} AS ds
+         |  FROM raw),
+         |enc AS (
+         |  SELECT vec_id, cell, ${qDequant(d, "codes", "mns_", "spans_", s"${d.size}(codes)")} AS dq
+         |  FROM (
+         |    SELECT vec_id, mns_, spans_,
+         |      CAST($pos(ds, ${d.arrayMin}(ds)) AS BIGINT) AS cell,
+         |      ${qCodes(d, "embedding", "mns_", "spans_", s"${d.size}(mns_)")} AS codes
+         |    FROM base) e0),
+         |enc2 AS (SELECT vec_id, cell, dq, ${TextSim.dotHof(d, "dq", "dq")} AS dqn2 FROM enc),
+         |npr AS (SELECT greatest(CAST(3 AS BIGINT),
+         |          CAST(floor((SELECT cells FROM m) / 4.0) AS BIGINT)) AS np),
+         |q AS (SELECT vec_id, embedding, n2,
+         |        ${topNCellsExpr(d, "ds", "(SELECT np FROM npr)")} AS probes
+         |      FROM base WHERE vec_id % 100 = 0 AND vec_id < 2500),
+         |qp AS (SELECT vec_id, embedding, n2, ${d.explode}(probes) AS cell FROM q),
+         |scored AS (
+         |  SELECT qp.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell AS cell,
+         |    ${TextSim.dotHof(d, "qp.embedding", "c.dq")} / (sqrt(qp.n2) * sqrt(c.dqn2)) AS approx_cosine
+         |  FROM qp JOIN enc2 c ON c.cell = qp.cell AND c.vec_id <> qp.vec_id),
+         |cand AS (
+         |  SELECT query_id, neighbor_id, cell, approx_cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx_cosine DESC, neighbor_id) AS rka
+         |  FROM scored),
+         |rer AS (
+         |  SELECT c.query_id AS query_id, c.neighbor_id AS neighbor_id, c.cell AS cell,
+         |    c.approx_cosine AS approx_cosine,
+         |    ${TextSim.dot(d, "qe.embedding", "ne.embedding")} / (sqrt(qe.n2) * sqrt(ne.n2)) AS cosine
+         |  FROM cand c
+         |  JOIN base qe ON qe.vec_id = c.query_id
+         |  JOIN base ne ON ne.vec_id = c.neighbor_id
+         |  WHERE c.rka <= 10),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cell, approx_cosine, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM rer)
+         |SELECT query_id, neighbor_id, cell, approx_cosine, cosine, rnk FROM ranked
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+    })
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -2871,5 +2971,6 @@ object TrainingData {
     "t71_refreeze_ann" -> t71,
     "t72_takedown_dedup" -> t72,
     "t73_exact_substring_dedup" -> t73,
-    "t74_indexed_dedup" -> t74)
+    "t74_indexed_dedup" -> t74,
+    "t75_persisted_topk" -> t75)
 }

@@ -533,10 +533,12 @@ object Extract {
     * re-inserts them; a crash after the stage write is healed by the
     * stage's own mode(Overwrite). A FIRST publish (no live table)
     * falls back to the rename commit so the writer's dialect creates
-    * the schema. INSERT uses SELECT * — the stage and the live table
-    * are created by the same writer from the same frame schema, so
-    * column order matches by construction; a drifted schema fails
-    * loudly in the INSERT, never silently misaligns. */
+    * the schema. The INSERT names its columns explicitly (the stage's
+    * own column list, read from JDBC metadata): a live table created by
+    * an older build whose builder later REORDERED two same-typed
+    * columns would accept a positional `SELECT *` silently misaligned —
+    * named columns make any drift either correct (pure reorder) or a
+    * loud unknown-column error, never a silent swap. */
   def jdbcUpsert(df: DataFrame, url: String, table: String, pk: String,
       props: java.util.Properties): Unit = {
     writeJdbcStage(df, url, table, props)
@@ -559,9 +561,10 @@ object Extract {
           case None =>
             st.executeUpdate(renameSql(url, stage, stage.dropRight("__stage".length)))
           case Some(live) =>
+            val cols = storedColumns(conn, stage).map(c => s""""$c"""").mkString(", ")
             st.executeUpdate(
               s"""DELETE FROM "$live" WHERE "$pk" IN (SELECT "$pk" FROM "$stage")""")
-            st.executeUpdate(s"""INSERT INTO "$live" SELECT * FROM "$stage"""")
+            st.executeUpdate(s"""INSERT INTO "$live" ($cols) SELECT $cols FROM "$stage"""")
             st.executeUpdate(s"""DROP TABLE "$stage"""")
         }
         conn.commit()
@@ -580,6 +583,20 @@ object Extract {
   private def connect(url: String, props: java.util.Properties): java.sql.Connection = {
     Option(props.getProperty("driver")).foreach(Class.forName)
     java.sql.DriverManager.getConnection(url, props)
+  }
+
+  /** The stored column names of `table` in ordinal order, as the
+    * database cased them — the named-column INSERT in
+    * [[publishJdbcUpsert]] quotes these verbatim. */
+  private def storedColumns(conn: java.sql.Connection, table: String): Seq[String] = {
+    val rs = conn.getMetaData.getColumns(null, null, table, null)
+    val out = Seq.newBuilder[(Int, String)]
+    try while (rs.next())
+      out += ((rs.getInt("ORDINAL_POSITION"), rs.getString("COLUMN_NAME")))
+    finally rs.close()
+    val cols = out.result().sortBy(_._1).map(_._2)
+    require(cols.nonEmpty, s"jdbcUpsert: no columns found for stage table $table")
+    cols
   }
 
   /** The stored identifier for `table`, however the creating writer cased

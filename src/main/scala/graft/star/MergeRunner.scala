@@ -158,14 +158,26 @@ object MergeRunner {
     * idempotent by pk (the staged MERGE is). Star facts are only ever
     * inserted or replaced by pk, never deleted, so an upsert-only sink
     * stays complete even across a policy-flip full rebuild (the
-    * bootstrap fires the sink with the whole corpus). */
+    * bootstrap fires the sink with the whole corpus).
+    *
+    * `dimSink` (optional) is the symmetric hook for every rebuilt
+    * NON-fact snapshot (dims and dim_date): it fires right after each
+    * dim's parquet snapshot commits — also inside the batch, before the
+    * watermark. The symmetry is the crash contract: with a sink that
+    * published dims only AFTER this call returned, a crash between the
+    * watermark commit and the dim publish left the external warehouse's
+    * dims stale (and, the batch gated as folded, nothing re-published
+    * them until those dim sources next changed). Callers must tolerate
+    * replays (full-refresh per table is) and, like `factSink`,
+    * concurrent per-table calls from the bounded dim pool. */
   def processMerge(
       spark: SparkSession,
       landingRoot: String,
       processedRoot: String,
       stableDateIds: Boolean = true,
       stableRecordIds: Boolean = true,
-      factSink: (String, DataFrame) => Unit = (_, _) => ()): Seq[String] = WriterLease.withLease(spark, processedRoot) {
+      factSink: (String, DataFrame) => Unit = (_, _) => (),
+      dimSink: (String, DataFrame) => Unit = (_, _) => ()): Seq[String] = WriterLease.withLease(spark, processedRoot) {
     val store = new WatermarkStore(s"$processedRoot/$stateName")
     val state = store.read()
     val wanted = policyString(stableDateIds, stableRecordIds)
@@ -178,7 +190,7 @@ object MergeRunner {
         s"(${state("policy")} -> $wanted) at $processedRoot — full rebuild")
       resetProcessed(spark, processedRoot)
       return processMerge(spark, landingRoot, processedRoot, stableDateIds, stableRecordIds,
-        factSink)
+        factSink, dimSink)
     }
 
     val allTables = Schemas.sources.keys.toSeq.sorted
@@ -202,7 +214,7 @@ object MergeRunner {
           s"at $landingRoot — full rebuild")
       resetProcessed(spark, processedRoot)
       return processMerge(spark, landingRoot, processedRoot, stableDateIds, stableRecordIds,
-        factSink)
+        factSink, dimSink)
     }
 
     val newKeys = keysByTable.map { case (t, ks) =>
@@ -259,7 +271,11 @@ object MergeRunner {
     val dimKeys = nonFactChanged.flatMap(Runner.dependencies(_)).distinct.sorted
       .filter(k => k.startsWith("dim-") && k != "dim-date")
     inParallel(dimKeys, 8) { k =>
-      timed(s"dim:$k") { LandingLog.writeSnapshot(buildDim(k), processedRoot, k) }
+      timed(s"dim:$k") {
+        val dim = buildDim(k)
+        LandingLog.writeSnapshot(dim, processedRoot, k)
+        dimSink(k, dim)
+      }
     }
     written ++= dimKeys
 
@@ -437,9 +453,10 @@ object MergeRunner {
         // refsNew IS the snapshot version just committed (writeSnapshot
         // is synchronous) — building dim_date from the frame directly
         // saves the read-back job the profiler attributed here.
-        LandingLog.writeSnapshot(
-          StarSchema.dimDateFromDates(refsNew.select("date").distinct(), stableIds = true),
-          processedRoot, "dim-date")
+        val dimDate =
+          StarSchema.dimDateFromDates(refsNew.select("date").distinct(), stableIds = true)
+        LandingLog.writeSnapshot(dimDate, processedRoot, "dim-date")
+        dimSink("dim-date", dimDate)
       }
       written += "dim-date"
     }
@@ -554,9 +571,13 @@ object MergeRunner {
     * ([[LandingLog.jdbcUpsert]] — O(increment) rows over the wire, vs
     * the reference's full refresh every batch), dims and dim_date full
     * refresh (dimension-sized by the star contract, and rebuilt whole
-    * each batch anyway). Crash-safe end to end: the fact sink fires
-    * before the watermark advances (replay re-upserts, idempotent by
-    * pk), the dim refresh is the existing crash-atomic staged rename. */
+    * each batch anyway). Crash-safe end to end: BOTH sinks fire inside
+    * [[processMerge]], before the watermark advances — a crash anywhere
+    * in the batch replays it whole (facts re-upsert, idempotent by pk;
+    * dims re-refresh through the crash-atomic staged rename). Dims used
+    * to publish after the merge returned, which left a window where the
+    * watermark had committed but the warehouse dims were stale — and
+    * the next gated run, seeing nothing new, would not re-publish. */
   def runOnceJdbc(
       spark: SparkSession,
       sources: Map[String, DataFrame],
@@ -571,19 +592,14 @@ object MergeRunner {
     if (updated.isEmpty) Seq.empty
     else {
       val srcOfKey = factKeys.map(_.swap)
-      val written = processMerge(spark, landingRoot, processedRoot,
+      processMerge(spark, landingRoot, processedRoot,
         factSink = (key, rows) => timed(s"jdbc:$key") {
           Extract.jdbcUpsert(rows, url, warehouseTableOf(key),
             Schemas.sources(srcOfKey(key))._2, props)
+        },
+        dimSink = (key, rows) => timed(s"jdbc:$key") {
+          Extract.jdbcOverwrite(rows, url, warehouseTableOf(key), props)
         })
-      written.filterNot(factKeys.values.toSet).foreach { key =>
-        timed(s"jdbc:$key") {
-          Extract.jdbcOverwrite(
-            LandingLog.readSnapshot(spark, processedRoot, key),
-            url, warehouseTableOf(key), props)
-        }
-      }
-      written
     }
   }
 

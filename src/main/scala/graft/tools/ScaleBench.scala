@@ -201,14 +201,25 @@ object ScaleBench {
     // The REGISTRY queries keep their oracle-pinned nprobe=3 bench form,
     // so their tier recall DECLINES by design as the cell ladder grows
     // (probed fraction 3/cells — the first run of this probe measured
-    // t41 0.53 at 8 cells, 0.32 at 32): reported, with only a
-    // total-collapse sanity floor. The PERSISTED indexes are the scale
-    // path — ladder-aware nprobe (AnnIndex.probesFor) holds the probed
-    // fraction across refreezes, so their floors are asserted, and the
-    // refreeze-preservation bound is the item's done-criterion.
-    require(all("t41_ivf_ann") >= 0.1, s"t41 recall collapsed at tier: $all")
+    // t41 0.53 at 8 cells, 0.32 at 32). Their floor therefore DERIVES
+    // from the probed fraction at this tier's ladder step (1.2 × 3/cells
+    // — measured recall runs ~2.2–3.4× the probed fraction, so the floor
+    // keeps ≥2× headroom; capped at 0.45 so the smallest 8-cell ladder,
+    // measured at 0.53, keeps margin) instead of a flat constant: at the
+    // x1 tier's 32 cells the floor is 0.14, at 16 cells 0.23 — a genuine
+    // quantizer regression at a small ladder fails loudly where a flat
+    // 0.1 would have waved it through (round-13 advisory) — while at big
+    // ladders the 0.1 collapse floor takes over. The PERSISTED indexes
+    // are the scale path — ladder-aware nprobe (AnnIndex.probesFor)
+    // holds the probed fraction across refreezes, so their floors are
+    // asserted, and the refreeze-preservation bound is the done-criterion.
+    val cells = TextSim.ivfCellsValue(emb.count())
+    val registryFloor = math.max(0.1, math.min(0.45, 1.2 * 3.0 / cells))
+    require(all("t41_ivf_ann") >= registryFloor,
+      s"t41 recall below fraction-derived floor $registryFloor ($cells cells): $all")
     require(all("t48_quantized_ann") >= 0.6, s"t48 recall collapsed at tier: $all")
-    require(all("t49_ivf_sq8_ann") >= 0.1, s"t49 recall collapsed at tier: $all")
+    require(all("t49_ivf_sq8_ann") >= registryFloor,
+      s"t49 recall below fraction-derived floor $registryFloor ($cells cells): $all")
     require(before >= 0.35 && after >= 0.35, s"persisted-index recall collapsed: $all")
     // Preservation tolerance is sample-aware: the truth set is 25
     // queries × top-3 = 75 pairs, so one boundary near-tie flipping

@@ -25,7 +25,8 @@ class JdbcDialectSpec extends SparkSpec {
   /** One mock database: stored table names are EXACT-CASE (like both
     * Derby and Postgres metadata); DDL is transactional — statements
     * buffer against a working copy that only commit publishes. */
-  private final class MockDb(initial: Set[String]) {
+  private final class MockDb(initial: Set[String],
+      val columns: Seq[String] = Seq("payment_id", "amount")) {
     val committed: mutable.Set[String] = mutable.Set(initial.toSeq: _*)
     var working: mutable.Set[String] = committed.clone()
     val executed: mutable.Buffer[String] = mutable.Buffer.empty
@@ -38,7 +39,8 @@ class JdbcDialectSpec extends SparkSpec {
     private val alterRename = """(?s)ALTER TABLE "([^"]+)" RENAME TO "([^"]+)"""".r
     private val deleteIn =
       """(?s)DELETE FROM "([^"]+)" WHERE "[^"]+" IN \(SELECT "[^"]+" FROM "([^"]+)"\)""".r
-    private val insertSel = """(?s)INSERT INTO "([^"]+)" SELECT \* FROM "([^"]+)"""".r
+    private val insertSel =
+      """(?s)INSERT INTO "([^"]+)" \([^)]+\) SELECT [^()]+ FROM "([^"]+)"""".r
 
     def execute(sql: String): Unit = {
       executed += sql
@@ -94,6 +96,20 @@ class JdbcDialectSpec extends SparkSpec {
       }
     }
 
+    // Ordinal-cursor column metadata (for the named-column INSERT's
+    // storedColumns read) — serves the db's column list in order.
+    def columnsResultSet(cols: Seq[String]): ResultSet = {
+      var idx = -1
+      proxy(classOf[ResultSet]) { (m, _) =>
+        m.getName match {
+          case "next" => idx += 1; java.lang.Boolean.valueOf(idx < cols.size)
+          case "getInt" => Integer.valueOf(idx + 1)
+          case "getString" => cols(idx)
+          case _ => default(m)
+        }
+      }
+    }
+
     val meta = proxy(classOf[DatabaseMetaData]) { (m, args) =>
       m.getName match {
         // Exact-case match, as in real metadata catalogs: the caller's
@@ -101,6 +117,10 @@ class JdbcDialectSpec extends SparkSpec {
         // variants, not by the mock being lenient.
         case "getTables" =>
           resultSet(if (db.committed.contains(args(2).asInstanceOf[String])) 1 else 0)
+        case "getColumns" =>
+          columnsResultSet(
+            if (db.committed.contains(args(2).asInstanceOf[String])) db.columns
+            else Seq.empty)
         case _ => default(m)
       }
     }
@@ -219,7 +239,8 @@ class JdbcDialectSpec extends SparkSpec {
     Extract.publishJdbcUpsert(pgUrl, "payment", "payment_id", props)
     assert(db.executed.toList == List(
       """DELETE FROM "payment" WHERE "payment_id" IN (SELECT "payment_id" FROM "payment__stage")""",
-      """INSERT INTO "payment" SELECT * FROM "payment__stage"""",
+      """INSERT INTO "payment" ("payment_id", "amount") """ +
+        """SELECT "payment_id", "amount" FROM "payment__stage"""",
       """DROP TABLE "payment__stage""""),
       db.executed)
     assert(db.commits == 1 && db.committed == Set("payment"),
