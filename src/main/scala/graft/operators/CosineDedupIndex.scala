@@ -53,6 +53,85 @@ object CosineDedupIndex {
 
   private[operators] def codesDir(root: String): String = s"$root/codes"
 
+  // ------------------------------------------- bucket-group fold layout
+  //
+  // The r13 x100 vecloop measured the per-batch probe read growing
+  // linearly with the corpus (8 -> 232 MB at 200k vectors): candidates
+  // are bounded, but plain parquet cannot skip the unprobed rows' bytes
+  // — above all the heavy embedding column the verify stage touches.
+  // Fold-time layout fix (the AnnIndex `cell=` precedent, adapted to
+  // the Hamming-probe shape): compaction and refreeze write their fold
+  // under a `pgrp=` partition level (pgrp = bucket mod G), while the
+  // small per-batch increment appends stay flat — the LSM shape. A
+  // probe then reads [pruned fold dirs ∪ flat increment dirs]: EXACT,
+  // because a pair needs the corpus side's bucket in the probe set, so
+  // rows outside the probed groups cannot join (and candidates' verify
+  // rows live in probed groups by the same argument).
+  //
+  // The honest arithmetic (the r11 bucketBy lesson — run it BEFORE
+  // building directories): K live probe keys over G groups hit
+  // G·(1-(1-1/G)^K) of them, so pruning binds only when K ≲ G — the
+  // SMALL-increment regime (takedown trickles, low-rate ingest). Bulk
+  // batches saturate the groups and are gated to the full read, which
+  // is then genuinely output-bound, not waste: at gate density the
+  // answer itself touches most buckets. The asymptote stays corpus-
+  // linear divided by the pruning factor; a true O(increment) point
+  // lookup needs a KV store — the same documented floor as the
+  // signature df log.
+
+  /** Fold-layout partition column (bucket mod the fold's group count). */
+  private[graft] val pgrpCol = "pgrp"
+
+  /** Group-count sidecar inside a fold's batch directory — the layout
+    * self-describes, so a reader NEVER derives G from code that may
+    * have changed since the fold was written (a wrong G would prune
+    * wrong, i.e. silently drop pairs; an unreadable sidecar just
+    * disables pruning for that fold). */
+  private val pgrpSidecarName = "_pgrp_groups"
+
+  /** Fold group count for a frozen mask: mask/16 targets ~256 vectors
+    * per group at the 16/bucket occupancy design point (directory sizes
+    * that stay sane at test scale), capped at 65536 directories so a
+    * billion-vector fold keeps ~15k rows (several MB) per group. */
+  private[graft] def pgrpGroupsFor(mask: Long): Int =
+    math.min(65536L, math.max(1L, mask / 16L)).toInt
+
+  /** Saturation gate: above this expected hit fraction the pruned read
+    * would touch most directories anyway — take the plain full read
+    * (zero extra jobs, no probe collect). */
+  private val pgrpSaturation = 0.7
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writePgrpSidecar(spark: SparkSession, batchDir: String, g: Int): Unit = {
+    val out = fsOf(spark, batchDir).create(
+      new org.apache.hadoop.fs.Path(batchDir, pgrpSidecarName), true)
+    try out.write(s"$g\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readPgrpSidecar(spark: SparkSession, batchDir: String): Option[Int] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(batchDir, pgrpSidecarName)
+      val fs = fsOf(spark, batchDir)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+        Some(s.trim.toInt).filter(_ >= 1)
+      }
+    } catch { case _: Exception => None } // unreadable => no pruning, never wrong
+
+  /** The staged fold frame for a rewrite of `live` rows under group
+    * count `g`: pgrp derived from the stored bucket, one shuffle so
+    * each group lands whole in one task (≤ 1 file per `pgrp=` dir). */
+  private def foldFrame(live: DataFrame, g: Int): DataFrame =
+    live.withColumn(pgrpCol, pmod(col("bucket"), lit(g.toLong)))
+      .repartition(col(pgrpCol))
+
   /** The frozen bucket mask, or None before the first batch. Stored
     * through the atomic snapshot protocol (`LandingLog.writeSnapshot`):
     * a crash mid-write of the 1-row meta can never leave a torn state
@@ -101,16 +180,71 @@ object CosineDedupIndex {
     // Cache BEFORE the write so the append populates the cache and the
     // delta join reads it back instead of re-encoding.
     val newCached = graft.CacheJanitor.register(encode(increment, mask).persist())
-    BatchLog.append(newCached, codesDir(root), batchKey, "CosineDedupIndex")
+    val key = BatchLog.append(newCached, codesDir(root), batchKey, "CosineDedupIndex")
     val all = readIndex(spark, root)
-    Batch(newCached, all, deltaPairs(all, newCached, Some(mask)))
+    // Pair detection runs against the PRUNED live view when the fold
+    // layout + probe density allow it (see the fold-layout note above) —
+    // answer-identical to the full read by the probe-join argument; the
+    // returned Batch still carries the full index frame.
+    val corpus = prunedLive(spark, root, newCached, mask, key).getOrElse(all)
+    Batch(newCached, all, deltaPairs(corpus, newCached, Some(mask)))
+  }
+
+  /** The live rows a probe of `newCodes` can possibly touch, read with
+    * fold-directory pruning: partitioned fold dirs restricted to the
+    * probe set's bucket groups, flat increment dirs read whole. None
+    * when no sidecar-described fold exists, the increment's row count
+    * is unknown, or the probe set saturates the groups — callers then
+    * take the plain full read (which is optimal at that density). */
+  private[graft] def prunedLive(spark: SparkSession, root: String, newCodes: DataFrame,
+      mask: Long, batchKey: String): Option[DataFrame] = {
+    val path = codesDir(root)
+    val parted = BatchLog.partitionedKeys(spark, path, pgrpCol)
+    if (parted.isEmpty) return None
+    val withG = parted.toSeq.sorted
+      .map(k => k -> readPgrpSidecar(spark, BatchLog.dirOf(path, k)))
+    // An un-sidecarred fold's G is unknowable — guessing would prune
+    // WRONG (silently dropped pairs). No pruning for this batch; the
+    // next compaction re-sidecars the layout.
+    if (withG.exists(_._2.isEmpty)) return None
+    val incRowsOpt = BatchLog.rowCountOf(spark, path, batchKey)
+    if (incRowsOpt.isEmpty) return None // sidecar gap: skip, never guess
+    // Live probes per vector = log2(mask) flips + the identity bucket
+    // (higher flips map >= mask and are filtered before the join).
+    val liveProbes = java.lang.Long.numberOfTrailingZeros(mask) + 1
+    val k = incRowsOpt.get * liveProbes
+    val minG = withG.map(_._2.get).min
+    val expectedHit = 1.0 - math.pow(1.0 - 1.0 / minG, k.toDouble)
+    if (expectedHit >= pgrpSaturation) return None
+    // The probe set, collected once (bounded: <= min(K, mask) longs,
+    // and the saturation gate already bounds the fraction of mask).
+    val d = TextSim.spark
+    val probesExpr = d.arrayOf("bucket" +: (0 until TextSim.lshPlanes)
+      .map(j => d.xor("bucket", (1L << j).toString)))
+    val probes = newCodes
+      .selectExpr(s"explode($probesExpr) AS p").where(col("p") < lit(mask))
+      .distinct().collect().map(_.getLong(0))
+    val flat = BatchLog.committedKeys(spark, path).filterNot(parted)
+    val frames = withG.map { case (fk, g0) =>
+      val g = g0.get
+      val groups = probes.map(p => (p % g).toInt).distinct.toSeq
+      val fold = BatchLog.readKeysPartitioned(spark, path, Seq(fk),
+        "CosineDedupIndex.probe")
+      (if (groups.size >= pgrpSaturation * g) fold
+       else fold.where(col(pgrpCol).isin(groups: _*))).drop(pgrpCol)
+    } ++ (if (flat.isEmpty) Nil
+          else Seq(BatchLog.readKeys(spark, path, flat, "CosineDedupIndex.probe")))
+    Some(Tombstones.exclude(frames.reduce(_ unionByName _), root, "vec_id"))
   }
 
   /** Live code rows: the snapshot minus tombstoned vec_ids (compaction
-    * crash-recovery probed first — see [[Tombstones.recoverCompaction]]). */
+    * crash-recovery probed first — see [[Tombstones.recoverCompaction]]).
+    * `pgrp` is a fold-layout artifact, never part of the row contract —
+    * dropped whatever mix of fold and flat directories the log holds. */
   def readIndex(spark: SparkSession, root: String): DataFrame = {
     recoverState(spark, root)
-    Tombstones.exclude(BatchLog.read(spark, codesDir(root), "CosineDedupIndex"),
+    Tombstones.exclude(
+      BatchLog.read(spark, codesDir(root), "CosineDedupIndex").drop(pgrpCol),
       root, "vec_id")
   }
 
@@ -144,11 +278,16 @@ object CosineDedupIndex {
 
   /** Rewrite the snapshot minus tombstones (mask unchanged — codes keep
     * their meaning) and clear the side table; content-identical to a
-    * from-scratch encode of the survivors under the frozen mask. */
+    * from-scratch encode of the survivors under the frozen mask. The
+    * fold lands under the `pgrp=` bucket-group layout (sidecar-described)
+    * so later probe batches can skip unprobed groups' bytes. */
   def compact(spark: SparkSession, root: String): Unit = WriterLease.withLease(spark, root) {
     val path = codesDir(root)
     val tmp = s"$path.__compact_tmp"
-    BatchLog.stageRewrite(readIndex(spark, root), path, tmp)
+    val g = frozenMask(spark, root).map(pgrpGroupsFor).getOrElse(1)
+    val foldKey = BatchLog.stageRewrite(foldFrame(readIndex(spark, root), g),
+      path, tmp, partitionBy = Seq(pgrpCol))
+    writePgrpSidecar(spark, BatchLog.dirOf(tmp, foldKey), g)
     Tombstones.commitCompaction(spark, root, tmp, path)
   }
 
@@ -186,9 +325,11 @@ object CosineDedupIndex {
       if (live.count() == 0L) return // nothing to migrate
       val newMask = TextSim.lshMaskValue(live.count()).toLong
       val tmp = refreezeTmp(root)
-      BatchLog.stageRewrite(
-        encode(live.select(col("vec_id"), col("embedding")), newMask),
-        codesDir(root), tmp)
+      val g = pgrpGroupsFor(newMask)
+      val foldKey = BatchLog.stageRewrite(
+        foldFrame(encode(live.select(col("vec_id"), col("embedding")), newMask), g),
+        codesDir(root), tmp, partitionBy = Seq(pgrpCol))
+      writePgrpSidecar(spark, BatchLog.dirOf(tmp, foldKey), g)
       RefreezeProtocol.sealStage(spark, tmp, newMask.toString)
       commitRefreeze(spark, root, newMask)
     } finally graft.CacheJanitor.drain()

@@ -243,7 +243,10 @@ class CosineDedupIndexSpec extends SparkSpec {
     val mask = CosineDedupIndex.frozenMask(spark, root).get
     CosineDedupIndex.compact(spark, root)
     assert(CosineDedupIndex.frozenMask(spark, root).get == mask)
-    val compacted = spark.read.parquet(s"$root/codes").drop("batch_key")
+    // batch_key and pgrp are layout artifacts (batch commit dirs / the
+    // fold's bucket-group pruning level), not content.
+    val compacted = spark.read.parquet(s"$root/codes")
+      .drop("batch_key").drop(CosineDedupIndex.pgrpCol)
     assert(compacted.count() == batchA.size + batchB.size - 1)
     assert(compacted.where($"vec_id" === 3L).isEmpty)
     // Compacted content == from-scratch encode of survivors, frozen mask.
