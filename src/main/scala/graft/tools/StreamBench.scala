@@ -82,6 +82,17 @@ object StreamBench {
     val loadStart = loadavg()
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(workDir), true)
+    // Per-batch input bytes + loadavg (r13 verdict item #4: the star
+    // loop's p95 spike was unattributable — the artifact now carries,
+    // for every batch, what it READ and how loaded the box was, so a
+    // 3× outlier is adjudicable as contention vs a genuine cost).
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) { bytesRead.addAndGet(m.inputMetrics.bytesRead); () }
+      }
+    })
 
     // --- Loop 1: landing → star, N growing-source micro-batches ------
     val srcs = StarBench.sources(spark, starSf)
@@ -98,13 +109,16 @@ object StreamBench {
         t -> (if (constantTs(t)) df else df.where(col("last_updated") <= lit(cut)))
       }
       val t0 = System.nanoTime()
+      val b0 = bytesRead.get()
       val written = Runner.runOnce(spark, sliced,
         s"$workDir/landing", s"$workDir/processed", s"$workDir/warehouse",
         s"$workDir/state.json", batchId = f"2025-09-01 10:$b%02d:00.000")
       val dt = (System.nanoTime() - t0) / 1e9
+      val mb = (bytesRead.get() - b0) / 1e6
       CacheJanitor.drain()
-      println(s"# star batch $b  ${f(dt)}s  tables=${written.size}")
-      dt
+      val la = loadavg()
+      println(s"# star batch $b  ${f(dt)}s  tables=${written.size}  read=${f(mb)}MB  load=$la")
+      (dt, mb, la)
     }
 
     // --- Loop 2: index maintenance, N mod-slice micro-batches --------
@@ -127,36 +141,42 @@ object StreamBench {
           docs.where(col("doc_id") % nBatches < b && col("doc_id") % 5 === 0)
             .select(col("doc_id")))
       val t0 = System.nanoTime()
+      val b0 = bytesRead.get()
       val st = graft.operators.DedupPipeline.runOnce(
         spark, idxRoot, inc, batchKey = Some(f"stream_b$b%02d"))
       val t1 = System.nanoTime()
       val m = graft.operators.DedupPipeline.maintainOnce(spark, idxRoot)
       val t2 = System.nanoTime()
+      val mb = (bytesRead.get() - b0) / 1e6
       val fired = Seq(
         if (takedown) Some("takedown") else None,
         if (m.refrozen) Some("refreeze") else None,
         if (m.indexCompacted) Some("index_compact") else None,
         if (m.labelsCompacted) Some("labels_compact") else None).flatten
       println(s"# index batch $b  run=${f((t1 - t0) / 1e9)}s maint=${f((t2 - t1) / 1e9)}s " +
-        s"docs=${st.newDocs} pairs=${st.deltaPairs}" +
+        s"docs=${st.newDocs} pairs=${st.deltaPairs} read=${f(mb)}MB" +
         (if (fired.nonEmpty) fired.mkString("  [", "+", "]") else ""))
-      (b, (t1 - t0) / 1e9, (t2 - t1) / 1e9, st, fired, (t0 - tR) / 1e9)
+      (b, (t1 - t0) / 1e9, (t2 - t1) / 1e9, st, fired, (t0 - tR) / 1e9, mb, loadavg())
     }
     val loadEnd = loadavg()
 
-    val starSteady = starTrace.drop(1)
+    val starSteady = starTrace.drop(1).map(_._1)
     val idxTotal = idxTrace.map(r => r._2 + r._3 + r._6)
     val idxSteady = idxTrace.drop(1)
-    val idxJson = idxTrace.map { case (b, run, mnt, st, fired, rm) =>
+    val starJson = starTrace.zipWithIndex.map { case ((dt, mb, la), b) =>
+      s"""{"batch":$b,"sec":${f(dt)},"read_mb":${f(mb)},"loadavg":"$la"}"""
+    }.mkString("[", ",", "]")
+    val idxJson = idxTrace.map { case (b, run, mnt, st, fired, rm, mb, la) =>
       s"""{"batch":$b,"run_once_sec":${f(run)},"maintain_sec":${f(mnt)},""" +
-        s""""remove_sec":${f(rm)},""" +
+        s""""remove_sec":${f(rm)},"read_mb":${f(mb)},"loadavg":"$la",""" +
         s""""new_docs":${st.newDocs},"delta_pairs":${st.deltaPairs},""" +
         s""""maintenance_fired":[${fired.map("\"" + _ + "\"").mkString(",")}]}"""
     }.mkString("[", ",", "]")
     val json =
       s"""{"metric":"stream_latency","batches":$nBatches,""" +
         s""""star_sf":"$starSf","index_sf":"$indexSf",""" +
-        s""""star_batch_sec":[${starTrace.map(f).mkString(",")}],""" +
+        s""""star_batch_sec":[${starTrace.map(r => f(r._1)).mkString(",")}],""" +
+        s""""star_batches":$starJson,""" +
         s""""star_steady":${stats(starSteady)},""" +
         s""""index_batches":$idxJson,""" +
         s""""index_steady_run_once":${stats(idxSteady.map(_._2))},""" +
