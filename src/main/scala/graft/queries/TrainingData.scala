@@ -2019,35 +2019,37 @@ object TrainingData {
     * bounding per-query work at ~(3/cells)·n code rows. The `enc`
     * frame IS the persistable index (cell-partitioned codes); built
     * in-plan here so the oracle replays identical arithmetic. */
-  private val t63 = {
-    // `base` (norms + per-cell distance array) feeds FOUR consumers
-    // (enc, q, and the re-rank's two self-joins) — the same CTE-inlining
-    // trap t62 documents, with the dist2 ladder recomputed per consumer.
-    // The Spark side persists base as a view WITHOUT the codebook
-    // columns (they are literals there — caching them per row would
-    // bloat the cache for no reuse); the oracle threads them through as
-    // CTE columns, since DuckDB materializes shared CTEs natively.
-    def baseCtes(d: Dialect, fromV: String, cents: String,
-        carryDef: String, carryCols: String): String =
-      s"""raw AS (SELECT vec_id, embedding, ${pqVe(d)} AS ve,
-         |          $cents AS cents_$carryDef $fromV),
-         |base AS (
-         |  SELECT vec_id, embedding, ve$carryCols, ${TextSim.norm2(d, "embedding")} AS n2,
-         |    ${d.transform(d.ramp(s"${d.size}(cents_)"), s"ci -> ${TextSim.dist2(d, "embedding", d.at("cents_", "ci"))}")} AS ds
-         |  FROM raw)""".stripMargin
-    def tailCtes(d: Dialect, base: String, cb: String, pn2s: String,
-        e0Carry: String): String = {
-      val pos = if (d eq sprk) "array_position" else "list_position"
-      s"""enc AS (
-         |  SELECT vec_id, cell, codes, ${pqPn2Expr(d, pn2s, "codes")} AS pn2
-         |  FROM (
-         |    SELECT vec_id$e0Carry,
-         |      CAST($pos(ds, ${d.arrayMin}(ds)) AS BIGINT) AS cell,
-         |      ${pqCodesExpr(d, cb)} AS codes
-         |    FROM $base) e0),
-         |q AS (SELECT vec_id, embedding, n2, ${top3Cells(d, "ds")} AS probes,
-         |        ${pqLutExpr(d, cb)} AS luts
-         |      FROM $base WHERE vec_id % 100 = 0 AND vec_id < 2500),
+  // `base` (norms + per-cell distance array) feeds FOUR consumers
+  // (enc, q, and the re-rank's two self-joins) — the same CTE-inlining
+  // trap t62 documents, with the dist2 ladder recomputed per consumer.
+  // The Spark side persists base as a view WITHOUT the codebook
+  // columns (they are literals there — caching them per row would
+  // bloat the cache for no reuse); the oracle threads them through as
+  // CTE columns, since DuckDB materializes shared CTEs natively.
+  // Shared by t63 (pinned 3-probe bench form) and t76 (the persisted
+  // DEFAULT-nprobe path, whose probe count is an expression).
+  private def pqBaseCtes(d: Dialect, fromV: String, cents: String,
+      carryDef: String, carryCols: String): String =
+    s"""raw AS (SELECT vec_id, embedding, ${pqVe(d)} AS ve,
+       |          $cents AS cents_$carryDef $fromV),
+       |base AS (
+       |  SELECT vec_id, embedding, ve$carryCols, ${TextSim.norm2(d, "embedding")} AS n2,
+       |    ${d.transform(d.ramp(s"${d.size}(cents_)"), s"ci -> ${TextSim.dist2(d, "embedding", d.at("cents_", "ci"))}")} AS ds
+       |  FROM raw)""".stripMargin
+
+  private def pqTailCtes(d: Dialect, base: String, cb: String, pn2s: String,
+      e0Carry: String, probes: String): String = {
+    val pos = if (d eq sprk) "array_position" else "list_position"
+    s"""enc AS (
+       |  SELECT vec_id, cell, codes, ${pqPn2Expr(d, pn2s, "codes")} AS pn2
+       |  FROM (
+       |    SELECT vec_id$e0Carry,
+       |      CAST($pos(ds, ${d.arrayMin}(ds)) AS BIGINT) AS cell,
+       |      ${pqCodesExpr(d, cb)} AS codes
+       |    FROM $base) e0),
+       |q AS (SELECT vec_id, embedding, n2, $probes AS probes,
+       |        ${pqLutExpr(d, cb)} AS luts
+       |      FROM $base WHERE vec_id % 100 = 0 AND vec_id < 2500),
          |qp AS (SELECT vec_id, embedding, n2, luts, ${d.explode}(probes) AS cell FROM q),
          |scored AS (
          |  SELECT qp.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell AS cell,
@@ -2073,36 +2075,85 @@ object TrainingData {
          |  FROM rer)
          |SELECT query_id, neighbor_id, cell, approx_cosine, cosine, rnk FROM ranked
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
-    }
-    GQuery(
-      fn = (s, dir) => {
-        graft.functions.GraftFunctions.registerAll(s)
-        Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
-        val cbA = trainPqCodebooks(s)
-        val cbL = cbA.map(ck => ck.map(cv => cv.map(litD).mkString("array(", ", ", ")"))
-          .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
-        val pn2 = cbA.map(_.map(cv => cv.foldLeft(0.0)((acc, x0) => acc + x0 * x0)))
-        val pn2L = pn2.map(_.map(litD).mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
-        val base = s.sql(
-          s"""WITH ${baseCtes(sprk, "FROM embeddings", trainCentroidLiteral(s), "", "")}
-             |SELECT * FROM base""".stripMargin)
-        graft.CacheJanitor.register(base.persist()).createOrReplaceTempView("t63_base")
-        s.sql(s"WITH ${tailCtes(sprk, "t63_base", cbL, pn2L, "")}")
-      },
-      oracle = Some {
-        val d = duck
-        val pn2Cte =
-          s"""pqn AS (SELECT list_transform(cbs,
-             |  cbj -> list_transform(cbj, cv -> ${TextSim.dotHof(d, "cv", "cv")})) AS pn2s FROM pqcb)""".stripMargin
-        s"""WITH ${duckKmeansCtes()},
-           |$duckPqCtes,
-           |$pn2Cte,
-           |${baseCtes(d,
-              s"FROM embeddings CROSS JOIN c${TextSim.ivfLloydIters} cj CROSS JOIN pqcb CROSS JOIN pqn",
-              "cj.cents", ", cbs AS cbs_, pn2s AS pn2s_", ", cbs_, pn2s_")},
-           |${tailCtes(d, "base", "cbs_", "pn2s_", ", pn2s_")}""".stripMargin
-      })
   }
+
+  private val t63 = GQuery(
+    fn = (s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+      val cbA = trainPqCodebooks(s)
+      val cbL = cbA.map(ck => ck.map(cv => cv.map(litD).mkString("array(", ", ", ")"))
+        .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+      val pn2 = cbA.map(_.map(cv => cv.foldLeft(0.0)((acc, x0) => acc + x0 * x0)))
+      val pn2L = pn2.map(_.map(litD).mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+      val base = s.sql(
+        s"""WITH ${pqBaseCtes(sprk, "FROM embeddings", trainCentroidLiteral(s), "", "")}
+           |SELECT * FROM base""".stripMargin)
+      graft.CacheJanitor.register(base.persist()).createOrReplaceTempView("t63_base")
+      s.sql(s"WITH ${pqTailCtes(sprk, "t63_base", cbL, pn2L, "",
+        top3Cells(sprk, "ds"))}")
+    },
+    oracle = Some {
+      val d = duck
+      val pn2Cte =
+        s"""pqn AS (SELECT list_transform(cbs,
+           |  cbj -> list_transform(cbj, cv -> ${TextSim.dotHof(d, "cv", "cv")})) AS pn2s FROM pqcb)""".stripMargin
+      s"""WITH ${duckKmeansCtes()},
+         |$duckPqCtes,
+         |$pn2Cte,
+         |${pqBaseCtes(d,
+            s"FROM embeddings CROSS JOIN c${TextSim.ivfLloydIters} cj CROSS JOIN pqcb CROSS JOIN pqn",
+            "cj.cents", ", cbs AS cbs_, pn2s AS pn2s_", ", cbs_, pn2s_")},
+         |${pqTailCtes(d, "base", "cbs_", "pn2s_", ", pn2s_", top3Cells(d, "ds"))}""".stripMargin
+    })
+
+  /** t76 — the PERSISTED `PqIndex.topK` DEFAULT-nprobe path through a
+    * refreeze, oracle-checked: t75's contract on the PQ quantizer
+    * chain, so BOTH persisted ANN families now have their ladder-aware
+    * default proven end-to-end against the oracle (t63 pins the
+    * 3-probe bench form inline; RefreezeSpec pins the migration
+    * mechanics; the recall probe measures the default at tier scale).
+    * Index built the production way — two halved ingests (coarse AND
+    * PQ codebooks frozen on the evens), refreeze retrains both on the
+    * live corpus — then `topK` with `nprobe = None` and exact re-rank.
+    * The oracle replays the REFROZEN state as one full-corpus train +
+    * encode chain (content-identical by RefreezeSpec) with the probe
+    * count derived IN SQL from the cell ladder. */
+  private val t76 = GQuery(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.functions.GraftFunctions.registerAll(s)
+      val root = java.nio.file.Files.createTempDirectory("graft_t76").toString
+      val emb = Tables.embeddings(s, dir)
+      val vecs = emb.selectExpr("vec_id", "embedding")
+      graft.operators.PqIndex.ingest(s, root,
+        vecs.where("vec_id % 2 = 0"), batchKey = Some("h1"))
+      graft.operators.PqIndex.ingest(s, root,
+        vecs.where("vec_id % 2 = 1"), batchKey = Some("h2"))
+      graft.operators.PqIndex.refreeze(s, root, vecs)
+      val qs = emb.where("vec_id % 100 = 0 AND vec_id < 2500")
+        .selectExpr("vec_id AS query_id", "embedding")
+      graft.operators.PqIndex.topK(s, root, qs, 3, rerank = Some(vecs))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    oracle = Some {
+      val d = duck
+      val pn2Cte =
+        s"""pqn AS (SELECT list_transform(cbs,
+           |  cbj -> list_transform(cbj, cv -> ${TextSim.dotHof(d, "cv", "cv")})) AS pn2s FROM pqcb)""".stripMargin
+      val npCte =
+        s"""npr AS (SELECT greatest(CAST(3 AS BIGINT),
+           |  CAST(floor((SELECT cells FROM m) / 4.0) AS BIGINT)) AS np)""".stripMargin
+      s"""WITH ${duckKmeansCtes()},
+         |$duckPqCtes,
+         |$pn2Cte,
+         |$npCte,
+         |${pqBaseCtes(d,
+            s"FROM embeddings CROSS JOIN c${TextSim.ivfLloydIters} cj CROSS JOIN pqcb CROSS JOIN pqn",
+            "cj.cents", ", cbs AS cbs_, pn2s AS pn2s_", ", cbs_, pn2s_")},
+         |${pqTailCtes(d, "base", "cbs_", "pn2s_", ", pn2s_",
+            topNCellsExpr(d, "ds", "(SELECT np FROM npr)"))}""".stripMargin
+    })
 
   /** t64 — sliding-window document CHUNKING (the pre-training step
     * between curation and packing: long documents become fixed-size
@@ -2972,5 +3023,6 @@ object TrainingData {
     "t72_takedown_dedup" -> t72,
     "t73_exact_substring_dedup" -> t73,
     "t74_indexed_dedup" -> t74,
-    "t75_persisted_topk" -> t75)
+    "t75_persisted_topk" -> t75,
+    "t76_persisted_pq_topk" -> t76)
 }
