@@ -387,6 +387,52 @@ private[graft] object BatchLog {
       .drop("batch_key")
   }
 
+  /** [[readKeys]] KEEPING `batch_key` (and any fold-layout partition
+    * columns — the caller filters on them before dropping): the
+    * restricted form of [[readWithKey]] for probe paths that prune both
+    * across batch directories AND within a fold's partition level. The
+    * given keys must share one directory layout (split by
+    * [[partitionedKeys]] first — mixing layouts in one parquet read is
+    * a discovery error). */
+  def readKeysWithKey(spark: SparkSession, path: String, ks: Seq[String],
+      op: String): DataFrame = {
+    requireFormat(spark, path, op)
+    require(ks.nonEmpty, s"$op: readKeysWithKey needs at least one key")
+    spark.read.option("basePath", path)
+      .parquet(ks.map(k => dirFor(path, k)): _*)
+  }
+
+  // ------------------------------------------- fold-group sidecars
+
+  /** Write a fold-layout group-count sidecar into a batch directory.
+    * The layout SELF-DESCRIBES so a reader never derives the group
+    * count from code that may have changed since the fold was written —
+    * a wrong modulus would prune WRONG (silently dropped rows); an
+    * unreadable sidecar just disables pruning for that directory. */
+  def writeGroupsSidecar(spark: SparkSession, batchDir: String, name: String,
+      g: Int): Unit = {
+    val out = fsOf(spark, batchDir).create(new HPath(batchDir, name), true)
+    try out.write(s"$g\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The group count a fold directory's sidecar declares, or None (no
+    * sidecar, unreadable, or nonsensical — all of which mean "do not
+    * prune this directory", never "guess"). */
+  def readGroupsSidecar(spark: SparkSession, batchDir: String,
+      name: String): Option[Int] =
+    try {
+      val p = new HPath(batchDir, name)
+      val fs = fsOf(spark, batchDir)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+        Some(s.trim.toInt).filter(_ >= 1)
+      }
+    } catch { case _: Exception => None }
+
   // ------------------------------------------------------- retired keys
 
   private val retiredName = "_graft_retired_keys"

@@ -105,25 +105,11 @@ object CosineDedupIndex {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def writePgrpSidecar(spark: SparkSession, batchDir: String, g: Int): Unit = {
-    val out = fsOf(spark, batchDir).create(
-      new org.apache.hadoop.fs.Path(batchDir, pgrpSidecarName), true)
-    try out.write(s"$g\n".getBytes("UTF-8")) finally out.close()
-  }
+  private def writePgrpSidecar(spark: SparkSession, batchDir: String, g: Int): Unit =
+    BatchLog.writeGroupsSidecar(spark, batchDir, pgrpSidecarName, g)
 
   private def readPgrpSidecar(spark: SparkSession, batchDir: String): Option[Int] =
-    try {
-      val p = new org.apache.hadoop.fs.Path(batchDir, pgrpSidecarName)
-      val fs = fsOf(spark, batchDir)
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val s = try new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-        finally in.close()
-        Some(s.trim.toInt).filter(_ >= 1)
-      }
-    } catch { case _: Exception => None } // unreadable => no pruning, never wrong
+    BatchLog.readGroupsSidecar(spark, batchDir, pgrpSidecarName) // unreadable => no pruning, never wrong
 
   /** The staged fold frame for a rewrite of `live` rows under group
     * count `g`: pgrp derived from the stored bucket, one shuffle so

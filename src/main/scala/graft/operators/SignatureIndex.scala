@@ -128,7 +128,7 @@ object SignatureIndex {
       .getOrElse(newCached.count())
     val pairs =
       if (corpusRows >= indexedPathMinRows && incrementRows <= indexedPathMaxIncrementRows)
-        deltaPairsIndexed(spark, root, table, newCached)
+        deltaPairsIndexed(spark, root, table, newCached, Some(key))
       else deltaPairs(all, newCached)
     Batch(newCached, all, pairs)
   }
@@ -161,7 +161,12 @@ object SignatureIndex {
     * intersect kernel needs) — [[migrateLegacy]] upgrades it in place. */
   def readIndex(spark: SparkSession, root: String, table: String = "signatures"): DataFrame = {
     recoverState(spark, root, table)
-    Tombstones.exclude(BatchLog.read(spark, s"$root/$table", "SignatureIndex"), root, "doc_id")
+    // `dgrp` is a fold-layout artifact, never part of the row contract
+    // (BatchLog.read drops it in mixed layouts; an all-fold log keeps
+    // common partition columns, so drop explicitly).
+    Tombstones.exclude(
+      BatchLog.read(spark, s"$root/$table", "SignatureIndex").drop(dgrpCol),
+      root, "doc_id")
   }
 
   /** Crash recovery alone (the compaction swap window) — for callers
@@ -211,7 +216,20 @@ object SignatureIndex {
   def compact(spark: SparkSession, root: String, table: String = "signatures"): Unit = WriterLease.withLease(spark, root) {
     val path = s"$root/$table"
     val tmp = s"$path.__compact_tmp"
-    BatchLog.stageRewrite(readIndex(spark, root, table), path, tmp)
+    val live = readIndex(spark, root, table)
+    // Corpus-scale folds land under the `dgrp=` doc-group layout (see
+    // the fold-layout note) so later verify reads can skip non-candidate
+    // groups' heavy shingle arrays. G from the committed row-count
+    // sidecars (driver-side; pre-tombstone upper bound — G is layout,
+    // not semantics); unknown or tiny ⇒ flat, exactly as before.
+    val g = BatchLog.committedRowCount(spark, path).map(hgrpGroupsFor).getOrElse(1)
+    if (g >= 2) {
+      val fk = BatchLog.stageRewrite(
+        live.withColumn(dgrpCol, pmod(col("doc_id"), lit(g.toLong)).cast("int"))
+          .repartition(col(dgrpCol)),
+        path, tmp, partitionBy = Seq(dgrpCol))
+      BatchLog.writeGroupsSidecar(spark, BatchLog.dirOf(tmp, fk), dgrpSidecarName, g)
+    } else BatchLog.stageRewrite(live, path, tmp)
     Tombstones.commitCompaction(spark, root, tmp, path)
     // Rebuild the derived posting/df logs from the fold eagerly —
     // maintenance does the corpus-sized work, not the next batch. A
@@ -304,6 +322,136 @@ object SignatureIndex {
     s"$root/${table}_postings"
   private[graft] def dfDir(root: String, table: String = "signatures"): String =
     s"$root/${table}_dfcounts"
+
+  // --------------------------------------- shingle-group fold layout
+  //
+  // Matched-batch pruning (above) skips whole batch DIRECTORIES a probe
+  // cannot touch — but after a compaction the whole corpus lives under
+  // ONE fold key, and any increment sharing a single shingle with it
+  // read that fold's posting/df rows in full: the r13 scale ledger's
+  // "residual corpus term". Same fix as [[CosineDedupIndex]]'s `pgrp=`
+  // bucket groups, one level down: rebuild-written posting/df
+  // directories big enough to matter carry an `hgrp = h mod G`
+  // partition level (G from the batch's own row-count sidecar,
+  // self-described by a sidecar so a reader never derives G from code
+  // that may have drifted — a wrong modulus would prune WRONG), while
+  // the per-batch increment appends stay flat — the LSM shape. Both
+  // logs are consumed ONLY after an equi-join on `h` against the
+  // increment's shingle set (df fold, candidate join, tombstone df
+  // adjustment all alike), so reading just the groups the increment's
+  // shingles hash into is EXACT: a row outside them cannot survive any
+  // of those joins.
+  //
+  // The honest arithmetic (same as the cosine fold's): K distinct
+  // increment shingles over G groups hit G·(1-(1-1/G)^K) of them, so
+  // pruning binds only when K ≲ G — single-document probes, takedown
+  // checks, trickle ingest. Bulk batches saturate the groups and are
+  // gated to the plain full read (zero extra jobs). The asymptote
+  // stays corpus-linear divided by the pruning factor; a true
+  // O(increment) point lookup needs a KV store — documented floor.
+
+  /** Fold-layout partition column on the posting/df logs. */
+  private[graft] val hgrpCol = "hgrp"
+
+  /** Group-count sidecar name inside a partitioned batch directory. */
+  private[graft] val hgrpSidecarName = "_hgrp_groups"
+
+  /** Saturation gate: above this expected hit fraction the pruned read
+    * would touch most group directories anyway — take the plain read. */
+  private val hgrpSaturation = 0.7
+
+  /** Fold group count for a batch of `sigRows` signature rows: ~256
+    * docs (≈ a few-hundred-KB of postings) per group, capped at 65536
+    * directories. Below 2 the layout is pure overhead — such batches
+    * are written flat. Shared by the `hgrp` AND `dgrp` layouts (same
+    * size target; each directory's sidecar is authoritative anyway). */
+  private[graft] def hgrpGroupsFor(sigRows: Long): Int =
+    math.min(65536L, math.max(1L, sigRows / 256L)).toInt
+
+  /** Doc-group fold layout on the SIGNATURE log itself (`dgrp = doc_id
+    * mod G`, compaction-written): the verify stage reads signature rows
+    * ONLY for candidate docs (a bounded set), so restricting the fold
+    * scan to the groups the candidate ids hash into is exact by the
+    * same argument as `hgrp` — with an even stronger regime, since
+    * |candidates| is increment-bounded while the fold holds the corpus'
+    * heavy shingle arrays. */
+  private[graft] val dgrpCol = "dgrp"
+  private[graft] val dgrpSidecarName = "_dgrp_groups"
+
+  /** Measurement escape hatch (and ops kill switch): JVM property
+    * `graft.fold.pruning.disable=true` forces every probe onto the
+    * unpruned reads — the contrast arm SigPruneBench records. Answers
+    * are pinned identical either way. */
+  private def pruningDisabled: Boolean =
+    java.lang.Boolean.getBoolean("graft.fold.pruning.disable")
+
+  /** The increment's distinct shingle hashes, collected — `Some` only
+    * when some posting/df directory is `hgrp=`-partitioned AND every
+    * such directory's sidecar is readable AND the probe set does not
+    * saturate the smallest group count (K from the increment's own df
+    * sidecar when `batchKey` is known — a driver-side file read — else
+    * one tiny job over the increment). Collect bounded by K, which the
+    * saturation gate has just bounded by ~1.2·G. None ⇒ callers take
+    * the unpruned reads (optimal at saturating density, and the only
+    * sound choice when a sidecar is missing). */
+  private def hgrpProbeSet(spark: SparkSession, root: String, table: String,
+      incShingles: DataFrame, batchKey: Option[String]): Option[Array[Long]] = {
+    if (pruningDisabled) return None
+    val dirs = Seq(dfDir(root, table), postingsDir(root, table))
+    val parted = dirs.map(d =>
+      d -> BatchLog.partitionedKeys(spark, d, hgrpCol)).filter(_._2.nonEmpty)
+    if (parted.isEmpty) return None
+    val gs = parted.flatMap { case (d, ks) =>
+      ks.toSeq.map(k =>
+        BatchLog.readGroupsSidecar(spark, BatchLog.dirOf(d, k), hgrpSidecarName))
+    }
+    if (gs.exists(_.isEmpty)) return None // un-sidecarred fold: never guess
+    val minG = gs.flatten.min
+    val k = batchKey.flatMap(BatchLog.rowCountOf(spark, dfDir(root, table), _))
+      .getOrElse(incShingles.count())
+    val expectedHit = 1.0 - math.pow(1.0 - 1.0 / minG, k.toDouble)
+    if (expectedHit >= hgrpSaturation) None
+    else Some(incShingles.collect().map(_.getLong(0)))
+  }
+
+  /** Read `ks` from a group-fold-capable log: partitioned directories
+    * are read with their own sidecar G and restricted to the groups the
+    * probe keys hash into (per-directory saturation re-checked against
+    * that G); flat directories are read whole. `probe` None ⇒ no group
+    * filtering, just the mixed-layout-safe union. `keepKey` keeps the
+    * `batch_key` column (the df probe needs it; the others do not).
+    * Shared by the `hgrp` (shingle-keyed posting/df) and `dgrp`
+    * (doc-keyed signature fold) layouts — same exactness argument,
+    * different join column. */
+  private def groupPrunedRead(spark: SparkSession, path: String, ks: Seq[String],
+      partCol: String, sidecarName: String, probe: Option[Array[Long]],
+      keepKey: Boolean, op: String): DataFrame = {
+    val partedAll = BatchLog.partitionedKeys(spark, path, partCol)
+    val parted = ks.filter(partedAll)
+    val flat = ks.filterNot(partedAll)
+    // One scan per distinct sidecar G, not per key: directories sharing
+    // a modulus share their group filter, and all partitioned dirs
+    // share the layout, so they batch into one parquet read.
+    val byG = parted.sorted.groupBy(k =>
+      BatchLog.readGroupsSidecar(spark, BatchLog.dirOf(path, k), sidecarName))
+    val frames = byG.toSeq.sortBy(_._1).map { case (gOpt, ksame) =>
+      val base = BatchLog.readKeysWithKey(spark, path, ksame, op)
+      val pruned = for {
+        hs <- probe
+        g <- gOpt
+        groups = hs.map(h => java.lang.Math.floorMod(h, g.toLong).toInt).distinct
+        if groups.length < hgrpSaturation * g
+      } yield base.where(col(partCol).isin(groups.map(Int.box): _*))
+      pruned.getOrElse(base).drop(partCol)
+    } ++ (if (flat.isEmpty) Nil
+          else Seq(BatchLog.readKeysWithKey(spark, path, flat, op)))
+    val out = frames.reduce(_ unionByName _)
+    if (keepKey) out else out.drop("batch_key")
+  }
+
+  private def hgrpRead(spark: SparkSession, path: String, ks: Seq[String],
+      probe: Option[Array[Long]], keepKey: Boolean, op: String): DataFrame =
+    groupPrunedRead(spark, path, ks, hgrpCol, hgrpSidecarName, probe, keepKey, op)
 
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -402,19 +550,40 @@ object SignatureIndex {
     BatchLog.committedKeys(spark, path).foreach { k =>
       val raw = BatchLog.readKeys(spark, path, Seq(k), "SignatureIndex.rebuildDerived")
       val post = raw.select(col("doc_id"), explode(col("shs")).as("h"))
-      // File-count discipline as in [[maintainDerived]], but sized to
-      // the directory: a steady increment folds to one file, the
-      // post-compaction fold (the whole corpus under one key) keeps
-      // data-proportional files (~30M posting rows each at ~150
-      // shingles/doc) instead of funnelling the corpus through a
-      // single write task.
-      val nFiles = BatchLog.rowCountOf(spark, path, k)
-        .map(n => math.max(1L, n / 200000L).toInt).getOrElse(1)
-      BatchLog.appendResolved(post.repartition(nFiles), postingsDir(root, table), k,
-        "SignatureIndex.postings")
-      BatchLog.appendResolved(
-        post.groupBy("h").agg(count(lit(1)).as("n")).coalesce(nFiles),
-        dfDir(root, table), k, "SignatureIndex.dfcounts")
+      val df = post.groupBy("h").agg(count(lit(1)).as("n"))
+      val rows = BatchLog.rowCountOf(spark, path, k)
+      val g = rows.map(hgrpGroupsFor).getOrElse(1) // unknown size: flat, never guess
+      if (g >= 2) {
+        // Fold-scale directory: land both logs under the `hgrp=` group
+        // layout (see the shingle-group fold note above). One shuffle
+        // each — every group's rows hash to one task, so each `hgrp=`
+        // directory holds exactly one file; sidecars AFTER the data
+        // (a crash in between leaves a partitioned dir without its
+        // sidecar, which readers treat as unprunable, never wrong —
+        // and the coverage markers land later still, so the next
+        // ingest re-runs this rebuild anyway).
+        def grouped(f: DataFrame) =
+          f.withColumn(hgrpCol, pmod(col("h"), lit(g.toLong)).cast("int"))
+            .repartition(col(hgrpCol))
+        BatchLog.appendResolved(grouped(post), postingsDir(root, table), k,
+          "SignatureIndex.postings", partitionBy = Seq(hgrpCol))
+        BatchLog.writeGroupsSidecar(spark,
+          BatchLog.dirOf(postingsDir(root, table), k), hgrpSidecarName, g)
+        BatchLog.appendResolved(grouped(df), dfDir(root, table), k,
+          "SignatureIndex.dfcounts", partitionBy = Seq(hgrpCol))
+        BatchLog.writeGroupsSidecar(spark,
+          BatchLog.dirOf(dfDir(root, table), k), hgrpSidecarName, g)
+      } else {
+        // File-count discipline as in [[maintainDerived]], but sized to
+        // the directory: a steady increment folds to one file; bigger
+        // unsized directories keep data-proportional files instead of
+        // funnelling through a single write task.
+        val nFiles = rows.map(n => math.max(1L, n / 200000L).toInt).getOrElse(1)
+        BatchLog.appendResolved(post.repartition(nFiles), postingsDir(root, table), k,
+          "SignatureIndex.postings")
+        BatchLog.appendResolved(df.coalesce(nFiles),
+          dfDir(root, table), k, "SignatureIndex.dfcounts")
+      }
     }
     BatchLog.committedKeys(spark, path).foreach(k => writeMarker(spark, root, table, k))
   }
@@ -431,7 +600,8 @@ object SignatureIndex {
     * increment/candidate-bounded side — the corpus-side logs are only
     * ever scanned, never shuffled. */
   private[graft] def deltaPairsIndexed(spark: SparkSession, root: String,
-      table: String, newSigs: DataFrame): DataFrame = {
+      table: String, newSigs: DataFrame,
+      batchKey: Option[String] = None): DataFrame = {
     // Degenerate-root guard: a first batch whose increment produced no
     // signature rows can leave the derived logs absent (an empty write
     // may commit no data file) — there is nothing to pair against, and
@@ -461,8 +631,17 @@ object SignatureIndex {
     // nor a Jaccard value. Worst case (every batch shares a shingle)
     // degrades to the previous full scan; the steady state of a
     // novel-content crawl reads ~the increment's own directory.
+    // Shingle-group pruning (see the fold-layout note above): when a
+    // rebuild-written directory carries the `hgrp=` level and the
+    // increment's probe set does not saturate it, both the df scan and
+    // the posting scan below read only the groups the increment's
+    // shingles hash into — exact, because every consumer of either log
+    // equi-joins on `h` against the increment's shingle set first.
+    val hProbe = hgrpProbeSet(spark, root, table, incShingles, batchKey)
     val dfHits = graft.CacheJanitor.register(
-      BatchLog.readWithKey(spark, dfDir(root, table), "SignatureIndex.dfcounts")
+      hgrpRead(spark, dfDir(root, table),
+        BatchLog.committedKeys(spark, dfDir(root, table)), hProbe,
+        keepKey = true, "SignatureIndex.dfcounts")
         .join(broadcast(incShingles), Seq("h")).persist())
     val dfBase = dfHits.groupBy("h").agg(sum(col("n")).as("df"))
     val matched = dfHits.select("batch_key").distinct()
@@ -490,9 +669,10 @@ object SignatureIndex {
       return deltaPairs(readIndex(spark, root, table), newSigs)
     }
     val post =
-      if (aligned) BatchLog.readKeys(spark, postingsDir(root, table), matched,
-        "SignatureIndex.postings")
+      if (aligned) hgrpRead(spark, postingsDir(root, table), matched, hProbe,
+        keepKey = false, "SignatureIndex.postings")
       else BatchLog.read(spark, postingsDir(root, table), "SignatureIndex.postings")
+        .drop(hgrpCol)
     val tombPending = fsOf(spark, Tombstones.dir(root))
       .exists(new org.apache.hadoop.fs.Path(Tombstones.dir(root)))
     // The broadcast hint is gated on the side table's measured on-disk
@@ -548,10 +728,22 @@ object SignatureIndex {
     // invariant) — recovery/tombstone semantics unchanged
     // (recoverState ran at entry; exclusion applied to the restricted
     // read exactly as readIndex applies it to the full one).
+    // Doc-group pruning on the verify scan (the fold's HEAVY shingle
+    // arrays): the read only has to produce candidate docs' rows, and a
+    // candidate id outside its `dgrp=` groups cannot exist — exact. The
+    // candidate set is increment-bounded (it is already broadcast into
+    // the verify joins below), so collecting it costs one job over the
+    // persisted `cand` frame, paid only when a partitioned fold is
+    // among the matched directories.
+    val candProbe = {
+      val partedSig = BatchLog.partitionedKeys(spark, s"$root/$table", dgrpCol)
+      if (pruningDisabled || !aligned || !matched.exists(partedSig)) None
+      else Some(candIds.collect().map(_.getLong(0)))
+    }
     val sigsBase =
       if (aligned) Tombstones.exclude(
-        BatchLog.readKeys(spark, s"$root/$table", matched,
-          "SignatureIndex.verify"), root, "doc_id")
+        groupPrunedRead(spark, s"$root/$table", matched, dgrpCol, dgrpSidecarName,
+          candProbe, keepKey = false, "SignatureIndex.verify"), root, "doc_id")
       else readIndex(spark, root, table)
     val sigs = graft.CacheJanitor.register(
       sigsBase.join(broadcast(candIds), Seq("doc_id"), "left_semi").persist())
