@@ -222,8 +222,9 @@ object SignatureIndex {
     // groups' heavy shingle arrays. G from the committed row-count
     // sidecars (driver-side; pre-tombstone upper bound — G is layout,
     // not semantics); unknown or tiny ⇒ flat, exactly as before.
-    val g = BatchLog.committedRowCount(spark, path).map(hgrpGroupsFor).getOrElse(1)
-    if (g >= 2) {
+    val rowsOpt = BatchLog.committedRowCount(spark, path)
+    val g = rowsOpt.map(hgrpGroupsFor).getOrElse(1)
+    if (g >= 2 && rowsOpt.exists(_ >= foldLayoutMinRows)) {
       val fk = BatchLog.stageRewrite(
         live.withColumn(dgrpCol, pmod(col("doc_id"), lit(g.toLong)).cast("int"))
           .repartition(col(dgrpCol)),
@@ -362,11 +363,24 @@ object SignatureIndex {
 
   /** Fold group count for a batch of `sigRows` signature rows: ~256
     * docs (≈ a few-hundred-KB of postings) per group, capped at 65536
-    * directories. Below 2 the layout is pure overhead — such batches
-    * are written flat. Shared by the `hgrp` AND `dgrp` layouts (same
-    * size target; each directory's sidecar is authoritative anyway). */
+    * directories. Shared by the `hgrp` AND `dgrp` layouts (same size
+    * target; each directory's sidecar is authoritative anyway). */
   private[graft] def hgrpGroupsFor(sigRows: Long): Int =
     math.min(65536L, math.max(1L, sigRows / 256L)).toInt
+
+  /** Row count below which a directory is written FLAT, no group
+    * layout: at gate scale the whole log is a couple of MB, pruning
+    * saves nothing, and hundreds of near-empty `hgrp=` files are a
+    * file-open tax every probe pays (the same class as the r14 t74
+    * adjudication's job-count findings). 64k rows aligns with the
+    * frame-vs-indexed crossover's order of magnitude — the fold regime
+    * is where the layout earns its directories. System property
+    * `graft.fold.min.rows` overrides (specs exercise the layout on
+    * 8k-doc corpora). */
+  private[graft] def foldLayoutMinRows: Long =
+    sys.props.get("graft.fold.min.rows").map(_.toLong)
+      .orElse(sys.env.get("SPARK_GRAFT_FOLD_MIN_ROWS").map(_.toLong))
+      .getOrElse(65536L)
 
   /** Doc-group fold layout on the SIGNATURE log itself (`dgrp = doc_id
     * mod G`, compaction-written): the verify stage reads signature rows
@@ -553,7 +567,7 @@ object SignatureIndex {
       val df = post.groupBy("h").agg(count(lit(1)).as("n"))
       val rows = BatchLog.rowCountOf(spark, path, k)
       val g = rows.map(hgrpGroupsFor).getOrElse(1) // unknown size: flat, never guess
-      if (g >= 2) {
+      if (g >= 2 && rows.exists(_ >= foldLayoutMinRows)) {
         // Fold-scale directory: land both logs under the `hgrp=` group
         // layout (see the shingle-group fold note above). One shuffle
         // each — every group's rows hash to one task, so each `hgrp=`

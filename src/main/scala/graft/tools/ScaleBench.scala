@@ -75,7 +75,7 @@ object ScaleBench {
     * batch-split key — every replica contributes to both halves. */
   val idStride = 100000000L
 
-  private def saltedDocs(docs: DataFrame, r: Int): DataFrame = {
+  private[tools] def saltedDocs(docs: DataFrame, r: Int): DataFrame = {
     val text =
       if (r == 0) col("text")
       else expr(s"array_join(transform(split(text, ' '), w -> concat('zz${r}q', w)), ' ')")

@@ -84,7 +84,21 @@ class SignaturePruneSpec extends SparkSpec {
       .map(r => java.lang.Math.floorMod(r.getLong(0), g.toLong).toInt).toSet
   }
 
-  test("hgrp fold layout: pruned df/posting scans read only hit groups; answer == frame recompute") {
+  /** The production fold-layout threshold is 64k rows (gate-scale dirs
+    * stay flat — see `foldLayoutMinRows`); these specs exercise the
+    * layout on 8k/1k-doc corpora via the documented override, restored
+    * afterwards so sibling suites see production behavior. */
+  private def withFoldLayoutFloor[T](rows: Long)(body: => T): T = {
+    val prev = sys.props.get("graft.fold.min.rows")
+    sys.props("graft.fold.min.rows") = rows.toString
+    try body
+    finally prev match {
+      case Some(v) => sys.props("graft.fold.min.rows") = v
+      case None => sys.props -= "graft.fold.min.rows"
+    }
+  }
+
+  test("hgrp fold layout: pruned df/posting scans read only hit groups; answer == frame recompute") { withFoldLayoutFloor(1024L) {
     val root = Files.createTempDirectory("graft_sigprune").toString
     val n = 8192L
     SignatureIndex.ingest(spark, root,
@@ -179,9 +193,9 @@ class SignaturePruneSpec extends SparkSpec {
       s"verify scan must read ${(candGroups & sigOcc).size} candidate groups' fold files " +
         s"+ b3's flat file, read $sigFiles")
     CacheJanitor.drain()
-  }
+  }}
 
-  test("saturating increments and sidecar-less folds gate to the full read — never a wrong prune") {
+  test("saturating increments and sidecar-less folds gate to the full read — never a wrong prune") { withFoldLayoutFloor(1024L) {
     val root = Files.createTempDirectory("graft_sigprune_gate").toString
     val n = 1024L // G = 4: small group count, easy to saturate
     SignatureIndex.ingest(spark, root,
@@ -222,6 +236,25 @@ class SignaturePruneSpec extends SparkSpec {
     assert(pairMap(pairsT).keySet.contains((6L, 9100L)))
     assert(scannedFiles(pairsT, "signatures_dfcounts") >= occDf.size + 2L,
       "an un-sidecarred fold must be read in full (no pruning)")
+    CacheJanitor.drain()
+  }}
+
+  test("gate-scale directories stay FLAT at the production threshold — no layout below foldLayoutMinRows") {
+    val root = Files.createTempDirectory("graft_sigprune_flat").toString
+    // No override here: 8192 docs < the 64k production floor, so the
+    // rebuild must write plain directories (the r14 t74 lesson — at
+    // gate scale the layout is a file-open tax, not a win).
+    SignatureIndex.ingest(spark, root,
+      corpus(0L until 2048L, uniqueText), batchKey = Some("b1"))
+    CacheJanitor.drain()
+    assert(BatchLog.partitionedKeys(spark, SignatureIndex.dfDir(root),
+      SignatureIndex.hgrpCol).isEmpty)
+    assert(BatchLog.partitionedKeys(spark, SignatureIndex.postingsDir(root),
+      SignatureIndex.hgrpCol).isEmpty)
+    SignatureIndex.compact(spark, root)
+    assert(BatchLog.partitionedKeys(spark, s"$root/signatures",
+      SignatureIndex.dgrpCol).isEmpty)
+    assert(SignatureIndex.readIndex(spark, root).count() == 2048L)
     CacheJanitor.drain()
   }
 }
