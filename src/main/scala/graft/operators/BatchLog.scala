@@ -363,16 +363,6 @@ private[graft] object BatchLog {
     }
   }
 
-  /** [[read]] KEEPING the `batch_key` column — for probe paths that use
-    * the log as a per-batch summary (e.g. [[graft.operators
-    * .SignatureIndex]] treating the df log as the batch-level inverted
-    * index that decides which posting/signature directories a probe
-    * must read at all). */
-  def readWithKey(spark: SparkSession, path: String, op: String): DataFrame = {
-    requireFormat(spark, path, op)
-    spark.read.parquet(path)
-  }
-
   /** Read ONLY the given committed batch keys' directories (`batch_key`
     * dropped) — the restricted form of [[read]] for probe paths that
     * have PROVEN the other batches irrelevant (callers own that proof;
@@ -388,12 +378,13 @@ private[graft] object BatchLog {
   }
 
   /** [[readKeys]] KEEPING `batch_key` (and any fold-layout partition
-    * columns — the caller filters on them before dropping): the
-    * restricted form of [[readWithKey]] for probe paths that prune both
-    * across batch directories AND within a fold's partition level. The
-    * given keys must share one directory layout (split by
-    * [[partitionedKeys]] first — mixing layouts in one parquet read is
-    * a discovery error). */
+    * columns — the caller filters on them before dropping): for probe
+    * paths that use the log as a per-batch summary AND prune within a
+    * fold's partition level (e.g. [[graft.operators.SignatureIndex]]
+    * treating the df log as the batch-level inverted index). The given
+    * keys must share one directory layout (split by [[partitionedKeys]]
+    * first — mixing layouts in one parquet read is a discovery
+    * error). */
   def readKeysWithKey(spark: SparkSession, path: String, ks: Seq[String],
       op: String): DataFrame = {
     requireFormat(spark, path, op)

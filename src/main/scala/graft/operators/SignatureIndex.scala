@@ -409,11 +409,11 @@ object SignatureIndex {
     * the unpruned reads (optimal at saturating density, and the only
     * sound choice when a sidecar is missing). */
   private def hgrpProbeSet(spark: SparkSession, root: String, table: String,
-      incShingles: DataFrame, batchKey: Option[String]): Option[Array[Long]] = {
+      incShingles: DataFrame, batchKey: Option[String],
+      dfParted: Set[String], postParted: Set[String]): Option[Array[Long]] = {
     if (pruningDisabled) return None
-    val dirs = Seq(dfDir(root, table), postingsDir(root, table))
-    val parted = dirs.map(d =>
-      d -> BatchLog.partitionedKeys(spark, d, hgrpCol)).filter(_._2.nonEmpty)
+    val parted = Seq(dfDir(root, table) -> dfParted,
+      postingsDir(root, table) -> postParted).filter(_._2.nonEmpty)
     if (parted.isEmpty) return None
     val gs = parted.flatMap { case (d, ks) =>
       ks.toSeq.map(k =>
@@ -436,11 +436,13 @@ object SignatureIndex {
     * `batch_key` column (the df probe needs it; the others do not).
     * Shared by the `hgrp` (shingle-keyed posting/df) and `dgrp`
     * (doc-keyed signature fold) layouts — same exactness argument,
-    * different join column. */
+    * different join column. `partedAll` is the log's partitioned key
+    * set, listed ONCE by the caller per probe (three logs × one
+    * listing each — not re-listed here, object-store listings are the
+    * probe's driver-side budget). */
   private def groupPrunedRead(spark: SparkSession, path: String, ks: Seq[String],
-      partCol: String, sidecarName: String, probe: Option[Array[Long]],
-      keepKey: Boolean, op: String): DataFrame = {
-    val partedAll = BatchLog.partitionedKeys(spark, path, partCol)
+      partedAll: Set[String], partCol: String, sidecarName: String,
+      probe: Option[Array[Long]], keepKey: Boolean, op: String): DataFrame = {
     val parted = ks.filter(partedAll)
     val flat = ks.filterNot(partedAll)
     // One scan per distinct sidecar G, not per key: directories sharing
@@ -462,10 +464,6 @@ object SignatureIndex {
     val out = frames.reduce(_ unionByName _)
     if (keepKey) out else out.drop("batch_key")
   }
-
-  private def hgrpRead(spark: SparkSession, path: String, ks: Seq[String],
-      probe: Option[Array[Long]], keepKey: Boolean, op: String): DataFrame =
-    groupPrunedRead(spark, path, ks, hgrpCol, hgrpSidecarName, probe, keepKey, op)
 
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -651,10 +649,14 @@ object SignatureIndex {
     // the posting scan below read only the groups the increment's
     // shingles hash into — exact, because every consumer of either log
     // equi-joins on `h` against the increment's shingle set first.
-    val hProbe = hgrpProbeSet(spark, root, table, incShingles, batchKey)
+    val dfParted = BatchLog.partitionedKeys(spark, dfDir(root, table), hgrpCol)
+    val postParted = BatchLog.partitionedKeys(spark, postingsDir(root, table), hgrpCol)
+    val hProbe = hgrpProbeSet(spark, root, table, incShingles, batchKey,
+      dfParted, postParted)
     val dfHits = graft.CacheJanitor.register(
-      hgrpRead(spark, dfDir(root, table),
-        BatchLog.committedKeys(spark, dfDir(root, table)), hProbe,
+      groupPrunedRead(spark, dfDir(root, table),
+        BatchLog.committedKeys(spark, dfDir(root, table)), dfParted,
+        hgrpCol, hgrpSidecarName, hProbe,
         keepKey = true, "SignatureIndex.dfcounts")
         .join(broadcast(incShingles), Seq("h")).persist())
     val dfBase = dfHits.groupBy("h").agg(sum(col("n")).as("df"))
@@ -683,7 +685,8 @@ object SignatureIndex {
       return deltaPairs(readIndex(spark, root, table), newSigs)
     }
     val post =
-      if (aligned) hgrpRead(spark, postingsDir(root, table), matched, hProbe,
+      if (aligned) groupPrunedRead(spark, postingsDir(root, table), matched,
+        postParted, hgrpCol, hgrpSidecarName, hProbe,
         keepKey = false, "SignatureIndex.postings")
       else BatchLog.read(spark, postingsDir(root, table), "SignatureIndex.postings")
         .drop(hgrpCol)
@@ -749,14 +752,14 @@ object SignatureIndex {
     // the verify joins below), so collecting it costs one job over the
     // persisted `cand` frame, paid only when a partitioned fold is
     // among the matched directories.
-    val candProbe = {
-      val partedSig = BatchLog.partitionedKeys(spark, s"$root/$table", dgrpCol)
-      if (pruningDisabled || !aligned || !matched.exists(partedSig)) None
+    val sigParted = BatchLog.partitionedKeys(spark, s"$root/$table", dgrpCol)
+    val candProbe =
+      if (pruningDisabled || !aligned || !matched.exists(sigParted)) None
       else Some(candIds.collect().map(_.getLong(0)))
-    }
     val sigsBase =
       if (aligned) Tombstones.exclude(
-        groupPrunedRead(spark, s"$root/$table", matched, dgrpCol, dgrpSidecarName,
+        groupPrunedRead(spark, s"$root/$table", matched, sigParted,
+          dgrpCol, dgrpSidecarName,
           candProbe, keepKey = false, "SignatureIndex.verify"), root, "doc_id")
       else readIndex(spark, root, table)
     val sigs = graft.CacheJanitor.register(

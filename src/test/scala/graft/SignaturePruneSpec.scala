@@ -239,6 +239,22 @@ class SignaturePruneSpec extends SparkSpec {
     CacheJanitor.drain()
   }}
 
+  test("SQL pmod (fold writer) and JVM floorMod (probe) agree on every sign/magnitude") {
+    // The layout writes hgrp/dgrp with Spark's pmod and the probe maps
+    // its keys with Math.floorMod — if they ever disagreed (negative
+    // hashes, extreme longs), the probe would prune WRONG. Pin the
+    // equivalence over hostile values at every group count in use.
+    import spark.implicits._
+    val vals = Seq(Long.MinValue, Long.MinValue + 7, -65537L, -1953L, -32L,
+      -5L, -1L, 0L, 1L, 31L, 1952L, Long.MaxValue - 2, Long.MaxValue)
+    for (g <- Seq(2, 4, 32, 1953, 65536)) {
+      val fromSql = vals.toDF("h").selectExpr(s"pmod(h, ${g}L) AS p")
+        .collect().map(_.getLong(0)).toSeq
+      val fromJvm = vals.map(h => java.lang.Math.floorMod(h, g.toLong))
+      assert(fromSql == fromJvm, s"pmod/floorMod diverge at g=$g")
+    }
+  }
+
   test("gate-scale directories stay FLAT at the production threshold — no layout below foldLayoutMinRows") {
     val root = Files.createTempDirectory("graft_sigprune_flat").toString
     // No override here: 8192 docs < the 64k production floor, so the
