@@ -219,11 +219,12 @@ object SignatureIndex {
     val live = readIndex(spark, root, table)
     // Corpus-scale folds land under the `dgrp=` doc-group layout (see
     // the fold-layout note) so later verify reads can skip non-candidate
-    // groups' heavy shingle arrays. G from the committed row-count
-    // sidecars (driver-side; pre-tombstone upper bound — G is layout,
-    // not semantics); unknown or tiny ⇒ flat, exactly as before.
+    // groups' heavy shingle arrays. G from the live log's MEASURED
+    // bytes with the byte floor (the fold ≈ the live log; a
+    // tombstone-heavy log only oversizes groups, never undersizes the
+    // floor); row floor keeps gate-scale folds flat.
     val rowsOpt = BatchLog.committedRowCount(spark, path)
-    val g = rowsOpt.map(hgrpGroupsFor).getOrElse(1)
+    val g = groupsForBytes(dirBytes(spark, path))
     if (g >= 2 && rowsOpt.exists(_ >= foldLayoutMinRows)) {
       val fk = BatchLog.stageRewrite(
         live.withColumn(dgrpCol, pmod(col("doc_id"), lit(g.toLong)).cast("int"))
@@ -361,12 +362,47 @@ object SignatureIndex {
     * would touch most group directories anyway — take the plain read. */
   private val hgrpSaturation = 0.7
 
-  /** Fold group count for a batch of `sigRows` signature rows: ~256
-    * docs (≈ a few-hundred-KB of postings) per group, capped at 65536
-    * directories. Shared by the `hgrp` AND `dgrp` layouts (same size
-    * target; each directory's sidecar is authoritative anyway). */
-  private[graft] def hgrpGroupsFor(sigRows: Long): Int =
-    math.min(65536L, math.max(1L, sigRows / 256L)).toInt
+  /** Fold group count for a directory expected to hold `bytes`: groups
+    * are FLOORED IN BYTES (default 512 KB, `graft.fold.group.bytes` /
+    * `SPARK_GRAFT_FOLD_GROUP_BYTES` override — specs shrink it to get
+    * real group counts out of KB-scale corpora), capped at 65536
+    * directories. The byte floor is the load-bearing invariant, learned
+    * the measured way: the first cut sized groups by ROW count
+    * (rows/256), which at 325k docs laid the df fold out as 1269 × 10 KB
+    * files — and the x100 loop's post-compaction batches, whose
+    * saturated probes read the fold IN FULL, jumped from ~11 s to
+    * ~23–26 s per batch (listing + per-file open + parquet small-file
+    * bloat, root 102 → 238 MB). With groups floored in bytes the
+    * per-file overhead is a bounded fraction of the byte cost in EVERY
+    * regime, and the pruned probe's read converges to ≈ K probe keys ×
+    * groupBytes — constant in the corpus once the fold outgrows
+    * K × groupBytes, which is the O(increment) shape the maintenance
+    * loop pins. (A sorted-fold + pushed-In design was measured as the
+    * alternative: zero file tax, but the page-pruning savings are
+    * invisible on warm local storage and the per-row In evaluation made
+    * probes SLOWER than full scans — rejected on wall-clock evidence.) */
+  private[graft] def foldGroupBytes: Long =
+    sys.props.get("graft.fold.group.bytes").map(_.toLong)
+      .orElse(sys.env.get("SPARK_GRAFT_FOLD_GROUP_BYTES").map(_.toLong))
+      .getOrElse(512L * 1024L)
+
+  private[graft] def groupsForBytes(bytes: Long): Int =
+    math.min(65536L, math.max(1L, bytes / foldGroupBytes)).toInt
+
+  /** Expected on-disk fraction of a signature batch directory's bytes
+    * for its derived logs (posting rows drop the array nesting; df rows
+    * collapse repeats). Sizing precision only moves group size within
+    * the byte-floor band — the per-directory sidecar is authoritative
+    * for every read, so a 3× corpus-dependent drift here is harmless. */
+  private val postingsBytesFrac = 0.4
+  private val dfBytesFrac = 0.1
+
+  private[graft] def dirBytes(spark: SparkSession, dir: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    } catch { case _: Exception => 0L }
 
   /** Row count below which a directory is written FLAT, no group
     * layout: at gate scale the whole log is a couple of MB, pruning
@@ -420,10 +456,16 @@ object SignatureIndex {
         BatchLog.readGroupsSidecar(spark, BatchLog.dirOf(d, k), hgrpSidecarName))
     }
     if (gs.exists(_.isEmpty)) return None // un-sidecarred fold: never guess
-    val minG = gs.flatten.min
+    // Early gate on the LARGEST group count: its only job is to skip
+    // the collect when NO log can benefit. Byte-floored sizing gives
+    // the slim df log far fewer groups than the postings log, so a
+    // min-G gate would let the df fold's early saturation veto a
+    // perfectly prunable postings read; each directory's own
+    // saturation is re-checked against its own G in the read.
+    val maxG = gs.flatten.max
     val k = batchKey.flatMap(BatchLog.rowCountOf(spark, dfDir(root, table), _))
       .getOrElse(incShingles.count())
-    val expectedHit = 1.0 - math.pow(1.0 - 1.0 / minG, k.toDouble)
+    val expectedHit = 1.0 - math.pow(1.0 - 1.0 / maxG, k.toDouble)
     if (expectedHit >= hgrpSaturation) None
     else Some(incShingles.collect().map(_.getLong(0)))
   }
@@ -564,38 +606,37 @@ object SignatureIndex {
       val post = raw.select(col("doc_id"), explode(col("shs")).as("h"))
       val df = post.groupBy("h").agg(count(lit(1)).as("n"))
       val rows = BatchLog.rowCountOf(spark, path, k)
-      val g = rows.map(hgrpGroupsFor).getOrElse(1) // unknown size: flat, never guess
-      if (g >= 2 && rows.exists(_ >= foldLayoutMinRows)) {
-        // Fold-scale directory: land both logs under the `hgrp=` group
-        // layout (see the shingle-group fold note above). One shuffle
-        // each — every group's rows hash to one task, so each `hgrp=`
-        // directory holds exactly one file; sidecars AFTER the data
-        // (a crash in between leaves a partitioned dir without its
-        // sidecar, which readers treat as unprunable, never wrong —
-        // and the coverage markers land later still, so the next
-        // ingest re-runs this rebuild anyway).
-        def grouped(f: DataFrame) =
-          f.withColumn(hgrpCol, pmod(col("h"), lit(g.toLong)).cast("int"))
-            .repartition(col(hgrpCol))
-        BatchLog.appendResolved(grouped(post), postingsDir(root, table), k,
-          "SignatureIndex.postings", partitionBy = Seq(hgrpCol))
-        BatchLog.writeGroupsSidecar(spark,
-          BatchLog.dirOf(postingsDir(root, table), k), hgrpSidecarName, g)
-        BatchLog.appendResolved(grouped(df), dfDir(root, table), k,
-          "SignatureIndex.dfcounts", partitionBy = Seq(hgrpCol))
-        BatchLog.writeGroupsSidecar(spark,
-          BatchLog.dirOf(dfDir(root, table), k), hgrpSidecarName, g)
-      } else {
-        // File-count discipline as in [[maintainDerived]], but sized to
-        // the directory: a steady increment folds to one file; bigger
-        // unsized directories keep data-proportional files instead of
-        // funnelling through a single write task.
-        val nFiles = rows.map(n => math.max(1L, n / 200000L).toInt).getOrElse(1)
-        BatchLog.appendResolved(post.repartition(nFiles), postingsDir(root, table), k,
-          "SignatureIndex.postings")
-        BatchLog.appendResolved(df.coalesce(nFiles),
-          dfDir(root, table), k, "SignatureIndex.dfcounts")
-      }
+      // Group counts from the sig batch directory's MEASURED bytes
+      // (driver-side content summary) times the per-log fraction — the
+      // byte floor, not a row heuristic, decides the layout (see
+      // [[foldGroupBytes]] for why).
+      val sigKeyBytes = dirBytes(spark, BatchLog.dirOf(path, k))
+      val gPost = groupsForBytes((sigKeyBytes * postingsBytesFrac).toLong)
+      val gDf = groupsForBytes((sigKeyBytes * dfBytesFrac).toLong)
+      val foldScale = rows.exists(_ >= foldLayoutMinRows)
+      // One shuffle per grouped write — every group's rows hash to one
+      // task, so each `hgrp=` directory holds exactly one file; sidecar
+      // AFTER the data (a crash in between leaves a partitioned dir
+      // without its sidecar, which readers treat as unprunable, never
+      // wrong — and the coverage markers land later still, so the next
+      // ingest re-runs this rebuild anyway).
+      def writeLog(frame: DataFrame, dir: String, g: Int, op: String): Unit =
+        if (g >= 2 && foldScale) {
+          BatchLog.appendResolved(
+            frame.withColumn(hgrpCol, pmod(col("h"), lit(g.toLong)).cast("int"))
+              .repartition(col(hgrpCol)),
+            dir, k, op, partitionBy = Seq(hgrpCol))
+          BatchLog.writeGroupsSidecar(spark, BatchLog.dirOf(dir, k), hgrpSidecarName, g)
+        } else {
+          // File-count discipline as in [[maintainDerived]], but sized
+          // to the directory: a steady increment folds to one file;
+          // bigger unsized directories keep data-proportional files
+          // instead of funnelling through a single write task.
+          val nFiles = rows.map(n => math.max(1L, n / 200000L).toInt).getOrElse(1)
+          BatchLog.appendResolved(frame.repartition(nFiles), dir, k, op)
+        }
+      writeLog(post, postingsDir(root, table), gPost, "SignatureIndex.postings")
+      writeLog(df, dfDir(root, table), gDf, "SignatureIndex.dfcounts")
     }
     BatchLog.committedKeys(spark, path).foreach(k => writeMarker(spark, root, table, k))
   }

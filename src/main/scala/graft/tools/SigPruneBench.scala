@@ -102,8 +102,16 @@ object SigPruneBench {
     val bootSec = (System.nanoTime() - t0) / 1e9
     val corpusRows = graft.operators.BatchLog
       .committedRowCount(spark, s"$root/signatures").getOrElse(-1L)
-    val g = SignatureIndex.hgrpGroupsFor(corpusRows)
-    println(s"# boot=${f(bootSec)}s corpus_sig_rows=$corpusRows groups=$g")
+    // Per-log byte-derived fold group counts, from the sidecars the
+    // probes themselves consult.
+    val foldKey = graft.operators.BatchLog.committedKeys(spark, s"$root/signatures").head
+    def gOf(log: String, sidecar: String): Int =
+      graft.operators.BatchLog.readGroupsSidecar(spark,
+        graft.operators.BatchLog.dirOf(log, foldKey), sidecar).getOrElse(1)
+    val gDf = gOf(SignatureIndex.dfDir(root), SignatureIndex.hgrpSidecarName)
+    val gPost = gOf(SignatureIndex.postingsDir(root), SignatureIndex.hgrpSidecarName)
+    val gSig = gOf(s"$root/signatures", SignatureIndex.dgrpSidecarName)
+    println(s"# boot=${f(bootSec)}s corpus_sig_rows=$corpusRows groups df=$gDf post=$gPost sig=$gSig")
 
     val runs = sizes.map { incSize =>
       val rows = (0 until batches).map { b =>
@@ -168,7 +176,8 @@ object SigPruneBench {
         s""""batches":$batchJson}"""
     }.mkString(
       s"""{"metric":"sigprune","seed":"$seedDir","factor":$factor,""" +
-        s""""corpus_sig_rows":$corpusRows,"groups":$g,"boot_sec":${f(bootSec)},""" +
+        s""""corpus_sig_rows":$corpusRows,"groups_df":$gDf,"groups_post":$gPost,""" +
+        s""""groups_sig":$gSig,"boot_sec":${f(bootSec)},""" +
         s""""cpus":${GraftSession.cpus},""",
       ",",
       s""","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}""")

@@ -88,38 +88,44 @@ class SignaturePruneSpec extends SparkSpec {
     * stay flat — see `foldLayoutMinRows`); these specs exercise the
     * layout on 8k/1k-doc corpora via the documented override, restored
     * afterwards so sibling suites see production behavior. */
-  private def withFoldLayoutFloor[T](rows: Long)(body: => T): T = {
-    val prev = sys.props.get("graft.fold.min.rows")
-    sys.props("graft.fold.min.rows") = rows.toString
+  private def withFoldProps[T](rowsFloor: Long, groupBytes: Long)(body: => T): T = {
+    val keys = Seq("graft.fold.min.rows" -> rowsFloor.toString,
+      "graft.fold.group.bytes" -> groupBytes.toString)
+    val prev = keys.map { case (k, _) => k -> sys.props.get(k) }
+    keys.foreach { case (k, v) => sys.props(k) = v }
     try body
-    finally prev match {
-      case Some(v) => sys.props("graft.fold.min.rows") = v
-      case None => sys.props -= "graft.fold.min.rows"
+    finally prev.foreach {
+      case (k, Some(v)) => sys.props(k) = v
+      case (k, None) => sys.props -= k
     }
   }
 
-  test("hgrp fold layout: pruned df/posting scans read only hit groups; answer == frame recompute") { withFoldLayoutFloor(1024L) {
+  private def sidecarG(log: String, key: String, name: String): Int =
+    BatchLog.readGroupsSidecar(spark, BatchLog.dirOf(log, key), name)
+      .getOrElse(fail(s"missing group sidecar in $log/$key"))
+
+  test("hgrp fold layout: pruned df/posting scans read only hit groups; answer == frame recompute") { withFoldProps(1024L, 2048L) {
     val root = Files.createTempDirectory("graft_sigprune").toString
     val n = 8192L
     SignatureIndex.ingest(spark, root,
       corpus(0L until n, uniqueText), batchKey = Some("b1"))
     CacheJanitor.drain()
-    val g = SignatureIndex.hgrpGroupsFor(n)
-    assert(g == 32)
     val dfLog = SignatureIndex.dfDir(root)
     val postLog = SignatureIndex.postingsDir(root)
     val k1 = BatchLog.sanitize("b1")
     assert(BatchLog.partitionedKeys(spark, dfLog, SignatureIndex.hgrpCol) == Set(k1))
     assert(BatchLog.partitionedKeys(spark, postLog, SignatureIndex.hgrpCol) == Set(k1))
-    assert(BatchLog.readGroupsSidecar(spark, BatchLog.dirOf(dfLog, k1),
-      SignatureIndex.hgrpSidecarName).contains(g))
-    assert(BatchLog.readGroupsSidecar(spark, BatchLog.dirOf(postLog, k1),
-      SignatureIndex.hgrpSidecarName).contains(g))
-    // ~57k distinct uniform hashes occupy all 32 groups, one file each.
+    // Per-log byte-derived group counts, read back from the sidecars
+    // (the authoritative source every probe uses).
+    val gDf = sidecarG(dfLog, k1, SignatureIndex.hgrpSidecarName)
+    val gPost = sidecarG(postLog, k1, SignatureIndex.hgrpSidecarName)
+    assert(gDf >= 8 && gPost > gDf,
+      s"byte sizing should give real per-log group counts: df=$gDf post=$gPost")
+    // ~57k distinct uniform hashes occupy all groups, one file each.
     val occDf = occupiedGroups(dfLog, k1)
     val occPost = occupiedGroups(postLog, k1)
-    assert(occDf.size == g && occPost.size == g,
-      s"unique-vocab corpus should occupy all $g groups: df=$occDf post=$occPost")
+    assert(occDf.size == gDf && occPost.size == gPost,
+      s"unique-vocab corpus should occupy all groups: df=${occDf.size}/$gDf post=${occPost.size}/$gPost")
 
     // Tiny increment: 9001 near-dups doc 7 (one word changed → shared
     // shingles, Jaccard 0.75), 9002 is novel.
@@ -142,15 +148,16 @@ class SignaturePruneSpec extends SparkSpec {
     // Scan-file pins from the executed plan: the partitioned b1 dirs
     // contribute exactly the hit groups' files; b2's flat dirs (one
     // file each) are read whole.
-    val hits = hitGroups(b2.newSigs, g)
-    assert(hits.size < SignatureIndex.hgrpGroupsFor(n) * 7 / 10,
-      s"spec shape broken: ${hits.size} hit groups saturate the gate")
+    val hitsDf = hitGroups(b2.newSigs, gDf)
+    val hitsPost = hitGroups(b2.newSigs, gPost)
+    assert(hitsDf.size < gDf * 7 / 10 && hitsPost.size < gPost * 7 / 10,
+      s"spec shape broken: hit groups saturate a gate (df ${hitsDf.size}/$gDf post ${hitsPost.size}/$gPost)")
     val dfFiles = scannedFiles(pairs, "signatures_dfcounts")
-    assert(dfFiles == (hits & occDf).size + 1L,
-      s"df scan must read ${(hits & occDf).size} pruned fold files + b2's flat file, read $dfFiles")
+    assert(dfFiles == (hitsDf & occDf).size + 1L,
+      s"df scan must read ${(hitsDf & occDf).size} pruned fold files + b2's flat file, read $dfFiles")
     val postFiles = scannedFiles(pairs, "signatures_postings")
-    assert(postFiles == (hits & occPost).size + 1L,
-      s"posting scan must read ${(hits & occPost).size} pruned fold files + b2's flat file, read $postFiles")
+    assert(postFiles == (hitsPost & occPost).size + 1L,
+      s"posting scan must read ${(hitsPost & occPost).size} pruned fold files + b2's flat file, read $postFiles")
     CacheJanitor.drain()
 
     // Compaction: one fold key per log, re-partitioned — the SIGNATURE
@@ -162,8 +169,8 @@ class SignaturePruneSpec extends SparkSpec {
     assert(BatchLog.partitionedKeys(spark, dfLog, SignatureIndex.hgrpCol) == Set(foldKey))
     assert(BatchLog.partitionedKeys(spark, postLog, SignatureIndex.hgrpCol) == Set(foldKey))
     assert(BatchLog.partitionedKeys(spark, sigLog, SignatureIndex.dgrpCol) == Set(foldKey))
-    assert(BatchLog.readGroupsSidecar(spark, BatchLog.dirOf(sigLog, foldKey),
-      SignatureIndex.dgrpSidecarName).contains(g))
+    val gSig = sidecarG(sigLog, foldKey, SignatureIndex.dgrpSidecarName)
+    assert(gSig >= 8, s"sig fold should carry a real group count, got $gSig")
     assert(!SignatureIndex.readIndex(spark, root).columns.contains("dgrp"),
       "dgrp is a layout artifact, never a row column")
     assert(SignatureIndex.readIndex(spark, root).count() == n + 2)
@@ -187,7 +194,7 @@ class SignaturePruneSpec extends SparkSpec {
         .map(_.getPath.getName.stripPrefix("dgrp=").toInt).toSet
     }
     val candGroups = Set(7L, 9001L, 9003L)
-      .map(d => java.lang.Math.floorMod(d, g.toLong).toInt)
+      .map(d => java.lang.Math.floorMod(d, gSig.toLong).toInt)
     val sigFiles = scannedFiles(pairs3, "signatures/batch_key=")
     assert(sigFiles == (candGroups & sigOcc).size + 1L,
       s"verify scan must read ${(candGroups & sigOcc).size} candidate groups' fold files " +
@@ -195,16 +202,18 @@ class SignaturePruneSpec extends SparkSpec {
     CacheJanitor.drain()
   }}
 
-  test("saturating increments and sidecar-less folds gate to the full read — never a wrong prune") { withFoldLayoutFloor(1024L) {
+  test("saturating increments and sidecar-less folds gate to the full read — never a wrong prune") { withFoldProps(1024L, 1024L) {
     val root = Files.createTempDirectory("graft_sigprune_gate").toString
-    val n = 1024L // G = 4: small group count, easy to saturate
+    val n = 1024L // small corpus + small groupBytes: few groups, easy to saturate
     SignatureIndex.ingest(spark, root,
       corpus(0L until n, uniqueText), batchKey = Some("b1"))
     CacheJanitor.drain()
-    val g = SignatureIndex.hgrpGroupsFor(n)
-    assert(g == 4)
     val dfLog = SignatureIndex.dfDir(root)
     val k1 = BatchLog.sanitize("b1")
+    assert(BatchLog.partitionedKeys(spark, dfLog, SignatureIndex.hgrpCol) == Set(k1),
+      "spec shape broken: the df log must be partitioned for the gate to be testable")
+    val gDf = sidecarG(dfLog, k1, SignatureIndex.hgrpSidecarName)
+    assert(gDf >= 2 && gDf <= 32, s"want a small, saturable group count, got $gDf")
     val occDf = occupiedGroups(dfLog, k1)
 
     // A 64-doc increment carries ~450 distinct shingles over 4 groups:
