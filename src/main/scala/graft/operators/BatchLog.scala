@@ -300,17 +300,20 @@ private[graft] object BatchLog {
     * rows are already present — re-writing the batch directory would
     * DOUBLE-APPEND them beside the fold (the exact corruption the
     * batch-key mechanism exists to prevent, resurfacing across
-    * maintenance). */
+    * maintenance). Returns whether the batch directory was WRITTEN
+    * (false = retired no-op), so callers that stow layout sidecars
+    * beside the data can gate on it instead of assuming. */
   def appendResolved(df: DataFrame, path: String, key: String,
-      op: String, partitionBy: Seq[String] = Nil): Unit = {
+      op: String, partitionBy: Seq[String] = Nil): Boolean = {
     val spark = df.sparkSession
     requireFormat(spark, path, op)
-    if (retiredKeys(spark, path).contains(key)) return
+    if (retiredKeys(spark, path).contains(key)) return false
     writeMarker(spark, path)
     val w = df.write.mode("overwrite")
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
       .parquet(dirFor(path, key))
     writeRowCount(spark, dirFor(path, key))
+    true
   }
 
   /** Batch keys whose directory carries a `<partCol>=` partition level —

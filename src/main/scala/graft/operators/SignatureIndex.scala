@@ -381,10 +381,23 @@ object SignatureIndex {
     * alternative: zero file tax, but the page-pruning savings are
     * invisible on warm local storage and the per-row In evaluation made
     * probes SLOWER than full scans — rejected on wall-clock evidence.) */
+  /** Sys-prop/env long knob with the same "unreadable ⇒ safe default"
+    * convention as every sidecar read in this path: a malformed override
+    * warns and falls back instead of throwing NumberFormatException deep
+    * inside a compaction. */
+  private def longKnob(prop: String, env: String, default: Long): Long = {
+    val raw = sys.props.get(prop).orElse(sys.env.get(env))
+    raw.flatMap { s =>
+      scala.util.Try(s.trim.toLong).toOption.orElse {
+        System.err.println(
+          s"[graft] SignatureIndex: malformed $prop/$env value '$s'; using default $default")
+        None
+      }
+    }.getOrElse(default)
+  }
+
   private[graft] def foldGroupBytes: Long =
-    sys.props.get("graft.fold.group.bytes").map(_.toLong)
-      .orElse(sys.env.get("SPARK_GRAFT_FOLD_GROUP_BYTES").map(_.toLong))
-      .getOrElse(512L * 1024L)
+    longKnob("graft.fold.group.bytes", "SPARK_GRAFT_FOLD_GROUP_BYTES", 512L * 1024L)
 
   private[graft] def groupsForBytes(bytes: Long): Int =
     math.min(65536L, math.max(1L, bytes / foldGroupBytes)).toInt
@@ -414,9 +427,7 @@ object SignatureIndex {
     * `graft.fold.min.rows` overrides (specs exercise the layout on
     * 8k-doc corpora). */
   private[graft] def foldLayoutMinRows: Long =
-    sys.props.get("graft.fold.min.rows").map(_.toLong)
-      .orElse(sys.env.get("SPARK_GRAFT_FOLD_MIN_ROWS").map(_.toLong))
-      .getOrElse(65536L)
+    longKnob("graft.fold.min.rows", "SPARK_GRAFT_FOLD_MIN_ROWS", 65536L)
 
   /** Doc-group fold layout on the SIGNATURE log itself (`dgrp = doc_id
     * mod G`, compaction-written): the verify stage reads signature rows
@@ -435,6 +446,15 @@ object SignatureIndex {
   private def pruningDisabled: Boolean =
     java.lang.Boolean.getBoolean("graft.fold.pruning.disable")
 
+  /** Each partitioned key's group-count sidecar, read ONCE per probe —
+    * [[hgrpProbeSet]] gates on the values and [[groupPrunedRead]] groups
+    * directories by them, without re-reading the same sidecar twice
+    * (driver-side FS round-trips are the probe's object-store budget). */
+  private def sidecarGs(spark: SparkSession, dir: String, ks: Set[String],
+      name: String): Map[String, Option[Int]] =
+    ks.iterator.map(k =>
+      k -> BatchLog.readGroupsSidecar(spark, BatchLog.dirOf(dir, k), name)).toMap
+
   /** The increment's distinct shingle hashes, collected — `Some` only
     * when some posting/df directory is `hgrp=`-partitioned AND every
     * such directory's sidecar is readable AND the probe set does not
@@ -446,15 +466,11 @@ object SignatureIndex {
     * sound choice when a sidecar is missing). */
   private def hgrpProbeSet(spark: SparkSession, root: String, table: String,
       incShingles: DataFrame, batchKey: Option[String],
-      dfParted: Set[String], postParted: Set[String]): Option[Array[Long]] = {
+      dfGs: Map[String, Option[Int]],
+      postGs: Map[String, Option[Int]]): Option[Array[Long]] = {
     if (pruningDisabled) return None
-    val parted = Seq(dfDir(root, table) -> dfParted,
-      postingsDir(root, table) -> postParted).filter(_._2.nonEmpty)
-    if (parted.isEmpty) return None
-    val gs = parted.flatMap { case (d, ks) =>
-      ks.toSeq.map(k =>
-        BatchLog.readGroupsSidecar(spark, BatchLog.dirOf(d, k), hgrpSidecarName))
-    }
+    val gs = (dfGs.values ++ postGs.values).toSeq
+    if (gs.isEmpty) return None
     if (gs.exists(_.isEmpty)) return None // un-sidecarred fold: never guess
     // Early gate on the LARGEST group count: its only job is to skip
     // the collect when NO log can benefit. Byte-floored sizing gives
@@ -479,19 +495,19 @@ object SignatureIndex {
     * Shared by the `hgrp` (shingle-keyed posting/df) and `dgrp`
     * (doc-keyed signature fold) layouts — same exactness argument,
     * different join column. `partedAll` is the log's partitioned key
-    * set, listed ONCE by the caller per probe (three logs × one
-    * listing each — not re-listed here, object-store listings are the
-    * probe's driver-side budget). */
+    * set, listed ONCE by the caller per probe, and `gByKey` its group
+    * sidecars, read ONCE by the caller per probe (three logs × one
+    * listing + one sidecar pass each — not re-read here, object-store
+    * round-trips are the probe's driver-side budget). */
   private def groupPrunedRead(spark: SparkSession, path: String, ks: Seq[String],
-      partedAll: Set[String], partCol: String, sidecarName: String,
+      partedAll: Set[String], partCol: String, gByKey: Map[String, Option[Int]],
       probe: Option[Array[Long]], keepKey: Boolean, op: String): DataFrame = {
     val parted = ks.filter(partedAll)
     val flat = ks.filterNot(partedAll)
     // One scan per distinct sidecar G, not per key: directories sharing
     // a modulus share their group filter, and all partitioned dirs
     // share the layout, so they batch into one parquet read.
-    val byG = parted.sorted.groupBy(k =>
-      BatchLog.readGroupsSidecar(spark, BatchLog.dirOf(path, k), sidecarName))
+    val byG = parted.sorted.groupBy(k => gByKey.getOrElse(k, None))
     val frames = byG.toSeq.sortBy(_._1).map { case (gOpt, ksame) =>
       val base = BatchLog.readKeysWithKey(spark, path, ksame, op)
       val pruned = for {
@@ -622,11 +638,16 @@ object SignatureIndex {
       // ingest re-runs this rebuild anyway).
       def writeLog(frame: DataFrame, dir: String, g: Int, op: String): Unit =
         if (g >= 2 && foldScale) {
-          BatchLog.appendResolved(
+          // Sidecar gated on the append actually writing: a retired-key
+          // no-op (unreachable today only because rebuild deletes the
+          // derived dirs and their ledgers first) must not leave a
+          // sidecar-only batch directory behind.
+          val wrote = BatchLog.appendResolved(
             frame.withColumn(hgrpCol, pmod(col("h"), lit(g.toLong)).cast("int"))
               .repartition(col(hgrpCol)),
             dir, k, op, partitionBy = Seq(hgrpCol))
-          BatchLog.writeGroupsSidecar(spark, BatchLog.dirOf(dir, k), hgrpSidecarName, g)
+          if (wrote)
+            BatchLog.writeGroupsSidecar(spark, BatchLog.dirOf(dir, k), hgrpSidecarName, g)
         } else {
           // File-count discipline as in [[maintainDerived]], but sized
           // to the directory: a steady increment folds to one file;
@@ -692,12 +713,14 @@ object SignatureIndex {
     // equi-joins on `h` against the increment's shingle set first.
     val dfParted = BatchLog.partitionedKeys(spark, dfDir(root, table), hgrpCol)
     val postParted = BatchLog.partitionedKeys(spark, postingsDir(root, table), hgrpCol)
+    val dfGs = sidecarGs(spark, dfDir(root, table), dfParted, hgrpSidecarName)
+    val postGs = sidecarGs(spark, postingsDir(root, table), postParted, hgrpSidecarName)
     val hProbe = hgrpProbeSet(spark, root, table, incShingles, batchKey,
-      dfParted, postParted)
+      dfGs, postGs)
     val dfHits = graft.CacheJanitor.register(
       groupPrunedRead(spark, dfDir(root, table),
         BatchLog.committedKeys(spark, dfDir(root, table)), dfParted,
-        hgrpCol, hgrpSidecarName, hProbe,
+        hgrpCol, dfGs, hProbe,
         keepKey = true, "SignatureIndex.dfcounts")
         .join(broadcast(incShingles), Seq("h")).persist())
     val dfBase = dfHits.groupBy("h").agg(sum(col("n")).as("df"))
@@ -727,7 +750,7 @@ object SignatureIndex {
     }
     val post =
       if (aligned) groupPrunedRead(spark, postingsDir(root, table), matched,
-        postParted, hgrpCol, hgrpSidecarName, hProbe,
+        postParted, hgrpCol, postGs, hProbe,
         keepKey = false, "SignatureIndex.postings")
       else BatchLog.read(spark, postingsDir(root, table), "SignatureIndex.postings")
         .drop(hgrpCol)
@@ -794,13 +817,14 @@ object SignatureIndex {
     // persisted `cand` frame, paid only when a partitioned fold is
     // among the matched directories.
     val sigParted = BatchLog.partitionedKeys(spark, s"$root/$table", dgrpCol)
+    val sigGs = sidecarGs(spark, s"$root/$table", sigParted, dgrpSidecarName)
     val candProbe =
       if (pruningDisabled || !aligned || !matched.exists(sigParted)) None
       else Some(candIds.collect().map(_.getLong(0)))
     val sigsBase =
       if (aligned) Tombstones.exclude(
         groupPrunedRead(spark, s"$root/$table", matched, sigParted,
-          dgrpCol, dgrpSidecarName,
+          dgrpCol, sigGs,
           candProbe, keepKey = false, "SignatureIndex.verify"), root, "doc_id")
       else readIndex(spark, root, table)
     val sigs = graft.CacheJanitor.register(

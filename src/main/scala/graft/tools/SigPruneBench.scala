@@ -48,13 +48,25 @@ object SigPruneBench {
     * summed per log substring. Persisted frames are SHARED — the same
     * InMemoryRelation hangs under several InMemoryTableScanExec nodes
     * while its scans executed once — so relations and scan nodes
-    * dedupe by reference identity. Returns rows and, per substring,
-    * (files, MB). */
+    * dedupe by reference identity. Returns rows, a CONTENT digest
+    * (order-insensitive sum of per-row xxhash64 over the full
+    * `(doc_a, doc_b, jaccard)` row — pair SETS and values must match
+    * between arms, not just counts: compensating errors where one pair
+    * is dropped and another gained would pass a bare count), and, per
+    * substring, (files, MB). */
   private def scanAccounted(df: DataFrame,
-      substrs: Seq[String]): (Long, Map[String, (Long, Double)]) = {
+      substrs: Seq[String]): (Long, Long, Map[String, (Long, Double)]) = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val rows = df.queryExecution.toRdd.count()
+    // One action computes count + digest; its executed plan carries the
+    // pair frame's scans (the agg sits above them, scan shapes
+    // untouched), so the metrics walk below sees the same numbers the
+    // previous toRdd.count() form recorded.
+    val probe = df.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("doc_a"), col("doc_b"), col("jaccard"))), lit(0L)).as("dig"))
+    val r = probe.collect()(0)
+    val (rows, digest) = (r.getLong(0), r.getLong(1))
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
     def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
@@ -65,13 +77,13 @@ object SigPruneBench {
       case s: FileSourceScanExec => if (seen.add(s)) Seq(s) else Nil
       case o => o.children.flatMap(scans)
     }
-    val ss = scans(df.queryExecution.executedPlan)
+    val ss = scans(probe.queryExecution.executedPlan)
     val acc = substrs.map { sub =>
       val hit = ss.filter(_.relation.location.rootPaths.exists(_.toString.contains(sub)))
       sub -> (hit.map(_.metrics("numFiles").value).sum,
         hit.map(_.metrics("filesSize").value).sum / 1e6)
     }.toMap
-    (rows, acc)
+    (rows, digest, acc)
   }
 
   def main(args: Array[String]): Unit = {
@@ -136,18 +148,19 @@ object SigPruneBench {
         // persisted (plan-identical) probe frames.
         graft.CacheJanitor.drain()
         val sKey = Some(graft.operators.BatchLog.sanitize(key))
-        val (pairs, acc) = scanAccounted(
+        val (pairs, digest, acc) = scanAccounted(
           SignatureIndex.deltaPairsIndexed(spark, root, "signatures",
             bt.newSigs, sKey), logs)
         graft.CacheJanitor.drain()
         // Contrast arm: identical probe, pruning force-disabled.
         System.setProperty("graft.fold.pruning.disable", "true")
-        val (fullPairs, accF) =
+        val (fullPairs, fullDigest, accF) =
           try scanAccounted(SignatureIndex.deltaPairsIndexed(spark, root,
             "signatures", bt.newSigs, sKey), logs)
           finally System.clearProperty("graft.fold.pruning.disable")
-        require(fullPairs == pairs,
-          s"pruned/full pair counts diverged: $pairs vs $fullPairs")
+        require(fullPairs == pairs && fullDigest == digest,
+          s"pruned/full answers diverged: $pairs/$digest vs $fullPairs/$fullDigest " +
+            "(count AND row-content digest must both match)")
         graft.CacheJanitor.drain()
         val show = logs.map(l => s"$l ${acc(l)._1}f/${f(acc(l)._2)}MB " +
           s"vs ${accF(l)._1}f/${f(accF(l)._2)}MB").mkString("  ")
