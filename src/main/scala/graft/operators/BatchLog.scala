@@ -87,9 +87,15 @@ private[graft] object BatchLog {
   /** [[keys]] restricted to directories holding committed data files —
     * the batches a read actually sees (a crashed write's
     * `_temporary`-only directory is excluded, exactly as parquet's
-    * FileIndex excludes it). */
+    * FileIndex excludes it). A fold directory's manifest answers
+    * without the recursive walk (it lists ≥1 committed file by
+    * construction). */
   def committedKeys(spark: SparkSession, path: String): Seq[String] =
-    keys(spark, path).filter(k => hasCommittedFiles(spark, dirFor(path, k)))
+    keys(spark, path).filter { k =>
+      val d = dirFor(path, k)
+      readFoldManifest(spark, d).map(_.files.nonEmpty)
+        .getOrElse(hasCommittedFiles(spark, d))
+    }
 
   // ---------------------------------------------------- row-count sidecars
 
@@ -200,7 +206,11 @@ private[graft] object BatchLog {
     * the partial via its own `mode(overwrite)`, and readers must not
     * trip over it meanwhile. */
   def hasData(spark: SparkSession, path: String): Boolean =
-    keys(spark, path).exists(k => hasCommittedFiles(spark, dirFor(path, k)))
+    keys(spark, path).exists { k =>
+      val d = dirFor(path, k)
+      readFoldManifest(spark, d).map(_.files.nonEmpty)
+        .getOrElse(hasCommittedFiles(spark, d))
+    }
 
   private def nextAutoKey(spark: SparkSession, path: String): String = {
     // Consider RETIRED keys too: compaction folds auto-keyed batches
@@ -323,8 +333,9 @@ private[graft] object BatchLog {
   def partitionedKeys(spark: SparkSession, path: String, partCol: String): Set[String] = {
     val fs = fsOf(spark, path)
     committedKeys(spark, path).filter { k =>
-      fs.listStatus(new HPath(dirFor(path, k))).exists(s =>
-        s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      readFoldManifest(spark, dirFor(path, k)).map(_.partCols.contains(partCol))
+        .getOrElse(fs.listStatus(new HPath(dirFor(path, k))).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith(s"$partCol=")))
     }.toSet
   }
 
@@ -333,13 +344,7 @@ private[graft] object BatchLog {
     * must share one layout — mixing partitioned and flat directories in
     * one parquet read is a discovery error. */
   def readKeysPartitioned(spark: SparkSession, path: String, ks: Seq[String],
-      op: String): DataFrame = {
-    requireFormat(spark, path, op)
-    require(ks.nonEmpty, s"$op: readKeysPartitioned needs at least one key")
-    spark.read.option("basePath", path)
-      .parquet(ks.map(k => dirFor(path, k)): _*)
-      .drop("batch_key")
-  }
+      op: String): DataFrame = readKeysWithKey(spark, path, ks, op).drop("batch_key")
 
   /** Read the whole log (all batches), `batch_key` dropped — the raw
     * row stream a keep-last fold or tombstone exclusion runs over.
@@ -352,18 +357,52 @@ private[graft] object BatchLog {
   def read(spark: SparkSession, path: String, op: String): DataFrame = {
     requireFormat(spark, path, op)
     val fs = fsOf(spark, path)
+    val ks = committedKeys(spark, path)
+    val mans = ks.map(k => k -> readFoldManifest(spark, dirFor(path, k))).toMap
     def partColsOf(k: String): Set[String] =
-      fs.listStatus(new HPath(dirFor(path, k))).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-        .map(_.getPath.getName.takeWhile(_ != '=')).toSet
-    val byLayout = committedKeys(spark, path).groupBy(partColsOf)
-    if (byLayout.size <= 1) spark.read.parquet(path).drop("batch_key")
+      mans(k).map(_.partCols.toSet).getOrElse(
+        fs.listStatus(new HPath(dirFor(path, k))).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+          .map(_.getPath.getName.takeWhile(_ != '=')).toSet)
+    val byLayout = ks.groupBy(partColsOf)
+    // The one-listing whole-tree read only when NO directory carries a
+    // manifest (legacy roots, increment-only logs): with a manifested
+    // fold in the log, the split read below serves the fold's (many)
+    // group files listing-free and only lists the flat increments.
+    if (byLayout.size <= 1 && mans.values.forall(_.isEmpty))
+      spark.read.parquet(path).drop("batch_key")
     else {
       val common = byLayout.keys.reduce(_ & _)
-      byLayout.toSeq.sortBy(_._1.size).map { case (cols, ks) =>
-        (cols -- common).foldLeft(readKeysPartitioned(spark, path, ks, op))(_ drop _)
-      }.reduce(_ unionByName _)
+      byLayout.toSeq.sortBy { case (cols, _) => (cols.size, cols.toSeq.sorted.mkString(",")) }
+        .map { case (cols, group) =>
+          // Within a layout group, manifested directories read through
+          // the index and the rest through one listing read; both keep
+          // the group's partition columns until the non-common drop.
+          val (withM, without) = group.sorted.partition(k => mans(k).isDefined)
+          val es = withM.map(k => k -> mans(k).get)
+          // Manifested dirs must also agree on schemas to share one
+          // index frame; disagreement demotes them to the listing read.
+          val uniform = es.nonEmpty &&
+            es.map(_._2.partCols).distinct.size == 1 &&
+            es.map(_._2.dataSchema).distinct.size == 1 &&
+            es.map(_._2.partSchema).distinct.size == 1
+          val listedKeys = if (uniform) without else group.sorted
+          val subs =
+            (if (uniform) Seq(ManifestFileIndex.frame(spark, path, es).drop("batch_key")) else Nil) ++
+            (if (listedKeys.nonEmpty) Seq(readKeysListed(spark, path, listedKeys, op)) else Nil)
+          (cols -- common).foldLeft(subs.reduce(_ unionByName _))(_ drop _)
+        }.reduce(_ unionByName _)
     }
+  }
+
+  /** The plain listing-backed restricted read (no manifest attempt) —
+    * [[read]]'s fallback half for directories without manifests. */
+  private def readKeysListed(spark: SparkSession, path: String, ks: Seq[String],
+      op: String): DataFrame = {
+    require(ks.nonEmpty, s"$op: readKeysListed needs at least one key")
+    spark.read.option("basePath", path)
+      .parquet(ks.map(k => dirFor(path, k)): _*)
+      .drop("batch_key")
   }
 
   /** Read ONLY the given committed batch keys' directories (`batch_key`
@@ -372,13 +411,7 @@ private[graft] object BatchLog {
     * this is mechanism). `basePath` keeps partition discovery identical
     * to the full read, so schemas agree. */
   def readKeys(spark: SparkSession, path: String, ks: Seq[String],
-      op: String): DataFrame = {
-    requireFormat(spark, path, op)
-    require(ks.nonEmpty, s"$op: readKeys needs at least one key")
-    spark.read.option("basePath", path)
-      .parquet(ks.map(k => dirFor(path, k)): _*)
-      .drop("batch_key")
-  }
+      op: String): DataFrame = readKeysWithKey(spark, path, ks, op).drop("batch_key")
 
   /** [[readKeys]] KEEPING `batch_key` (and any fold-layout partition
     * columns — the caller filters on them before dropping): for probe
@@ -392,8 +425,162 @@ private[graft] object BatchLog {
       op: String): DataFrame = {
     requireFormat(spark, path, op)
     require(ks.nonEmpty, s"$op: readKeysWithKey needs at least one key")
-    spark.read.option("basePath", path)
-      .parquet(ks.map(k => dirFor(path, k)): _*)
+    // Manifest-backed when EVERY requested directory carries one
+    // (fold dirs written by this release): scan planning then does
+    // zero listings and zero footer reads. Any gap → the listing read,
+    // byte-identical output either way (FoldManifestSpec pins it).
+    manifestsFor(spark, path, ks) match {
+      case Some(entries) => ManifestFileIndex.frame(spark, path, entries)
+      case None =>
+        spark.read.option("basePath", path)
+          .parquet(ks.map(k => dirFor(path, k)): _*)
+    }
+  }
+
+  // ------------------------------------------- fold-file manifests
+
+  /** `_fold_manifest.json`, written into a FOLD batch directory in the
+    * same transaction as its data (inside the staged tmp for
+    * compaction/refreeze rewrites — it rides the atomic swap; right
+    * after the data commit for rebuild-written derived dirs): the
+    * directory's complete data-file list (relative path, length,
+    * mtime) plus the data schema (one footer, read at write time) and
+    * the fold's partition-column schema. Fold directories are
+    * immutable after commit (fold keys are auto-minted, never
+    * replayed; a rewrite replaces the whole directory, manifest
+    * included), so the manifest can be TRUSTED by every later read:
+    * [[ManifestFileIndex]] plans scans from it with zero listings and
+    * zero schema-inference footer reads, [[committedKeys]] /
+    * [[partitionedKeys]] / [[hasData]] answer from it without walking.
+    * The measured motivation is SCALEBENCH_r14_x100loop_part2's
+    * +~4 s/batch post-compaction listing tax (~280 fold files listed
+    * per log per saturated probe — and LIST is the cost center on
+    * object stores, where this protocol must eventually run).
+    *
+    * Best-effort on write, verified-or-ignored on read: a missing,
+    * torn, or unsupported manifest (non-int partition values, mixed
+    * layouts) falls back to the listing read — slower, never wrong.
+    * `graft.fold.manifest.disable=true` forces the fallback everywhere
+    * (the bench contrast arm). */
+  val foldManifestName = "_fold_manifest.json"
+
+  /** Parsed manifest: partition columns (possibly empty), the two
+    * schemas, and the (relPath, length, mtime) file list. */
+  final case class FoldManifest(partCols: Seq[String],
+      dataSchema: org.apache.spark.sql.types.StructType,
+      partSchema: org.apache.spark.sql.types.StructType,
+      files: Seq[(String, Long, Long)])
+
+  private def manifestReadDisabled: Boolean =
+    java.lang.Boolean.getBoolean("graft.fold.manifest.disable")
+
+  /** Write the manifest for a just-written fold directory (one
+    * recursive listing + one footer read, at WRITE time — the whole
+    * point is that no read pays them again). Skips (leaving reads on
+    * the listing path) when the directory is empty, mixes partition
+    * layouts, or carries non-int partition values; never throws. */
+  def writeFoldManifest(spark: SparkSession, batchDir: String): Unit = try {
+    val fs = fsOf(spark, batchDir)
+    val base = fs.makeQualified(new HPath(batchDir))
+    def walk(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        if (hidden(s.getPath.getName)) Nil
+        else if (s.isDirectory) walk(s.getPath)
+        else Seq(s)
+      }
+    val sts = walk(base)
+    if (sts.isEmpty) return
+    val baseStr = base.toString + "/"
+    val entries = sts.map { s =>
+      val q = fs.makeQualified(s.getPath).toString
+      require(q.startsWith(baseStr), s"listed file $q outside $baseStr")
+      (q.stripPrefix(baseStr), s.getLen, s.getModificationTime)
+    }.sortBy(_._1)
+    // Uniform partition levels with int-parseable values only (the
+    // fold layouts in use: hgrp/dgrp/pgrp group ids, AnnIndex cells).
+    // Partition TYPE inference must agree with what a listing read
+    // would infer, so only the plain-int case (no leading zeros, fits
+    // an Int) is declared; anything else skips the manifest.
+    val colSeqs = entries.map(_._1.split('/').init.toSeq.map(_.takeWhile(_ != '=')))
+    if (colSeqs.distinct.size != 1) return
+    val partCols = colSeqs.head
+    val vals = entries.flatMap(_._1.split('/').init.toSeq.map(_.dropWhile(_ != '=').drop(1)))
+    val intLike = vals.forall(v => v.nonEmpty && v.forall(_.isDigit) &&
+      (v == "0" || !v.startsWith("0")) && scala.util.Try(v.toInt).isSuccess)
+    if (partCols.nonEmpty && !intLike) return
+    // Data schema from ONE real footer (not the writer's DataFrame
+    // schema) so it is bit-identical to what the listing read's
+    // inference would produce — nullability included.
+    val dataSchema = spark.read.parquet(new HPath(base, entries.head._1).toString).schema
+    val partSchema = org.apache.spark.sql.types.StructType(partCols.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.IntegerType, nullable = true)))
+    val body = graft.sources.MiniJson.renderFlat(Map(
+      "v" -> "1",
+      "part_cols" -> partCols.mkString(","),
+      "data_schema" -> dataSchema.json,
+      "part_schema" -> partSchema.json,
+      "files" -> entries.map(e => s"${e._1}\t${e._2}\t${e._3}").mkString("\n")))
+    val out = fs.create(new HPath(base, foldManifestName), true)
+    try out.write((body + "\n").getBytes("UTF-8")) finally out.close()
+  } catch {
+    case e: Exception =>
+      System.err.println(
+        s"[graft] BatchLog: fold manifest for $batchDir failed ($e); reads fall back to listings")
+  }
+
+  /** The directory's manifest, or None (absent, torn, unsupported
+    * shape, or the contrast switch) — None always means "use the
+    * listing read", never "guess". */
+  def readFoldManifest(spark: SparkSession, batchDir: String): Option[FoldManifest] =
+    try {
+      if (manifestReadDisabled) return None
+      val p = new HPath(batchDir, foldManifestName)
+      val fs = fsOf(spark, batchDir)
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val s = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      val m = graft.sources.MiniJson.parseFlat(s.trim)
+      if (m.getOrElse("v", "") != "1") return None
+      val partCols = m("part_cols").split(',').toSeq.filter(_.nonEmpty)
+      val dataSchema = org.apache.spark.sql.types.DataType.fromJson(m("data_schema"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val partSchema = org.apache.spark.sql.types.DataType.fromJson(m("part_schema"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      if (partSchema.fields.map(_.name).toSeq != partCols ||
+          partSchema.fields.exists(_.dataType != org.apache.spark.sql.types.IntegerType))
+        return None
+      val files = m("files").split('\n').toSeq.filter(_.nonEmpty).map { line =>
+        val parts = line.split('\t')
+        require(parts.length == 3, s"malformed manifest line '$line'")
+        (parts(0), parts(1).toLong, parts(2).toLong)
+      }
+      if (files.isEmpty) None
+      else Some(FoldManifest(partCols, dataSchema, partSchema, files))
+    } catch {
+      case e: Exception =>
+        System.err.println(
+          s"[graft] BatchLog: unreadable fold manifest in $batchDir ($e); falling back to listing")
+        None
+    }
+
+  /** The manifests for ALL requested keys, or None when any key lacks
+    * one (or layouts/schemas disagree) — the all-or-nothing gate the
+    * read helpers use before trusting [[ManifestFileIndex.frame]]. */
+  private def manifestsFor(spark: SparkSession, path: String,
+      ks: Seq[String]): Option[Seq[(String, FoldManifest)]] = {
+    if (ks.isEmpty) return None
+    val es = ks.sorted.map(k => k -> readFoldManifest(spark, dirFor(path, k)))
+    if (es.exists(_._2.isEmpty)) None
+    else {
+      val got = es.map { case (k, m) => (k, m.get) }
+      val uniform = got.map(_._2.partCols).distinct.size == 1 &&
+        got.map(_._2.dataSchema).distinct.size == 1 &&
+        got.map(_._2.partSchema).distinct.size == 1
+      if (uniform) Some(got) else None
+    }
   }
 
   // ------------------------------------------- fold-group sidecars
@@ -497,6 +684,9 @@ private[graft] object BatchLog {
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
       .parquet(dirFor(tmpPath, key))
     writeRowCount(df.sparkSession, dirFor(tmpPath, key))
+    // Manifest inside the staged directory — it rides the commit swap
+    // with the data, so a fold is either absent or manifest-described.
+    writeFoldManifest(df.sparkSession, dirFor(tmpPath, key))
     writeMarker(df.sparkSession, tmpPath)
   }
 
@@ -578,19 +768,14 @@ private[graft] object BatchLog {
     val fs = fsOf(spark, path)
     val dest = new HPath(path)
     val tmpP = new HPath(s"$path.__migrate_tmp")
-    // Re-run after a crash between the delete and the rename: the staged
-    // tmp is complete by construction (it is only ever deleted or
-    // renamed after its write finished) — adopt it and finish.
-    if (!fs.exists(dest) && fs.exists(tmpP)) {
-      require(fs.rename(tmpP, dest),
-        s"legacy migration recovery failed: could not adopt $tmpP as $path")
-      return
-    }
+    // Complete a crashed commit first — the intent-marked swap recovery
+    // (and the pre-intent delete-to-rename window) both live there.
+    Tombstones.recoverSwap(spark, tmpP.toString, path)
+    // recoverSwap adopted a staged tmp if one existed; still absent
+    // means there was never anything here.
     require(fs.exists(dest), s"no index at $path to migrate")
     if (fs.exists(new HPath(dest, markerName))) return // already current
     stage(transform(spark.read.parquet(path)), tmpP.toString, partitionBy)
-    fs.delete(dest, true)
-    require(fs.rename(tmpP, dest),
-      s"legacy migration commit failed: could not move $tmpP into $path")
+    Tombstones.commitSwap(spark, tmpP.toString, path)
   }
 }

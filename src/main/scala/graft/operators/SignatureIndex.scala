@@ -646,15 +646,20 @@ object SignatureIndex {
             frame.withColumn(hgrpCol, pmod(col("h"), lit(g.toLong)).cast("int"))
               .repartition(col(hgrpCol)),
             dir, k, op, partitionBy = Seq(hgrpCol))
-          if (wrote)
+          if (wrote) {
             BatchLog.writeGroupsSidecar(spark, BatchLog.dirOf(dir, k), hgrpSidecarName, g)
+            // Manifest over the G group files — later probes (pruned
+            // AND saturated) plan their scans without listing them.
+            BatchLog.writeFoldManifest(spark, BatchLog.dirOf(dir, k))
+          }
         } else {
           // File-count discipline as in [[maintainDerived]], but sized
           // to the directory: a steady increment folds to one file;
           // bigger unsized directories keep data-proportional files
           // instead of funnelling through a single write task.
           val nFiles = rows.map(n => math.max(1L, n / 200000L).toInt).getOrElse(1)
-          BatchLog.appendResolved(frame.repartition(nFiles), dir, k, op)
+          if (BatchLog.appendResolved(frame.repartition(nFiles), dir, k, op))
+            BatchLog.writeFoldManifest(spark, BatchLog.dirOf(dir, k))
         }
       writeLog(post, postingsDir(root, table), gPost, "SignatureIndex.postings")
       writeLog(df, dfDir(root, table), gDf, "SignatureIndex.dfcounts")
