@@ -89,6 +89,20 @@ private[graft] object Tombstones {
     fs.delete(new HPath(dir(root)), true)
   }
 
+  /** Sibling intent marker for [[commitSwap]] — present exactly while
+    * a swap is IN FLIGHT. Round-15 (the hostile-FS drill's finding):
+    * the pre-intent protocol disambiguated crash states by `dest
+    * present?` alone, which is sound only when rename is atomic. On a
+    * COPY+DELETE filesystem (object-store movers, the hostile test FS)
+    * a crash mid-copy leaves a PARTIAL dest with tmp still present —
+    * and "dest present ∧ tmp present ⇒ drop tmp as abandoned" would
+    * have adopted the torn dest as the log. The intent marker removes
+    * the ambiguity with small-file primitives that ARE atomic enough
+    * everywhere (create/delete): intent present ⇒ dest is untrusted
+    * whatever its state; tmp (complete by construction while it
+    * exists — a copy deletes its source last) re-runs the swap. */
+  private def intentPath(dest: String) = new HPath(s"$dest.__swap_intent")
+
   /** The swap alone — for operators with NO tombstone side table
     * ([[SketchLog]]): deleting `root/tombstones` here would belong to a
     * SIBLING operator sharing the root (the index logs the sketch log
@@ -98,40 +112,55 @@ private[graft] object Tombstones {
   def commitSwap(spark: SparkSession, tmp: String, dest: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new HPath(dest).getFileSystem(conf)
+    fs.create(intentPath(dest), true).close()
     fs.delete(new HPath(dest), true)
     require(fs.rename(new HPath(tmp), new HPath(dest)),
       s"compaction commit failed: could not move $tmp into $dest")
+    fs.delete(intentPath(dest), false)
   }
 
-  /** Read-side recovery for [[commitSwap]] — adopt a fully-staged tmp
-    * when the swap died between delete and rename, drop an abandoned
-    * stage otherwise; never touches the tombstone side table. */
-  def recoverSwap(spark: SparkSession, tmp: String, dest: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new HPath(dest).getFileSystem(conf)
-    val destP = new HPath(dest); val tmpP = new HPath(tmp)
-    if (fs.exists(tmpP)) {
-      if (!fs.exists(destP)) {
-        require(fs.rename(tmpP, destP),
-          s"compaction recovery failed: could not adopt $tmp as $dest")
-      } else fs.delete(tmpP, true)
-    }
-  }
+  /** Read-side recovery for [[commitSwap]] — intent present means a
+    * swap died in flight: re-run it from the (complete) tmp, or, when
+    * tmp is already gone, the rename itself completed and only the
+    * intent clear was lost. No intent = the pre-swap states: adopt a
+    * tmp staged against a missing dest (legacy delete-to-rename window
+    * of pre-intent writers), drop an abandoned stage otherwise. Never
+    * touches the tombstone side table. */
+  def recoverSwap(spark: SparkSession, tmp: String, dest: String): Unit =
+    recoverSwapImpl(spark, tmp, dest, clearTombstonesOf = None)
 
   /** Crash recovery for [[commitCompaction]]'s swap window — call
-    * before reading `dest`. Completes a commit that died between its
-    * delete and rename (adopt tmp, clear the side table exactly as the
-    * commit would have), and clears an abandoned stage left by a crash
-    * mid-tmp-write. Idempotent and cheap (two existence probes). */
-  def recoverCompaction(spark: SparkSession, root: String, tmp: String, dest: String): Unit = {
+    * before reading `dest`. Completes a commit that died in flight
+    * (adopt tmp, clear the side table exactly as the commit would
+    * have), and clears an abandoned stage left by a crash
+    * mid-tmp-write. Idempotent and cheap (existence probes). */
+  def recoverCompaction(spark: SparkSession, root: String, tmp: String, dest: String): Unit =
+    recoverSwapImpl(spark, tmp, dest, clearTombstonesOf = Some(root))
+
+  private def recoverSwapImpl(spark: SparkSession, tmp: String, dest: String,
+      clearTombstonesOf: Option[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new HPath(dest).getFileSystem(conf)
     val destP = new HPath(dest); val tmpP = new HPath(tmp)
-    if (fs.exists(tmpP)) {
+    val intentP = intentPath(dest)
+    if (fs.exists(intentP)) {
+      // Swap in flight at the crash: dest may be absent, partial, or
+      // complete — all untrusted. While tmp exists it is complete by
+      // construction, so re-running the swap from it is always sound;
+      // tmp absent means the rename finished (a copy deletes its
+      // source only after completing) and dest IS the new state.
+      if (fs.exists(tmpP)) {
+        fs.delete(destP, true)
+        require(fs.rename(tmpP, destP),
+          s"compaction recovery failed: could not adopt $tmp as $dest")
+      }
+      fs.delete(intentP, false)
+      clearTombstonesOf.foreach(root => fs.delete(new HPath(dir(root)), true))
+    } else if (fs.exists(tmpP)) {
       if (!fs.exists(destP)) {
         require(fs.rename(tmpP, destP),
           s"compaction recovery failed: could not adopt $tmp as $dest")
-        fs.delete(new HPath(dir(root)), true)
+        clearTombstonesOf.foreach(root => fs.delete(new HPath(dir(root)), true))
       } else fs.delete(tmpP, true)
     }
   }

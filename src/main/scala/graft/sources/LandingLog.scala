@@ -1,11 +1,9 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
-import scala.jdk.CollectionConverters._
-import scala.util.Using
 
 /** The append-only landing log (reference S3–S6: one immutable CSV per
   * (table, ingest batch) under `{table}/{batchId}.csv`, batch ids named so
@@ -29,26 +27,49 @@ object LandingLog {
   def fileKey(batchId: String): String =
     batchId.replace(' ', '_').replace(':', '.')
 
+  /** The Hadoop configuration behind every path probe here — the same
+    * API choice [[logKeys]] already made, now for the whole log+snapshot
+    * protocol (round-15: exercised under the hostile test FS instead of
+    * assumed): a java.nio probe silently misreads any non-local root. */
+  private def hconf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsOf(path: String) = new HPath(path).getFileSystem(hconf)
+
+  private def ls(dir: String): Seq[FileStatus] = {
+    val fs = fsOf(dir)
+    val p = new HPath(dir)
+    if (!fs.exists(p)) Seq.empty else fs.listStatus(p).toSeq
+  }
+
+  private def isDir(path: String): Boolean = {
+    val fs = fsOf(path)
+    val p = new HPath(path)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
   /** Write one increment as a single CSV file (header on), named by batch
     * id. A driver-side rename collapses Spark's part-file into the
-    * deterministic `{table}/{batchId}.csv` key the log contract requires. */
-  /** List a directory's entries eagerly, closing the stream (Files.list
-    * holds an open fd until closed — a leak in a long-running driver). */
-  private def ls(dir: Path): Seq[Path] =
-    Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
-
+    * deterministic `{table}/{batchId}.csv` key the log contract requires.
+    * A pre-existing destination (a torn file from a crashed earlier
+    * attempt of the SAME batch — watermark not yet bumped, so the replay
+    * recomputes the identical increment) is dropped before the rename:
+    * the replay heals it instead of failing on the collision. */
   def writeIncrement(df: DataFrame, root: String, table: String, batchId: String): Unit = {
     val tmp = s"$root/.tmp_${table}_${batchId.replaceAll("[^0-9A-Za-z]", "_")}"
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
-    val tmpDir = Paths.get(tmp)
-    val part = ls(tmpDir)
-      .find(_.getFileName.toString.startsWith("part-"))
+    val fs = fsOf(root)
+    val part = ls(tmp).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
       .getOrElse(sys.error(s"no part file written for $table/$batchId"))
-    val dest = Paths.get(s"$root/$table/${fileKey(batchId)}.csv")
-    Files.createDirectories(dest.getParent)
-    Files.move(part, dest)
-    ls(tmpDir).foreach(Files.delete)
-    Files.delete(tmpDir)
+    val dest = new HPath(s"$root/$table/${fileKey(batchId)}.csv")
+    fs.mkdirs(dest.getParent)
+    fs.delete(dest, false)
+    require(fs.rename(part, dest),
+      s"landing commit failed: could not move $part into $dest")
+    fs.delete(new HPath(tmp), true)
   }
 
   /** Large-increment sink (backfills): where [[writeIncrement]] funnels
@@ -67,10 +88,11 @@ object LandingLog {
     * lexicographically chronological either way) attached to every row.
     * Empty/missing log → empty frame. */
   def readLog(spark: SparkSession, root: String, table: String, schema: StructType): DataFrame = {
-    val dir = Paths.get(s"$root/$table")
+    val dir = s"$root/$table"
     val base =
-      if (Files.isDirectory(dir) && ls(dir).exists { p =>
-        p.toString.endsWith(".csv") || p.toString.endsWith(".batch")
+      if (isDir(dir) && ls(dir).exists { s =>
+        val n = s.getPath.getName
+        n.endsWith(".csv") || n.endsWith(".batch")
       })
         spark.read.option("header", "true").option("recursiveFileLookup", "true")
           .schema(schema).csv(s"$root/$table")
@@ -165,10 +187,10 @@ object LandingLog {
   }
 
   private def vname(v: Long): String = f"$v%08d"
-  private def versionDir(root: String, table: String, v: Long): Path =
-    Paths.get(s"$root/$table/_versions/${vname(v)}")
-  private def commitsDir(root: String, table: String): Path =
-    Paths.get(s"$root/$table/_commits")
+  private def versionDir(root: String, table: String, v: Long): String =
+    s"$root/$table/_versions/${vname(v)}"
+  private def commitsDir(root: String, table: String): String =
+    s"$root/$table/_commits"
 
   /** Highest committed snapshot version (0 = never written): max marker
     * in `_commits/` whose data directory exists. Markers are zero-padded
@@ -176,14 +198,8 @@ object LandingLog {
     * underscore-prefixed, so a NAIVE `spark.read.parquet(tableDir)` sees
     * no data files and fails loudly — it can never silently union
     * versions; readers resolve through [[snapshotDataDir]]. */
-  def currentVersion(root: String, table: String): Long = {
-    val c = commitsDir(root, table)
-    if (!Files.isDirectory(c)) 0L
-    else ls(c).map(_.getFileName.toString)
-      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-      .filter(v => Files.isDirectory(versionDir(root, table, v)))
-      .sorted.lastOption.getOrElse(0L)
-  }
+  def currentVersion(root: String, table: String): Long =
+    listVersions(root, table).lastOption.getOrElse(0L)
 
   /** Resolve the directory holding the CURRENT committed snapshot data:
     * the newest committed version dir, or (unversioned layout) the
@@ -195,13 +211,13 @@ object LandingLog {
     * written. */
   def snapshotDataDir(root: String, table: String): Option[String] = {
     val v = currentVersion(root, table)
-    if (v > 0) Some(versionDir(root, table, v).toString)
+    if (v > 0) Some(versionDir(root, table, v))
     else {
-      val dir = Paths.get(s"$root/$table")
-      if (Files.isDirectory(dir) && ls(dir).exists { p =>
-        val n = p.getFileName.toString
+      val dir = s"$root/$table"
+      if (isDir(dir) && ls(dir).exists { s =>
+        val n = s.getPath.getName
         (!n.startsWith("_") && !n.startsWith(".")) || n.startsWith("__p_")
-      }) Some(s"$root/$table")
+      }) Some(dir)
       else None
     }
   }
@@ -215,7 +231,7 @@ object LandingLog {
   def stageSnapshot(df: DataFrame, root: String, table: String,
       partitionBy: Seq[String] = Nil, rangeSize: Long = 100): Long = {
     val next = currentVersion(root, table) + 1
-    val dest = versionDir(root, table, next).toString
+    val dest = versionDir(root, table, next)
     if (partitionBy.isEmpty) df.write.mode("overwrite").parquet(dest)
     else writePartitioned(df, dest, partitionBy, rangeSize)
     next
@@ -238,11 +254,15 @@ object LandingLog {
       .write.mode("overwrite").partitionBy(mirrors: _*).parquet(dest)
   }
 
-  /** Publish a staged version: ONE atomic rename of a marker file into
-    * `_commits/` (java.nio ATOMIC_MOVE locally; HDFS rename / S3 PUT in
-    * production — see [[writeSnapshot]]). Everything after the rename is
-    * best-effort GC; a crash mid-GC only leaves orphan directories the
-    * next commit's GC removes.
+  /** Publish a staged version: ONE small marker-file create in
+    * `_commits/` — the single-object-PUT commit primitive on every
+    * store (the marker's NAME is the commit; its content is never
+    * read, so even a torn create commits correctly: the staged data
+    * directory was complete before this call by [[stageSnapshot]]'s
+    * contract). Round-15: Hadoop FileSystem API end-to-end, so the
+    * same code runs (and is crash-tested) on non-POSIX roots.
+    * Everything after the marker is best-effort GC; a crash mid-GC
+    * only leaves orphan directories the next commit's GC removes.
     *
     * `keepVersions` (default 1) is the TIME-TRAVEL retention knob: the
     * newest k committed versions survive GC and stay readable via
@@ -263,31 +283,37 @@ object LandingLog {
       keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val cdir = commitsDir(root, table)
-    Files.createDirectories(cdir)
-    val tmp = cdir.resolve(s".tmp_${vname(version)}")
-    Files.write(tmp, vname(version).getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
-      StandardOpenOption.WRITE)
-    Files.move(tmp, cdir.resolve(vname(version)),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val fs = fsOf(cdir)
+    fs.mkdirs(new HPath(cdir))
+    val out = fs.create(new HPath(cdir, vname(version)), true)
+    try out.write(vname(version).getBytes("UTF-8")) finally out.close()
     // GC (single-writer contract): keep the newest `keepVersions`
     // committed versions; everything else — older versions AND
     // crashed/abandoned unmarked stages — goes, dirs and markers both.
     val keep = listVersions(root, table).takeRight(keepVersions)
       .map(vname).toSet + vname(version)
-    val vdir = versionDir(root, table, version).getParent
-    ls(vdir).filterNot(p => keep(p.getFileName.toString)).foreach(deleteRecursively)
-    ls(cdir).filterNot(p => keep(p.getFileName.toString)).foreach(deleteRecursively)
+    val vdir = s"$root/$table/_versions"
+    ls(vdir).filterNot(s => keep(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, true))
+    ls(cdir).filterNot(s => keep(stripCrc(s.getPath.getName)))
+      .foreach(s => fs.delete(s.getPath, true))
   }
+
+  /** The local (checksummed) FileSystem writes a `.<name>.crc` sibling
+    * for every created file; GC must key it to its marker, not treat it
+    * as an abandoned stage of its own. */
+  private def stripCrc(name: String): String =
+    if (name.startsWith(".") && name.endsWith(".crc"))
+      name.stripPrefix(".").stripSuffix(".crc")
+    else name
 
   /** All committed, still-present versions of a snapshot, ascending. */
   def listVersions(root: String, table: String): Seq[Long] = {
     val c = commitsDir(root, table)
-    if (!Files.isDirectory(c)) Seq.empty
-    else ls(c).map(_.getFileName.toString)
+    if (!isDir(c)) Seq.empty
+    else ls(c).map(s => s.getPath.getName)
       .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
-      .filter(v => Files.isDirectory(versionDir(root, table, v)))
+      .filter(v => isDir(versionDir(root, table, v)))
       .sorted
   }
 
@@ -298,13 +324,8 @@ object LandingLog {
     require(listVersions(root, table).contains(version),
       s"version $version of $table is not committed (or was GC'd); " +
         s"available: ${listVersions(root, table).mkString(", ")}")
-    val raw = spark.read.parquet(versionDir(root, table, version).toString)
+    val raw = spark.read.parquet(versionDir(root, table, version))
     raw.drop(raw.columns.filter(_.startsWith("__p_")).toSeq: _*)
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) ls(p).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
   }
 
   /** Snapshot read; mirror partition keys are dropped so the frame is
@@ -367,11 +388,10 @@ object LandingLog {
     * the incremental star path's `_sources` current-snapshot store) and
     * never star tables — listing them would feed a full reload garbage. */
   def listSnapshots(root: String): Seq[String] = {
-    val p = Paths.get(root)
-    if (!Files.isDirectory(p)) Seq.empty
-    else ls(p)
-      .filter(Files.isDirectory(_))
-      .map(_.getFileName.toString)
+    if (!isDir(root)) Seq.empty
+    else ls(root)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
       .filterNot(n => n.startsWith(".") || n.startsWith("_"))
       .filter(t => snapshotDataDir(root, t).isDefined)
       .sorted
@@ -388,45 +408,31 @@ object LandingLog {
   * (atomic by the store's contract, src/ingestion_lambda.py:227-232); a
   * local/HDFS file truncated in place is NOT — a crash mid-write leaves
   * a torn JSON that halts the pipeline until manual repair. So [[update]]
-  * writes the merged state to a sibling `.tmp` and publishes it with one
-  * `ATOMIC_MOVE` rename — the same commit primitive as
-  * [[LandingLog.commitSnapshot]]. A crash at ANY point leaves either the
-  * previous complete state or the new complete state on disk, never a
-  * torn file; an abandoned `.tmp` is overwritten by the next update and
-  * never read. Torn bytes arriving some OTHER way (manual edit, a
-  * non-atomic copy) still fail loudly in [[read]] before any extract
-  * runs. Updates are `synchronized` so per-table bumps from concurrent
+  * publishes through [[StateFile]]'s write-tmp-then-swap protocol
+  * (round-15: Hadoop FileSystem API, crash-drilled under the hostile
+  * test FS where rename is copy+delete): a crash at ANY point leaves
+  * either a complete state readable directly, or a complete `.tmp` that
+  * [[read]] recovers through — never a silently-wrong answer. Torn
+  * bytes arriving some OTHER way (manual edit, a non-atomic copy) with
+  * no readable `.tmp` still fail loudly before any extract runs.
+  * Updates are `synchronized` so per-table bumps from concurrent
   * ingest gates cannot lose each other's merge (single-process writer
   * contract, same as the reference's single Lambda).
   */
 final class WatermarkStore(path: String) {
   val sentinel = "1970-01-01 00:00:00.000000"
 
-  def read(): Map[String, String] = {
-    val p = Paths.get(path)
-    if (!Files.exists(p)) Map.empty
-    else {
-      val txt = new String(Files.readAllBytes(p), "UTF-8")
+  def read(): Map[String, String] =
+    StateFile.read(path) { txt =>
       // A blank file is "no state yet" (same as absent); anything else
       // must parse exactly — malformed state fails loudly, never silently.
-      if (txt.trim.isEmpty) Map.empty else MiniJson.parseFlat(txt)
-    }
-  }
+      if (txt.trim.isEmpty) Map.empty[String, String] else MiniJson.parseFlat(txt)
+    }.getOrElse(Map.empty)
 
   def watermark(table: String): String = read().getOrElse(table, sentinel)
 
   def update(updates: Map[String, String]): Unit = this.synchronized {
-    val merged = read() ++ updates
-    val json = MiniJson.renderFlat(merged)
-    val p = Paths.get(path)
-    if (p.getParent != null) Files.createDirectories(p.getParent)
-    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-    Files.write(tmp, json.getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
-      StandardOpenOption.WRITE)
-    Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    StateFile.write(path, MiniJson.renderFlat(read() ++ updates))
   }
 }
 

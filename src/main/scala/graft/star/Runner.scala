@@ -54,16 +54,15 @@ object Runner {
     * the deduped snapshot, which is never larger). */
   val factCacheMemoryBoundBytes: Long = 8L << 30
 
-  /** Total on-disk bytes of a landing-log table directory (0 if absent). */
+  /** Total on-disk bytes of a landing-log table directory (0 if absent).
+    * Hadoop FS, not java.nio — a non-local landing root must measure
+    * correctly, not read as 0 (the merge path's byte gate already made
+    * this choice). */
   private def logBytes(landingRoot: String, table: String): Long = {
-    val dir = java.nio.file.Paths.get(s"$landingRoot/$table")
-    if (!java.nio.file.Files.isDirectory(dir)) 0L
-    else {
-      val s = java.nio.file.Files.walk(dir)
-      try s.filter(java.nio.file.Files.isRegularFile(_))
-        .mapToLong(java.nio.file.Files.size(_)).sum()
-      finally s.close()
-    }
+    val p = new org.apache.hadoop.fs.Path(s"$landingRoot/$table")
+    val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
   }
 
   /** Stage 1 — ingest: for each source relation, gate on max(last_updated)
@@ -238,26 +237,16 @@ object Runner {
     * root, atomic-rename committed like every state file here): true =
     * facts were last written with stable (natural-key) record ids.
     * Absent = a pre-marker root, which can only hold dense ids. */
-  private[star] def storedRecordPolicy(spark: SparkSession, processedRoot: String): Boolean = {
-    val p = java.nio.file.Paths.get(s"$processedRoot/_id_policy.json")
-    java.nio.file.Files.exists(p) &&
-      graft.sources.MiniJson.parseFlat(
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-        .get("stable_record_ids").contains("true")
-  }
+  private[star] def storedRecordPolicy(spark: SparkSession, processedRoot: String): Boolean =
+    graft.sources.StateFile.read(s"$processedRoot/_id_policy.json")(txt =>
+      graft.sources.MiniJson.parseFlat(txt.trim)
+        .get("stable_record_ids").contains("true")).getOrElse(false)
 
   private[star] def writeRecordPolicy(spark: SparkSession, processedRoot: String,
-      stableRecordIds: Boolean): Unit = {
-    val p = java.nio.file.Paths.get(s"$processedRoot/_id_policy.json")
-    java.nio.file.Files.createDirectories(p.getParent)
-    val tmp = p.resolveSibling("_id_policy.json.tmp")
-    java.nio.file.Files.write(tmp,
-      (graft.sources.MiniJson.renderFlat(
-        Map("stable_record_ids" -> stableRecordIds.toString)) + "\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+      stableRecordIds: Boolean): Unit =
+    graft.sources.StateFile.write(s"$processedRoot/_id_policy.json",
+      graft.sources.MiniJson.renderFlat(
+        Map("stable_record_ids" -> stableRecordIds.toString)) + "\n")
 
   /** The warehouse database every load registers its tables under (S11:
     * the reference's information_schema.tables surface becomes the Spark

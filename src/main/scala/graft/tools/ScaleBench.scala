@@ -354,14 +354,11 @@ object ScaleBench {
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(vecRoot), true)
     val vecCorpus = spark.read.parquet(s"$xFDir/embeddings.parquet")
-    val vecLoop = (0 until vecBatches).map { r =>
-      val inc = vecCorpus.where(
-          col("vec_id") >= lit(r * idStride) && col("vec_id") < lit((r + 1) * idStride))
-        .select("vec_id", "embedding")
+    def vecBatch(r: Int, inc: DataFrame, key: String) = {
       val b0 = bytesRead.get()
       val t0 = System.nanoTime()
       val stats = graft.operators.DedupPipeline.runOnceVectors(
-        spark, vecRoot, inc, batchKey = Some(s"scale_v$r"))
+        spark, vecRoot, inc, batchKey = Some(key))
       val t1 = System.nanoTime()
       val runMb = (bytesRead.get() - b0) / 1e6
       val maint = graft.operators.DedupPipeline.maintainOnce(spark, vecRoot, vector = true)
@@ -374,6 +371,45 @@ object ScaleBench {
         s"read=${f(runMb)}MB root=${f(rootMb)}MB" +
         (if (row._5) " [REFROZEN]" else ""))
       row
+    }
+    // Default shape: replica-sized increments (saturating BY DESIGN —
+    // candidates span the buckets, the read is the answer's own cost).
+    // `SPARK_GRAFT_SCALE_VECINC=<n>` instead records the PRUNABLE
+    // regime (round-14 verdict item 4): bootstrap in two bulk halves —
+    // the mask freezes on half 1 and the maintenance poll between
+    // halves fires a REAL refreeze, which also lays the corpus out
+    // under the `pgrp=` fold — then stream `vecBatches` n-vector
+    // increments from a held-out replica. The loop artifact itself
+    // then shows the bend: per-batch `run_input_mb` flat and ≪
+    // `root_mb` (bytes are the signal; walls carry box drift).
+    val vecIncOpt = sys.env.get("SPARK_GRAFT_SCALE_VECINC").map(_.toInt)
+    val vecLoop = vecIncOpt match {
+      case None =>
+        (0 until vecBatches).map { r =>
+          val inc = vecCorpus.where(
+              col("vec_id") >= lit(r * idStride) && col("vec_id") < lit((r + 1) * idStride))
+            .select("vec_id", "embedding")
+          vecBatch(r, inc, s"scale_v$r")
+        }
+      case Some(incSize) =>
+        require(factor >= 2, "VECINC mode needs >= 2 replicas (bootstrap + holdout)")
+        val cut = math.max(1, (factor - 1) / 2).toLong
+        val boot = Seq(
+          (-2, vecCorpus.where(col("vec_id") < lit(cut * idStride)), "vboot1"),
+          (-1, vecCorpus.where(col("vec_id") >= lit(cut * idStride) &&
+            col("vec_id") < lit((factor - 1) * idStride)), "vboot2")
+        ).map { case (r, df, key) =>
+          vecBatch(r, df.select("vec_id", "embedding"), key)
+        }
+        val base = (factor - 1) * idStride
+        val tail = (0 until vecBatches).map { r =>
+          val inc = vecCorpus.where(
+              col("vec_id") >= lit(base + r.toLong * incSize) &&
+                col("vec_id") < lit(base + (r + 1).toLong * incSize))
+            .select("vec_id", "embedding")
+          vecBatch(r, inc, s"scale_vi$r")
+        }
+        boot ++ tail
     }
     val loadEnd = loadavg()
 
@@ -401,7 +437,9 @@ object ScaleBench {
         (if (p1 > 0) s""""x1_partitions":$p1,"x$factor${"_partitions"}":$pF,""" else "") +
         s""""driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",""" +
         s""""tiers":{"x1":{"documents":$d1,"embeddings":$e1},"x$factor":{"documents":$dF,"embeddings":$eF}},""" +
-        s""""queries":$qJson,"pipeline_loop":$loopJson,"vector_loop":$vecLoopJson,""" +
+        s""""queries":$qJson,"pipeline_loop":$loopJson,""" +
+        vecIncOpt.map(n => s""""vec_inc":$n,""").getOrElse("") +
+        s""""vector_loop":$vecLoopJson,""" +
         (if (recall.isEmpty) "" else {
           val r = recall.map { case (tier, m) =>
             s""""$tier":${m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")}"""

@@ -194,7 +194,11 @@ class MergeStarSpec extends SparkSpec {
     MergeRunner.processMerge(spark, landing, mergeRoot)
     val crashed = new String(preState, "UTF-8")
       .replaceFirst("\\{", """{"intent": "1", """)
-    Files.write(Paths.get(s"$mergeRoot/_merge_state.json"), crashed.getBytes("UTF-8"))
+    // Publish the simulated crash state through the store's own writer
+    // (a bare java.nio overwrite would leave the Hadoop-FS checksum
+    // stale since the round-15 port, and the read would fail on the
+    // mismatch instead of seeing the intent flag).
+    graft.sources.StateFile.write(s"$mergeRoot/_merge_state.json", crashed)
     // The replay must rebuild the refcounts from the merged facts and
     // land on identical snapshots.
     assert(MergeRunner.processMerge(spark, landing, mergeRoot).nonEmpty)

@@ -125,11 +125,18 @@ class MiniJsonSpec extends AnyFunSuite {
     val f = Files.createTempDirectory("graft_wm5").resolve("state.json")
     val store = new WatermarkStore(f.toString)
     store.update(Map("t" -> "2026-01-01 00:00:00.000000"))
-    // A torn file can no longer be produced by update() (the rename is
-    // atomic); simulate one arriving some other way — truncation must
-    // fail the read, not bootstrap from the sentinel and re-ingest.
+    // A torn file can no longer be produced by update() (the swap's
+    // recovery covers its own crash states — HostileFsSpec drills
+    // them); simulate one arriving some OTHER way, with no .tmp to
+    // recover from — truncation must fail the read, not bootstrap from
+    // the sentinel and re-ingest. Since the round-15 Hadoop-FS port
+    // the checksummed local FS surfaces the tear even before the JSON
+    // parser would (ChecksumException vs IllegalArgumentException) —
+    // either way LOUD, which is the contract.
     val full = Files.readString(f)
     Files.writeString(f, full.substring(0, full.length / 2))
-    intercept[IllegalArgumentException](store.watermark("t"))
+    val e = intercept[Exception](store.watermark("t"))
+    assert(e.isInstanceOf[IllegalArgumentException] ||
+      e.isInstanceOf[java.io.IOException], s"unexpected failure shape: $e")
   }
 }
