@@ -62,9 +62,11 @@ object SigPruneBench {
     // pair frame's scans (the agg sits above them, scan shapes
     // untouched), so the metrics walk below sees the same numbers the
     // previous toRdd.count() form recorded.
+    // bit_xor, not sum: ANSI mode (Spark 4 default) overflows a sum of
+    // full-range xxhash64 longs; xor is order-insensitive and total.
     val probe = df.agg(
       count(lit(1)).as("n"),
-      coalesce(sum(xxhash64(col("doc_a"), col("doc_b"), col("jaccard"))), lit(0L)).as("dig"))
+      coalesce(expr("bit_xor(xxhash64(doc_a, doc_b, jaccard))"), lit(0L)).as("dig"))
     val r = probe.collect()(0)
     val (rows, digest) = (r.getLong(0), r.getLong(1))
     val seen = java.util.Collections.newSetFromMap(
