@@ -412,13 +412,15 @@ object AnnIndex {
     // Partition filter FIRST (on the raw inferred partition column, so
     // the `cell=` pruning is static — batch_key dirs above it prune
     // per-batch, cells prune within), then the tombstone anti-join —
-    // removed vec_ids must never surface as neighbors.
-    BatchLog.requireFormat(spark, s"$root/codes", "AnnIndex")
+    // removed vec_ids must never surface as neighbors. The read goes
+    // through BatchLog (r15): a compaction/refreeze fold serves its
+    // cell files from the fold manifest — zero listings over the
+    // corpus-sized directory tree — while flat-era increments keep the
+    // listing read; the isin filter prunes identically in both.
     val codes = Tombstones.exclude(
-      spark.read.parquet(s"$root/codes")
+      BatchLog.read(spark, s"$root/codes", "AnnIndex")
         .where(col("cell").isin(probed: _*))
-        .withColumn("cell", col("cell").cast("long"))
-        .drop("batch_key"),
+        .withColumn("cell", col("cell").cast("long")),
       root, "vec_id")
     // Scoring never materializes a dequantized array: the codegen'd SQ8
     // kernels dequantize-and-fold in one tight loop per pair (the hot

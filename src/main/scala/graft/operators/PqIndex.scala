@@ -344,12 +344,12 @@ object PqIndex {
     // Bounded collect (≤ np·|Q| longs, np = max(probeCells, cells/4) by
     // default — grows with the cell ladder) → static partition filter.
     val probed = qp.select("cell").distinct().collect().map(_.getLong(0)).toSeq
-    BatchLog.requireFormat(spark, s"$root/codes", "PqIndex")
+    // Manifest-aware read (r15, same as AnnIndex.topK): fold cell files
+    // come from the fold manifest, zero listings; flat increments list.
     val codes = Tombstones.exclude(
-      spark.read.parquet(s"$root/codes")
+      BatchLog.read(spark, s"$root/codes", "PqIndex")
         .where(col("cell").isin(probed: _*))
-        .withColumn("cell", col("cell").cast("long"))
-        .drop("batch_key"),
+        .withColumn("cell", col("cell").cast("long")),
       root, "vec_id")
     val scored = qp.join(codes, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
