@@ -391,7 +391,12 @@ object AnnIndex {
     * `(query_id, embedding)` frame against the persisted index. */
   def topK(spark: SparkSession, root: String, queries: DataFrame, k: Int = 3,
       rerank: Option[DataFrame] = None, nprobe: Option[Int] = None): DataFrame = {
-    refreezeRecover(spark, root)
+    // FULL recovery (refreeze AND compaction swap), matching readCodes:
+    // a compaction that crashed mid-copy leaves a torn codes dir with
+    // intent+tmp siblings; reading it without the swap recovery would
+    // silently return partial neighbors (or fail on a half-copied fold
+    // manifest) — the r15 advisory's finding.
+    recoverState(spark, root)
     val (cents, mn, span) = loadQuantizer(spark, root)
       .getOrElse(sys.error(s"no ANN index at $root — ingest at least one batch first"))
     val d = sprk

@@ -48,11 +48,18 @@ private[graft] class ManifestFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // Bind by NAME, and treat a filter referencing any attribute the
+    // partition schema can't resolve (a name-case mismatch under some
+    // future caller, a misrouted data filter) as NON-PRUNABLE — all
+    // partitions pass — mirroring Spark's own defensive behavior
+    // instead of an IndexOutOfBounds at planning time.
+    val usable = partitionFilters.filter(_.references.forall(a =>
+      partitionSchema.exists(_.name == a.name)))
     val selected =
-      if (partitionFilters.isEmpty) parts
+      if (usable.isEmpty) parts
       else {
         val predicate = Predicate.createInterpreted(
-          partitionFilters.reduce(And).transform {
+          usable.reduce(And).transform {
             case a: AttributeReference =>
               val i = partitionSchema.indexWhere(_.name == a.name)
               BoundReference(i, partitionSchema(i).dataType, nullable = true)

@@ -324,7 +324,8 @@ object PqIndex {
     * persisted index; optional exact re-rank against a float corpus. */
   def topK(spark: SparkSession, root: String, queries: DataFrame, k: Int = 3,
       rerank: Option[DataFrame] = None, nprobe: Option[Int] = None): DataFrame = {
-    refreezeRecover(spark, root)
+    // FULL recovery (refreeze AND compaction swap) — see [[AnnIndex.topK]].
+    recoverState(spark, root)
     val (cents, cb) = loadQuantizer(spark, root)
       .getOrElse(sys.error(s"no PQ index at $root — ingest at least one batch first"))
     val d = sprk

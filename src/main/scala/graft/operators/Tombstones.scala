@@ -82,12 +82,8 @@ private[graft] object Tombstones {
     * tmp", and `dest present ∧ tmp present` always means "crashed
     * before the delete — tmp is an abandoned (possibly partial) stage,
     * drop it". */
-  def commitCompaction(spark: SparkSession, root: String, tmp: String, dest: String): Unit = {
-    commitSwap(spark, tmp, dest)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new HPath(dest).getFileSystem(conf)
-    fs.delete(new HPath(dir(root)), true)
-  }
+  def commitCompaction(spark: SparkSession, root: String, tmp: String, dest: String): Unit =
+    commitSwapImpl(spark, tmp, dest, clearTombstonesOf = Some(root))
 
   /** Sibling intent marker for [[commitSwap]] — present exactly while
     * a swap is IN FLIGHT. Round-15 (the hostile-FS drill's finding):
@@ -100,8 +96,48 @@ private[graft] object Tombstones {
     * the ambiguity with small-file primitives that ARE atomic enough
     * everywhere (create/delete): intent present ⇒ dest is untrusted
     * whatever its state; tmp (complete by construction while it
-    * exists — a copy deletes its source last) re-runs the swap. */
+    * exists — a copy deletes its source last) re-runs the swap.
+    *
+    * Round-16: the marker RECORDS the in-flight swap (`tmp` path, and
+    * the tombstone root the commit clears, when it does). The r15
+    * marker was an empty file keyed by dest alone, and SEVERAL
+    * protocols swap into the same dest (`__compact_tmp`,
+    * `__migrate_tmp`, `__refreeze_tmp`): a recoverer probing a
+    * DIFFERENT protocol's tmp would find it absent, conclude "rename
+    * finished", drop the intent, and — on the compaction path — clear
+    * the tombstone side table while the crashed swap's own tmp still
+    * dangled and the dest still held tombstoned rows (removed ids
+    * silently resurfacing). With the swap recorded, ANY recoverer
+    * completes exactly the swap that crashed: adopt the RECORDED tmp,
+    * clear the RECORDED root's tombstones (or none), never its own
+    * guess. */
   private def intentPath(dest: String) = new HPath(s"$dest.__swap_intent")
+
+  private def writeIntent(fs: org.apache.hadoop.fs.FileSystem, tmp: String,
+      dest: String, clearTombstonesOf: Option[String]): Unit = {
+    val body = graft.sources.MiniJson.renderFlat(Map(
+      "v" -> "2",
+      "tmp" -> fs.makeQualified(new HPath(tmp)).toString) ++
+      clearTombstonesOf.map(r => "root" -> fs.makeQualified(new HPath(r)).toString))
+    val out = fs.create(intentPath(dest), true)
+    try out.write((body + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The recorded in-flight swap `(tmp, tombstoneRoot)`, or None when
+    * the marker is torn/empty — which can only mean the writer died
+    * INSIDE the marker write, i.e. before any destructive step, so
+    * dest is exactly as trustworthy as with no marker at all. */
+  private def readIntent(fs: org.apache.hadoop.fs.FileSystem,
+      dest: String): Option[(String, Option[String])] =
+    try {
+      val in = fs.open(intentPath(dest))
+      val s = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      val m = graft.sources.MiniJson.parseFlat(s.trim)
+      if (m.getOrElse("v", "") != "2") None
+      else Some((m("tmp"), m.get("root")))
+    } catch { case _: Exception => None }
 
   /** The swap alone — for operators with NO tombstone side table
     * ([[SketchLog]]): deleting `root/tombstones` here would belong to a
@@ -109,13 +145,25 @@ private[graft] object Tombstones {
     * is documented to live beside), silently resurrecting its removed
     * ids. Same crash window and recovery contract as
     * [[commitCompaction]]. */
-  def commitSwap(spark: SparkSession, tmp: String, dest: String): Unit = {
+  def commitSwap(spark: SparkSession, tmp: String, dest: String): Unit =
+    commitSwapImpl(spark, tmp, dest, clearTombstonesOf = None)
+
+  /** Create intent (recording the swap) → delete dest → rename tmp →
+    * clear tombstones (compaction only) → delete intent. The tombstone
+    * clear moved INSIDE the intent window in round 16: the r15 shape
+    * cleared after the intent delete, so a crash between the two left
+    * stale tombstones that recovery (no intent, no tmp) could never
+    * see — a legitimately re-added id would have been suppressed
+    * forever. Inside the window, recovery re-runs the clear. */
+  private def commitSwapImpl(spark: SparkSession, tmp: String, dest: String,
+      clearTombstonesOf: Option[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new HPath(dest).getFileSystem(conf)
-    fs.create(intentPath(dest), true).close()
+    writeIntent(fs, tmp, dest, clearTombstonesOf)
     fs.delete(new HPath(dest), true)
     require(fs.rename(new HPath(tmp), new HPath(dest)),
       s"compaction commit failed: could not move $tmp into $dest")
+    clearTombstonesOf.foreach(root => fs.delete(new HPath(dir(root)), true))
     fs.delete(intentPath(dest), false)
   }
 
@@ -141,25 +189,50 @@ private[graft] object Tombstones {
       clearTombstonesOf: Option[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new HPath(dest).getFileSystem(conf)
-    val destP = new HPath(dest); val tmpP = new HPath(tmp)
+    val destP = new HPath(dest)
     val intentP = intentPath(dest)
     if (fs.exists(intentP)) {
-      // Swap in flight at the crash: dest may be absent, partial, or
-      // complete — all untrusted. While tmp exists it is complete by
-      // construction, so re-running the swap from it is always sound;
-      // tmp absent means the rename finished (a copy deletes its
-      // source only after completing) and dest IS the new state.
-      if (fs.exists(tmpP)) {
-        fs.delete(destP, true)
-        require(fs.rename(tmpP, destP),
-          s"compaction recovery failed: could not adopt $tmp as $dest")
+      readIntent(fs, dest) match {
+        case Some((recTmp, recRoot)) =>
+          // Swap in flight at the crash: dest may be absent, partial,
+          // or complete — all untrusted. The marker RECORDS which tmp
+          // was swapping (several protocols share one dest); complete
+          // exactly that swap, never the recoverer's own guess. While
+          // the recorded tmp exists it is complete by construction, so
+          // re-running the swap from it is always sound; recorded tmp
+          // absent means the rename finished (a copy deletes its
+          // source only after completing) and dest IS the new state —
+          // only the recorded post-rename steps were lost.
+          val recTmpP = new HPath(recTmp)
+          if (fs.exists(recTmpP)) {
+            fs.delete(destP, true)
+            require(fs.rename(recTmpP, destP),
+              s"swap recovery failed: could not adopt $recTmp as $dest")
+          }
+          recRoot.foreach(root => fs.delete(new HPath(dir(root)), true))
+          fs.delete(intentP, false)
+        case None =>
+          // Torn/empty marker: the writer died INSIDE the marker write,
+          // strictly before any destructive step — dest is exactly as
+          // trustworthy as with no marker. Drop it and fall through to
+          // the no-intent states (which also correctly drop a PARTIAL
+          // abandoned stage instead of adopting it).
+          fs.delete(intentP, false)
+          recoverNoIntent(fs, tmp, destP, clearTombstonesOf)
       }
-      fs.delete(intentP, false)
-      clearTombstonesOf.foreach(root => fs.delete(new HPath(dir(root)), true))
-    } else if (fs.exists(tmpP)) {
+    } else recoverNoIntent(fs, tmp, destP, clearTombstonesOf)
+  }
+
+  /** The pre-intent crash states: adopt a tmp staged against a missing
+    * dest (the legacy delete-to-rename window), drop an abandoned
+    * (possibly partial) stage otherwise. */
+  private def recoverNoIntent(fs: org.apache.hadoop.fs.FileSystem, tmp: String,
+      destP: HPath, clearTombstonesOf: Option[String]): Unit = {
+    val tmpP = new HPath(tmp)
+    if (fs.exists(tmpP)) {
       if (!fs.exists(destP)) {
         require(fs.rename(tmpP, destP),
-          s"compaction recovery failed: could not adopt $tmp as $dest")
+          s"compaction recovery failed: could not adopt $tmp as $destP")
         clearTombstonesOf.foreach(root => fs.delete(new HPath(dir(root)), true))
       } else fs.delete(tmpP, true)
     }

@@ -66,7 +66,23 @@ object LandingLog {
       .getOrElse(sys.error(s"no part file written for $table/$batchId"))
     val dest = new HPath(s"$root/$table/${fileKey(batchId)}.csv")
     fs.mkdirs(dest.getParent)
-    fs.delete(dest, false)
+    // A pre-existing dest is replaced (the replay-heals-a-torn-file
+    // contract), but LOUDLY: the only legitimate collision is a replay
+    // of the SAME batch recomputing the identical increment (watermark
+    // not yet bumped). A silent replace would also swallow the
+    // pathological case — a replay computing a DIFFERENT increment for
+    // a committed batch (clock/watermark skew) — so both sizes are
+    // logged; a size mismatch in the logs is the skew signature.
+    if (fs.exists(dest)) {
+      val oldLen = fs.getFileStatus(dest).getLen
+      val newLen = fs.getFileStatus(part).getLen
+      System.err.println(
+        s"[graft] LandingLog: $dest already exists (committed ${oldLen}B, " +
+          s"replay recomputed ${newLen}B" +
+          (if (oldLen != newLen) " — SIZE MISMATCH, check for watermark skew" else "") +
+          "); replacing with the replay's increment")
+      fs.delete(dest, false)
+    }
     require(fs.rename(part, dest),
       s"landing commit failed: could not move $part into $dest")
     fs.delete(new HPath(tmp), true)

@@ -471,4 +471,105 @@ class BatchLogSpec extends SparkSpec {
     assert(pairSet(b2.deltaPairs).contains((3L, 6L)))
     CacheJanitor.drain()
   }
+
+  // ----------------------- swap-intent cross-protocol recovery (r16 HIGH)
+
+  private def writeIntent(dest: String, tmp: String, root: Option[String]): Unit = {
+    val body = graft.sources.MiniJson.renderFlat(
+      Map("v" -> "2", "tmp" -> tmp) ++ root.map(r => "root" -> r))
+    Files.write(Paths.get(s"$dest.__swap_intent"), (body + "\n").getBytes("UTF-8"))
+    ()
+  }
+
+  test("a finished MIGRATE's dangling intent must not make compaction recovery clear tombstones") {
+    // The r16 advisory's HIGH finding: adoptLegacy commits via
+    // commitSwap(dest.__migrate_tmp, dest); a crash after its rename but
+    // before the intent delete leaves the marker with NO tmp on disk.
+    // The old (dest-keyed, content-less) marker made the next reader's
+    // recoverCompaction — probing its OWN __compact_tmp, absent —
+    // conclude "rename finished", drop the intent, and DELETE the
+    // tombstone side table: removed ids silently resurfacing. The v2
+    // marker records the swap; a migrate intent never clears tombstones.
+    val root = Files.createTempDirectory("graft_bk_intent1").toString
+    val dest = s"$root/signatures"
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("b1"))
+    CacheJanitor.drain()
+    SignatureIndex.remove(spark, root, Seq(2L))
+    assert(!SignatureIndex.readIndex(spark, root).collect().map(_.getLong(0)).contains(2L))
+    // Crash state: migrate's rename FINISHED (tmp gone), intent remains.
+    writeIntent(dest, s"$dest.__migrate_tmp", root = None)
+    // Any reader path runs recoverCompaction(root, dest.__compact_tmp, dest).
+    val ids = SignatureIndex.readIndex(spark, root).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L),
+      s"a foreign (migrate) intent must not clear the tombstone table: $ids")
+    assert(!Files.exists(Paths.get(s"$dest.__swap_intent")),
+      "recovery must clear the completed swap's intent")
+    CacheJanitor.drain()
+  }
+
+  test("a MIGRATE crashed mid-swap is completed from ITS recorded tmp by any recoverer") {
+    val root = Files.createTempDirectory("graft_bk_intent2").toString
+    val dest = s"$root/signatures"
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("b1"))
+    CacheJanitor.drain()
+    val want = SignatureIndex.readIndex(spark, root)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    // Crash state: the staged migrate tmp is complete, dest was deleted,
+    // the rename never ran (the delete-to-rename window), intent present.
+    val tmp = s"$dest.__migrate_tmp"
+    Files.move(Paths.get(dest), Paths.get(tmp))
+    writeIntent(dest, tmp, root = None)
+    // The reader's compaction recovery (probing __compact_tmp) must
+    // adopt the RECORDED migrate tmp, not conclude completion over a
+    // missing dest.
+    val got = SignatureIndex.readIndex(spark, root)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(got == want, "recovery must complete the recorded swap")
+    assert(!Files.exists(Paths.get(tmp)) && !Files.exists(Paths.get(s"$dest.__swap_intent")))
+    CacheJanitor.drain()
+  }
+
+  test("a compaction intent whose tombstone clear was lost is completed — table cleared — by recovery") {
+    val root = Files.createTempDirectory("graft_bk_intent3").toString
+    val dest = s"$root/signatures"
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("b1"))
+    CacheJanitor.drain()
+    SignatureIndex.remove(spark, root, Seq(2L))
+    SignatureIndex.compact(spark, root) // clean commit: tombstones cleared
+    CacheJanitor.drain()
+    // Crash state: rename finished, tombstone clear + intent delete lost
+    // (the dest fold already excludes id 2; the side table still lists it).
+    Tombstones.append(root, Seq(2L).toDF("doc_id"), "doc_id")
+    writeIntent(dest, s"$dest.__compact_tmp", root = Some(root))
+    val ids = SignatureIndex.readIndex(spark, root).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L))
+    assert(!Files.isDirectory(Paths.get(s"$root/tombstones")),
+      "recovery must re-run the recorded compaction's tombstone clear")
+    assert(!Files.exists(Paths.get(s"$dest.__swap_intent")))
+    CacheJanitor.drain()
+  }
+
+  test("a torn (empty) intent marker is dropped and a partial abandoned stage is NOT adopted") {
+    val root = Files.createTempDirectory("graft_bk_intent4").toString
+    val dest = s"$root/signatures"
+    SignatureIndex.ingest(spark, root, docs(batchA: _*), batchKey = Some("b1"))
+    CacheJanitor.drain()
+    val want = SignatureIndex.readIndex(spark, root)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    // Crash state: a writer died INSIDE the marker write (zero bytes
+    // landed) — before any destructive step — with a PARTIAL abandoned
+    // stage from an earlier unrelated crash also on disk. Recovery must
+    // trust dest (no destructive step ran) and drop the partial stage,
+    // never adopt it.
+    val tmp = Paths.get(s"$dest.__compact_tmp")
+    Files.createDirectories(tmp)
+    Files.write(tmp.resolve("garbage.parquet"), "not parquet".getBytes("UTF-8"))
+    Files.write(Paths.get(s"$dest.__swap_intent"), Array.empty[Byte])
+    val got = SignatureIndex.readIndex(spark, root)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(got == want, "a torn marker must leave dest authoritative")
+    assert(!Files.exists(tmp), "the partial abandoned stage must be dropped")
+    assert(!Files.exists(Paths.get(s"$dest.__swap_intent")))
+    CacheJanitor.drain()
+  }
 }

@@ -1,9 +1,10 @@
 package graft
 
-import graft.operators.{BatchLog, SignatureIndex}
+import graft.operators.{AnnIndex, BatchLog, SignatureIndex}
 import graft.sources.{LandingLog, StateFile, WatermarkStore}
 import graft.testfs.HostileFileSystem
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** The object-store drills (round-15: r14 verdict item 2 — "exercise
   * the object-store bindings instead of documenting them"). Every case
@@ -153,6 +154,37 @@ class HostileFsSpec extends SparkSpec {
       CacheJanitor.drain()
     }
   }}
+
+  test("ANN topK heals a compaction swap crashed mid-copy — full recovery on the query path") {
+    // The r16 advisory's MEDIUM finding: topK ran only refreezeRecover;
+    // a compaction crashed mid-copy (torn codes dir, intent + tmp
+    // siblings present) would be read WITHOUT the swap recovery —
+    // silently partial neighbors through the listing fallback, or a
+    // FileNotFound through a half-copied fold manifest.
+    val root = hostileRoot("anntopk")
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select("vec_id", "embedding")
+    AnnIndex.ingest(spark, root, vecs.where(col("vec_id") < 250))
+    CacheJanitor.drain()
+    AnnIndex.ingest(spark, root, vecs.where(col("vec_id") >= 250))
+    CacheJanitor.drain()
+    AnnIndex.remove(spark, root, Seq(42L))
+    val queries = vecs.where(col("vec_id") < 5)
+      .selectExpr("vec_id AS query_id", "embedding")
+    def tops(): Set[String] =
+      rows(AnnIndex.topK(spark, root, queries, k = 3)
+        .select("query_id", "neighbor_id", "rnk"))
+    val want = tops()
+    assert(want.nonEmpty)
+    HostileFileSystem.armCrash("torn-dest", "/codes")
+    val crashed = intercept[Exception] { AnnIndex.compact(spark, root) }
+    HostileFileSystem.disarm()
+    assert(crashed.getMessage.contains("injected crash"), s"wrong failure: $crashed")
+    // topK alone (no ingest/readCodes in between) must heal the swap and
+    // answer exactly as before the crash.
+    assert(tops() == want, "topK must recover the crashed swap, not read the torn codes")
+    CacheJanitor.drain()
+  }
 
   test("manifest-backed probe lists strictly less than the listing arm — same answer, counted") { withFoldProps {
     val root = hostileRoot("count")
