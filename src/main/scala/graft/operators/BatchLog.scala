@@ -332,10 +332,16 @@ private[graft] object BatchLog {
     * reads can skip directories). Committed keys only. */
   def partitionedKeys(spark: SparkSession, path: String, partCol: String): Set[String] = {
     val fs = fsOf(spark, path)
-    committedKeys(spark, path).filter { k =>
-      readFoldManifest(spark, dirFor(path, k)).map(_.partCols.contains(partCol))
-        .getOrElse(fs.listStatus(new HPath(dirFor(path, k))).exists(s =>
-          s.isDirectory && s.getPath.getName.startsWith(s"$partCol=")))
+    // One manifest consult per key answers BOTH the committed filter
+    // and the layout question (was committedKeys + a second consult).
+    keys(spark, path).filter { k =>
+      val d = dirFor(path, k)
+      readFoldManifest(spark, d) match {
+        case Some(m) => m.files.nonEmpty && m.partCols.contains(partCol)
+        case None => hasCommittedFiles(spark, d) &&
+          fs.listStatus(new HPath(d)).exists(s =>
+            s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      }
     }.toSet
   }
 
@@ -357,8 +363,16 @@ private[graft] object BatchLog {
   def read(spark: SparkSession, path: String, op: String): DataFrame = {
     requireFormat(spark, path, op)
     val fs = fsOf(spark, path)
-    val ks = committedKeys(spark, path)
-    val mans = ks.map(k => k -> readFoldManifest(spark, dirFor(path, k))).toMap
+    // One manifest consult per key, shared by the committed filter and
+    // the layout split below (was two-three consults per key: the r15
+    // advisory's double read, a metadata round-trip tax on object
+    // stores).
+    val mans = keys(spark, path)
+      .map(k => k -> readFoldManifest(spark, dirFor(path, k))).toMap
+    val ks = mans.keys.toSeq.sorted.filter { k =>
+      mans(k).map(_.files.nonEmpty)
+        .getOrElse(hasCommittedFiles(spark, dirFor(path, k)))
+    }
     def partColsOf(k: String): Set[String] =
       mans(k).map(_.partCols.toSet).getOrElse(
         fs.listStatus(new HPath(dirFor(path, k))).toSeq
@@ -474,6 +488,30 @@ private[graft] object BatchLog {
   private def manifestReadDisabled: Boolean =
     java.lang.Boolean.getBoolean("graft.fold.manifest.disable")
 
+  /** Driver-side cache of PARSED manifests, keyed by the manifest
+    * file's qualified path and validated on every consult by one
+    * `getFileStatus` against the recorded (length, mtime) — so a
+    * consult costs ONE metadata round-trip instead of exists + open +
+    * GET + parse (the r15 advisory: `read` alone re-opened every
+    * manifest 2–3 times, and each `committedKeys`/`hasData`/
+    * `partitionedKeys` call re-paid exists+open per key). Staleness is
+    * impossible by construction, not by invalidation hooks: fold
+    * directories are immutable after commit, and the only way a
+    * manifest at a given path can ever change (a root deleted and
+    * rebuilt from scratch, a crashed copy-based swap re-run by
+    * recovery) rewrites the manifest FILE, changing its stat — the
+    * consult then misses and re-reads. A validation miss, parse
+    * failure, or deleted manifest drops the entry. Bounded LRU so a
+    * long-lived driver over many roots cannot grow without bound. */
+  private val manifestCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (Long, Long, FoldManifest)](
+          64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Long, Long, FoldManifest)]): Boolean =
+          size() > 8192
+      })
+
   /** Write the manifest for a just-written fold directory (one
     * recursive listing + one footer read, at WRITE time — the whole
     * point is that no read pays them again). Skips (leaving reads on
@@ -535,9 +573,19 @@ private[graft] object BatchLog {
   def readFoldManifest(spark: SparkSession, batchDir: String): Option[FoldManifest] =
     try {
       if (manifestReadDisabled) return None
-      val p = new HPath(batchDir, foldManifestName)
       val fs = fsOf(spark, batchDir)
-      if (!fs.exists(p)) return None
+      val p = fs.makeQualified(new HPath(batchDir, foldManifestName))
+      val st =
+        try fs.getFileStatus(p)
+        catch {
+          case _: java.io.FileNotFoundException =>
+            manifestCache.remove(p.toString); return None
+        }
+      manifestCache.get(p.toString) match {
+        case (len, mt, m) if len == st.getLen && mt == st.getModificationTime =>
+          return Some(m)
+        case _ => ()
+      }
       val in = fs.open(p)
       val s = try new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
@@ -558,7 +606,11 @@ private[graft] object BatchLog {
         (parts(0), parts(1).toLong, parts(2).toLong)
       }
       if (files.isEmpty) None
-      else Some(FoldManifest(partCols, dataSchema, partSchema, files))
+      else {
+        val fm = FoldManifest(partCols, dataSchema, partSchema, files)
+        manifestCache.put(p.toString, (st.getLen, st.getModificationTime, fm))
+        Some(fm)
+      }
     } catch {
       case e: Exception =>
         System.err.println(

@@ -588,19 +588,20 @@ object MergeRunner {
       url: String,
       props: java.util.Properties): Seq[String] = WriterLease.withLease(spark, processedRoot) {
     val store = new WatermarkStore(statePath)
-    val updated = timed("ingest") { Runner.ingestOnce(sources, landingRoot, store, batchId) }
-    if (updated.isEmpty) Seq.empty
-    else {
-      val srcOfKey = factKeys.map(_.swap)
-      processMerge(spark, landingRoot, processedRoot,
-        factSink = (key, rows) => timed(s"jdbc:$key") {
-          Extract.jdbcUpsert(rows, url, warehouseTableOf(key),
-            Schemas.sources(srcOfKey(key))._2, props)
-        },
-        dimSink = (key, rows) => timed(s"jdbc:$key") {
-          Extract.jdbcOverwrite(rows, url, warehouseTableOf(key), props)
-        })
-    }
+    timed("ingest") { Runner.ingestOnce(sources, landingRoot, store, batchId) }
+    // Always consult the merge even when the sources gated out: a PRIOR
+    // batch may have crashed between its landing commit and its merge —
+    // processMerge folds any unfolded keys (the retry converges) and
+    // returns empty cheaply (driver listings only) when there are none.
+    val srcOfKey = factKeys.map(_.swap)
+    processMerge(spark, landingRoot, processedRoot,
+      factSink = (key, rows) => timed(s"jdbc:$key") {
+        Extract.jdbcUpsert(rows, url, warehouseTableOf(key),
+          Schemas.sources(srcOfKey(key))._2, props)
+      },
+      dimSink = (key, rows) => timed(s"jdbc:$key") {
+        Extract.jdbcOverwrite(rows, url, warehouseTableOf(key), props)
+      })
   }
 
   /** One end-to-end incremental micro-batch: ingest → merge → view
@@ -614,12 +615,14 @@ object MergeRunner {
       statePath: String,
       batchId: String): Seq[String] = WriterLease.withLease(spark, processedRoot) {
     val store = new WatermarkStore(statePath)
-    val updated = timed("ingest") { Runner.ingestOnce(sources, landingRoot, store, batchId) }
-    if (updated.isEmpty) Seq.empty
-    else {
-      val written = processMerge(spark, landingRoot, processedRoot)
+    timed("ingest") { Runner.ingestOnce(sources, landingRoot, store, batchId) }
+    // No early return on a gated-out ingest: a prior batch crashed
+    // between its landing commit and its merge leaves unfolded keys
+    // that processMerge absorbs now (the retry converges); with none,
+    // it returns empty after driver-side listings only.
+    val written = processMerge(spark, landingRoot, processedRoot)
+    if (written.nonEmpty)
       timed("views") { loadWarehouseViews(spark, processedRoot, written) }
-      written
-    }
+    written
   }
 }

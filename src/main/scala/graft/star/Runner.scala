@@ -54,6 +54,33 @@ object Runner {
     * the deduped snapshot, which is never larger). */
   val factCacheMemoryBoundBytes: Long = 8L << 30
 
+  /** Per-table record of the landing batch keys a full-log replay has
+    * ALREADY absorbed into the processed snapshots (`folded|<table>` →
+    * max landing key, the merge runner's convention) — the Runner-side
+    * closure of the ingest-before-process crash window. Without it, a
+    * batch that died between its landing commit + watermark bump and
+    * its snapshot publish stranded those tables: the retry's ingest
+    * gate sees no new source rows, `updates` stays empty, and the
+    * snapshot serves stale data until the source happens to change
+    * again (found by the round-16 hostile end-to-end drill). With it,
+    * [[processBatch]] folds landed-but-unprocessed tables into every
+    * batch, so the RETRY itself converges. Absent state (a pre-upgrade
+    * processed root) reads as "nothing recorded" and triggers one full
+    * rebuild of every landed table — slower once, never stale. */
+  private val replayStateName = "_replay_state.json"
+
+  /** Tables whose landing log holds batch keys newer than the last
+    * replay recorded for them — landed but never folded into the
+    * processed snapshots. Driver-side listings only, no Spark jobs. */
+  def pendingReplay(spark: SparkSession, landingRoot: String,
+      processedRoot: String): Set[String] = {
+    val state = new WatermarkStore(s"$processedRoot/$replayStateName").read()
+    Schemas.sources.keys.filter { t =>
+      val ks = LandingLog.logKeys(spark, landingRoot, t)
+      ks.nonEmpty && state.get(s"folded|$t").forall(_ < ks.max)
+    }.toSet
+  }
+
   /** Total on-disk bytes of a landing-log table directory (0 if absent).
     * Hadoop FS, not java.nio — a non-local landing root must measure
     * correctly, not read as 0 (the merge path's byte gate already made
@@ -148,25 +175,40 @@ object Runner {
     def log(table: String): DataFrame =
       LandingLog.readLog(spark, landingRoot, table, Schemas.sources(table)._1)
 
+    // Fold landed-but-unprocessed tables (a prior batch crashed between
+    // its landing commit and its snapshot publish) into this batch: the
+    // replay reads full logs anyway, so absorbing a stranded increment
+    // costs exactly one rebuild of its table — and the retry of a
+    // crashed batch converges instead of gating out on the already-
+    // bumped source watermark. Keys are listed ONCE and the same list
+    // is recorded after the writes, so a landing committing mid-batch
+    // is never marked folded before a replay actually read it.
+    val replayStore = new WatermarkStore(s"$processedRoot/$replayStateName")
+    val replayState = replayStore.read()
+    val keysByTable = Schemas.sources.keys.toSeq.sorted
+      .map(t => t -> LandingLog.logKeys(spark, landingRoot, t)).toMap
+    val ups = updates ++ keysByTable.collect { case (t, ks)
+      if ks.nonEmpty && replayState.get(s"folded|$t").forall(_ < ks.max) => t }
+
     val written = Seq.newBuilder[String]
     def put(key: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
       LandingLog.writeSnapshot(df, processedRoot, key, partitionBy)
       written += key
     }
 
-    if (updates("address")) put("dim-location", StarSchema.dimLocation(log("address")))
-    if (updates("address") || updates("counterparty"))
+    if (ups("address")) put("dim-location", StarSchema.dimLocation(log("address")))
+    if (ups("address") || ups("counterparty"))
       put("dim-counterparty", StarSchema.dimCounterparty(log("counterparty"), log("address")))
-    if (updates("currency")) put("dim-currency", StarSchema.dimCurrency(log("currency")))
-    if (updates("design")) put("dim-design", StarSchema.dimDesign(log("design")))
-    if (updates("payment_type"))
+    if (ups("currency")) put("dim-currency", StarSchema.dimCurrency(log("currency")))
+    if (ups("design")) put("dim-design", StarSchema.dimDesign(log("design")))
+    if (ups("payment_type"))
       put("dim-payment_type", StarSchema.dimPaymentType(log("payment_type")))
-    if (updates("staff") || updates("department"))
+    if (ups("staff") || ups("department"))
       put("dim-staff", StarSchema.dimStaff(log("staff"), log("department")))
-    if (updates("transaction"))
+    if (ups("transaction"))
       put("dim-transaction", StarSchema.dimTransaction(log("transaction")))
 
-    if ((updates & factSources).nonEmpty) {
+    if ((ups & factSources).nonEmpty) {
       // One-time id-policy migration guard: if the STORED dim_date was
       // built under the OTHER id policy (dense ids are 1..n < 10^7;
       // stable ids are yyyymmdd >= 19700101), facts skipped by the
@@ -216,7 +258,7 @@ object Runner {
       // replay/downstream reads prune date directories, incl. via DPP
       // through the dim_date join).
       def fact(src: String, key: String, snap: DataFrame, build: => DataFrame): Unit =
-        if (updates(src) || ((!stableDateIds || storedPolicyMismatch) && !snap.isEmpty))
+        if (ups(src) || ((!stableDateIds || storedPolicyMismatch) && !snap.isEmpty))
           put(key, build, partitionBy = Seq("created_date"))
       fact("payment", "fact-payment", pay,
         StarSchema.factPayment(pay, dates, stableRecordIds))
@@ -227,6 +269,12 @@ object Runner {
       Seq(dates, pay, po, so).foreach(_.unpersist())
       writeRecordPolicy(spark, processedRoot, stableRecordIds)
     }
+    // Record the landing keys this replay absorbed — AFTER every
+    // snapshot write, through the crash-safe state swap, so a crash
+    // anywhere above re-detects the batch as pending and replays it
+    // again (idempotent: the replay is a pure function of the log).
+    replayStore.update(keysByTable.collect { case (t, ks)
+      if ups(t) && ks.nonEmpty => s"folded|$t" -> ks.max }.toMap)
     // Release operator-internal persists (sequentialId's sorted frames)
     // now that every snapshot write has materialized them.
     graft.CacheJanitor.drain()
@@ -358,7 +406,11 @@ object Runner {
     // deployment unit) stay fully concurrent.
     val store = new WatermarkStore(statePath)
     val updated = ingestOnce(sources, landingRoot, store, batchId)
-    if (updated.isEmpty) Seq.empty
+    // Proceed when the sources gated out but a PRIOR batch left landed-
+    // but-unprocessed increments (crashed between its landing commit and
+    // its snapshot publish): the retry must converge, not no-op.
+    if (updated.isEmpty && pendingReplay(spark, landingRoot, processedRoot).isEmpty)
+      Seq.empty
     else {
       val written = processBatch(spark, landingRoot, processedRoot, updated.toSet,
         stableDateIds, stableRecordIds = stableRecordIds)

@@ -74,6 +74,18 @@ class HostileFileSystem extends RawLocalFileSystem {
     super.mkdirs(f, permission)
   }
 
+  /** Object stores have no mtime mutation: with [[denySetTimes]] armed
+    * this throws UnsupportedOperationException (the S3A/ABFS shape),
+    * which the WriterLease heartbeat must survive — counted either
+    * way. */
+  override def setTimes(f: Path, mtime: Long, atime: Long): Unit = {
+    count("setTimes")
+    if (HostileFileSystem.setTimesDenied)
+      throw new UnsupportedOperationException(
+        "[hostile] setTimes is not supported on this store")
+    super.setTimes(f, mtime, atime)
+  }
+
   /** Copy-then-delete with strict preconditions and crash hooks. */
   override def rename(src: Path, dst: Path): Boolean = {
     count("rename")
@@ -133,6 +145,19 @@ object HostileFileSystem {
 
   def reset(): Unit = counters.clear()
 
+  // ------------------------------------------------------- setTimes deny
+
+  /** When true, [[HostileFileSystem.setTimes]] throws
+    * UnsupportedOperationException — the object-store impls that have
+    * no mtime mutation. Drills the WriterLease heartbeat's documented
+    * degradation (lease ages out as if pre-heartbeat; refusal within
+    * TTL still holds). */
+  @volatile private var denySetTimesFlag: Boolean = false
+
+  def denySetTimes(on: Boolean): Unit = denySetTimesFlag = on
+
+  private[testfs] def setTimesDenied: Boolean = denySetTimesFlag
+
   // ---------------------------------------------------------- crash hook
 
   /** One-shot injected crash: fires (throws) when a rename whose dest
@@ -141,29 +166,40 @@ object HostileFileSystem {
     * "torn-dest" (dest incomplete, src present). Suffix matching keeps
     * the hook off the committer's internal renames (their dests end in
     * part-file names, a swap's dest is the log directory itself).
-    * Disarms on fire. */
-  @volatile private var arm: Option[(String, String)] = None
+    * `skip` matching renames pass through unharmed before the next one
+    * fires — the lever that targets e.g. a state file's SECOND swap of
+    * a batch (the commit-point advance) instead of its first (the
+    * intent set). Disarms on fire. */
+  private val armLock = new Object
+  private var arm: Option[(String, String)] = None
+  private var armSkip: Int = 0
 
-  def armCrash(phase: String, dstSuffix: String): Unit =
-    arm = Some((phase, dstSuffix))
+  def armCrash(phase: String, dstSuffix: String, skip: Int = 0): Unit =
+    armLock.synchronized { arm = Some((phase, dstSuffix)); armSkip = skip }
 
-  def disarm(): Unit = arm = None
+  def disarm(): Unit = armLock.synchronized { arm = None; armSkip = 0 }
 
-  private def armed(phase: String, dst: Path): Boolean =
-    arm.exists { case (p, sub) => p == phase && dst.toString.endsWith(sub) }
-
-  private def fire(phase: String, src: Path, dst: Path): Nothing = {
-    arm = None
-    throw new java.io.IOException(
-      s"[hostile] injected crash at $phase renaming $src -> $dst")
-  }
-
-  private def maybeCrash(phase: String, dst: Path): Unit =
-    arm.foreach { case (p, sub) =>
-      if (p == phase && dst.toString.endsWith(sub)) {
-        arm = None
-        throw new java.io.IOException(
-          s"[hostile] injected crash at $phase renaming to $dst")
+  /** True exactly once per armed (phase, suffix) after `skip` earlier
+    * matches — the single decision point for both hook sites, so the
+    * skip counter can never double-count one rename. */
+  private def shouldFire(phase: String, dst: Path): Boolean =
+    armLock.synchronized {
+      arm match {
+        case Some((p, sub)) if p == phase && dst.toString.endsWith(sub) =>
+          if (armSkip > 0) { armSkip -= 1; false }
+          else { arm = None; true }
+        case _ => false
       }
     }
+
+  private def armed(phase: String, dst: Path): Boolean = shouldFire(phase, dst)
+
+  private def fire(phase: String, src: Path, dst: Path): Nothing =
+    throw new java.io.IOException(
+      s"[hostile] injected crash at $phase renaming $src -> $dst")
+
+  private def maybeCrash(phase: String, dst: Path): Unit =
+    if (shouldFire(phase, dst))
+      throw new java.io.IOException(
+        s"[hostile] injected crash at $phase renaming to $dst")
 }

@@ -126,6 +126,35 @@ class FoldManifestSpec extends SparkSpec {
     }
   }
 
+  test("manifest cache revalidates by stat: a replaced fold re-reads, a deleted manifest falls back") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_manifest_cache").toString +
+      "/batch_key=a00001"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1).write.parquet(dir)
+    BatchLog.writeFoldManifest(spark, dir)
+    val m1 = BatchLog.readFoldManifest(spark, dir).get
+    assert(m1.files.map(f => (f._1, f._2)).toSet == listed(dir))
+    // Second consult is served from the cache — must be the same parse.
+    assert(BatchLog.readFoldManifest(spark, dir).contains(m1))
+    // Replace the directory wholesale (what a re-run copy-based swap or
+    // a root rebuilt from scratch produces): the manifest FILE is
+    // rewritten, its stat changes, and the cached entry must be
+    // revalidated away — a stale file list here would corrupt reads.
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    (0L until 64L).map(i => (i, s"string$i")).toDF("id", "s")
+      .repartition(3).write.parquet(dir)
+    BatchLog.writeFoldManifest(spark, dir)
+    val m2 = BatchLog.readFoldManifest(spark, dir).get
+    assert(m2.files.map(f => (f._1, f._2)).toSet == listed(dir),
+      "replaced fold must serve the NEW manifest, not the cached one")
+    assert(m2 != m1, "spec shape broken: replacement produced an identical manifest")
+    // Deleting the manifest must defeat the cache too (fallback, not
+    // a stale positive).
+    fs.delete(new org.apache.hadoop.fs.Path(dir, BatchLog.foldManifestName), false)
+    assert(BatchLog.readFoldManifest(spark, dir).isEmpty,
+      "deleted manifest must read as absent even when previously cached")
+  }
+
   test("a compaction reading THROUGH manifests retires exactly the absorbed keys") {
     withProps("graft.fold.min.rows" -> "1024", "graft.fold.group.bytes" -> "2048") {
       val root = Files.createTempDirectory("graft_manifest_retire").toString

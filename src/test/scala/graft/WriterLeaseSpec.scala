@@ -221,6 +221,59 @@ class WriterLeaseSpec extends SparkSpec {
       "an interrupt consumed by InterruptedIOException must still exit the beat")
   }
 
+  test("hostile FS: fresh foreign lease refuses, stale foreign lease is stolen (object-store semantics)") {
+    // The lease file protocol on the copy+delete, strict-rename store:
+    // create-no-overwrite still arbitrates, mtime staleness still reads.
+    graft.testfs.HostileFileSystem.install(spark.sparkContext.hadoopConfiguration)
+    val local = Files.createTempDirectory("graft_wl_hostile")
+    val root = s"hostile://$local"
+    val leaseLocal = local.resolve(WriterLease.fileName)
+    Files.write(leaseLocal, "pid999@elsewhere/deadbeef\n".getBytes("UTF-8"))
+    val e = intercept[ConcurrentWriterException] {
+      WriterLease.withLease(spark, root) { fail("must not run under a held lease") }
+    }
+    assert(e.getMessage.contains("pid999@elsewhere"), e.getMessage)
+    // Backdate past the TTL: presumed crashed, stolen, body runs.
+    Files.setLastModifiedTime(leaseLocal, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - WriterLease.defaultTtlMs - 60_000L))
+    var ran = false
+    WriterLease.withLease(spark, root) { ran = true }
+    assert(ran, "a stale hostile lease must be stolen")
+    assert(!Files.exists(leaseLocal), "released (deleted) on exit")
+  }
+
+  test("hostile FS with setTimes denied: the beat survives, keeps trying, and the steal window is the documented degradation") {
+    // Object stores without mtime mutation (setTimes throws
+    // UnsupportedOperationException): the heartbeat must keep looping
+    // loudly — a dead beat would be silent — and the OBSERVABLE
+    // degradation is that the lease file's mtime never advances, so a
+    // holder outrunning the TTL ages into the steal window (size the
+    // TTL to the action on such stores; documented in SCALE.md).
+    graft.testfs.HostileFileSystem.install(spark.sparkContext.hadoopConfiguration)
+    val local = Files.createTempDirectory("graft_wl_hostile_deny")
+    val lease = local.resolve("lease")
+    Files.write(lease, "x".getBytes("UTF-8"))
+    val m0 = Files.getLastModifiedTime(lease).toMillis
+    graft.testfs.HostileFileSystem.denySetTimes(true)
+    try {
+      graft.testfs.HostileFileSystem.reset()
+      val fs = new org.apache.hadoop.fs.Path(s"hostile://$local")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val t = operators.WriterLease.startHeartbeat(fs,
+        new org.apache.hadoop.fs.Path(s"hostile://$lease"), 150L) // 50 ms beats
+      try {
+        val deadline = System.currentTimeMillis() + 5000L
+        def beats = graft.testfs.HostileFileSystem.counts.getOrElse("setTimes", 0L)
+        while (beats < 3 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+        assert(beats >= 3, "the beat must keep TRYING through denied setTimes")
+        assert(t.isAlive, "denied setTimes must never kill the heartbeat thread")
+        assert(Files.getLastModifiedTime(lease).toMillis == m0,
+          "with setTimes denied the mtime cannot advance — the documented steal window")
+      } finally { t.interrupt(); t.join(2000) }
+      assert(!t.isAlive, "the beat must exit on release interrupt")
+    } finally graft.testfs.HostileFileSystem.denySetTimes(false)
+  }
+
   test("composed entries are reentrant: one lease spans runOnce and maintainOnce") {
     // DedupPipeline.runOnce nests SignatureIndex.ingest + ClusterLabels
     // .merge under the same root — all three lease it; reentrancy makes
