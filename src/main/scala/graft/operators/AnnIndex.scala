@@ -397,6 +397,15 @@ object AnnIndex {
     // silently return partial neighbors (or fail on a half-copied fold
     // manifest) — the r15 advisory's finding.
     recoverState(spark, root)
+    topKRecovered(spark, root, queries, k, rerank, nprobe)
+  }
+
+  /** [[topK]] after recovery — read-only, so the whole query runs
+    * against one manifest snapshot (repeat consults of the codes log's
+    * fold manifests cost zero FS ops). */
+  private def topKRecovered(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int, rerank: Option[DataFrame],
+      nprobe: Option[Int]): DataFrame = BatchLog.withManifestSnapshot {
     val (cents, mn, span) = loadQuantizer(spark, root)
       .getOrElse(sys.error(s"no ANN index at $root — ingest at least one batch first"))
     val d = sprk

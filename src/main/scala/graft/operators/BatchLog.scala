@@ -567,12 +567,45 @@ private[graft] object BatchLog {
         s"[graft] BatchLog: fold manifest for $batchDir failed ($e); reads fall back to listings")
   }
 
+  /** Thread-local manifest SNAPSHOT: inside [[withManifestSnapshot]],
+    * repeat consults of the same directory — positive or negative —
+    * cost ZERO filesystem ops (not even the validation stat). Sound
+    * only for read-only sections: fold directories are immutable after
+    * commit and a read-only operation plans against one listing
+    * snapshot anyway, so within it the first consult's answer IS the
+    * answer. Never wrap a section that writes or swaps fold
+    * directories — a fresh fold would read as its own stale negative. */
+  private val manifestSnapshot = new scala.util.DynamicVariable[
+    scala.collection.mutable.Map[String, Option[FoldManifest]]](null)
+
+  /** Run `body` against one manifest snapshot (see above). Nested calls
+    * share the outermost snapshot. */
+  def withManifestSnapshot[T](body: => T): T =
+    if (manifestSnapshot.value != null) body
+    else manifestSnapshot.withValue(
+      scala.collection.mutable.Map.empty[String, Option[FoldManifest]])(body)
+
   /** The directory's manifest, or None (absent, torn, unsupported
     * shape, or the contrast switch) — None always means "use the
     * listing read", never "guess". */
-  def readFoldManifest(spark: SparkSession, batchDir: String): Option[FoldManifest] =
+  def readFoldManifest(spark: SparkSession, batchDir: String): Option[FoldManifest] = {
+    if (manifestReadDisabled) return None
+    manifestSnapshot.value match {
+      case null => readFoldManifestStat(spark, batchDir)
+      case snap =>
+        // makeQualified is client-side string work, not an RPC.
+        val key = fsOf(spark, batchDir)
+          .makeQualified(new HPath(batchDir, foldManifestName)).toString
+        snap.getOrElseUpdate(key, readFoldManifestStat(spark, batchDir))
+    }
+  }
+
+  /** The stat-validated consult behind [[readFoldManifest]]: one
+    * `getFileStatus`, then the LRU-cached parse when (length, mtime)
+    * match, else a full read. */
+  private def readFoldManifestStat(spark: SparkSession,
+      batchDir: String): Option[FoldManifest] =
     try {
-      if (manifestReadDisabled) return None
       val fs = fsOf(spark, batchDir)
       val p = fs.makeQualified(new HPath(batchDir, foldManifestName))
       val st =

@@ -229,9 +229,12 @@ object CosineDedupIndex {
     * dropped whatever mix of fold and flat directories the log holds. */
   def readIndex(spark: SparkSession, root: String): DataFrame = {
     recoverState(spark, root)
-    Tombstones.exclude(
-      BatchLog.read(spark, codesDir(root), "CosineDedupIndex").drop(pgrpCol),
-      root, "vec_id")
+    // Read-only after recovery: one manifest snapshot for the read.
+    BatchLog.withManifestSnapshot {
+      Tombstones.exclude(
+        BatchLog.read(spark, codesDir(root), "CosineDedupIndex").drop(pgrpCol),
+        root, "vec_id")
+    }
   }
 
   /** Crash recovery alone (refreeze + compaction swap windows) — for

@@ -326,6 +326,14 @@ object PqIndex {
       rerank: Option[DataFrame] = None, nprobe: Option[Int] = None): DataFrame = {
     // FULL recovery (refreeze AND compaction swap) — see [[AnnIndex.topK]].
     recoverState(spark, root)
+    topKRecovered(spark, root, queries, k, rerank, nprobe)
+  }
+
+  /** [[topK]] after recovery — read-only, one manifest snapshot (see
+    * [[AnnIndex]]). */
+  private def topKRecovered(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int, rerank: Option[DataFrame],
+      nprobe: Option[Int]): DataFrame = BatchLog.withManifestSnapshot {
     val (cents, cb) = loadQuantizer(spark, root)
       .getOrElse(sys.error(s"no PQ index at $root — ingest at least one batch first"))
     val d = sprk

@@ -161,12 +161,17 @@ object SignatureIndex {
     * intersect kernel needs) — [[migrateLegacy]] upgrades it in place. */
   def readIndex(spark: SparkSession, root: String, table: String = "signatures"): DataFrame = {
     recoverState(spark, root, table)
-    // `dgrp` is a fold-layout artifact, never part of the row contract
-    // (BatchLog.read drops it in mixed layouts; an all-fold log keeps
-    // common partition columns, so drop explicitly).
-    Tombstones.exclude(
-      BatchLog.read(spark, s"$root/$table", "SignatureIndex").drop(dgrpCol),
-      root, "doc_id")
+    // Read-only from here: one manifest snapshot for the whole read
+    // (repeat consults cost zero FS ops). Starts AFTER recovery — a
+    // heal rewrites directories, which a snapshot must never straddle.
+    BatchLog.withManifestSnapshot {
+      // `dgrp` is a fold-layout artifact, never part of the row contract
+      // (BatchLog.read drops it in mixed layouts; an all-fold log keeps
+      // common partition columns, so drop explicitly).
+      Tombstones.exclude(
+        BatchLog.read(spark, s"$root/$table", "SignatureIndex").drop(dgrpCol),
+        root, "doc_id")
+    }
   }
 
   /** Crash recovery alone (the compaction swap window) — for callers
@@ -680,7 +685,14 @@ object SignatureIndex {
     * ever scanned, never shuffled. */
   private[graft] def deltaPairsIndexed(spark: SparkSession, root: String,
       table: String, newSigs: DataFrame,
-      batchKey: Option[String] = None): DataFrame = {
+      batchKey: Option[String] = None): DataFrame = BatchLog.withManifestSnapshot {
+    // Read-only probe: one manifest snapshot across the df gate, the
+    // posting read, and the verify scan — the repeat consults the three
+    // helper calls otherwise each pay (a stat per directory per call,
+    // the probe's object-store round-trip budget). Recovery runs in the
+    // CALLER (ingest) before this; the fallback readIndex's recovery
+    // only ever replaces directories under NEW batch-key names, so a
+    // snapshot entry can never alias a healed directory.
     // Degenerate-root guard: a first batch whose increment produced no
     // signature rows can leave the derived logs absent (an empty write
     // may commit no data file) — there is nothing to pair against, and
