@@ -495,12 +495,19 @@ private[graft] object BatchLog {
     * GET + parse (the r15 advisory: `read` alone re-opened every
     * manifest 2–3 times, and each `committedKeys`/`hasData`/
     * `partitionedKeys` call re-paid exists+open per key). Staleness is
-    * impossible by construction, not by invalidation hooks: fold
+    * prevented by construction PLUS one granularity guard: fold
     * directories are immutable after commit, and the only way a
     * manifest at a given path can ever change (a root deleted and
     * rebuilt from scratch, a crashed copy-based swap re-run by
     * recovery) rewrites the manifest FILE, changing its stat — the
-    * consult then misses and re-reads. A validation miss, parse
+    * consult then misses and re-reads. The residual window is the
+    * STORE'S mtime granularity: object stores report LastModified at
+    * 1-second ticks, so a same-length rewrite inside one tick stats
+    * identically to the cached entry. [[mtimeTrustLagMs]] closes it —
+    * a validation hit whose mtime is within that lag of "now" is
+    * treated as a miss (re-read; cheap, the file was just written),
+    * and any rewrite AFTER the lag necessarily lands a strictly newer
+    * mtime, which the stat check catches. A validation miss, parse
     * failure, or deleted manifest drops the entry. Bounded LRU so a
     * long-lived driver over many roots cannot grow without bound. */
   private val manifestCache =
@@ -511,6 +518,16 @@ private[graft] object BatchLog {
             e: java.util.Map.Entry[String, (Long, Long, FoldManifest)]): Boolean =
           size() > 8192
       })
+
+  /** Do not TRUST a (length, mtime) cache validation whose mtime is
+    * within this lag of the driver clock: inside the lag a same-tick
+    * same-length rewrite is indistinguishable from the cached write on
+    * coarse-mtime stores (S3 LastModified is whole seconds), so the
+    * consult re-reads instead. 2× the coarsest common granularity,
+    * plus slack for driver/store clock skew. Overridable for tests and
+    * for stores with documented coarser clocks. */
+  private[graft] def mtimeTrustLagMs: Long =
+    java.lang.Long.getLong("graft.fold.manifest.mtimeTrustLagMs", 5000L)
 
   /** Write the manifest for a just-written fold directory (one
     * recursive listing + one footer read, at WRITE time — the whole
@@ -574,23 +591,48 @@ private[graft] object BatchLog {
     * commit and a read-only operation plans against one listing
     * snapshot anyway, so within it the first consult's answer IS the
     * answer. Never wrap a section that writes or swaps fold
-    * directories — a fresh fold would read as its own stale negative. */
-  private val manifestSnapshot = new scala.util.DynamicVariable[
-    scala.collection.mutable.Map[String, Option[FoldManifest]]](null)
+    * directories — a fresh fold would read as its own stale negative.
+    *
+    * A PLAIN ThreadLocal, deliberately not `DynamicVariable` (whose
+    * InheritableThreadLocal backing would leak the mutable snapshot
+    * map into any thread spawned while a snapshot is open — e.g. a
+    * lazily-created driver pool — where it would serve forever-stale
+    * answers; the r16 advisory). */
+  private val manifestSnapshot = new java.lang.ThreadLocal[
+    scala.collection.mutable.Map[String, Option[FoldManifest]]]()
 
   /** Run `body` against one manifest snapshot (see above). Nested calls
     * share the outermost snapshot. */
   def withManifestSnapshot[T](body: => T): T =
-    if (manifestSnapshot.value != null) body
-    else manifestSnapshot.withValue(
-      scala.collection.mutable.Map.empty[String, Option[FoldManifest]])(body)
+    if (manifestSnapshot.get() != null) body
+    else {
+      manifestSnapshot.set(
+        scala.collection.mutable.Map.empty[String, Option[FoldManifest]])
+      try body finally manifestSnapshot.remove()
+    }
+
+  /** Run `body` OUTSIDE any open manifest snapshot — the escape hatch
+    * for a fallback path that may RUN RECOVERY (and so replace fold
+    * directories) after its caller already opened a read-only
+    * snapshot. Inside, consults go back to the stat-validated cache,
+    * so a directory recovery just healed can never be answered from
+    * the stale snapshot map (the r16 advisory on
+    * `SignatureIndex.deltaPairsIndexed`'s full-scan fallback). */
+  def withoutManifestSnapshot[T](body: => T): T = {
+    val prev = manifestSnapshot.get()
+    if (prev == null) body
+    else {
+      manifestSnapshot.remove()
+      try body finally manifestSnapshot.set(prev)
+    }
+  }
 
   /** The directory's manifest, or None (absent, torn, unsupported
     * shape, or the contrast switch) — None always means "use the
     * listing read", never "guess". */
   def readFoldManifest(spark: SparkSession, batchDir: String): Option[FoldManifest] = {
     if (manifestReadDisabled) return None
-    manifestSnapshot.value match {
+    manifestSnapshot.get() match {
       case null => readFoldManifestStat(spark, batchDir)
       case snap =>
         // makeQualified is client-side string work, not an RPC.
@@ -615,7 +657,12 @@ private[graft] object BatchLog {
             manifestCache.remove(p.toString); return None
         }
       manifestCache.get(p.toString) match {
-        case (len, mt, m) if len == st.getLen && mt == st.getModificationTime =>
+        case (len, mt, m) if len == st.getLen && mt == st.getModificationTime &&
+            st.getModificationTime < System.currentTimeMillis() - mtimeTrustLagMs =>
+          // Trust the stat match only once the mtime is OLDER than the
+          // store's clock granularity: inside that window a same-length
+          // rewrite stats identically to the cached write (see the
+          // cache scaladoc), so a recent hit re-reads instead.
           return Some(m)
         case _ => ()
       }

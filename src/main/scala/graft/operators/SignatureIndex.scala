@@ -690,9 +690,11 @@ object SignatureIndex {
     // posting read, and the verify scan — the repeat consults the three
     // helper calls otherwise each pay (a stat per directory per call,
     // the probe's object-store round-trip budget). Recovery runs in the
-    // CALLER (ingest) before this; the fallback readIndex's recovery
-    // only ever replaces directories under NEW batch-key names, so a
-    // snapshot entry can never alias a healed directory.
+    // CALLER (ingest) before this; the one internal path that can run
+    // recovery itself (the full-scan fallback below) executes OUTSIDE
+    // this snapshot via withoutManifestSnapshot, so a snapshot entry
+    // can never alias a healed directory — belt on top of the existing
+    // braces (recovery only adopts never-seen batch keys).
     // Degenerate-root guard: a first batch whose increment produced no
     // signature rows can leave the derived logs absent (an empty write
     // may commit no data file) — there is nothing to pair against, and
@@ -763,7 +765,15 @@ object SignatureIndex {
       if (incShingles.isEmpty)
         return spark.range(0).selectExpr("id AS doc_a", "id AS doc_b",
           "CAST(0.0 AS DOUBLE) AS jaccard").where(lit(false))
-      return deltaPairs(readIndex(spark, root, table), newSigs)
+      // ESCAPE the manifest snapshot for the fallback: readIndex may run
+      // recovery (replace fold directories), and a consult answered from
+      // the snapshot opened above could alias a just-healed directory.
+      // Today's recovery only adopts NEVER-seen batch keys, but the
+      // fallback must stay sound without that non-local invariant
+      // (the r16 advisory).
+      return BatchLog.withoutManifestSnapshot {
+        deltaPairs(readIndex(spark, root, table), newSigs)
+      }
     }
     val post =
       if (aligned) groupPrunedRead(spark, postingsDir(root, table), matched,

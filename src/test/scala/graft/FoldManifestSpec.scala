@@ -155,6 +155,48 @@ class FoldManifestSpec extends SparkSpec {
       "deleted manifest must read as absent even when previously cached")
   }
 
+  test("a same-length same-tick manifest rewrite cannot serve the stale cached parse") {
+    // The r16 advisory window: object stores report LastModified at
+    // 1-second granularity, so a root deleted and rebuilt inside one
+    // tick whose new manifest happens to be the SAME length stats
+    // identically to the cached entry. The mtime-trust-lag guard must
+    // route such a consult to a re-read. Simulated exactly: rewrite the
+    // manifest with same-length different bytes, then force the file's
+    // mtime back to the cached stat's value.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_manifest_tick").toString +
+      "/batch_key=a00001"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1).write.parquet(dir)
+    BatchLog.writeFoldManifest(spark, dir)
+    val mPath = new org.apache.hadoop.fs.Path(dir, BatchLog.foldManifestName)
+    val m1 = BatchLog.readFoldManifest(spark, dir).get // parse now cached
+    val st1 = fs.getFileStatus(mPath)
+    // Same-length different-content rewrite: flip one digit of the data
+    // file's recorded LENGTH inside the manifest body (parses fine,
+    // yields a visibly different file list).
+    val body = {
+      val in = fs.open(mPath)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    val lenStr = m1.files.head._2.toString
+    val flipped = lenStr.init + (if (lenStr.last == '1') '2' else '1')
+    // MiniJson escapes the tab separators, so the on-disk flanks are the
+    // two-character sequence \t — handle either representation.
+    val body2 = body.replace("\t" + lenStr + "\t", "\t" + flipped + "\t")
+      .replace("\\t" + lenStr + "\\t", "\\t" + flipped + "\\t")
+    assert(body2 != body && body2.length == body.length,
+      "spec shape broken: rewrite must be same-length, different bytes")
+    val out = fs.create(mPath, true)
+    try out.write(body2.getBytes("UTF-8")) finally out.close()
+    fs.setTimes(mPath, st1.getModificationTime, -1) // same-tick: stat identical
+    assert(fs.getFileStatus(mPath).getLen == st1.getLen,
+      "spec shape broken: lengths must match for the stat to collide")
+    val m2 = BatchLog.readFoldManifest(spark, dir).get
+    assert(m2.files.head._2 == flipped.toLong,
+      s"stat-identical rewrite served the STALE cached parse: $m2")
+  }
+
   test("a compaction reading THROUGH manifests retires exactly the absorbed keys") {
     withProps("graft.fold.min.rows" -> "1024", "graft.fold.group.bytes" -> "2048") {
       val root = Files.createTempDirectory("graft_manifest_retire").toString
