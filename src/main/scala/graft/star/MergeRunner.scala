@@ -606,7 +606,19 @@ object MergeRunner {
 
   /** One end-to-end incremental micro-batch: ingest → merge → view
     * refresh — [[Runner.runOnce]]'s shape with the corpus-linear stages
-    * replaced by their incremental forms. */
+    * replaced by their incremental forms.
+    *
+    * View refresh rides the IN-BATCH sinks (each fires right after its
+    * table's snapshot commits, BEFORE the merge-state advance), not a
+    * post-merge pass: dims publish under NEW `_versions/<n>` dirs each
+    * batch, so a crash between the state advance and a post-merge view
+    * refresh left the views pointed at version dirs the next batch's GC
+    * deletes — the warehouse leg of the stranding class the r16 replay
+    * state closed (the r16 advisory, Runner-side). A crash BEFORE the
+    * advance replays the batch and re-registers; a crash after it has
+    * already registered. Sink calls may arrive concurrently from the
+    * bounded dim pool — distinct view names, and the database is
+    * created once up front. */
   def runOnce(
       spark: SparkSession,
       sources: Map[String, DataFrame],
@@ -620,9 +632,10 @@ object MergeRunner {
     // between its landing commit and its merge leaves unfolded keys
     // that processMerge absorbs now (the retry converges); with none,
     // it returns empty after driver-side listings only.
-    val written = processMerge(spark, landingRoot, processedRoot)
-    if (written.nonEmpty)
-      timed("views") { loadWarehouseViews(spark, processedRoot, written) }
-    written
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${Runner.warehouseDb}")
+    def viewSink(key: String, rows: DataFrame): Unit =
+      timed(s"views:$key") { loadWarehouseViews(spark, processedRoot, Seq(key)) }
+    processMerge(spark, landingRoot, processedRoot,
+      factSink = viewSink, dimSink = viewSink)
   }
 }

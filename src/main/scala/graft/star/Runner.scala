@@ -69,6 +69,30 @@ object Runner {
     * rebuild of every landed table — slower once, never stale. */
   private val replayStateName = "_replay_state.json"
 
+  /** Keys whose snapshots have been (re)published but not yet absorbed
+    * by a warehouse load (`_load_pending.json` at the processed root) —
+    * the WAREHOUSE leg of the same stranding class [[replayStateName]]
+    * closes for the processed root (the r16 advisory): without it, a
+    * crash between [[processBatch]]'s replay-state commit and
+    * [[runOnce]]'s load step left the processed root converged but the
+    * warehouse stale, and the retry no-op'd until that source next
+    * changed. [[processBatch]] MERGES its written keys into the marker
+    * BEFORE committing replay state (so no window exists between the
+    * two commits); [[runOnce]]/[[fullReload]] clear it only after a
+    * completed load. Full-refresh loads are idempotent, so a crash
+    * mid-load just reloads the marker's whole set on retry. */
+  private val loadPendingName = "_load_pending.json"
+
+  private[graft] def readLoadPending(processedRoot: String): Set[String] =
+    graft.sources.StateFile.read(s"$processedRoot/$loadPendingName")(txt =>
+      graft.sources.MiniJson.parseFlat(txt.trim).getOrElse("pending", ""))
+      .map(_.split(',').filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  private[graft] def writeLoadPending(processedRoot: String, keys: Set[String]): Unit =
+    graft.sources.StateFile.write(s"$processedRoot/$loadPendingName",
+      graft.sources.MiniJson.renderFlat(
+        Map("pending" -> keys.toSeq.sorted.mkString(","))) + "\n")
+
   /** Tables whose landing log holds batch keys newer than the last
     * replay recorded for them — landed but never folded into the
     * processed snapshots. Driver-side listings only, no Spark jobs. */
@@ -273,12 +297,18 @@ object Runner {
     // snapshot write, through the crash-safe state swap, so a crash
     // anywhere above re-detects the batch as pending and replays it
     // again (idempotent: the replay is a pure function of the log).
+    // The load-pending marker lands FIRST: once replay state says
+    // "folded", nothing re-runs this replay, so the written keys must
+    // already be durably owed to the warehouse (see [[loadPendingName]]).
+    val w = written.result()
+    if (w.nonEmpty)
+      writeLoadPending(processedRoot, readLoadPending(processedRoot) ++ w)
     replayStore.update(keysByTable.collect { case (t, ks)
       if ups(t) && ks.nonEmpty => s"folded|$t" -> ks.max }.toMap)
     // Release operator-internal persists (sequentialId's sorted frames)
     // now that every snapshot write has materialized them.
     graft.CacheJanitor.drain()
-    written.result()
+    w
   }
 
   /** Stored record-id policy marker (`_id_policy.json` at the processed
@@ -377,8 +407,12 @@ object Runner {
     * load the whole star schema into the warehouse. */
   def fullReload(spark: SparkSession, processedRoot: String, warehouseRoot: String,
       preview: Boolean = false): Seq[String] = WriterLease.withLease(spark, processedRoot) {
-    loadWarehouse(spark, processedRoot, warehouseRoot,
+    val loaded = loadWarehouse(spark, processedRoot, warehouseRoot,
       LandingLog.listSnapshots(processedRoot), preview)
+    // A full reload covers every published snapshot — any pending-load
+    // strand is absorbed by construction.
+    writeLoadPending(processedRoot, Set.empty)
+    loaded
   }
 
   /** One end-to-end micro-batch: ingest → process → load. With
@@ -408,16 +442,26 @@ object Runner {
     val updated = ingestOnce(sources, landingRoot, store, batchId)
     // Proceed when the sources gated out but a PRIOR batch left landed-
     // but-unprocessed increments (crashed between its landing commit and
-    // its snapshot publish): the retry must converge, not no-op.
-    if (updated.isEmpty && pendingReplay(spark, landingRoot, processedRoot).isEmpty)
+    // its snapshot publish) OR published-but-unloaded snapshots (crashed
+    // between the replay-state commit and the warehouse load): the retry
+    // must converge, not no-op.
+    if (updated.isEmpty && pendingReplay(spark, landingRoot, processedRoot).isEmpty &&
+        readLoadPending(processedRoot).isEmpty)
       Seq.empty
     else {
-      val written = processBatch(spark, landingRoot, processedRoot, updated.toSet,
+      processBatch(spark, landingRoot, processedRoot, updated.toSet,
         stableDateIds, stableRecordIds = stableRecordIds)
-      jdbcWarehouse match {
-        case Some((url, props)) => loadWarehouseJdbc(spark, processedRoot, written, url, props)
-        case None => loadWarehouse(spark, processedRoot, warehouseRoot, written)
+      // Load the marker's full set (this batch's keys PLUS any key a
+      // prior batch published but never loaded), then clear it. A crash
+      // anywhere before the clear leaves the marker intact — the retry
+      // reloads the whole set (full-refresh loads are idempotent).
+      val toLoad = readLoadPending(processedRoot).toSeq.sorted
+      val loaded = jdbcWarehouse match {
+        case Some((url, props)) => loadWarehouseJdbc(spark, processedRoot, toLoad, url, props)
+        case None => loadWarehouse(spark, processedRoot, warehouseRoot, toLoad)
       }
+      writeLoadPending(processedRoot, Set.empty)
+      loaded
     }
   }
 }

@@ -191,6 +191,64 @@ class HostileStarSpec extends SparkSpec {
     assertEqualStar(processed, s"$cleanRoot/processed")
   }
 
+  test("Runner: a crash between the replay-state commit and the warehouse load converges on RETRY") {
+    // The r16 advisory's residual window: processBatch commits its
+    // replay state, THEN runOnce loads the warehouse — a batch dying
+    // between the two leaves the processed root converged (pendingReplay
+    // empty) but the warehouse stale, and before the load-pending marker
+    // the retry no-op'd until the source next changed. The crash is
+    // simulated at exactly that boundary: run runOnce's first two stages
+    // (ingestOnce + processBatch) and stop.
+    val root = hostileRoot("whleg")
+    val landing = s"$root/landing"
+    val processed = s"$root/processed"
+    val warehouse = s"$root/warehouse"
+    val state = s"$root/state/tracking.json"
+
+    def whRows(table: String): Seq[String] =
+      spark.read.parquet(s"$warehouse/$table").collect().map(_.toString).toSeq.sorted
+
+    // Batch 1, clean end-to-end: warehouse loaded, marker cleared.
+    assert(Runner.runOnce(spark, sources(1), landing, processed, warehouse,
+      state, batchIds(0)).nonEmpty)
+    assert(Runner.readLoadPending(processed).isEmpty,
+      "a completed load must clear the pending marker")
+    val factBefore = whRows("sales_order")
+
+    // Batch 2, "crashed" after the replay-state commit: landing +
+    // watermark + snapshots + replay state all committed, NO load.
+    val store = new WatermarkStore(state)
+    val updated = Runner.ingestOnce(sources(2), landing, store, batchIds(1))
+    assert(updated.nonEmpty, s"batch 2 must extract increments: $updated")
+    val written = Runner.processBatch(spark, landing, processed, updated.toSet)
+    assert(written.nonEmpty)
+    assert(Runner.pendingReplay(spark, landing, processed).isEmpty,
+      "the processed root is fully converged — this window is PAST the replay state")
+    assert(Runner.readLoadPending(processed) == written.toSet,
+      "the written keys must be durably owed to the warehouse")
+    assert(whRows("sales_order") == factBefore, "the warehouse still serves batch 1")
+
+    // THE RETRY CONVERGES: ingest gates out, replay state is folded —
+    // only the load-pending marker routes the retry through the load.
+    val retried = Runner.runOnce(spark, sources(2), landing, processed, warehouse,
+      state, batchIds(1))
+    assert(retried.nonEmpty, "the retry must reload the stranded snapshots")
+    assert(Runner.readLoadPending(processed).isEmpty, "the retry must clear the marker")
+    // Warehouse now equals the processed snapshots it was owed.
+    written.foreach { key =>
+      val table = key.replaceFirst("^dim-", "").replaceFirst("^fact-", "").replace("-", "_")
+      val snap = LandingLog.readSnapshot(spark, processed, key)
+        .collect().map(_.toString).toSeq.sorted
+      assert(whRows(table) == snap, s"$table must serve batch 2 after the retry")
+    }
+    assert(whRows("sales_order") != factBefore,
+      "spec shape broken: batch 2 must actually change the fact")
+
+    // A further unchanged run is a true no-op again.
+    assert(Runner.runOnce(spark, sources(2), landing, processed, warehouse,
+      state, batchIds(2)).isEmpty)
+  }
+
   test("MergeRunner.runOnce on hostile roots: mid-merge crash (intent replay) and state-advance crash both converge") {
     val root = hostileRoot("merge")
     val landing = s"$root/landing"
