@@ -24,7 +24,8 @@ object Bench {
     catch { case _: Throwable => "unavailable" }
 
   private final case class QRes(
-      name: String, median: Double, min: Double, max: Double, err: Option[String])
+      name: String, median: Double, min: Double, max: Double, err: Option[String],
+      jobs: Seq[Int])
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,24 +39,32 @@ object Bench {
     // x100 tier showed must scale with input, now derived per session.
     GraftSession.tuneShufflePartitions(spark, Seq(sfDir))
     val loadStart = loadavg()
+    // Per-rep driver-JOB counts land beside the walls (round-16 verdict
+    // item #1): job counts are the drift adjudicator — deterministic per
+    // query shape where walls carry box noise. The settle waits run
+    // OUTSIDE the timed region.
+    val jobCounter = new JobCounter(spark.sparkContext)
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results: Seq[QRes] = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val jobs = scala.collection.mutable.ArrayBuffer.empty[Int]
       var err: Option[String] = None
       var r = 0
       while (r < reps && err.isEmpty) { // an erroring query is not re-run
+        val j0 = jobCounter.settled()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
         finally CacheJanitor.drain()
+        jobs += jobCounter.settled() - j0
         r += 1
       }
-      if (err.nonEmpty) QRes(name, -1, -1, -1, err)
+      if (err.nonEmpty) QRes(name, -1, -1, -1, err, Seq.empty)
       else {
         val sorted = times.sorted
-        QRes(name, sorted(sorted.size / 2), sorted.head, sorted.last, None)
+        QRes(name, sorted(sorted.size / 2), sorted.head, sorted.last, None, jobs.toSeq)
       }
     }
     val loadEnd = loadavg()
@@ -65,11 +74,14 @@ object Bench {
     val spread = results.filter(_.err.isEmpty)
       .map(q => s"\"${esc(q.name)}\":[${q.min},${q.max}]")
       .mkString("{", ",", "}")
-    val errs = results.collect { case QRes(k, _, _, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }
+    val errs = results.collect { case QRes(k, _, _, _, Some(e), _) => s"\"${esc(k)}\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case QRes(_, m, _, _, None) => m }.sum
+    val jobsJson = results.filter(_.err.isEmpty)
+      .map(q => s"\"${esc(q.name)}\":[${q.jobs.mkString(",")}]")
+      .mkString("{", ",", "}")
+    val total = results.collect { case QRes(_, m, _, _, None, _) => m }.sum
     val nErr = results.count(_.err.nonEmpty)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}","errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"jobs":$jobsJson,"reps":$reps,"loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}","errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}"""
     println(json)
     // The driver's tail-capture clips this (very long) line, so the
     // committed artifact also lands in a file — the round record must be

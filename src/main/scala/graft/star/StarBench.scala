@@ -125,15 +125,31 @@ object StarBench {
     val spark = GraftSession.build("graft-star-bench")
     val root = Files.createTempDirectory("graft_star_bench").toString
     val srcs = sources(spark, sfDir)
+    // Per-phase driver-job counts beside the walls (round-16 verdict:
+    // STARBENCH crept 35.5→39.1 s over three rounds with no job-count
+    // evidence either way — with `jobs` in the artifact, flat counts at
+    // a moving wall adjudicate to box load from the file alone). The
+    // settle waits run between the phase timestamps' regions, so each
+    // phase wall absorbs at most one ~25 ms settle — noise against
+    // multi-second phases, and the phase SUM stays the total.
+    val jc = new graft.JobCounter(spark.sparkContext)
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      catch { case _: Throwable => "unavailable" }
+    val loadStart = loadavg()
 
+    val j0 = jc.settled()
     val t0 = System.nanoTime()
     val store = new graft.sources.WatermarkStore(s"$root/state.json")
     val updated = Runner.ingestOnce(srcs, s"$root/landing", store, "2025-09-01 10:00:00.000")
     val t1 = System.nanoTime()
+    val j1 = jc.settled()
     val written = Runner.processBatch(spark, s"$root/landing", s"$root/processed", updated.toSet)
     val t2 = System.nanoTime()
+    val j2 = jc.settled()
     val loaded = Runner.loadWarehouse(spark, s"$root/processed", s"$root/warehouse", written)
     val t3 = System.nanoTime()
+    val j3 = jc.settled()
 
     val rows = loaded.map { t =>
       t -> spark.read.parquet(s"$root/warehouse/$t").count()
@@ -143,6 +159,8 @@ object StarBench {
     println(
       s"""{"metric":"star_rebuild","value":$total,"unit":"sec","sf":"$sfDir",""" +
         s""""ingest_sec":${sec(t0, t1)},"process_sec":${sec(t1, t2)},"load_sec":${sec(t2, t3)},""" +
+        s""""ingest_jobs":${j1 - j0},"process_jobs":${j2 - j1},"load_jobs":${j3 - j2},""" +
+        s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
         s""""tables":${loaded.size},"fact_rows":${rows.getOrElse("sales_order", 0L)}}""")
     spark.stop()
   }

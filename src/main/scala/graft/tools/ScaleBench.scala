@@ -258,6 +258,12 @@ object ScaleBench {
         if (m != null) { bytesRead.addAndGet(m.inputMetrics.bytesRead); () }
       }
     })
+    // Per-batch driver-JOB counts beside the byte series (round-16
+    // verdict item #1): the x100 loop's late-batch wall ramp has been
+    // attributed to box load on byte evidence alone for two rounds —
+    // with jobs in the artifact, a flat job count at a rising wall IS
+    // the adjudication. Settle waits run outside the timed regions.
+    val jobCounter = new graft.JobCounter(spark.sparkContext)
     def rootBytes(path: String): Long = {
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       val p = new org.apache.hadoop.fs.Path(path)
@@ -325,19 +331,23 @@ object ScaleBench {
       val inc = corpus.where(
         col("doc_id") >= lit(r * idStride) && col("doc_id") < lit((r + 1) * idStride))
       val b0 = bytesRead.get()
+      val j0 = jobCounter.settled()
       val t0 = System.nanoTime()
       val stats = graft.operators.DedupPipeline.runOnce(
         spark, loopRoot, inc, batchKey = Some(s"scale_b$r"))
       val t1 = System.nanoTime()
       val runMb = (bytesRead.get() - b0) / 1e6
+      val j1 = jobCounter.settled()
+      val t1b = System.nanoTime()
       val maint = graft.operators.DedupPipeline.maintainOnce(spark, loopRoot)
       val t2 = System.nanoTime()
+      val j2 = jobCounter.settled()
       val rootMb = rootBytes(loopRoot) / 1e6
-      val row = (r, (t1 - t0) / 1e9, (t2 - t1) / 1e9, stats,
-        maint.labelsCompacted, maint.after.liveDocs, runMb, rootMb)
+      val row = (r, (t1 - t0) / 1e9, (t2 - t1b) / 1e9, stats,
+        maint.labelsCompacted, maint.after.liveDocs, runMb, rootMb, j1 - j0, j2 - j1)
       println(s"# batch $r  runOnce=${f(row._2)}s maintain=${f(row._3)}s " +
         s"docs=${stats.newDocs} pairs=${stats.deltaPairs} live=${row._6} " +
-        s"read=${f(runMb)}MB root=${f(rootMb)}MB" +
+        s"read=${f(runMb)}MB root=${f(rootMb)}MB jobs=${j1 - j0}+${j2 - j1}" +
         (if (row._5) " [labels compacted]" else ""))
       row
     }
@@ -356,19 +366,23 @@ object ScaleBench {
     val vecCorpus = spark.read.parquet(s"$xFDir/embeddings.parquet")
     def vecBatch(r: Int, inc: DataFrame, key: String) = {
       val b0 = bytesRead.get()
+      val j0 = jobCounter.settled()
       val t0 = System.nanoTime()
       val stats = graft.operators.DedupPipeline.runOnceVectors(
         spark, vecRoot, inc, batchKey = Some(key))
       val t1 = System.nanoTime()
       val runMb = (bytesRead.get() - b0) / 1e6
+      val j1 = jobCounter.settled()
+      val t1b = System.nanoTime()
       val maint = graft.operators.DedupPipeline.maintainOnce(spark, vecRoot, vector = true)
       val t2 = System.nanoTime()
+      val j2 = jobCounter.settled()
       val rootMb = rootBytes(vecRoot) / 1e6
-      val row = (r, (t1 - t0) / 1e9, (t2 - t1) / 1e9, stats,
-        maint.refrozen, maint.after.liveDocs, runMb, rootMb)
+      val row = (r, (t1 - t0) / 1e9, (t2 - t1b) / 1e9, stats,
+        maint.refrozen, maint.after.liveDocs, runMb, rootMb, j1 - j0, j2 - j1)
       println(s"# vec batch $r  runOnce=${f(row._2)}s maintain=${f(row._3)}s " +
         s"vecs=${stats.newDocs} pairs=${stats.deltaPairs} live=${row._6} " +
-        s"read=${f(runMb)}MB root=${f(rootMb)}MB" +
+        s"read=${f(runMb)}MB root=${f(rootMb)}MB jobs=${j1 - j0}+${j2 - j1}" +
         (if (row._5) " [REFROZEN]" else ""))
       row
     }
@@ -419,17 +433,19 @@ object ScaleBench {
         s""""x$factor":{"median":${f(b.median)},"min":${f(b.min)},"max":${f(b.max)},"rows":${b.rows}},""" +
         s""""time_ratio":${f(b.median / a.median)},"rows_ratio":${f(b.rows.toDouble / math.max(a.rows, 1L))}}"""
     }.mkString("{", ",", "}")
-    val loopJson = loop.map { case (r, ing, mnt, st, lc, live, runMb, rootMb) =>
+    val loopJson = loop.map { case (r, ing, mnt, st, lc, live, runMb, rootMb, rj, mj) =>
       s"""{"batch":$r,"run_once_sec":${f(ing)},"maintain_sec":${f(mnt)},""" +
         s""""new_docs":${st.newDocs},"delta_pairs":${st.deltaPairs},"clusters":${st.clusters},""" +
         s""""keepers":${st.keepers},"labels_compacted":$lc,"live_docs_after":$live,""" +
-        s""""run_input_mb":${f(runMb)},"root_mb":${f(rootMb)}}"""
+        s""""run_input_mb":${f(runMb)},"root_mb":${f(rootMb)},""" +
+        s""""run_jobs":$rj,"maintain_jobs":$mj}"""
     }.mkString("[", ",", "]")
-    val vecLoopJson = vecLoop.map { case (r, ing, mnt, st, rf, live, runMb, rootMb) =>
+    val vecLoopJson = vecLoop.map { case (r, ing, mnt, st, rf, live, runMb, rootMb, rj, mj) =>
       s"""{"batch":$r,"run_once_sec":${f(ing)},"maintain_sec":${f(mnt)},""" +
         s""""new_vecs":${st.newDocs},"delta_pairs":${st.deltaPairs},""" +
         s""""refrozen":$rf,"live_vecs_after":$live,""" +
-        s""""run_input_mb":${f(runMb)},"root_mb":${f(rootMb)}}"""
+        s""""run_input_mb":${f(runMb)},"root_mb":${f(rootMb)},""" +
+        s""""run_jobs":$rj,"maintain_jobs":$mj}"""
     }.mkString("[", ",", "]")
     val json =
       s"""{"metric":"scale_ladder","seed":"$seedDir","factor":$factor,"reps":$reps,""" +
