@@ -124,7 +124,7 @@ object AnnIndex {
     * recovery runs before any probe — a swap-window poll must adopt
     * the staged fold, not report live = 0. */
   def health(spark: SparkSession, root: String): IndexHealth = {
-    recoverState(spark, root)
+    ReadGuard.recoverForRead(spark, root)(recoverState(spark, root))
     loadQuantizer(spark, root) match {
       case None => IndexHealth.virgin
       case Some((cents, _, _)) =>
@@ -215,7 +215,7 @@ object AnnIndex {
   }
 
   private def readCodes(spark: SparkSession, root: String): DataFrame = {
-    recoverState(spark, root)
+    ReadGuard.recoverForRead(spark, root)(recoverState(spark, root))
     Tombstones.exclude(
       BatchLog.read(spark, s"$root/codes", "AnnIndex")
         .withColumn("cell", col("cell").cast("long")),
@@ -395,8 +395,10 @@ object AnnIndex {
     // a compaction that crashed mid-copy leaves a torn codes dir with
     // intent+tmp siblings; reading it without the swap recovery would
     // silently return partial neighbors (or fail on a half-copied fold
-    // manifest) — the r15 advisory's finding.
-    recoverState(spark, root)
+    // manifest) — the r15 advisory's finding. Lease-guarded from this
+    // read-only entry (ReadGuard): recovery mutates, and a live writer's
+    // in-flight swap must fail the read retryably, never race it.
+    ReadGuard.recoverForRead(spark, root)(recoverState(spark, root))
     topKRecovered(spark, root, queries, k, rerank, nprobe)
   }
 

@@ -90,12 +90,32 @@ private[graft] object BatchLog {
     * FileIndex excludes it). A fold directory's manifest answers
     * without the recursive walk (it lists ≥1 committed file by
     * construction). */
-  def committedKeys(spark: SparkSession, path: String): Seq[String] =
-    keys(spark, path).filter { k =>
+  def committedKeys(spark: SparkSession, path: String): Seq[String] = {
+    val ks = keys(spark, path).filter { k =>
       val d = dirFor(path, k)
       readFoldManifest(spark, d).map(_.files.nonEmpty)
         .getOrElse(hasCommittedFiles(spark, d))
     }
+    if (ks.isEmpty) requireNotMidSwap(spark, path)
+    ks
+  }
+
+  /** The silent-empty belt of the reader contract ([[ReadGuard]]): a
+    * log that reads as EMPTY while its sibling swap-intent marker is up
+    * is not empty — it is mid-replacement (the whole-directory
+    * delete→rename window of a compaction/refreeze/migration commit on
+    * another driver), and concluding "no data" here would propagate a
+    * silent wrong answer (e.g. "no pairs in the corpus"). Thrown as the
+    * retryable [[ConcurrentMaintenanceException]]; probed ONLY when a
+    * read is about to answer empty/absent, so steady-state reads never
+    * pay it. */
+  private def requireNotMidSwap(spark: SparkSession, path: String): Unit = {
+    val intent = new HPath(s"$path.__swap_intent")
+    if (fsOf(spark, path).exists(intent))
+      throw new ConcurrentMaintenanceException(
+        s"$path reads as empty while its swap-intent marker is up — a " +
+          "maintenance commit is replacing the directory; retry the read")
+  }
 
   // ---------------------------------------------------- row-count sidecars
 
@@ -205,12 +225,15 @@ private[graft] object BatchLog {
     * mid-first-append), is still empty: the replaying writer repairs
     * the partial via its own `mode(overwrite)`, and readers must not
     * trip over it meanwhile. */
-  def hasData(spark: SparkSession, path: String): Boolean =
-    keys(spark, path).exists { k =>
+  def hasData(spark: SparkSession, path: String): Boolean = {
+    val any = keys(spark, path).exists { k =>
       val d = dirFor(path, k)
       readFoldManifest(spark, d).map(_.files.nonEmpty)
         .getOrElse(hasCommittedFiles(spark, d))
     }
+    if (!any) requireNotMidSwap(spark, path) // see the committedKeys belt
+    any
+  }
 
   private def nextAutoKey(spark: SparkSession, path: String): String = {
     // Consider RETIRED keys too: compaction folds auto-keyed batches

@@ -68,7 +68,7 @@ object ClusterLabels {
     * append-only delta log (later batches win). Empty frame when no
     * batch was ever merged. */
   def read(spark: SparkSession, root: String): DataFrame = {
-    recover(spark, root)
+    ReadGuard.recoverForRead(spark, root)(recover(spark, root))
     // Refuse a legacy (pre-batch-keyed) log BEFORE the hasData probe:
     // hasData sees no batch_key= dirs in a flat-append root and would
     // otherwise report the log as EMPTY — silently ignoring the entire
@@ -87,7 +87,7 @@ object ClusterLabels {
     * [[compact]] repays (reads fold `logRows` rows to produce
     * `liveDocs`). Both are metadata-scale counts. */
   def logDepth(spark: SparkSession, root: String): (Long, Long) = {
-    recover(spark, root)
+    ReadGuard.recoverForRead(spark, root)(recover(spark, root))
     BatchLog.requireFormat(spark, dir(root), "ClusterLabels.logDepth")
     if (!BatchLog.hasData(spark, dir(root))) (0L, 0L)
     else {
@@ -118,7 +118,7 @@ object ClusterLabels {
     * totals — exposed for the spec that pins fast path == fold. */
   private[graft] def labelStatsDetail(
       spark: SparkSession, root: String): (Long, Long, Long, Boolean) = {
-    recover(spark, root)
+    ReadGuard.recoverForRead(spark, root)(recover(spark, root))
     BatchLog.requireFormat(spark, dir(root), "ClusterLabels.labelStats")
     if (!BatchLog.hasData(spark, dir(root))) (0L, 0L, 0L, false)
     else {
@@ -458,7 +458,7 @@ object ClusterLabels {
 
   /** Highest merged batch number (0 = never merged). */
   def latestBatch(spark: SparkSession, root: String): Long = {
-    recover(spark, root)
+    ReadGuard.recoverForRead(spark, root)(recover(spark, root))
     BatchLog.requireFormat(spark, dir(root), "ClusterLabels.latestBatch")
     if (!BatchLog.hasData(spark, dir(root))) 0L
     else {
@@ -475,7 +475,7 @@ object ClusterLabels {
     * without rescanning the corpus manifest). O(changed rows): the log
     * is batch-stamped, so this is one filtered read. */
   def keeperDelta(spark: SparkSession, root: String, batch: Long): DataFrame = {
-    recover(spark, root)
+    ReadGuard.recoverForRead(spark, root)(recover(spark, root))
     keeperManifest(BatchLog.read(spark, dir(root), "ClusterLabels")
       .where(col("batch") === batch).select(col("doc_id"), col("label")))
   }

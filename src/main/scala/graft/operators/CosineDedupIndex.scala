@@ -228,7 +228,7 @@ object CosineDedupIndex {
     * `pgrp` is a fold-layout artifact, never part of the row contract —
     * dropped whatever mix of fold and flat directories the log holds. */
   def readIndex(spark: SparkSession, root: String): DataFrame = {
-    recoverState(spark, root)
+    ReadGuard.recoverForRead(spark, root)(recoverState(spark, root))
     // Read-only after recovery: one manifest snapshot for the read.
     BatchLog.withManifestSnapshot {
       Tombstones.exclude(
@@ -342,7 +342,7 @@ object CosineDedupIndex {
     * the log dir is legitimately absent while the staged fold is
     * complete — probing without recovering would report live = 0. */
   def health(spark: SparkSession, root: String): IndexHealth = {
-    recoverState(spark, root)
+    ReadGuard.recoverForRead(spark, root)(recoverState(spark, root))
     frozenMask(spark, root) match {
       case None => IndexHealth.virgin
       case Some(m) =>

@@ -128,8 +128,9 @@ object DedupPipeline {
     // the log dir is legitimately absent while the fully-staged tmp is
     // present — probing without recovering would report liveDocs = 0
     // for an index that lost nothing.
-    if (vector) CosineDedupIndex.recoverState(spark, root)
-    else SignatureIndex.recoverState(spark, root)
+    ReadGuard.recoverForRead(spark, root)(
+      if (vector) CosineDedupIndex.recoverState(spark, root)
+      else SignatureIndex.recoverState(spark, root))
     val logDir =
       if (vector) CosineDedupIndex.codesDir(root) else s"$root/signatures"
     // Legacy flat roots refuse loudly here too — a silent liveDocs = 0

@@ -114,7 +114,7 @@ object PqIndex {
   /** Packaged ops snapshot — same [[IndexHealth]] shape and one-scan
     * cost as [[AnnIndex.health]]; see there for the contract. */
   def health(spark: SparkSession, root: String): IndexHealth = {
-    recoverState(spark, root)
+    ReadGuard.recoverForRead(spark, root)(recoverState(spark, root))
     loadQuantizer(spark, root) match {
       case None => IndexHealth.virgin
       case Some((cents, _)) =>
@@ -187,7 +187,7 @@ object PqIndex {
   }
 
   private def readCodes(spark: SparkSession, root: String): DataFrame = {
-    recoverState(spark, root)
+    ReadGuard.recoverForRead(spark, root)(recoverState(spark, root))
     Tombstones.exclude(
       BatchLog.read(spark, s"$root/codes", "PqIndex")
         .withColumn("cell", col("cell").cast("long")),
@@ -324,8 +324,9 @@ object PqIndex {
     * persisted index; optional exact re-rank against a float corpus. */
   def topK(spark: SparkSession, root: String, queries: DataFrame, k: Int = 3,
       rerank: Option[DataFrame] = None, nprobe: Option[Int] = None): DataFrame = {
-    // FULL recovery (refreeze AND compaction swap) — see [[AnnIndex.topK]].
-    recoverState(spark, root)
+    // FULL recovery (refreeze AND compaction swap), lease-guarded from
+    // this read-only entry — see [[AnnIndex.topK]].
+    ReadGuard.recoverForRead(spark, root)(recoverState(spark, root))
     topKRecovered(spark, root, queries, k, rerank, nprobe)
   }
 

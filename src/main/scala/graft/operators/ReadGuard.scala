@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+/** Reader-vs-maintenance discipline for the persisted index roots —
+  * the round-16 verdict's open contract ("what happens to a reader
+  * whose scan is in flight while another driver's compaction/refreeze
+  * swap deletes-and-renames the fold under it").
+  *
+  * The CONTRACT this enforces (documented in SCALE.md §reader-contract):
+  * a read either serves one committed snapshot to completion, or fails
+  * LOUDLY with a retryable error ([[ConcurrentMaintenanceException]] at
+  * entry; Spark's own missing-file failure if the swap lands mid-scan)
+  * — never a silent partial or empty result. The grace-GC alternative
+  * (retired fold dirs lingering for in-flight readers, LSM-style) was
+  * priced and deferred: the logs swap WHOLE directories in place, so a
+  * time-based grace would need either a rename of the outgoing state
+  * (a full extra copy on object-store movers) or pointer-indirected
+  * versioned roots like the star snapshots' `_versions` layout — the
+  * named upgrade path if read availability during maintenance ever
+  * matters more than a bounded retry.
+  *
+  * Mechanics at a read-only entry point (topK / readIndex / health):
+  *
+  *  1. ONE listing of the operator root classifies swap debris — every
+  *     staged-swap artifact is a root-level sibling whose name contains
+  *     the reserved `.__` infix (`.__compact_tmp`, `.__refreeze_tmp`,
+  *     `.__migrate_tmp`, `.__swap_intent`).
+  *  2. No debris (the steady state): read, zero lease traffic, zero
+  *     mutation — same cost as before.
+  *  3. Debris present: recovery MUTATES (adopts/drops staged swaps), so
+  *     it runs under the root's writer lease — which also closes the
+  *     pre-existing hole where two concurrent READERS could both run
+  *     recovery and race each other's renames.
+  *  4. Lease held by a live writer: nothing is recovered (the "debris"
+  *     is that writer's in-flight work). If the debris is BLOCKING —
+  *     an intent marker (dest untrusted by the swap protocol's own
+  *     rules), an orphaned tmp whose destination is missing (the
+  *     legacy delete→rename window), or a SEALED refreeze stage (the
+  *     two-directory swap may be half-committed: new codes visible,
+  *     old quantizer still in place — a silently WRONG mix) — the read
+  *     throws [[ConcurrentMaintenanceException]]. If the debris is
+  *     non-blocking (an unsealed stage or abandoned tmp beside an
+  *     intact destination), the read proceeds against the committed
+  *     state and leaves cleanup to the writer.
+  *
+  * Why unsealed stages are non-blocking: every protocol here keeps the
+  * destination complete and committed until its intent marker goes up
+  * (stage → seal → intent → delete → rename → clear), so a reader
+  * racing the LONG staging phase must not fail — only the small-file
+  * commit window blocks, which is what makes the error honestly
+  * retryable.
+  */
+private[graft] object ReadGuard {
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Root-level swap-artifact names (one LIST; empty when the root does
+    * not exist). */
+  private def swapDebris(spark: SparkSession, root: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val p = new HPath(root)
+    try {
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName).filter(_.contains(".__"))
+    } catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
+  /** The debris names that make the committed state UNTRUSTED for a
+    * reader (see class doc #4). `names` is the full root listing's
+    * debris; bases are checked against a fresh exists probe (cheap,
+    * only runs when debris exists at all). */
+  private def blocking(spark: SparkSession, root: String,
+      names: Seq[String]): Seq[String] = {
+    val fs = fsOf(spark, root)
+    names.filter { n =>
+      val base = n.take(n.indexOf(".__"))
+      if (n.endsWith(".__swap_intent")) true
+      else if (!fs.exists(new HPath(root, base))) true // orphan tmp: legacy mid-swap
+      else if (n.endsWith(".__refreeze_tmp"))
+        // Sealed stage ⇒ the multi-directory swap is imminent or
+        // half-done; unsealed ⇒ still staging, dest consistent.
+        fs.exists(new HPath(new HPath(root, n), RefreezeProtocol.markerName))
+      else false
+    }
+  }
+
+  /** Run `recover` (the operator's `recoverState`) from a READ-ONLY
+    * entry point under the contract above. No-op without debris;
+    * lease-guarded recovery with it; [[ConcurrentMaintenanceException]]
+    * when a live writer holds the root in a blocking state. */
+  def recoverForRead(spark: SparkSession, root: String)(recover: => Unit): Unit = {
+    val debris = swapDebris(spark, root)
+    if (debris.isEmpty) return
+    try WriterLease.withLease(spark, root)(recover)
+    catch {
+      case e: ConcurrentWriterException =>
+        val blk = blocking(spark, root, debris)
+        if (blk.nonEmpty)
+          throw new ConcurrentMaintenanceException(
+            s"index root $root is mid-maintenance (${blk.mkString(", ")}) and its " +
+              "writer lease is live — the committed state is not readable right " +
+              "now; retry after the writer's commit lands (small-file window)", e)
+      // Non-blocking debris beside an intact destination: the committed
+      // state is readable as-is; the live writer owns the cleanup.
+    }
+  }
+}

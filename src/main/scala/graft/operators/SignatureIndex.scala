@@ -160,7 +160,7 @@ object SignatureIndex {
     * refused here (its arrays predate the sorted-at-build contract the
     * intersect kernel needs) — [[migrateLegacy]] upgrades it in place. */
   def readIndex(spark: SparkSession, root: String, table: String = "signatures"): DataFrame = {
-    recoverState(spark, root, table)
+    ReadGuard.recoverForRead(spark, root)(recoverState(spark, root, table))
     // Read-only from here: one manifest snapshot for the whole read
     // (repeat consults cost zero FS ops). Starts AFTER recovery — a
     // heal rewrites directories, which a snapshot must never straddle.

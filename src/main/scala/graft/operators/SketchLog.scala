@@ -81,7 +81,7 @@ object SketchLog {
     * from the corpus. */
   def estimate(spark: SparkSession, root: String, scopeCol: String,
       table: String = "sketches"): DataFrame = {
-    recoverState(spark, root, table)
+    ReadGuard.recoverForRead(spark, root)(recoverState(spark, root, table))
     BatchLog.read(spark, s"$root/$table", "SketchLog")
       .groupBy(col(scopeCol))
       .agg(

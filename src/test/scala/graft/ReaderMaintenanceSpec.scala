@@ -1,0 +1,191 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.CountDownLatch
+
+import graft.operators.{BatchLog, ConcurrentMaintenanceException, CosineDedupIndex, WriterLease}
+import graft.testfs.HostileFileSystem
+import org.apache.spark.sql.DataFrame
+
+/** The concurrent READER vs maintenance contract (round-17; the r16
+  * verdict's "What's missing #1"): at 100 TB the deployment shape is
+  * one maintenance driver + N query drivers, and a compaction/refreeze
+  * swap deletes-and-renames whole log directories under any reader in
+  * flight. The pinned contract (SCALE.md §reader-contract): a read
+  * serves ONE committed snapshot to completion, or fails LOUDLY with a
+  * retryable error — never a silent partial or empty result.
+  *
+  *  1. a PLANNED frame whose files a completed swap deleted fails its
+  *     execution loudly (Spark's missing-file error — the documented
+  *     retryable case), and the retry serves exactly the clean answer;
+  *  2. a read ENTRY during a live writer's blocking window (intent
+  *     marker up, lease held) throws [[ConcurrentMaintenanceException]]
+  *     instead of racing the swap with its own recovery — and succeeds
+  *     after the writer releases;
+  *  3. the silent-empty belt: a log directory that reads as absent
+  *     while its swap-intent marker is up throws retryable instead of
+  *     answering "no data";
+  *  4. crashed blocking debris with a FREE lease: concurrent readers
+  *     converge — recovery runs under the lease (at most one recoverer
+  *     at a time), every reader ends with the clean answer through a
+  *     bounded retry.
+  */
+class ReaderMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def afterAll(): Unit = { HostileFileSystem.disarm(); super.afterAll() }
+
+  private def hostileRoot(tag: String): String = {
+    HostileFileSystem.install(spark.sparkContext.hadoopConfiguration)
+    val local = Files.createTempDirectory(s"graft_rdrmaint_$tag")
+    s"hostile://$local"
+  }
+
+  private def fsOf(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val rnd = new scala.util.Random(11)
+  private def vec() = Array.fill(8)(rnd.nextFloat() * 2f - 1f)
+  private def seed(root: String): Unit = {
+    CosineDedupIndex.ingest(spark, root,
+      (0L until 300L).map(i => (i, vec())).toDF("vec_id", "embedding"),
+      batchKey = Some("b1"))
+    CacheJanitor.drain()
+    CosineDedupIndex.ingest(spark, root,
+      (300L until 400L).map(i => (i, vec())).toDF("vec_id", "embedding"),
+      batchKey = Some("b2"))
+    CacheJanitor.drain()
+  }
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("a planned read whose files a completed swap deleted fails LOUDLY; the retry serves the clean answer") {
+    val root = hostileRoot("swapunder")
+    seed(root)
+    val clean = rows(CosineDedupIndex.readIndex(spark, root))
+    assert(clean.size == 400, s"spec shape broken: ${clean.size}")
+    // Plan a fresh frame (file listing resolved now), THEN swap the log
+    // under it, THEN execute: the old batch directories are gone.
+    val planned = CosineDedupIndex.readIndex(spark, root)
+    CosineDedupIndex.compact(spark, root)
+    CacheJanitor.drain()
+    val e = intercept[Exception] { planned.collect() }
+    def mentionsMissing(t: Throwable): Boolean = {
+      var c: Throwable = t
+      while (c != null) {
+        if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          (c.getMessage != null &&
+            (c.getMessage.contains("FileNotFound") || c.getMessage.contains("does not exist"))))
+          return true
+        c = c.getCause
+      }
+      false
+    }
+    assert(mentionsMissing(e),
+      s"the mid-swap failure must be the documented missing-file error, got: $e")
+    // Loud, then convergent: a fresh read serves the post-compaction
+    // snapshot, which is content-equal to the pre-compaction live set.
+    assert(rows(CosineDedupIndex.readIndex(spark, root)) == clean,
+      "the retry after the swap must serve the clean answer")
+  }
+
+  test("a read entry during a live writer's blocking window throws retryable, then succeeds after release") {
+    val root = hostileRoot("livewriter")
+    seed(root)
+    val clean = rows(CosineDedupIndex.readIndex(spark, root))
+    val intent = new org.apache.hadoop.fs.Path(s"$root/codes.__swap_intent")
+    val fs = fsOf(root)
+    val inWindow = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    @volatile var writerErr: Option[Throwable] = None
+    val writer = new Thread(() => {
+      try WriterLease.withLease(spark, root) {
+        // Simulate the commit's blocking window: intent marker up while
+        // the lease is live (the real window is exactly this state,
+        // between writeIntent and the intent clear).
+        fs.create(intent, true).close()
+        inWindow.countDown()
+        release.await()
+        fs.delete(intent, false)
+      } catch { case t: Throwable => writerErr = Some(t); inWindow.countDown() }
+    }, "rdrmaint-writer")
+    writer.start()
+    inWindow.await()
+    assert(writerErr.isEmpty, s"writer thread failed: $writerErr")
+    try {
+      // Entry-time refusal — readIndex AND the health probe.
+      intercept[ConcurrentMaintenanceException] {
+        CosineDedupIndex.readIndex(spark, root)
+      }
+      intercept[ConcurrentMaintenanceException] {
+        CosineDedupIndex.health(spark, root)
+      }
+    } finally {
+      release.countDown()
+      writer.join(30000)
+    }
+    assert(!writer.isAlive, "writer thread must have released")
+    assert(writerErr.isEmpty, s"writer thread failed: $writerErr")
+    // The window closed: the same read now serves the clean answer.
+    assert(rows(CosineDedupIndex.readIndex(spark, root)) == clean)
+  }
+
+  test("silent-empty belt: an absent log with its swap-intent marker up reads as RETRYABLE, not as empty") {
+    val root = Files.createTempDirectory("graft_rdrmaint_belt").toString
+    val log = s"$root/signatures"
+    val fs = fsOf(root)
+    // Genuinely-empty root: plain false, no throw.
+    assert(!BatchLog.hasData(spark, log))
+    // Mid-delete window shape: log absent, sibling intent marker up.
+    fs.create(new org.apache.hadoop.fs.Path(s"$log.__swap_intent"), true).close()
+    intercept[ConcurrentMaintenanceException] { BatchLog.hasData(spark, log) }
+    intercept[ConcurrentMaintenanceException] { BatchLog.committedKeys(spark, log) }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$log.__swap_intent"), false)
+    assert(!BatchLog.hasData(spark, log), "marker cleared: back to a plain empty read")
+  }
+
+  test("crashed blocking debris with a free lease: concurrent readers converge through lease-guarded recovery") {
+    val root = hostileRoot("crashrace")
+    seed(root)
+    val clean = rows(CosineDedupIndex.readIndex(spark, root))
+    // Crash a compaction inside its commit swap: intent up, dest gone,
+    // tmp complete — the worst blocking state, with no live writer.
+    HostileFileSystem.armCrash("before-copy", "/codes")
+    val e = intercept[Exception] { CosineDedupIndex.compact(spark, root) }
+    HostileFileSystem.disarm()
+    assert(e.getMessage != null || e.getCause != null)
+    CacheJanitor.drain()
+    assert(fsOf(root).exists(new org.apache.hadoop.fs.Path(s"$root/codes.__swap_intent")),
+      "spec shape broken: the crash must land inside the intent window")
+    // N concurrent readers: recovery must run under the lease (at most
+    // one recoverer), every reader converges to the clean answer with a
+    // bounded retry on the retryable refusal.
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Set[String]]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val readers = (0 until 3).map { i =>
+      new Thread(() => {
+        try {
+          var got: Option[Set[String]] = None
+          var tries = 0
+          while (got.isEmpty && tries < 20) {
+            tries += 1
+            try got = Some(rows(CosineDedupIndex.readIndex(spark, root)))
+            catch {
+              case _: ConcurrentMaintenanceException => Thread.sleep(100)
+              case _: graft.operators.ConcurrentWriterException => Thread.sleep(100)
+            }
+          }
+          results.put(i, got.getOrElse(sys.error(s"reader $i never converged")))
+        } catch { case t: Throwable => errs.add(t) }
+      }, s"rdrmaint-reader-$i")
+    }
+    readers.foreach(_.start())
+    readers.foreach(_.join(120000))
+    assert(errs.isEmpty, s"reader failures: ${errs.toArray.mkString("; ")}")
+    (0 until 3).foreach { i =>
+      assert(results.get(i) == clean, s"reader $i diverged from the clean answer")
+    }
+    assert(!fsOf(root).exists(new org.apache.hadoop.fs.Path(s"$root/codes.__swap_intent")),
+      "recovery must have completed the crashed swap")
+  }
+}
