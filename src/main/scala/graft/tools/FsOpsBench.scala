@@ -133,6 +133,33 @@ object FsOpsBench {
           println(s"#   watermark drill $phase crashed=$crashed healed=$healed")
           s""""wm_$phase":{"crashed":$crashed,"healed":$healed}"""
         }
+      } ++ {
+        // STREAMING composition drill (round-17, r16 verdict item 5;
+        // HostileStreamingSpec is the full two-hop pin): the
+        // checkpointed landing stream's sink-metadata commit crashed
+        // before its copy — the restart must land the rows exactly
+        // once through the sink log, under copy+delete rename.
+        import spark.implicits._
+        val sdir = s"$localRoot/stream_src"
+        val dest = s"hostile://$localRoot/streamed"
+        val ck = s"hostile://$localRoot/stream_ckpt"
+        (0L until 64L).map(i => (i, s"row$i")).toDF("id", "s")
+          .write.mode("append").parquet(sdir)
+        def drain(): Unit = graft.streaming.EventsStream.toLanding(
+          spark.readStream.schema("id LONG, s STRING").parquet(sdir), dest, ck)
+          .awaitTermination(120000)
+        HostileFileSystem.armCrash("before-copy", "_spark_metadata/0")
+        val crashed = try { drain(); false }
+        catch { case e: Exception =>
+          def has(t: Throwable): Boolean = t != null &&
+            ((t.getMessage != null && t.getMessage.contains("injected crash")) || has(t.getCause))
+          has(e)
+        }
+        HostileFileSystem.disarm()
+        drain()
+        val healed = crashed && spark.read.parquet(dest).count() == 64L
+        println(s"#   streaming sink-commit drill crashed=$crashed healed=$healed")
+        Seq(s""""stream_sink_commit":{"crashed":$crashed,"healed":$healed}""")
       }
     } finally { sys.props -= "graft.fold.min.rows"; sys.props -= "graft.fold.group.bytes" }
 
