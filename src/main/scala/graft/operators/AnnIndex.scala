@@ -212,6 +212,8 @@ object AnnIndex {
   private[operators] def recoverState(spark: SparkSession, root: String): Unit = {
     refreezeRecover(spark, root)
     Tombstones.recoverCompaction(spark, root, s"$root/codes.__compact_tmp", s"$root/codes")
+    // Crashed migration swap (see SignatureIndex.recoverState).
+    Tombstones.recoverSwap(spark, s"$root/codes.__migrate_tmp", s"$root/codes")
   }
 
   private def readCodes(spark: SparkSession, root: String): DataFrame = {

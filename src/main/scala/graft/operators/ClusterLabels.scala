@@ -46,22 +46,16 @@ object ClusterLabels {
     * any existence probe of the label dir: "dir missing" normally means
     * "no labels yet" (an EMPTY state), so a compaction that died
     * between its delete and rename would otherwise read as silent data
-    * loss, not an error. The window is unambiguous (tmp is fully
-    * written before the delete runs): dest missing ∧ tmp present →
-    * adopt tmp; both present → tmp is an abandoned stage, drop it.
-    * Hadoop FileSystem API throughout (probes AND moves), matching
-    * [[compact]]'s commit — a mixed nio/Hadoop pair would make recovery
-    * silently no-op on any non-local root. */
+    * loss, not an error. Round 17: delegated to the shared intent-
+    * marked protocol ([[Tombstones.recoverSwap]]) — the hand-rolled
+    * rule here ("both present ⇒ drop tmp") was only sound under atomic
+    * rename; on a copy+delete FS it would have ADOPTED a torn dest.
+    * The shared recovery also still handles the pre-intent legacy
+    * states identically. */
   private def recover(spark: SparkSession, root: String): Unit = {
-    val dest = new HPath(dir(root))
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new HPath(s"${dir(root)}.__compact_tmp")
-    if (fs.exists(tmp)) {
-      if (!fs.exists(dest))
-        require(fs.rename(tmp, dest),
-          s"label compaction recovery failed: could not adopt $tmp as $dest")
-      else fs.delete(tmp, true)
-    }
+    Tombstones.recoverSwap(spark, s"${dir(root)}.__compact_tmp", dir(root))
+    // Crashed migration swap (see SignatureIndex.recoverState).
+    Tombstones.recoverSwap(spark, s"${dir(root)}.__migrate_tmp", dir(root))
   }
 
   /** Current labels `(doc_id, label)`: keep-last per doc over the
@@ -488,11 +482,14 @@ object ClusterLabels {
     val dest = dir(root)
     val tmp = s"$dest.__compact_tmp"
     BatchLog.stageRewrite(read(spark, root).withColumn("batch", lit(1L)), dest, tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new HPath(dest).getFileSystem(conf)
-    fs.delete(new HPath(dest), true)
-    require(fs.rename(new HPath(tmp), new HPath(dest)),
-      s"label compaction commit failed: could not move $tmp into $dest")
+    // Intent-marked swap (round 17): this was the LAST hand-rolled
+    // delete+rename commit — on a copy+delete FS a crash mid-copy
+    // leaves a PARTIAL dest with tmp present, and the pre-intent
+    // recovery rule ("both present ⇒ drop tmp") would have adopted the
+    // torn dest as the label log. Tombstones.commitSwap is the same
+    // swap under the intent marker every other operator got in r15;
+    // ClusterLabels has no tombstone side table, so the swap-only form.
+    Tombstones.commitSwap(spark, tmp, dest)
     // Fresh stats sidecar for the folded directory (the fold dropped any
     // per-batch sidecars with the history) — this is also what HEALS a
     // chain gap left by a crashed sidecar write: post-compaction the

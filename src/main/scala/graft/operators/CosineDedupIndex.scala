@@ -244,6 +244,8 @@ object CosineDedupIndex {
     refreezeRecover(spark, root)
     Tombstones.recoverCompaction(spark, root,
       s"${codesDir(root)}.__compact_tmp", codesDir(root))
+    // Crashed migration swap (see SignatureIndex.recoverState).
+    Tombstones.recoverSwap(spark, s"${codesDir(root)}.__migrate_tmp", codesDir(root))
   }
 
   /** One-time upgrade of a legacy flat-append root into the batch-keyed

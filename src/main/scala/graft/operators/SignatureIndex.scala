@@ -179,8 +179,14 @@ object SignatureIndex {
     * an existence probe during the swap window would otherwise misread
     * a fully-staged compaction as an empty index. */
   private[operators] def recoverState(spark: SparkSession, root: String,
-      table: String = "signatures"): Unit =
+      table: String = "signatures"): Unit = {
     Tombstones.recoverCompaction(spark, root, s"$root/$table.__compact_tmp", s"$root/$table")
+    // A crashed MIGRATION swap too (round 17): only adoptLegacy's own
+    // entry recovered it before, so a migrate that died between its
+    // delete and rename read as a silent-empty log on every other
+    // entry point until someone re-ran migrateLegacy.
+    Tombstones.recoverSwap(spark, s"$root/$table.__migrate_tmp", s"$root/$table")
+  }
 
   /** One-time upgrade of a legacy flat-append root: re-sorts every
     * stored shingle array (pre-change rows were `array_distinct` order,

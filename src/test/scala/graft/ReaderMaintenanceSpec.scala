@@ -144,6 +144,67 @@ class ReaderMaintenanceSpec extends SparkSpec {
     assert(!BatchLog.hasData(spark, log), "marker cleared: back to a plain empty read")
   }
 
+  test("label compaction crashed MID-COPY (torn dest) heals to the exact labels — the torn dest is never adopted") {
+    // Round-17 fix drilled: ClusterLabels.compact was the last
+    // hand-rolled delete+rename commit; on the copy+delete FS a crash
+    // mid-copy leaves a PARTIAL dest with tmp present, and the
+    // pre-intent recovery rule ("both present ⇒ drop tmp") adopted the
+    // torn dest as the label log — silent label loss. The intent-marked
+    // swap recovers from the complete tmp instead.
+    import graft.operators.ClusterLabels
+    val root = hostileRoot("labeltorn")
+    ClusterLabels.merge(spark, root,
+      Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b"),
+      (1L to 6L).toDF("doc_id"), batchKey = Some("b1"))
+    CacheJanitor.drain()
+    ClusterLabels.merge(spark, root,
+      Seq((2L, 5L)).toDF("doc_a", "doc_b"),
+      Seq(7L).toDF("doc_id"), batchKey = Some("b2"))
+    CacheJanitor.drain()
+    val want = rows(ClusterLabels.read(spark, root))
+    assert(want.nonEmpty)
+    HostileFileSystem.armCrash("torn-dest", "/labels")
+    val e = intercept[Exception] { ClusterLabels.compact(spark, root) }
+    HostileFileSystem.disarm()
+    CacheJanitor.drain()
+    assert(e != null)
+    assert(rows(ClusterLabels.read(spark, root)) == want,
+      "recovery must serve the complete staged fold, never the torn dest")
+    // A clean compact afterwards converges to the same labels.
+    ClusterLabels.compact(spark, root)
+    CacheJanitor.drain()
+    assert(rows(ClusterLabels.read(spark, root)) == want)
+  }
+
+  test("a migration crashed mid-swap heals on the NEXT READ — never a silent-empty log") {
+    // Round-17: only adoptLegacy's own entry recovered a crashed
+    // migrate swap; every other entry point saw dest absent + no
+    // compact debris and read the log as EMPTY until someone happened
+    // to re-run migrateLegacy. recoverState now completes the migrate
+    // swap too, so the first read after the crash heals it.
+    import graft.operators.SignatureIndex
+    import org.apache.spark.sql.functions.{col, reverse}
+    val root = hostileRoot("migratecrash")
+    val legacyRows = SignatureIndex.signatures(
+      (1L to 5L).map(i => (i, (0 until 9).map(j => s"m${i}w$j").mkString(" ")))
+        .toDF("doc_id", "text"))
+      .select(col("doc_id"), reverse(col("shs")).as("shs"))
+    legacyRows.write.mode("append").parquet(s"$root/signatures")
+    // Crash the migration inside its commit swap (dest deleted, staged
+    // tmp complete, intent marker up).
+    HostileFileSystem.armCrash("before-copy", "/signatures")
+    val e = intercept[Exception] { SignatureIndex.migrateLegacy(spark, root) }
+    HostileFileSystem.disarm()
+    CacheJanitor.drain()
+    assert(e != null)
+    // The next plain read heals the swap and serves the migrated rows.
+    val got = SignatureIndex.readIndex(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got.keySet == (1L to 5L).toSet,
+      s"crashed migration must heal on read, got keys ${got.keySet}")
+    assert(got.values.forall(s => s == s.sorted), "healed rows carry the migrated sort")
+  }
+
   test("crashed blocking debris with a free lease: concurrent readers converge through lease-guarded recovery") {
     val root = hostileRoot("crashrace")
     seed(root)
