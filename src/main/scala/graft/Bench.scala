@@ -68,8 +68,10 @@ object Bench {
       }
     }
     val loadEnd = loadavg()
+    def r3(d: Double): String = // 1 ms resolution keeps the stdout line compact
+      if (d == -1) "-1" else BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results
-      .map(q => s"\"${esc(q.name)}\":" + (if (q.err.isEmpty) q.median else -1))
+      .map(q => s"\"${esc(q.name)}\":" + (if (q.err.isEmpty) r3(q.median) else "-1"))
       .mkString("{", ",", "}")
     val spread = results.filter(_.err.isEmpty)
       .map(q => s"\"${esc(q.name)}\":[${q.min},${q.max}]")
@@ -81,14 +83,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case QRes(_, m, _, _, None, _) => m }.sum
     val nErr = results.count(_.err.nonEmpty)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"jobs":$jobsJson,"reps":$reps,"loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}","errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}"""
-    println(json)
-    // The driver's tail-capture clips this (very long) line, so the
-    // committed artifact also lands in a file — the round record must be
-    // parseable from the repo alone (round-3 verdict "What's wrong" #1).
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
-    }
+    val common = s""""unit":"sec","reps":$reps,"loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}","n_errors":$nErr,"jobs_settle_bound_hits":${jobCounter.boundHits.get()},"sf":"$sfDir""""
+    // STDOUT gets the COMPACT line (medians only, 3 dp): the driver's
+    // capture clips long lines and then records an unparsed tail
+    // (r17 "What's wrong" #2 — BENCH_r17.json arrived with parsed:null).
+    // ~3 KB for 108 queries fits any sane buffer.
+    println(s"""{"metric":"total","value":${r3(total)},$common,"queries":$qs}""")
+    // The FULL record (exact medians, per-rep spread + job counts, error
+    // detail) always lands in a file — committed as BENCH_raw_r{N}.json.
+    val full = s"""{"metric":"total","value":$total,$common,"queries":${results
+      .map(q => s"\"${esc(q.name)}\":" + (if (q.err.isEmpty) q.median else -1))
+      .mkString("{", ",", "}")},"spread":$spread,"jobs":$jobsJson,"errors":$errs}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_raw_HEAD.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     spark.stop()
   }
 }

@@ -25,20 +25,30 @@ final class JobCounter(sc: org.apache.spark.SparkContext) {
     }
   })
 
-  /** The count once it has been stable for one 25 ms poll (bounded at
-    * 2 s — only a pathologically backed-up bus ever gets near that;
-    * the count is then still reported, just flagged by its context as
-    * approximate by nature). */
+  /** Times [[settled]] hit its 2 s bound and returned a possibly
+    * mid-drain count — artifacts that promote job counts to a drift
+    * adjudicator surface this so an approximate read is never presented
+    * as exact (r17 advisory). */
+  val boundHits = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The count once it has been stable for TWO consecutive 25 ms polls
+    * (bounded at 2 s): one quiet poll can land inside a listener-bus
+    * stall >25 ms and misattribute straggler jobs to the adjacent
+    * rep/phase (r17 advisory). Hitting the bound still reports the
+    * count but increments [[boundHits]]. */
   def settled(): Int = {
     var prev = jobs.get()
+    var stable = 0
     var waited = 0
     while (waited < 2000) {
       Thread.sleep(25)
       val now = jobs.get()
-      if (now == prev) return now
+      if (now == prev) { stable += 1; if (stable >= 2) return now }
+      else stable = 0
       prev = now
       waited += 25
     }
+    boundHits.incrementAndGet()
     prev
   }
 }

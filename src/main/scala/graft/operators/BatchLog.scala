@@ -711,7 +711,14 @@ private[graft] object BatchLog {
       if (files.isEmpty) None
       else {
         val fm = FoldManifest(partCols, dataSchema, partSchema, files)
-        manifestCache.put(p.toString, (st.getLen, st.getModificationTime, fm))
+        // Cache ONLY once the mtime is older than the trust lag: a parse
+        // cached while its mtime tick is still current could be validated
+        // by a LATER same-length rewrite inside the same tick (the stat
+        // would collide, and by the next consult the mtime is old enough
+        // to trust) — so no entry whose (len, mtime) could still collide
+        // is ever inserted. A hot manifest just re-reads until it ages.
+        if (st.getModificationTime < System.currentTimeMillis() - mtimeTrustLagMs)
+          manifestCache.put(p.toString, (st.getLen, st.getModificationTime, fm))
         Some(fm)
       }
     } catch {

@@ -77,7 +77,18 @@ private[graft] object ReadGuard {
     val fs = fsOf(spark, root)
     names.filter { n =>
       val base = n.take(n.indexOf(".__"))
-      if (n.endsWith(".__swap_intent")) true
+      if (base.isEmpty)
+        // A name STARTING with `.__` is not a protocol artifact (every
+        // swap artifact is `<base>.__suffix`); classifying it would also
+        // probe `new HPath(root, "")`, which throws. Foreign debris —
+        // non-blocking, leave it to the writer.
+        false
+      else if (n.endsWith(".__swap_intent"))
+        // Re-probe: the stale root listing may predate a recoverer (the
+        // lease holder we just lost the race to) clearing this intent —
+        // a cleared intent means the swap committed and the state is
+        // readable; only a STILL-PRESENT intent blocks.
+        fs.exists(new HPath(root, n))
       else if (!fs.exists(new HPath(root, base))) true // orphan tmp: legacy mid-swap
       else if (n.endsWith(".__refreeze_tmp"))
         // Sealed stage ⇒ the multi-directory swap is imminent or

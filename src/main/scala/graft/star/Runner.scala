@@ -344,7 +344,7 @@ object Runner {
       keys: Seq[String],
       preview: Boolean = false): Seq[String] = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $warehouseDb")
-    keys.map { key =>
+    val loaded = keys.map { key =>
       val table = key.replaceFirst("^dim-", "").replaceFirst("^fact-", "").replace("-", "_")
       // One read shared by the emptiness probe, the warehouse write, and
       // the preview export: the probe's partial scan and the write both
@@ -373,6 +373,22 @@ object Runner {
       } finally df.unpersist(blocking = false)
       table
     }
+    // Every load path absorbs the keys it just loaded from the pending-
+    // load marker (not only Runner.runOnce/fullReload): a composed caller
+    // (StarBench, MergeRunner's dense-policy delegation) that pairs
+    // processBatch with its own load otherwise leaves the marker
+    // permanently set, and the next runOnce on the root never no-ops.
+    absorbLoadPending(processedRoot, keys)
+    loaded
+  }
+
+  /** Subtract `loaded` keys from the pending-load marker (no-op when the
+    * marker is already clear). Atomic tmp+rename write like every state
+    * file here. */
+  private def absorbLoadPending(processedRoot: String, loaded: Seq[String]): Unit = {
+    val pending = readLoadPending(processedRoot)
+    if (pending.nonEmpty && loaded.nonEmpty)
+      writeLoadPending(processedRoot, pending -- loaded)
   }
 
   /** S11: list the loaded warehouse tables from the catalog (reference
@@ -395,13 +411,16 @@ object Runner {
       processedRoot: String,
       keys: Seq[String],
       url: String,
-      props: java.util.Properties): Seq[String] =
-    keys.map { key =>
+      props: java.util.Properties): Seq[String] = {
+    val loaded = keys.map { key =>
       val table = key.replaceFirst("^dim-", "").replaceFirst("^fact-", "").replace("-", "_")
       val df = LandingLog.readSnapshot(spark, processedRoot, key)
       if (!df.isEmpty) Extract.jdbcOverwrite(df, url, table, props)
       table
     }
+    absorbLoadPending(processedRoot, keys) // see loadWarehouse
+    loaded
+  }
 
   /** Manual full reload (reference C4): scan every written snapshot and
     * load the whole star schema into the warehouse. */
