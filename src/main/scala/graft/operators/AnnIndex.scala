@@ -218,10 +218,13 @@ object AnnIndex {
 
   private def readCodes(spark: SparkSession, root: String): DataFrame = {
     ReadGuard.recoverForRead(spark, root)(recoverState(spark, root))
-    Tombstones.exclude(
+    // Tombstones pinned BEFORE the codes read resolves (excluding): the
+    // versioned swap protocol's one silent-wrong interleaving is old
+    // codes paired with a just-cleared side table.
+    Tombstones.excluding(spark, root, "vec_id") {
       BatchLog.read(spark, s"$root/codes", "AnnIndex")
-        .withColumn("cell", col("cell").cast("long")),
-      root, "vec_id")
+        .withColumn("cell", col("cell").cast("long"))
+    }
   }
 
   /** One-time upgrade of a legacy flat-append root into the batch-keyed
@@ -435,11 +438,11 @@ object AnnIndex {
     // cell files from the fold manifest — zero listings over the
     // corpus-sized directory tree — while flat-era increments keep the
     // listing read; the isin filter prunes identically in both.
-    val codes = Tombstones.exclude(
+    val codes = Tombstones.excluding(spark, root, "vec_id") {
       BatchLog.read(spark, s"$root/codes", "AnnIndex")
         .where(col("cell").isin(probed: _*))
-        .withColumn("cell", col("cell").cast("long")),
-      root, "vec_id")
+        .withColumn("cell", col("cell").cast("long"))
+    }
     // Scoring never materializes a dequantized array: the codegen'd SQ8
     // kernels dequantize-and-fold in one tight loop per pair (the hot
     // inner loop of the whole index at corpus scale).

@@ -45,6 +45,31 @@ private[graft] object BatchLog {
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Thread-local RESOLUTION snapshot, opened together with
+    * [[withManifestSnapshot]]: inside a read-only section every
+    * logical→physical resolution of the same table dir answers from the
+    * first probe — zero extra FS ops AND one consistent version across
+    * the section's sub-reads (a swap committing mid-section cannot give
+    * the postings read version n and the signatures read version n+1).
+    * Same soundness argument as the manifest snapshot: fold state is
+    * immutable per version, and a read-only section plans against one
+    * listing snapshot anyway. */
+  private val resolveSnapshot =
+    new java.lang.ThreadLocal[scala.collection.mutable.Map[String, String]]()
+
+  /** The physical directory holding `path`'s CURRENT committed state —
+    * [[VersionedState.resolve]], snapshot-cached inside read-only
+    * sections. Every public entry point resolves through this, so a
+    * table dir upgraded to the versioned layout (first compaction/
+    * refreeze commit) is transparent to operators: appends land inside
+    * the current version, reads plan against it, and superseded
+    * versions linger for in-flight readers until grace-GC. */
+  def resolve(spark: SparkSession, path: String): String =
+    resolveSnapshot.get() match {
+      case null => VersionedState.resolve(spark, path)
+      case snap => snap.getOrElseUpdate(path, VersionedState.resolve(spark, path))
+    }
+
   /** Caller keys become directory-safe, always-string partition values:
     * a `b` prefix guarantees partition-type inference reads them back as
     * STRING whatever the key looks like (a bare `2026...` would infer
@@ -81,8 +106,16 @@ private[graft] object BatchLog {
   /** Public form of the batch directory layout, for operators that
     * stow per-batch METADATA sidecars inside a batch's own directory
     * (underscore-prefixed names — invisible to parquet readers — so
-    * they ride the directory's commit/replace/compact lifecycle). */
+    * they ride the directory's commit/replace/compact lifecycle).
+    * NOTE: resolution-free — callers on a possibly-versioned LOGICAL
+    * table dir use [[dirOfResolved]]; this form is for paths that are
+    * already physical (staged tmps, dirs from a resolved listing). */
   def dirOf(path: String, key: String): String = dirFor(path, key)
+
+  /** [[dirOf]] through the version pointer — the batch directory as a
+    * reader/writer of the CURRENT state sees it. */
+  def dirOfResolved(spark: SparkSession, path: String, key: String): String =
+    dirFor(resolve(spark, path), key)
 
   /** [[keys]] restricted to directories holding committed data files —
     * the batches a read actually sees (a crashed write's
@@ -91,8 +124,9 @@ private[graft] object BatchLog {
     * without the recursive walk (it lists ≥1 committed file by
     * construction). */
   def committedKeys(spark: SparkSession, path: String): Seq[String] = {
+    val rp = resolve(spark, path)
     val ks = keys(spark, path).filter { k =>
-      val d = dirFor(path, k)
+      val d = dirFor(rp, k)
       readFoldManifest(spark, d).map(_.files.nonEmpty)
         .getOrElse(hasCommittedFiles(spark, d))
     }
@@ -111,7 +145,11 @@ private[graft] object BatchLog {
     * pay it. */
   private def requireNotMidSwap(spark: SparkSession, path: String): Unit = {
     val intent = new HPath(s"$path.__swap_intent")
-    if (fsOf(spark, path).exists(intent))
+    // A VERSIONED commit never replaces the committed state, so an
+    // empty read under its intent is a genuinely empty log (e.g. an
+    // all-tombstoned compaction's empty fold), not a swap window.
+    if (fsOf(spark, path).exists(intent) &&
+        !Tombstones.intentIsVersioned(spark, s"$path.__swap_intent"))
       throw new ConcurrentMaintenanceException(
         s"$path reads as empty while its swap-intent marker is up — a " +
           "maintenance commit is replacing the directory; retry the read")
@@ -174,11 +212,12 @@ private[graft] object BatchLog {
   /** The committed row count of ONE batch directory, from its sidecar
     * (None on a sidecar gap) — driver-side file read, zero Spark jobs. */
   def rowCountOf(spark: SparkSession, path: String, key: String): Option[Long] =
-    readRowCount(spark, dirFor(path, key))
+    readRowCount(spark, dirFor(resolve(spark, path), key))
 
   def committedRowCount(spark: SparkSession, path: String): Option[Long] = {
+    val rp = resolve(spark, path)
     val ks = committedKeys(spark, path)
-    val counts = ks.flatMap(k => readRowCount(spark, dirFor(path, k)))
+    val counts = ks.flatMap(k => readRowCount(spark, dirFor(rp, k)))
     if (counts.size == ks.size) Some(counts.sum) else None
   }
 
@@ -186,7 +225,7 @@ private[graft] object BatchLog {
     * or not — the namespace [[nextAutoKey]] must avoid. */
   def keys(spark: SparkSession, path: String): Seq[String] = {
     val fs = fsOf(spark, path)
-    val p = new HPath(path)
+    val p = new HPath(resolve(spark, path))
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(_.isDirectory)
@@ -226,8 +265,9 @@ private[graft] object BatchLog {
     * the partial via its own `mode(overwrite)`, and readers must not
     * trip over it meanwhile. */
   def hasData(spark: SparkSession, path: String): Boolean = {
+    val rp = resolve(spark, path)
     val any = keys(spark, path).exists { k =>
-      val d = dirFor(path, k)
+      val d = dirFor(rp, k)
       readFoldManifest(spark, d).map(_.files.nonEmpty)
         .getOrElse(hasCommittedFiles(spark, d))
     }
@@ -251,7 +291,7 @@ private[graft] object BatchLog {
     * pair detection through the sorted-input intersect kernel). */
   def requireFormat(spark: SparkSession, path: String, op: String): Unit = {
     val fs = fsOf(spark, path)
-    val p = new HPath(path)
+    val p = new HPath(resolve(spark, path))
     if (fs.exists(p) && !fs.exists(new HPath(p, markerName))) {
       val legacy = fs.listStatus(p).toSeq.map(_.getPath.getName)
         .filterNot(n => n.startsWith("_") || n.startsWith(".") || n.startsWith("batch_key="))
@@ -341,11 +381,16 @@ private[graft] object BatchLog {
     val spark = df.sparkSession
     requireFormat(spark, path, op)
     if (retiredKeys(spark, path).contains(key)) return false
-    writeMarker(spark, path)
+    // Appends land INSIDE the current version of a versioned root —
+    // append-only additions to the committed state (readers' earlier
+    // listing snapshots are never invalidated); only a swap commit
+    // advances the version pointer.
+    val rp = resolve(spark, path)
+    writeMarker(spark, rp)
     val w = df.write.mode("overwrite")
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
-      .parquet(dirFor(path, key))
-    writeRowCount(spark, dirFor(path, key))
+      .parquet(dirFor(rp, key))
+    writeRowCount(spark, dirFor(rp, key))
     true
   }
 
@@ -355,10 +400,11 @@ private[graft] object BatchLog {
     * reads can skip directories). Committed keys only. */
   def partitionedKeys(spark: SparkSession, path: String, partCol: String): Set[String] = {
     val fs = fsOf(spark, path)
+    val rp = resolve(spark, path)
     // One manifest consult per key answers BOTH the committed filter
     // and the layout question (was committedKeys + a second consult).
     keys(spark, path).filter { k =>
-      val d = dirFor(path, k)
+      val d = dirFor(rp, k)
       readFoldManifest(spark, d) match {
         case Some(m) => m.files.nonEmpty && m.partCols.contains(partCol)
         case None => hasCommittedFiles(spark, d) &&
@@ -386,19 +432,20 @@ private[graft] object BatchLog {
   def read(spark: SparkSession, path: String, op: String): DataFrame = {
     requireFormat(spark, path, op)
     val fs = fsOf(spark, path)
+    val rp = resolve(spark, path)
     // One manifest consult per key, shared by the committed filter and
     // the layout split below (was two-three consults per key: the r15
     // advisory's double read, a metadata round-trip tax on object
     // stores).
     val mans = keys(spark, path)
-      .map(k => k -> readFoldManifest(spark, dirFor(path, k))).toMap
+      .map(k => k -> readFoldManifest(spark, dirFor(rp, k))).toMap
     val ks = mans.keys.toSeq.sorted.filter { k =>
       mans(k).map(_.files.nonEmpty)
-        .getOrElse(hasCommittedFiles(spark, dirFor(path, k)))
+        .getOrElse(hasCommittedFiles(spark, dirFor(rp, k)))
     }
     def partColsOf(k: String): Set[String] =
       mans(k).map(_.partCols.toSet).getOrElse(
-        fs.listStatus(new HPath(dirFor(path, k))).toSeq
+        fs.listStatus(new HPath(dirFor(rp, k))).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.contains("="))
           .map(_.getPath.getName.takeWhile(_ != '=')).toSet)
     val byLayout = ks.groupBy(partColsOf)
@@ -407,7 +454,7 @@ private[graft] object BatchLog {
     // fold in the log, the split read below serves the fold's (many)
     // group files listing-free and only lists the flat increments.
     if (byLayout.size <= 1 && mans.values.forall(_.isEmpty))
-      spark.read.parquet(path).drop("batch_key")
+      spark.read.parquet(rp).drop("batch_key")
     else {
       val common = byLayout.keys.reduce(_ & _)
       byLayout.toSeq.sortBy { case (cols, _) => (cols.size, cols.toSeq.sorted.mkString(",")) }
@@ -425,15 +472,16 @@ private[graft] object BatchLog {
             es.map(_._2.partSchema).distinct.size == 1
           val listedKeys = if (uniform) without else group.sorted
           val subs =
-            (if (uniform) Seq(ManifestFileIndex.frame(spark, path, es).drop("batch_key")) else Nil) ++
-            (if (listedKeys.nonEmpty) Seq(readKeysListed(spark, path, listedKeys, op)) else Nil)
+            (if (uniform) Seq(ManifestFileIndex.frame(spark, rp, es).drop("batch_key")) else Nil) ++
+            (if (listedKeys.nonEmpty) Seq(readKeysListed(spark, rp, listedKeys, op)) else Nil)
           (cols -- common).foldLeft(subs.reduce(_ unionByName _))(_ drop _)
         }.reduce(_ unionByName _)
     }
   }
 
   /** The plain listing-backed restricted read (no manifest attempt) —
-    * [[read]]'s fallback half for directories without manifests. */
+    * [[read]]'s fallback half for directories without manifests.
+    * `path` must already be PHYSICAL (resolved). */
   private def readKeysListed(spark: SparkSession, path: String, ks: Seq[String],
       op: String): DataFrame = {
     require(ks.nonEmpty, s"$op: readKeysListed needs at least one key")
@@ -462,15 +510,16 @@ private[graft] object BatchLog {
       op: String): DataFrame = {
     requireFormat(spark, path, op)
     require(ks.nonEmpty, s"$op: readKeysWithKey needs at least one key")
+    val rp = resolve(spark, path)
     // Manifest-backed when EVERY requested directory carries one
     // (fold dirs written by this release): scan planning then does
     // zero listings and zero footer reads. Any gap → the listing read,
     // byte-identical output either way (FoldManifestSpec pins it).
-    manifestsFor(spark, path, ks) match {
-      case Some(entries) => ManifestFileIndex.frame(spark, path, entries)
+    manifestsFor(spark, rp, ks) match {
+      case Some(entries) => ManifestFileIndex.frame(spark, rp, entries)
       case None =>
-        spark.read.option("basePath", path)
-          .parquet(ks.map(k => dirFor(path, k)): _*)
+        spark.read.option("basePath", rp)
+          .parquet(ks.map(k => dirFor(rp, k)): _*)
     }
   }
 
@@ -631,7 +680,8 @@ private[graft] object BatchLog {
     else {
       manifestSnapshot.set(
         scala.collection.mutable.Map.empty[String, Option[FoldManifest]])
-      try body finally manifestSnapshot.remove()
+      resolveSnapshot.set(scala.collection.mutable.Map.empty[String, String])
+      try body finally { manifestSnapshot.remove(); resolveSnapshot.remove() }
     }
 
   /** Run `body` OUTSIDE any open manifest snapshot — the escape hatch
@@ -643,10 +693,12 @@ private[graft] object BatchLog {
     * `SignatureIndex.deltaPairsIndexed`'s full-scan fallback). */
   def withoutManifestSnapshot[T](body: => T): T = {
     val prev = manifestSnapshot.get()
+    val prevR = resolveSnapshot.get()
     if (prev == null) body
     else {
       manifestSnapshot.remove()
-      try body finally manifestSnapshot.set(prev)
+      resolveSnapshot.remove()
+      try body finally { manifestSnapshot.set(prev); if (prevR != null) resolveSnapshot.set(prevR) }
     }
   }
 
@@ -786,7 +838,7 @@ private[graft] object BatchLog {
     * travels with the log directory through the atomic swap. */
   def retiredKeys(spark: SparkSession, path: String): Set[String] = {
     val fs = fsOf(spark, path)
-    val f = new HPath(path, retiredName)
+    val f = new HPath(resolve(spark, path), retiredName)
     if (!fs.exists(f)) Set.empty
     else {
       val in = fs.open(f)
@@ -821,7 +873,7 @@ private[graft] object BatchLog {
     * pre-upgrade, so the fallback may probe live. */
   def legacyKeys(spark: SparkSession, path: String): Option[Set[String]] = {
     val fs = fsOf(spark, path)
-    val f = new HPath(path, legacyName)
+    val f = new HPath(resolve(spark, path), legacyName)
     if (!fs.exists(f)) None
     else {
       val in = fs.open(f)
@@ -879,7 +931,11 @@ private[graft] object BatchLog {
     // unretired, so the replay lands it again. (Uncommitted partials
     // fall out for free: their files are invisible to the listing.)
     val fs = fsOf(spark, srcPath)
-    val prefix = fs.makeQualified(new HPath(srcPath)).toString + "/batch_key="
+    // Absorbed-key detection matches against the PHYSICAL current dir —
+    // on a versioned root the fold's scan read files inside the
+    // resolved version directory, not the logical table dir.
+    val prefix = fs.makeQualified(new HPath(resolve(spark, srcPath)))
+      .toString + "/batch_key="
     // From the ANALYZED plan, not Dataset.inputFiles: inputFiles walks
     // the optimized plan, where a persisted upstream frame has been
     // substituted by its InMemoryRelation — the scan (and its listing
@@ -903,7 +959,8 @@ private[graft] object BatchLog {
     // checkpoint) — staging it would leave every caller key unretired,
     // and their replays would double-append beside the fold. Refuse.
     require(absorbed.nonEmpty ||
-      !keys(spark, srcPath).exists(k => hasCommittedFiles(spark, dirFor(srcPath, k))),
+      !keys(spark, srcPath).exists(k =>
+        hasCommittedFiles(spark, dirFor(resolve(spark, srcPath), k))),
       s"stageRewrite: the fold frame read no files under $srcPath " +
         "(lineage truncated?) — it must be derived from the log it rewrites")
     val folded = retiredKeys(spark, srcPath) ++ absorbed
@@ -936,8 +993,9 @@ private[graft] object BatchLog {
     // recoverSwap adopted a staged tmp if one existed; still absent
     // means there was never anything here.
     require(fs.exists(dest), s"no index at $path to migrate")
-    if (fs.exists(new HPath(dest, markerName))) return // already current
-    stage(transform(spark.read.parquet(path)), tmpP.toString, partitionBy)
+    val rp = resolve(spark, path) // versioned roots carry their marker inside
+    if (fs.exists(new HPath(rp, markerName))) return // already current
+    stage(transform(spark.read.parquet(rp)), tmpP.toString, partitionBy)
     Tombstones.commitSwap(spark, tmpP.toString, path)
   }
 }

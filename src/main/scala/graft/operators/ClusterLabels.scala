@@ -198,11 +198,11 @@ object ClusterLabels {
 
   private val statsName = "_label_stats.json"
 
-  private def statsPath(root: String, key: String): HPath =
-    new HPath(BatchLog.dirOf(dir(root), key), statsName)
+  private def statsPath(spark: SparkSession, root: String, key: String): HPath =
+    new HPath(BatchLog.dirOfResolved(spark, dir(root), key), statsName)
 
   private def readStats(spark: SparkSession, root: String, key: String): Option[LabelStats] = {
-    val p = statsPath(root, key)
+    val p = statsPath(spark, root, key)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       if (!fs.exists(p)) None
@@ -232,7 +232,7 @@ object ClusterLabels {
 
   private def writeStats(spark: SparkSession, root: String, key: String,
       st: LabelStats): Unit = {
-    val p = statsPath(root, key)
+    val p = statsPath(spark, root, key)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val s = graft.sources.MiniJson.renderFlat(Map(
       "batch" -> st.batch.toString, "labelled" -> st.labelled.toString,
@@ -338,7 +338,9 @@ object ClusterLabels {
     val hasLog = BatchLog.hasData(spark, dir(root))
     val log =
       if (hasLog)
-        spark.read.parquet(dir(root))
+        // Through the version pointer: a compacted label log serves its
+        // committed state from the current _versions/<n> dir.
+        spark.read.parquet(BatchLog.resolve(spark, dir(root)))
           .where(col("batch_key") =!= lit(key)).drop("batch_key")
       else spark.range(0).select(col("id").as("doc_id"),
         col("id").as("label"), col("id").as("batch"))

@@ -188,7 +188,7 @@ object CosineDedupIndex {
     val parted = BatchLog.partitionedKeys(spark, path, pgrpCol)
     if (parted.isEmpty) return None
     val withG = parted.toSeq.sorted
-      .map(k => k -> readPgrpSidecar(spark, BatchLog.dirOf(path, k)))
+      .map(k => k -> readPgrpSidecar(spark, BatchLog.dirOfResolved(spark, path, k)))
     // An un-sidecarred fold's G is unknowable — guessing would prune
     // WRONG (silently dropped pairs). No pruning for this batch; the
     // next compaction re-sidecars the layout.
@@ -211,6 +211,10 @@ object CosineDedupIndex {
       .selectExpr(s"explode($probesExpr) AS p").where(col("p") < lit(mask))
       .distinct().collect().map(_.getLong(0))
     val flat = BatchLog.committedKeys(spark, path).filterNot(parted)
+    // Tombstones pinned before the fold/flat reads resolve — see
+    // [[Tombstones.excluding]] (hand-rolled here because the data frame
+    // is assembled from several reads).
+    val tomb = Tombstones.read(spark, root, "vec_id")
     val frames = withG.map { case (fk, g0) =>
       val g = g0.get
       val groups = probes.map(p => (p % g).toInt).distinct.toSeq
@@ -220,7 +224,7 @@ object CosineDedupIndex {
        else fold.where(col(pgrpCol).isin(groups: _*))).drop(pgrpCol)
     } ++ (if (flat.isEmpty) Nil
           else Seq(BatchLog.readKeys(spark, path, flat, "CosineDedupIndex.probe")))
-    Some(Tombstones.exclude(frames.reduce(_ unionByName _), root, "vec_id"))
+    Some(frames.reduce(_ unionByName _).join(tomb, Seq("vec_id"), "left_anti"))
   }
 
   /** Live code rows: the snapshot minus tombstoned vec_ids (compaction
@@ -230,10 +234,11 @@ object CosineDedupIndex {
   def readIndex(spark: SparkSession, root: String): DataFrame = {
     ReadGuard.recoverForRead(spark, root)(recoverState(spark, root))
     // Read-only after recovery: one manifest snapshot for the read.
+    // Tombstones pinned before the codes read — Tombstones.excluding.
     BatchLog.withManifestSnapshot {
-      Tombstones.exclude(
-        BatchLog.read(spark, codesDir(root), "CosineDedupIndex").drop(pgrpCol),
-        root, "vec_id")
+      Tombstones.excluding(spark, root, "vec_id") {
+        BatchLog.read(spark, codesDir(root), "CosineDedupIndex").drop(pgrpCol)
+      }
     }
   }
 

@@ -190,10 +190,12 @@ object PqIndex {
 
   private def readCodes(spark: SparkSession, root: String): DataFrame = {
     ReadGuard.recoverForRead(spark, root)(recoverState(spark, root))
-    Tombstones.exclude(
+    // Tombstones pinned BEFORE the codes read resolves — see
+    // [[Tombstones.excluding]].
+    Tombstones.excluding(spark, root, "vec_id") {
       BatchLog.read(spark, s"$root/codes", "PqIndex")
-        .withColumn("cell", col("cell").cast("long")),
-      root, "vec_id")
+        .withColumn("cell", col("cell").cast("long"))
+    }
   }
 
   /** One-time upgrade of a legacy flat-append root into the batch-keyed
@@ -358,11 +360,11 @@ object PqIndex {
     val probed = qp.select("cell").distinct().collect().map(_.getLong(0)).toSeq
     // Manifest-aware read (r15, same as AnnIndex.topK): fold cell files
     // come from the fold manifest, zero listings; flat increments list.
-    val codes = Tombstones.exclude(
+    val codes = Tombstones.excluding(spark, root, "vec_id") {
       BatchLog.read(spark, s"$root/codes", "PqIndex")
         .where(col("cell").isin(probed: _*))
-        .withColumn("cell", col("cell").cast("long")),
-      root, "vec_id")
+        .withColumn("cell", col("cell").cast("long"))
+    }
     val scored = qp.join(codes, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .selectExpr("query_id", "vec_id AS neighbor_id", "cell",

@@ -8,18 +8,27 @@ import org.apache.spark.sql.SparkSession
   * whose scan is in flight while another driver's compaction/refreeze
   * swap deletes-and-renames the fold under it").
   *
-  * The CONTRACT this enforces (documented in SCALE.md §reader-contract):
-  * a read either serves one committed snapshot to completion, or fails
-  * LOUDLY with a retryable error ([[ConcurrentMaintenanceException]] at
-  * entry; Spark's own missing-file failure if the swap lands mid-scan)
-  * — never a silent partial or empty result. The grace-GC alternative
-  * (retired fold dirs lingering for in-flight readers, LSM-style) was
-  * priced and deferred: the logs swap WHOLE directories in place, so a
-  * time-based grace would need either a rename of the outgoing state
-  * (a full extra copy on object-store movers) or pointer-indirected
-  * versioned roots like the star snapshots' `_versions` layout — the
-  * named upgrade path if read availability during maintenance ever
-  * matters more than a bounded retry.
+  * The CONTRACT (documented in SCALE.md §reader-contract): since round
+  * 18 the swapped logs are POINTER-INDIRECTED VERSIONED directories
+  * ([[VersionedState]]) — a commit never deletes or renames the
+  * committed state, so reads are WAIT-FREE under compaction/refreeze/
+  * migration commits: a reader's planned file set stays on disk until
+  * grace-GC expires it. What remains of the loud-retry contract here:
+  *
+  *  - roots that predate the upgrade (their first versioned commit has
+  *    not happened yet) keep the old in-place window — a read either
+  *    serves one committed snapshot to completion, or fails LOUDLY with
+  *    a retryable error ([[ConcurrentMaintenanceException]] at entry;
+  *    Spark's own missing-file failure if the swap lands mid-scan),
+  *    never a silent partial or empty result;
+  *  - a SEALED refreeze stage still blocks at entry even on versioned
+  *    roots: the frozen quantizer artifacts swap in place (they are
+  *    driver-collected at entry, not scanned, so versioning them buys
+  *    nothing) and a read entering mid-commit could pair a new
+  *    quantizer with old codes — a silently WRONG mix;
+  *  - a reader whose scan outlives the GC grace period loses files
+  *    loudly (FileNotFound), same as every LSM store — the retention
+  *    knobs are sized against the longest query.
   *
   * Mechanics at a read-only entry point (topK / readIndex / health):
   *
@@ -87,8 +96,13 @@ private[graft] object ReadGuard {
         // Re-probe: the stale root listing may predate a recoverer (the
         // lease holder we just lost the race to) clearing this intent —
         // a cleared intent means the swap committed and the state is
-        // readable; only a STILL-PRESENT intent blocks.
-        fs.exists(new HPath(root, n))
+        // readable; only a STILL-PRESENT intent blocks, and only when it
+        // records an IN-PLACE (v2) swap. A VERSIONED commit's window
+        // never touches the committed state — readers resolve the
+        // current version and proceed wait-free (the r17 verdict's
+        // grace-GC upgrade; [[VersionedState]]).
+        fs.exists(new HPath(root, n)) &&
+          !Tombstones.intentIsVersioned(spark, new HPath(root, n).toString)
       else if (!fs.exists(new HPath(root, base))) true // orphan tmp: legacy mid-swap
       else if (n.endsWith(".__refreeze_tmp"))
         // Sealed stage ⇒ the multi-directory swap is imminent or

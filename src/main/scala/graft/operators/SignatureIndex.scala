@@ -167,10 +167,11 @@ object SignatureIndex {
     BatchLog.withManifestSnapshot {
       // `dgrp` is a fold-layout artifact, never part of the row contract
       // (BatchLog.read drops it in mixed layouts; an all-fold log keeps
-      // common partition columns, so drop explicitly).
-      Tombstones.exclude(
-        BatchLog.read(spark, s"$root/$table", "SignatureIndex").drop(dgrpCol),
-        root, "doc_id")
+      // common partition columns, so drop explicitly). Tombstones pinned
+      // before the log read — Tombstones.excluding.
+      Tombstones.excluding(spark, root, "doc_id") {
+        BatchLog.read(spark, s"$root/$table", "SignatureIndex").drop(dgrpCol)
+      }
     }
   }
 
@@ -464,7 +465,8 @@ object SignatureIndex {
   private def sidecarGs(spark: SparkSession, dir: String, ks: Set[String],
       name: String): Map[String, Option[Int]] =
     ks.iterator.map(k =>
-      k -> BatchLog.readGroupsSidecar(spark, BatchLog.dirOf(dir, k), name)).toMap
+      k -> BatchLog.readGroupsSidecar(spark,
+        BatchLog.dirOfResolved(spark, dir, k), name)).toMap
 
   /** The increment's distinct shingle hashes, collected — `Some` only
     * when some posting/df directory is `hgrp=`-partitioned AND every
@@ -540,13 +542,16 @@ object SignatureIndex {
 
   private val coversPrefix = "_covers_"
 
-  private def markerPath(root: String, table: String, key: String) =
-    new org.apache.hadoop.fs.Path(postingsDir(root, table), s"$coversPrefix$key")
+  private def markerPath(spark: SparkSession, root: String, table: String,
+      key: String) =
+    new org.apache.hadoop.fs.Path(
+      BatchLog.resolve(spark, postingsDir(root, table)), s"$coversPrefix$key")
 
   /** Signature-batch keys whose derived rows are committed (marker set). */
   private[graft] def coveredKeys(spark: SparkSession, root: String,
       table: String = "signatures"): Set[String] = {
-    val dir = new org.apache.hadoop.fs.Path(postingsDir(root, table))
+    val dir = new org.apache.hadoop.fs.Path(
+      BatchLog.resolve(spark, postingsDir(root, table)))
     val fs = fsOf(spark, postingsDir(root, table))
     if (!fs.exists(dir)) Set.empty
     else fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath.getName)
@@ -564,7 +569,7 @@ object SignatureIndex {
   private def writeMarker(spark: SparkSession, root: String, table: String,
       key: String): Unit =
     fsOf(spark, postingsDir(root, table))
-      .create(markerPath(root, table, key), true).close()
+      .create(markerPath(spark, root, table, key), true).close()
 
   /** Bring the derived logs up to date after this batch's signature
     * append: the incremental path appends the increment's posting/df
@@ -637,7 +642,7 @@ object SignatureIndex {
       // (driver-side content summary) times the per-log fraction — the
       // byte floor, not a row heuristic, decides the layout (see
       // [[foldGroupBytes]] for why).
-      val sigKeyBytes = dirBytes(spark, BatchLog.dirOf(path, k))
+      val sigKeyBytes = dirBytes(spark, BatchLog.dirOfResolved(spark, path, k))
       val gPost = groupsForBytes((sigKeyBytes * postingsBytesFrac).toLong)
       val gDf = groupsForBytes((sigKeyBytes * dfBytesFrac).toLong)
       val foldScale = rows.exists(_ >= foldLayoutMinRows)
@@ -781,23 +786,28 @@ object SignatureIndex {
         deltaPairs(readIndex(spark, root, table), newSigs)
       }
     }
+    // Tombstone state pinned BEFORE the posting/signature reads resolve
+    // (the versioned-swap consistency order — Tombstones.excluding), and
+    // its LIVE bytes probed through the version pointer: a cleared-but-
+    // versioned side table (empty current version) reads as 0 bytes, so
+    // the pending branches below switch off exactly as the old
+    // dir-existence probe did on a deleted table.
+    val tombRaw = Tombstones.read(spark, root, "doc_id")
+    val tombBytes = Tombstones.bytesOnDisk(spark, root)
+    val tombPending = tombBytes > 0L
     val post =
       if (aligned) groupPrunedRead(spark, postingsDir(root, table), matched,
         postParted, hgrpCol, postGs, hProbe,
         keepKey = false, "SignatureIndex.postings")
       else BatchLog.read(spark, postingsDir(root, table), "SignatureIndex.postings")
         .drop(hgrpCol)
-    val tombPending = fsOf(spark, Tombstones.dir(root))
-      .exists(new org.apache.hadoop.fs.Path(Tombstones.dir(root)))
     // The broadcast hint is gated on the side table's measured on-disk
     // size: steady-state removals are tiny and the hint saves a
     // shuffle, but a BULK takedown's pending set is bounded only by
     // removed-doc count — past the bound the strategy is left to the
     // planner, mirroring the frame path's Tombstones.exclude.
-    val tombRaw = Tombstones.read(spark, root, "doc_id")
     val tomb =
-      if (Tombstones.bytesOnDisk(spark, root) <= tombstoneBroadcastMaxBytes)
-        broadcast(tombRaw)
+      if (tombBytes <= tombstoneBroadcastMaxBytes) broadcast(tombRaw)
       else tombRaw
     val dfLive =
       if (!tombPending) dfBase
@@ -855,10 +865,11 @@ object SignatureIndex {
       if (pruningDisabled || !aligned || !matched.exists(sigParted)) None
       else Some(candIds.collect().map(_.getLong(0)))
     val sigsBase =
-      if (aligned) Tombstones.exclude(
+      if (aligned)
         groupPrunedRead(spark, s"$root/$table", matched, sigParted,
           dgrpCol, sigGs,
-          candProbe, keepKey = false, "SignatureIndex.verify"), root, "doc_id")
+          candProbe, keepKey = false, "SignatureIndex.verify")
+          .join(tombRaw, Seq("doc_id"), "left_anti") // pinned above, pre-read
       else readIndex(spark, root, table)
     val sigs = graft.CacheJanitor.register(
       sigsBase.join(broadcast(candIds), Seq("doc_id"), "left_semi").persist())

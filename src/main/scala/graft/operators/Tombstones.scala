@@ -34,39 +34,98 @@ private[graft] object Tombstones {
     * existence probe uses the Hadoop FileSystem API like every other
     * probe here — a java.nio probe would always fail on an HDFS/object
     * -store root, silently reading the side table as empty and
-    * RESURFACING every removed id. */
+    * RESURFACING every removed id.
+    *
+    * The side table is a [[VersionedState]] dir once any versioned
+    * clear ran against it: reads resolve the newest committed version
+    * (an EMPTY committed version = cleared), so a compaction's clear
+    * never deletes files an in-flight reader planned against. The
+    * frame construction here LISTS the resolved directory eagerly
+    * (parquet schema inference), pinning the tombstone file set at
+    * call time — which is what makes [[excluding]]'s
+    * tombstones-before-data ordering a real consistency guarantee, not
+    * just a code order. */
   def read(spark: SparkSession, root: String, idCol: String): DataFrame = {
-    val d = new HPath(dir(root))
+    val resolved = VersionedState.resolve(spark, dir(root))
+    val d = new HPath(resolved)
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(d)) spark.range(0).select(col("id").as(idCol))
-    else spark.read.parquet(dir(root)).select(col(idCol)).distinct()
+    if (!fs.exists(d) || !BatchLog.hasCommittedFiles(spark, resolved))
+      spark.range(0).select(col("id").as(idCol))
+    else spark.read.parquet(resolved).select(col(idCol)).distinct()
   }
 
-  /** Record ids as removed — appends a small file, never touches the
-    * snapshot (the append-only contract is what the fingerprint specs
-    * pin). Idempotent: re-removing an id is a no-op at read time
-    * (distinct on read). */
+  /** Record ids as removed — appends a small file (into the current
+    * version under a versioned side table), never touches the snapshot
+    * (the append-only contract is what the fingerprint specs pin).
+    * Idempotent: re-removing an id is a no-op at read time (distinct on
+    * read). */
   def append(root: String, ids: DataFrame, idCol: String): Unit =
     ids.select(col(idCol).cast("long").as(idCol)).distinct()
-      .coalesce(1).write.mode("append").parquet(dir(root))
+      .coalesce(1).write.mode("append")
+      .parquet(VersionedState.resolve(ids.sparkSession, dir(root)))
 
-  /** Total on-disk bytes of the tombstone side table (0 when absent) —
+  /** Total on-disk bytes of the LIVE tombstone state (0 when absent) —
     * the driver-side proxy read paths gate explicit broadcast() hints
     * on: steady-state removals keep the set tiny, but a BULK takedown
     * (the GDPR path) is bounded only by removed-doc count, and a forced
     * broadcast of millions of ids would blow the driver/broadcast
     * limits that AQE's planner-decided join would have avoided. */
   def bytesOnDisk(spark: SparkSession, root: String): Long = {
-    val d = new HPath(dir(root))
+    val resolved = VersionedState.resolve(spark, dir(root))
+    val d = new HPath(resolved)
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(d)) 0L
     else fs.getContentSummary(d).getLength
   }
 
-  /** `df` minus tombstoned rows (anti-join on `idCol`). */
+  /** Clear the side table as part of a compaction commit. Versioned
+    * roots (and all new clears while versioning is enabled) commit an
+    * EMPTY next version instead of deleting — the superseded tombstone
+    * files stay on disk for in-flight readers until grace-GC, exactly
+    * like the data folds they were planned together with. Idempotent
+    * (recovery re-runs it): a side table whose current state is already
+    * empty is a no-op. */
+  private[operators] def clear(spark: SparkSession, root: String): Unit = {
+    val d = dir(root)
+    val fs = VersionedState.fsOf(spark, d)
+    if (VersionedState.enabled || VersionedState.isVersioned(fs, d)) {
+      val resolved = VersionedState.resolve(spark, d)
+      if (fs.exists(new HPath(resolved)) && BatchLog.hasCommittedFiles(spark, resolved)) {
+        val next = VersionedState.currentVersion(fs, d) + 1
+        val vdir = new HPath(VersionedState.versionDir(d, next))
+        fs.delete(vdir, true) // a prior crashed clear's partial
+        fs.mkdirs(vdir)
+        VersionedState.writeMarker(fs, d, next)
+      }
+      VersionedState.gc(spark, d)
+    } else fs.delete(new HPath(d), true)
+  }
+
+  /** `df` minus tombstoned rows (anti-join on `idCol`).
+    *
+    * ORDERING CAVEAT (versioned roots): this resolves the tombstone
+    * state AFTER the caller already built (and so resolved) `df` — if a
+    * compaction commits in between, the anti-join can pair OLD data
+    * with a CLEARED side table and resurface removed ids. Read paths
+    * over swapped logs must use [[excluding]]; this form is only for
+    * frames whose data state cannot be mid-swap (staged tmps, frames
+    * derived from an already-pinned read). */
   def exclude(df: DataFrame, root: String, idCol: String): DataFrame = {
     val t = read(df.sparkSession, root, idCol)
     df.join(t, Seq(idCol), "left_anti")
+  }
+
+  /** [[exclude]] with the consistency order enforced: the tombstone
+    * state is resolved and pinned FIRST, the data frame is built after.
+    * Any interleaved compaction commit then errs harmlessly — either
+    * old data with the old (full) tombstones, or new data (tombstones
+    * already folded out) with the old tombstones, whose anti-join is a
+    * no-op. The reverse order is the one silent-wrong interleaving the
+    * versioned swap protocol admits. */
+  def excluding(spark: SparkSession, root: String, idCol: String)(
+      data: => DataFrame): DataFrame = {
+    val t = read(spark, root, idCol)
+    data.join(t, Seq(idCol), "left_anti")
   }
 
   /** Replace `dest` with the fully-written `tmp` directory and drop the
@@ -113,31 +172,56 @@ private[graft] object Tombstones {
     * guess. */
   private def intentPath(dest: String) = new HPath(s"$dest.__swap_intent")
 
+  /** The recorded in-flight swap. `version` present = the VERSIONED
+    * protocol (v3): the committed state is untouched the whole window —
+    * readers stay wait-free; absent = the in-place protocol (v2): dest
+    * is untrusted while the marker is up. */
+  private final case class Intent(tmp: String, root: Option[String],
+      version: Option[Long])
+
   private def writeIntent(fs: org.apache.hadoop.fs.FileSystem, tmp: String,
-      dest: String, clearTombstonesOf: Option[String]): Unit = {
+      dest: String, clearTombstonesOf: Option[String],
+      version: Option[Long]): Unit = {
     val body = graft.sources.MiniJson.renderFlat(Map(
-      "v" -> "2",
+      "v" -> (if (version.isDefined) "3" else "2"),
       "tmp" -> fs.makeQualified(new HPath(tmp)).toString) ++
-      clearTombstonesOf.map(r => "root" -> fs.makeQualified(new HPath(r)).toString))
+      clearTombstonesOf.map(r => "root" -> fs.makeQualified(new HPath(r)).toString) ++
+      version.map(v => "ver" -> v.toString))
     val out = fs.create(intentPath(dest), true)
     try out.write((body + "\n").getBytes("UTF-8")) finally out.close()
   }
 
-  /** The recorded in-flight swap `(tmp, tombstoneRoot)`, or None when
-    * the marker is torn/empty — which can only mean the writer died
-    * INSIDE the marker write, i.e. before any destructive step, so
-    * dest is exactly as trustworthy as with no marker at all. */
+  /** The recorded in-flight swap, or None when the marker is torn/empty
+    * — which can only mean the writer died INSIDE the marker write,
+    * i.e. before any destructive step, so dest is exactly as
+    * trustworthy as with no marker at all. */
   private def readIntent(fs: org.apache.hadoop.fs.FileSystem,
-      dest: String): Option[(String, Option[String])] =
+      dest: String): Option[Intent] =
     try {
       val in = fs.open(intentPath(dest))
       val s = try new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
       finally in.close()
       val m = graft.sources.MiniJson.parseFlat(s.trim)
-      if (m.getOrElse("v", "") != "2") None
-      else Some((m("tmp"), m.get("root")))
+      m.getOrElse("v", "") match {
+        case "2" => Some(Intent(m("tmp"), m.get("root"), None))
+        case "3" => Some(Intent(m("tmp"), m.get("root"), Some(m("ver").toLong)))
+        case _ => None
+      }
     } catch { case _: Exception => None }
+
+  /** Whether a live swap-intent marker at `path` records a VERSIONED
+    * commit — [[ReadGuard]]'s classification probe: a versioned commit
+    * never touches the committed state, so its window is NON-blocking
+    * for readers; an in-place (v2) or torn intent keeps the loud-retry
+    * contract. */
+  private[operators] def intentIsVersioned(spark: SparkSession, path: String): Boolean = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = path.stripSuffix(".__swap_intent")
+    path.endsWith(".__swap_intent") && fs.exists(p) &&
+      readIntent(fs, dest).exists(_.version.isDefined)
+  }
 
   /** The swap alone — for operators with NO tombstone side table
     * ([[SketchLog]]): deleting `root/tombstones` here would belong to a
@@ -148,23 +232,50 @@ private[graft] object Tombstones {
   def commitSwap(spark: SparkSession, tmp: String, dest: String): Unit =
     commitSwapImpl(spark, tmp, dest, clearTombstonesOf = None)
 
-  /** Create intent (recording the swap) → delete dest → rename tmp →
-    * clear tombstones (compaction only) → delete intent. The tombstone
-    * clear moved INSIDE the intent window in round 16: the r15 shape
-    * cleared after the intent delete, so a crash between the two left
-    * stale tombstones that recovery (no intent, no tmp) could never
-    * see — a legitimately re-added id would have been suppressed
-    * forever. Inside the window, recovery re-runs the clear. */
+  /** Commit a staged rewrite over `dest`.
+    *
+    * VERSIONED protocol (the default; always used once a root is
+    * versioned — see [[VersionedState]]): create intent (recording the
+    * swap AND the target version) → rename tmp into
+    * `dest/_versions/<n+1>` → create the commit marker → clear
+    * tombstones versioned (compaction only) → grace-GC superseded
+    * versions → delete intent. The committed state is NEVER deleted or
+    * renamed: a reader that resolved version n before (or during) the
+    * window keeps its planned files until grace-GC expires them —
+    * wait-free reads under maintenance, the r17 verdict's top item.
+    *
+    * IN-PLACE protocol (only when versioning is disabled on a
+    * never-versioned root): create intent → delete dest → rename tmp →
+    * clear tombstones → delete intent. The tombstone clear moved INSIDE
+    * the intent window in round 16: the r15 shape cleared after the
+    * intent delete, so a crash between the two left stale tombstones
+    * that recovery (no intent, no tmp) could never see — a legitimately
+    * re-added id would have been suppressed forever. Inside the window,
+    * recovery re-runs the clear. */
   private def commitSwapImpl(spark: SparkSession, tmp: String, dest: String,
       clearTombstonesOf: Option[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new HPath(dest).getFileSystem(conf)
-    writeIntent(fs, tmp, dest, clearTombstonesOf)
-    fs.delete(new HPath(dest), true)
-    require(fs.rename(new HPath(tmp), new HPath(dest)),
-      s"compaction commit failed: could not move $tmp into $dest")
-    clearTombstonesOf.foreach(root => fs.delete(new HPath(dir(root)), true))
-    fs.delete(intentPath(dest), false)
+    if (VersionedState.enabled || VersionedState.isVersioned(fs, dest)) {
+      val next = VersionedState.currentVersion(fs, dest) + 1
+      writeIntent(fs, tmp, dest, clearTombstonesOf, Some(next))
+      val vdir = new HPath(VersionedState.versionDir(dest, next))
+      fs.delete(vdir, true) // a prior crashed commit's partial
+      fs.mkdirs(new HPath(VersionedState.versionsDir(dest)))
+      require(fs.rename(new HPath(tmp), vdir),
+        s"versioned commit failed: could not move $tmp into $vdir")
+      VersionedState.writeMarker(fs, dest, next)
+      clearTombstonesOf.foreach(root => clear(spark, root))
+      VersionedState.gc(spark, dest)
+      fs.delete(intentPath(dest), false)
+    } else {
+      writeIntent(fs, tmp, dest, clearTombstonesOf, None)
+      fs.delete(new HPath(dest), true)
+      require(fs.rename(new HPath(tmp), new HPath(dest)),
+        s"compaction commit failed: could not move $tmp into $dest")
+      clearTombstonesOf.foreach(root => fs.delete(new HPath(dir(root)), true))
+      fs.delete(intentPath(dest), false)
+    }
   }
 
   /** Read-side recovery for [[commitSwap]] — intent present means a
@@ -193,16 +304,43 @@ private[graft] object Tombstones {
     val intentP = intentPath(dest)
     if (fs.exists(intentP)) {
       readIntent(fs, dest) match {
-        case Some((recTmp, recRoot)) =>
-          // Swap in flight at the crash: dest may be absent, partial,
-          // or complete — all untrusted. The marker RECORDS which tmp
-          // was swapping (several protocols share one dest); complete
-          // exactly that swap, never the recoverer's own guess. While
-          // the recorded tmp exists it is complete by construction, so
-          // re-running the swap from it is always sound; recorded tmp
-          // absent means the rename finished (a copy deletes its
-          // source only after completing) and dest IS the new state —
-          // only the recorded post-rename steps were lost.
+        case Some(Intent(recTmp, recRoot, Some(ver))) =>
+          // VERSIONED commit in flight at the crash. The committed
+          // state was never touched — only the NEW version may be
+          // absent/partial. Recorded tmp present ⇒ re-run the rename
+          // (complete by construction while it exists); absent ⇒ the
+          // rename finished and only the post-rename steps (marker,
+          // clear, GC, intent delete) were lost — finish them. Every
+          // step is idempotent.
+          val recTmpP = new HPath(recTmp)
+          val vdir = new HPath(VersionedState.versionDir(dest, ver))
+          if (fs.exists(recTmpP)) {
+            fs.delete(vdir, true)
+            fs.mkdirs(new HPath(VersionedState.versionsDir(dest)))
+            require(fs.rename(recTmpP, vdir),
+              s"versioned swap recovery failed: could not adopt $recTmp as $vdir")
+          }
+          // Marker + tombstone clear only when the version actually
+          // landed: with BOTH tmp and vdir gone (outside the crash-only
+          // failure model, but cheap to be exact about) nothing
+          // committed, and clearing would resurface removed ids.
+          if (fs.exists(vdir)) {
+            VersionedState.writeMarker(fs, dest, ver)
+            recRoot.foreach(root => clear(spark, root))
+          }
+          VersionedState.gc(spark, dest)
+          fs.delete(intentP, false)
+        case Some(Intent(recTmp, recRoot, None)) =>
+          // IN-PLACE swap in flight at the crash: dest may be absent,
+          // partial, or complete — all untrusted. The marker RECORDS
+          // which tmp was swapping (several protocols share one dest);
+          // complete exactly that swap, never the recoverer's own
+          // guess. While the recorded tmp exists it is complete by
+          // construction, so re-running the swap from it is always
+          // sound; recorded tmp absent means the rename finished (a
+          // copy deletes its source only after completing) and dest IS
+          // the new state — only the recorded post-rename steps were
+          // lost.
           val recTmpP = new HPath(recTmp)
           if (fs.exists(recTmpP)) {
             fs.delete(destP, true)

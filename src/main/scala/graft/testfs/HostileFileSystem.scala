@@ -54,7 +54,14 @@ class HostileFileSystem extends RawLocalFileSystem {
 
   override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
     count("open")
-    super.open(f, bufferSize)
+    // Counted stream (r18): `readBytes` in [[counts]] is the true read
+    // amplification through this FS — task inputMetrics don't track
+    // custom schemes, and the point-lookup pricing needs bytes, not
+    // just op counts. The wrapper drops ByteBufferReadable, so readers
+    // fall back to byte[] reads — correct, slightly slower, and every
+    // read passes through the counter.
+    new org.apache.hadoop.fs.FSDataInputStream(
+      new CountingStream(super.open(f, bufferSize)))
   }
 
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
@@ -134,6 +141,40 @@ object HostileFileSystem {
   private def count(op: String): Unit = {
     counters.computeIfAbsent(op, _ => new AtomicLong).incrementAndGet()
     ()
+  }
+
+  private def addBytes(n: Long): Unit = {
+    if (n > 0) { counters.computeIfAbsent("readBytes", _ => new AtomicLong).addAndGet(n); () }
+  }
+
+  /** Delegating input stream that feeds the `readBytes` counter.
+    * Implements only Seekable + PositionedReadable (the
+    * FSDataInputStream minimum) so every read path is counted. */
+  private final class CountingStream(in: org.apache.hadoop.fs.FSDataInputStream)
+      extends java.io.InputStream
+      with org.apache.hadoop.fs.Seekable
+      with org.apache.hadoop.fs.PositionedReadable {
+    override def read(): Int = {
+      val b = in.read(); if (b >= 0) addBytes(1L); b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val n = in.read(b, off, len); addBytes(n.toLong); n
+    }
+    override def read(pos: Long, buf: Array[Byte], off: Int, len: Int): Int = {
+      val n = in.read(pos, buf, off, len); addBytes(n.toLong); n
+    }
+    override def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit = {
+      in.readFully(pos, buf, off, len); addBytes(len.toLong)
+    }
+    override def readFully(pos: Long, buf: Array[Byte]): Unit = {
+      in.readFully(pos, buf); addBytes(buf.length.toLong)
+    }
+    override def seek(pos: Long): Unit = in.seek(pos)
+    override def getPos: Long = in.getPos
+    override def seekToNewSource(targetPos: Long): Boolean = in.seekToNewSource(targetPos)
+    override def available(): Int = in.available()
+    override def skip(n: Long): Long = in.skip(n)
+    override def close(): Unit = in.close()
   }
 
   /** Snapshot of per-op counts since the last [[reset]]. */

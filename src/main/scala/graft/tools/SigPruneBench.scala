@@ -121,7 +121,7 @@ object SigPruneBench {
     val foldKey = graft.operators.BatchLog.committedKeys(spark, s"$root/signatures").head
     def gOf(log: String, sidecar: String): Int =
       graft.operators.BatchLog.readGroupsSidecar(spark,
-        graft.operators.BatchLog.dirOf(log, foldKey), sidecar).getOrElse(1)
+        graft.operators.BatchLog.dirOfResolved(spark, log, foldKey), sidecar).getOrElse(1)
     val gDf = gOf(SignatureIndex.dfDir(root), SignatureIndex.hgrpSidecarName)
     val gPost = gOf(SignatureIndex.postingsDir(root), SignatureIndex.hgrpSidecarName)
     val gSig = gOf(s"$root/signatures", SignatureIndex.dgrpSidecarName)

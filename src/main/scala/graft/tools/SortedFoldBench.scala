@@ -66,7 +66,7 @@ object SortedFoldBench {
     val postDir = SignatureIndex.postingsDir(root)
     val foldKeys = BatchLog.committedKeys(spark, postDir)
     val gByKey = foldKeys.map(k => k -> BatchLog.readGroupsSidecar(spark,
-      BatchLog.dirOf(postDir, k), SignatureIndex.hgrpSidecarName)).toMap
+      BatchLog.dirOfResolved(spark, postDir, k), SignatureIndex.hgrpSidecarName)).toMap
     require(gByKey.values.forall(_.isDefined),
       s"postings fold must be hgrp-grouped for this pricing: $gByKey")
     println(s"# postings fold keys=$foldKeys G=${gByKey.values.flatten.toSeq.sorted}")

@@ -28,10 +28,15 @@ class BatchLogSpec extends SparkSpec {
     5L -> "another unrelated document with entirely distinct words inside",
     6L -> "completely different text about spark engines and parquet files")
 
-  private def batchDirs(path: String): Seq[String] =
-    if (!Files.isDirectory(Paths.get(path))) Seq.empty
-    else Files.list(Paths.get(path)).iterator().asScala
+  // Listed through the version pointer: post-swap roots hold their
+  // current batch dirs inside _versions/<n> (the superseded flat state
+  // lingers for grace-GC and must not be mistaken for the log).
+  private def batchDirs(path: String): Seq[String] = {
+    val rp = BatchLog.resolve(spark, path)
+    if (!Files.isDirectory(Paths.get(rp))) Seq.empty
+    else Files.list(Paths.get(rp)).iterator().asScala
       .map(_.getFileName.toString).filter(_.startsWith("batch_key=")).toSeq.sorted
+  }
 
   private def pairSet(df: DataFrame) =
     df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -543,7 +548,7 @@ class BatchLogSpec extends SparkSpec {
     writeIntent(dest, s"$dest.__compact_tmp", root = Some(root))
     val ids = SignatureIndex.readIndex(spark, root).collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 3L))
-    assert(!Files.isDirectory(Paths.get(s"$root/tombstones")),
+    assert(graft.operators.Tombstones.bytesOnDisk(spark, root) == 0L,
       "recovery must re-run the recorded compaction's tombstone clear")
     assert(!Files.exists(Paths.get(s"$dest.__swap_intent")))
     CacheJanitor.drain()

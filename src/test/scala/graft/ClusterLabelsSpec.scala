@@ -134,7 +134,8 @@ class ClusterLabelsSpec extends SparkSpec {
     val before = labelMap(ClusterLabels.read(spark, root))
     ClusterLabels.compact(spark, root)
     assert(labelMap(ClusterLabels.read(spark, root)) === before)
-    val log = spark.read.parquet(ClusterLabels.dir(root))
+    val log = spark.read.parquet(
+      graft.operators.BatchLog.resolve(spark, ClusterLabels.dir(root)))
     assert(log.count() === log.select("doc_id").distinct().count(),
       "compacted log holds exactly one row per doc")
   }

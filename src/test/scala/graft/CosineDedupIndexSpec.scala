@@ -245,7 +245,7 @@ class CosineDedupIndexSpec extends SparkSpec {
     assert(CosineDedupIndex.frozenMask(spark, root).get == mask)
     // batch_key and pgrp are layout artifacts (batch commit dirs / the
     // fold's bucket-group pruning level), not content.
-    val compacted = spark.read.parquet(s"$root/codes")
+    val compacted = spark.read.parquet(graft.operators.BatchLog.resolve(spark, s"$root/codes"))
       .drop("batch_key").drop(CosineDedupIndex.pgrpCol)
     assert(compacted.count() == batchA.size + batchB.size - 1)
     assert(compacted.where($"vec_id" === 3L).isEmpty)

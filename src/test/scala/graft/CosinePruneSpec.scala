@@ -82,7 +82,7 @@ class CosinePruneSpec extends SparkSpec {
     // each (the fold's repartition lands each group whole in one task).
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val foldDir = new org.apache.hadoop.fs.Path(
-      BatchLog.dirOf(codes, foldKeys.head))
+      BatchLog.dirOfResolved(spark, codes, foldKeys.head))
     val occupiedGroups = fs.listStatus(foldDir)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("pgrp="))
       .map(_.getPath.getName.stripPrefix("pgrp=").toInt).toSet

@@ -82,11 +82,11 @@ class FoldManifestSpec extends SparkSpec {
         SignatureIndex.dfDir(root))
       for (log <- logs) {
         val foldKeys = BatchLog.committedKeys(spark, log).filter { k =>
-          BatchLog.readFoldManifest(spark, BatchLog.dirOf(log, k)).isDefined
+          BatchLog.readFoldManifest(spark, BatchLog.dirOfResolved(spark, log, k)).isDefined
         }
         assert(foldKeys.nonEmpty, s"no manifested fold dir in $log")
         for (k <- foldKeys) {
-          val d = BatchLog.dirOf(log, k)
+          val d = BatchLog.dirOfResolved(spark, log, k)
           val m = BatchLog.readFoldManifest(spark, d).get
           assert(m.files.map(f => (f._1, f._2)).toSet == listed(d),
             s"manifest != listing for $d")
@@ -114,12 +114,12 @@ class FoldManifestSpec extends SparkSpec {
       // 3. Delete one manifest: reads fall back to the listing, same rows.
       val sigLog = s"$root/signatures"
       val foldKey = BatchLog.committedKeys(spark, sigLog).find { k =>
-        BatchLog.readFoldManifest(spark, BatchLog.dirOf(sigLog, k)).isDefined
+        BatchLog.readFoldManifest(spark, BatchLog.dirOfResolved(spark, sigLog, k)).isDefined
       }.get
       assert(fs.delete(new org.apache.hadoop.fs.Path(
-        BatchLog.dirOf(sigLog, foldKey), BatchLog.foldManifestName), false))
+        BatchLog.dirOfResolved(spark, sigLog, foldKey), BatchLog.foldManifestName), false))
       assert(BatchLog.readFoldManifest(spark,
-        BatchLog.dirOf(sigLog, foldKey)).isEmpty)
+        BatchLog.dirOfResolved(spark, sigLog, foldKey)).isEmpty)
       assert(rows(SignatureIndex.readIndex(spark, root)) == viaListing,
         "manifest-less fold must read identically via the listing")
       CacheJanitor.drain()
@@ -207,7 +207,7 @@ class FoldManifestSpec extends SparkSpec {
       val sigLog = s"$root/signatures"
       val fold1 = BatchLog.committedKeys(spark, sigLog).head
       assert(BatchLog.readFoldManifest(spark,
-        BatchLog.dirOf(sigLog, fold1)).isDefined, "first fold must be manifested")
+        BatchLog.dirOfResolved(spark, sigLog, fold1)).isDefined, "first fold must be manifested")
       SignatureIndex.ingest(spark, root,
         corpus(Seq(9001L), _ => uniqueText(3L)), batchKey = Some("b2"))
       CacheJanitor.drain()
@@ -238,7 +238,7 @@ class FoldManifestSpec extends SparkSpec {
     CosineDedupIndex.compact(spark, root)
     val codes = s"$root/codes"
     val foldKey = BatchLog.committedKeys(spark, codes).head
-    val d = BatchLog.dirOf(codes, foldKey)
+    val d = BatchLog.dirOfResolved(spark, codes, foldKey)
     val m = BatchLog.readFoldManifest(spark, d)
     assert(m.isDefined, "cosine fold must be manifested")
     assert(m.get.files.map(f => (f._1, f._2)).toSet == listed(d))

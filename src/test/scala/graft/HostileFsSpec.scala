@@ -132,7 +132,7 @@ class HostileFsSpec extends SparkSpec {
       assert(expectLive.nonEmpty && !expectLive.exists(_.startsWith("[5,")))
       // Crash the compaction's swap at the hostile phase: dest is the
       // signatures dir itself (suffix match keeps committer renames out).
-      HostileFileSystem.armCrash(phase, "/signatures")
+      HostileFileSystem.armCrash(phase, "/signatures/_versions/00000001")
       val crashed = intercept[Exception] { SignatureIndex.compact(spark, root) }
       HostileFileSystem.disarm()
       assert(crashed.getMessage.contains("injected crash"),
@@ -176,7 +176,7 @@ class HostileFsSpec extends SparkSpec {
         .select("query_id", "neighbor_id", "rnk"))
     val want = tops()
     assert(want.nonEmpty)
-    HostileFileSystem.armCrash("torn-dest", "/codes")
+    HostileFileSystem.armCrash("torn-dest", "/codes/_versions/00000001")
     val crashed = intercept[Exception] { AnnIndex.compact(spark, root) }
     HostileFileSystem.disarm()
     assert(crashed.getMessage.contains("injected crash"), s"wrong failure: $crashed")

@@ -27,7 +27,7 @@ class LabelStatsSpec extends SparkSpec {
   }
 
   private def sidecarPath(root: String, key: String) =
-    Paths.get(BatchLog.dirOf(ClusterLabels.dir(root), BatchLog.sanitize(key)),
+    Paths.get(BatchLog.dirOfResolved(spark, ClusterLabels.dir(root), BatchLog.sanitize(key)),
       "_label_stats.json")
 
   test("keySetHash: order-insensitive, length-delimited, collision-resistant width") {

@@ -189,12 +189,12 @@ class PqIndexSpec extends SparkSpec {
     val (cents, cb) = loadQuant(root)
     val surviving = vecs.where(!col("vec_id").isin(firstTop.toSeq: _*))
     val rebuilt = codeSet(PqIndex.encode(surviving, cents, cb))
-    val compacted = spark.read.parquet(s"$root/codes")
+    val compacted = spark.read.parquet(graft.operators.BatchLog.resolve(spark, s"$root/codes"))
       .withColumn("cell", col("cell").cast("long"))
     assert(codeSet(compacted) == rebuilt,
       "compacted codes must equal a frozen-quantizer encode of the surviving vectors")
-    assert(!Files.isDirectory(Paths.get(s"$root/tombstones")),
-      "compaction must clear the tombstone table")
+    assert(graft.operators.Tombstones.bytesOnDisk(spark, root) == 0L,
+      "compaction must clear the tombstone table (empty current version)")
     assert(files(s"$root/quantizer") == quantBefore, "compaction must not touch the frozen quantizers")
     assert(neighbors() == afterRemove, "topK must be identical before and after compaction")
     CacheJanitor.drain()

@@ -41,7 +41,7 @@ class RefreezeSpec extends SparkSpec {
     val occAfter = CosineDedupIndex.occupancy(spark, root)
     assert(occAfter < occBefore,
       s"refreeze must reduce bucket occupancy ($occBefore -> $occAfter)")
-    assert(!Files.isDirectory(Paths.get(s"$root/tombstones")),
+    assert(graft.operators.Tombstones.bytesOnDisk(spark, root) == 0L,
       "refreeze folds tombstones out and clears the side table")
     CacheJanitor.drain()
 
@@ -150,7 +150,7 @@ class RefreezeSpec extends SparkSpec {
     assert(codeSet(root) == codeSet(fresh),
       "refrozen codes must equal a from-scratch ingest of the survivors")
     CacheJanitor.drain()
-    assert(!Files.isDirectory(Paths.get(s"$root/tombstones")))
+    assert(graft.operators.Tombstones.bytesOnDisk(spark, root) == 0L)
     // The retrained quantizer equals the fresh root's (same training set,
     // deterministic k-means) — frozen-artifact parity.
     def quant(r0: String) = spark.read.parquet(s"$r0/quantizer/centroids")
@@ -279,7 +279,7 @@ class RefreezeSpec extends SparkSpec {
     }
     assert(codeSet(root) == codeSet(fresh),
       "refrozen PQ codes must equal a from-scratch ingest of the survivors")
-    assert(!Files.isDirectory(Paths.get(s"$root/tombstones")))
+    assert(graft.operators.Tombstones.bytesOnDisk(spark, root) == 0L)
     CacheJanitor.drain()
   }
 }

@@ -252,10 +252,10 @@ class SignatureIndexSpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
     val surviving = (batchA ++ batchB).filterNot(_._1 == 2L)
     val rebuilt = sigSet(SignatureIndex.signatures(docs(surviving: _*)))
-    assert(sigSet(spark.read.parquet(s"$root/signatures")) == rebuilt,
+    assert(sigSet(spark.read.parquet(graft.operators.BatchLog.resolve(spark, s"$root/signatures"))) == rebuilt,
       "compacted snapshot must equal a from-scratch build on the surviving set")
-    assert(!Files.isDirectory(java.nio.file.Paths.get(root, "tombstones")),
-      "compaction must clear the tombstone table")
+    assert(graft.operators.Tombstones.bytesOnDisk(spark, root) == 0L,
+      "compaction must clear the tombstone table (empty current version)")
     // Post-compaction reads no longer depend on the side table.
     assert(SignatureIndex.readIndex(spark, root).count() == rebuilt.size)
     CacheJanitor.drain()

@@ -73,7 +73,7 @@ class SignaturePruneSpec extends SparkSpec {
 
   private def occupiedGroups(log: String, key: String): Set[Int] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(BatchLog.dirOf(log, key)))
+    fs.listStatus(new org.apache.hadoop.fs.Path(BatchLog.dirOfResolved(spark, log, key)))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("hgrp="))
       .map(_.getPath.getName.stripPrefix("hgrp=").toInt).toSet
   }
@@ -101,7 +101,7 @@ class SignaturePruneSpec extends SparkSpec {
   }
 
   private def sidecarG(log: String, key: String, name: String): Int =
-    BatchLog.readGroupsSidecar(spark, BatchLog.dirOf(log, key), name)
+    BatchLog.readGroupsSidecar(spark, BatchLog.dirOfResolved(spark, log, key), name)
       .getOrElse(fail(s"missing group sidecar in $log/$key"))
 
   test("hgrp fold layout: pruned df/posting scans read only hit groups; answer == frame recompute") { withFoldProps(1024L, 2048L) {
@@ -189,13 +189,16 @@ class SignaturePruneSpec extends SparkSpec {
     // 9001), plus b3's own flat signature file.
     val sigOcc = {
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(new org.apache.hadoop.fs.Path(BatchLog.dirOf(sigLog, foldKey)))
+      fs.listStatus(new org.apache.hadoop.fs.Path(BatchLog.dirOfResolved(spark, sigLog, foldKey)))
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("dgrp="))
         .map(_.getPath.getName.stripPrefix("dgrp=").toInt).toSet
     }
     val candGroups = Set(7L, 9001L, 9003L)
       .map(d => java.lang.Math.floorMod(d, gSig.toLong).toInt)
-    val sigFiles = scannedFiles(pairs3, "signatures/batch_key=")
+    // "signatures/" matches the sig log at any version depth (the
+    // post-compaction fold lives under signatures/_versions/<n>/) and
+    // never the derived logs (signatures_dfcounts/_postings).
+    val sigFiles = scannedFiles(pairs3, "signatures/")
     assert(sigFiles == (candGroups & sigOcc).size + 1L,
       s"verify scan must read ${(candGroups & sigOcc).size} candidate groups' fold files " +
         s"+ b3's flat file, read $sigFiles")
@@ -236,7 +239,7 @@ class SignaturePruneSpec extends SparkSpec {
     // wrong-modulus guess).
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     assert(fs.delete(new org.apache.hadoop.fs.Path(
-      BatchLog.dirOf(dfLog, k1), SignatureIndex.hgrpSidecarName), false))
+      BatchLog.dirOfResolved(spark, dfLog, k1), SignatureIndex.hgrpSidecarName), false))
     val tiny = corpus(Seq(9100L), _ => uniqueText(6L).split(" ").init.mkString(" ") + " shifted")
     val bt = SignatureIndex.ingest(spark, root, tiny, batchKey = Some("bt"))
     val pairsT = SignatureIndex.deltaPairsIndexed(spark, root, "signatures",
