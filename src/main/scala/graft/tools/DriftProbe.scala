@@ -72,6 +72,28 @@ object DriftProbe {
       graft.CacheJanitor.drain()
     }
 
+    // ---- t76 exact shape (PqIndex lifecycle), split into legs -------
+    // (r17 verdict item 2: t75 AND t76 are the bench's two most
+    // expensive queries; both are two-halved-ingest + refreeze + topK
+    // lifecycles, so the same leg decomposition applies.)
+    def t76(rep: Int): Unit = {
+      val qn = "t76"
+      val root = java.nio.file.Files.createTempDirectory("graft_drift76").toString
+      val emb = graft.Tables.embeddings(spark, dir)
+      val vecs = emb.selectExpr("vec_id", "embedding")
+      time(qn, "ingest_h1", rep)(graft.operators.PqIndex.ingest(spark, root,
+        vecs.where("vec_id % 2 = 0"), batchKey = Some("h1")))
+      time(qn, "ingest_h2", rep)(graft.operators.PqIndex.ingest(spark, root,
+        vecs.where("vec_id % 2 = 1"), batchKey = Some("h2")))
+      time(qn, "refreeze", rep)(graft.operators.PqIndex.refreeze(spark, root, vecs))
+      val qs = emb.where("vec_id % 100 = 0 AND vec_id < 2500")
+        .selectExpr("vec_id AS query_id", "embedding")
+      time(qn, "topk_count", rep)(
+        graft.operators.PqIndex.topK(spark, root, qs, 3, rerank = Some(vecs))
+          .orderBy(col("query_id"), col("rnk")).count())
+      graft.CacheJanitor.drain()
+    }
+
     // ---- t68 exact shape (TrainingData.t68), split into legs --------
     def t68(rep: Int): Unit = {
       val qn = "t68"
@@ -103,6 +125,7 @@ object DriftProbe {
       sys.props("graft.fold.manifest.disable") = "true"
       try t75(rep, "listing")
       finally sys.props -= "graft.fold.manifest.disable"
+      t76(rep)
       t68(rep)
     }
 

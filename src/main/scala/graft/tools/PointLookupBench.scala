@@ -54,6 +54,11 @@ object PointLookupBench {
     val groups = sys.env.getOrElse("SPARK_GRAFT_PLB_GROUPS", "64").toInt
     val spark = GraftSession.build("graft-pointlookup-bench")
     HostileFileSystem.install(spark.sparkContext.hadoopConfiguration)
+    // Above this threshold Spark pushes an In as a [min,max] RANGE
+    // filter — which spans everything for spread point ids and turns
+    // row-group pruning off (the k=16 saturation the first recording
+    // showed). A point-lookup path must push the literal id set.
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
     val sc = spark.sparkContext
     val loadStart = loadavg()
     val localRoot = java.nio.file.Files.createTempDirectory("graft_plb").toString
@@ -67,7 +72,8 @@ object PointLookupBench {
       sha2(concat(lit("pay2-"), col("id").cast("string")), 512).as(s"p2"),
       sha2(concat(lit("pay3-"), col("id").cast("string")), 512).as(s"p3"))
 
-    def write(dir: String, sorted: Boolean, blockBytes: Option[Long]): Unit = {
+    def write(dir: String, sorted: Boolean, blockBytes: Option[Long],
+        bloom: Boolean): Unit = {
       val part = base.repartition(groups, col("grp"))
       // The unsorted arm must model ARRIVAL order honestly: a fold's
       // rows arrive in corpus order, effectively random in id for the
@@ -79,16 +85,28 @@ object PointLookupBench {
         else part.sortWithinPartitions(col("grp"), xxhash64(col("id")))
       val w = laid.write.mode("overwrite")
       blockBytes.foreach(b => w.option("parquet.block.size", b.toString))
+      if (bloom) {
+        // Per-row-group bloom filter on id: unlike min/max windows,
+        // its selectivity does NOT degrade with spread multi-id In
+        // lists — the K-robust point-lookup arm. ndv sized per FILE
+        // (one group), fpp tight so K probes stay < a few % false
+        // row-group matches.
+        w.option("parquet.bloom.filter.enabled#id", "true")
+        w.option("parquet.bloom.filter.expected.ndv#id", (rows / groups).toString)
+        w.option("parquet.bloom.filter.fpp#id", "0.001")
+        ()
+      }
       w.partitionBy("grp").parquet(dir)
     }
     val arms = Seq(
-      ("unsorted", false, None: Option[Long]),
-      ("sorted", true, None),
-      ("sorted_rg", true, Some(1L << 20)))
-    val dirs = arms.map { case (tag, sorted, block) =>
+      ("unsorted", false, None: Option[Long], false),
+      ("sorted", true, None, false),
+      ("sorted_rg", true, Some(1L << 20), false),
+      ("bloom_rg", false, Some(1L << 20), true))
+    val dirs = arms.map { case (tag, sorted, block, bloom) =>
       val dir = s"hostile://$localRoot/$tag"
       val t0 = System.nanoTime()
-      write(dir, sorted, block)
+      write(dir, sorted, block, bloom)
       println(s"# wrote $tag in ${f((System.nanoTime() - t0) / 1e9)}s")
       tag -> dir
     }.toMap
@@ -133,7 +151,7 @@ object PointLookupBench {
     val results = Seq(1, 16, 256).flatMap { k =>
       (0 until 2).map { b =>
         val ids = probeIds(k, b + 1)
-        val per = arms.map { case (tag, _, _) =>
+        val per = arms.map { case (tag, _, _, _) =>
           val (n, dig, bytes, opsC, wall) = metered(digest(probeRead(dirs(tag), ids)))
           println(s"#   k=$k b=$b $tag rows=$n bytes=${bytes / 1024}KB " +
             s"stat=${opsC("getFileStatus")} open=${opsC("open")} wall=${f(wall)}s")
