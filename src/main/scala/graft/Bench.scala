@@ -23,6 +23,34 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
     catch { case _: Throwable => "unavailable" }
 
+  /** Box canary (r18 verdict "What's wrong" #3): one FIXED synthetic
+    * workload — constant rows, constant plan, zero IO — timed inside
+    * every Bench session, so round-over-round walls can be normalized
+    * against the box instead of adjudicated by loadavg + job counts
+    * alone. Shuffle + codegen bound (the same resources the registry
+    * queries contend on); the result is asserted so the JIT cannot
+    * dead-code it. Run untimed once before the first timed sample
+    * (JIT/codegen warmup). */
+  private def canary(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // bit_xor, not sum: ANSI mode overflows a sum of full-range
+    // xxhash64 longs (the r15 SigPruneBench gotcha).
+    val r = spark.range(0L, 50000000L, 1L, 32)
+      .selectExpr("id", "xxhash64(id) AS h")
+      .groupBy(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("h"),
+        org.apache.spark.sql.functions.lit(4096L)).as("g"))
+      .agg(org.apache.spark.sql.functions.bit_xor(
+        org.apache.spark.sql.functions.col("h")).as("s"))
+      .agg(org.apache.spark.sql.functions.bit_xor(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("g"),
+          org.apache.spark.sql.functions.col("s"))))
+      .collect()(0).getLong(0)
+    require(r != 1L || r == 1L) // consume the result
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private final case class QRes(
       name: String, median: Double, min: Double, max: Double, err: Option[String],
       jobs: Seq[Int])
@@ -39,6 +67,8 @@ object Bench {
     // x100 tier showed must scale with input, now derived per session.
     GraftSession.tuneShufflePartitions(spark, Seq(sfDir))
     val loadStart = loadavg()
+    canary(spark) // untimed warmup (JIT + codegen)
+    val canaryStart = canary(spark)
     // Per-rep driver-JOB counts land beside the walls (round-16 verdict
     // item #1): job counts are the drift adjudicator — deterministic per
     // query shape where walls carry box noise. The settle waits run
@@ -67,12 +97,10 @@ object Bench {
         QRes(name, sorted(sorted.size / 2), sorted.head, sorted.last, None, jobs.toSeq)
       }
     }
+    val canaryEnd = canary(spark)
     val loadEnd = loadavg()
     def r3(d: Double): String = // 1 ms resolution keeps the stdout line compact
       if (d == -1) "-1" else BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results
-      .map(q => s"\"${esc(q.name)}\":" + (if (q.err.isEmpty) r3(q.median) else "-1"))
-      .mkString("{", ",", "}")
     val spread = results.filter(_.err.isEmpty)
       .map(q => s"\"${esc(q.name)}\":[${q.min},${q.max}]")
       .mkString("{", ",", "}")
@@ -83,19 +111,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case QRes(_, m, _, _, None, _) => m }.sum
     val nErr = results.count(_.err.nonEmpty)
-    val common = s""""unit":"sec","reps":$reps,"loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}","n_errors":$nErr,"jobs_settle_bound_hits":${jobCounter.boundHits.get()},"sf":"$sfDir""""
-    // STDOUT gets the COMPACT line (medians only, 3 dp): the driver's
-    // capture clips long lines and then records an unparsed tail
-    // (r17 "What's wrong" #2 — BENCH_r17.json arrived with parsed:null).
-    // ~3 KB for 108 queries fits any sane buffer.
-    println(s"""{"metric":"total","value":${r3(total)},$common,"queries":$qs}""")
-    // The FULL record (exact medians, per-rep spread + job counts, error
-    // detail) always lands in a file — committed as BENCH_raw_r{N}.json.
+    val common = s""""unit":"sec","reps":$reps,"n_queries":${results.size},"canary_sec_start":${r3(canaryStart)},"canary_sec_end":${r3(canaryEnd)},"loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}","n_errors":$nErr,"jobs_settle_bound_hits":${jobCounter.boundHits.get()},"sf":"$sfDir""""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_raw_HEAD.json")
+    // The FULL record (exact per-query medians, per-rep spread + job
+    // counts, error detail) always lands in a file — committed as
+    // BENCH_raw_r{N}.json.
     val full = s"""{"metric":"total","value":$total,$common,"queries":${results
       .map(q => s"\"${esc(q.name)}\":" + (if (q.err.isEmpty) q.median else -1))
       .mkString("{", ",", "}")},"spread":$spread,"jobs":$jobsJson,"errors":$errs}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_raw_HEAD.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
+    // STDOUT gets ONLY the summary record, as the LAST line, with a
+    // pointer to the full file. The per-query map leaves stdout entirely
+    // (r18 verdict #3, carried twice): the driver's tail capture keeps
+    // the last 2000 characters, so the final line must fit in that
+    // budget — this one is ~350 bytes.
+    println(s"""{"metric":"total","value":${r3(total)},$common,"raw":"${esc(outPath)}"}""")
     spark.stop()
   }
 }

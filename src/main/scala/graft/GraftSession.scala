@@ -71,6 +71,16 @@ object GraftSession {
   }
 
   def build(appName: String): SparkSession = {
+    // Embedded Derby (the JDBC lifecycle twin) writes its error log to
+    // ${derby.stream.error.file} in the CWD by default — keep the repo
+    // root clean (r18 verdict hygiene item). Before any Derby class
+    // loads; respected only on first engine boot, which is fine — every
+    // entry point builds its session through here first.
+    if (sys.props.get("derby.stream.error.file").isEmpty) {
+      try java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      catch { case _: Exception => () }
+      System.setProperty("derby.stream.error.file", "target/derby.log")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
@@ -89,6 +99,15 @@ object GraftSession {
       // type, so read as long and convert in Tables.events (truncation to
       // µs matches DuckDB's read of the same file).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Point-lookup precondition (SCALEBENCH_r18_pointlookup's measured
+      // catch): above this threshold Spark pushes an In(id, …) to
+      // parquet as a [min,max] RANGE filter, which spans everything for
+      // spread point ids and turns row-group pruning off. The default
+      // (10) is sized for filter-eval cost on unsorted data; the fold
+      // layouts here are id-sorted with bounded row groups, where the
+      // literal set is what prunes. 1024 covers every bounded probe in
+      // the library (probe sets are collect-bounded well below it).
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       // The bloom aggregate silently clamps to these ceilings (defaults
       // 4M items / 2^26 bits) — far below a selective build side at
       // cluster scale, where the clamp would quietly destroy the fpp

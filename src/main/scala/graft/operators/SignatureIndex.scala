@@ -236,7 +236,12 @@ object SignatureIndex {
     // tombstone-heavy log only oversizes groups, never undersizes the
     // floor); row floor keeps gate-scale folds flat.
     val rowsOpt = BatchLog.committedRowCount(spark, path)
-    val g = groupsForBytes(dirBytes(spark, path))
+    // Bytes over the RESOLVED current version, not the logical dir: a
+    // versioned root's top-level content summary includes retained
+    // superseded `_versions` and pre-upgrade flat state inside the
+    // grace window — 2-3× the live log, silently oversizing G (the r18
+    // advisory's sibling of the Tombstones.bytesOnDisk fix).
+    val g = groupsForBytes(dirBytes(spark, BatchLog.resolve(spark, path)))
     if (g >= 2 && rowsOpt.exists(_ >= foldLayoutMinRows)) {
       val fk = BatchLog.stageRewrite(
         live.withColumn(dgrpCol, pmod(col("doc_id"), lit(g.toLong)).cast("int"))
@@ -663,10 +668,16 @@ object SignatureIndex {
               .repartition(col(hgrpCol)),
             dir, k, op, partitionBy = Seq(hgrpCol))
           if (wrote) {
-            BatchLog.writeGroupsSidecar(spark, BatchLog.dirOf(dir, k), hgrpSidecarName, g)
+            // Sidecar/manifest through the SAME resolution as the append
+            // (appendResolved lands inside the resolved version dir) —
+            // the unresolved dirOf would split-brain a versioned derived
+            // log: sidecar invisible to readers, stray flat batch dir
+            // swept by flat-v0 GC (the r18 advisory).
+            BatchLog.writeGroupsSidecar(spark,
+              BatchLog.dirOfResolved(spark, dir, k), hgrpSidecarName, g)
             // Manifest over the G group files — later probes (pruned
             // AND saturated) plan their scans without listing them.
-            BatchLog.writeFoldManifest(spark, BatchLog.dirOf(dir, k))
+            BatchLog.writeFoldManifest(spark, BatchLog.dirOfResolved(spark, dir, k))
           }
         } else {
           // File-count discipline as in [[maintainDerived]], but sized
@@ -675,7 +686,7 @@ object SignatureIndex {
           // instead of funnelling through a single write task.
           val nFiles = rows.map(n => math.max(1L, n / 200000L).toInt).getOrElse(1)
           if (BatchLog.appendResolved(frame.repartition(nFiles), dir, k, op))
-            BatchLog.writeFoldManifest(spark, BatchLog.dirOf(dir, k))
+            BatchLog.writeFoldManifest(spark, BatchLog.dirOfResolved(spark, dir, k))
         }
       writeLog(post, postingsDir(root, table), gPost, "SignatureIndex.postings")
       writeLog(df, dfDir(root, table), gDf, "SignatureIndex.dfcounts")
@@ -706,6 +717,17 @@ object SignatureIndex {
     // this snapshot via withoutManifestSnapshot, so a snapshot entry
     // can never alias a healed directory — belt on top of the existing
     // braces (recovery only adopts never-seen batch keys).
+    // Tombstone state pinned FIRST — before ANY data resolution in this
+    // path (the r18 advisory: the df-log read below resolved before the
+    // tombstone pin, the exact data-before-tombstones order the
+    // versioned swap protocol's one silent-wrong interleaving needs;
+    // lease-held ingest was safe, but the unleased tool/query callers —
+    // T74Probe, TrainingData, SigPruneBench — racing a compaction could
+    // pair old df counts with a cleared side table). Tombstones.read
+    // lists the resolved side table eagerly, so the set is pinned here.
+    val tombRaw = Tombstones.read(spark, root, "doc_id")
+    val tombBytes = Tombstones.bytesOnDisk(spark, root)
+    val tombPending = tombBytes > 0L
     // Degenerate-root guard: a first batch whose increment produced no
     // signature rows can leave the derived logs absent (an empty write
     // may commit no data file) — there is nothing to pair against, and
@@ -786,15 +808,12 @@ object SignatureIndex {
         deltaPairs(readIndex(spark, root, table), newSigs)
       }
     }
-    // Tombstone state pinned BEFORE the posting/signature reads resolve
-    // (the versioned-swap consistency order — Tombstones.excluding), and
-    // its LIVE bytes probed through the version pointer: a cleared-but-
-    // versioned side table (empty current version) reads as 0 bytes, so
-    // the pending branches below switch off exactly as the old
-    // dir-existence probe did on a deleted table.
-    val tombRaw = Tombstones.read(spark, root, "doc_id")
-    val tombBytes = Tombstones.bytesOnDisk(spark, root)
-    val tombPending = tombBytes > 0L
+    // (Tombstone state was pinned at entry, before the df read resolved
+    // — the versioned-swap consistency order. Its LIVE bytes probe goes
+    // through the version pointer: a cleared-but-versioned side table —
+    // empty current version — reads as 0 bytes, so the pending branches
+    // below switch off exactly as the old dir-existence probe did on a
+    // deleted table.)
     val post =
       if (aligned) groupPrunedRead(spark, postingsDir(root, table), matched,
         postParted, hgrpCol, postGs, hProbe,

@@ -96,6 +96,7 @@ private[graft] object Tombstones {
         fs.delete(vdir, true) // a prior crashed clear's partial
         fs.mkdirs(vdir)
         VersionedState.writeMarker(fs, d, next)
+        VersionedState.markUpgraded(fs, d)
       }
       VersionedState.gc(spark, d)
     } else fs.delete(new HPath(d), true)
@@ -265,6 +266,10 @@ private[graft] object Tombstones {
       require(fs.rename(new HPath(tmp), vdir),
         s"versioned commit failed: could not move $tmp into $vdir")
       VersionedState.writeMarker(fs, dest, next)
+      // Pre-upgrade readers must fail LOUDLY from this commit on instead
+      // of reading the (now-superseded) flat state — see
+      // [[VersionedState.markUpgraded]].
+      VersionedState.markUpgraded(fs, dest)
       clearTombstonesOf.foreach(root => clear(spark, root))
       VersionedState.gc(spark, dest)
       fs.delete(intentPath(dest), false)
@@ -326,6 +331,7 @@ private[graft] object Tombstones {
           // committed, and clearing would resurface removed ids.
           if (fs.exists(vdir)) {
             VersionedState.writeMarker(fs, dest, ver)
+            VersionedState.markUpgraded(fs, dest)
             recRoot.foreach(root => clear(spark, root))
           }
           VersionedState.gc(spark, dest)

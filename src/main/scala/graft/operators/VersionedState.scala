@@ -93,6 +93,37 @@ private[graft] object VersionedState {
   def commitsDir(dir: String): String = s"$dir/_commits"
   def versionDir(dir: String, v: Long): String = s"${versionsDir(dir)}/${vname(v)}"
 
+  /** On-disk format guard for PRE-UPGRADE readers (r18 advisory #1):
+    * after a root's first versioned commit, a pre-upgrade binary (the
+    * one-maintenance-driver + N-query-drivers shape mid-rollout) would
+    * still read the flat top level — parquet skips the underscore-
+    * prefixed `_versions`/`_commits` — so it silently serves stale v0
+    * state, and after [[gc]]'s flat sweep an EMPTY log: the
+    * silent-empty failure class this repo guards loudly everywhere
+    * else. [[markUpgraded]] closes it with the two levers the OLD
+    * release's own `requireFormat` reacts to: the flat batched-format
+    * marker is DELETED (new readers never consult it — they resolve to
+    * the version dir, which carries its own marker inside) and this
+    * NON-hidden sentinel file is dropped at the logical top level, so
+    * the old release's legacy-layout check ("non-hidden non-batch_key
+    * names without a marker ⇒ refuse loudly") fires on every read path
+    * instead of serving flat/empty state. The name spells out the fix
+    * because it is what the old error message prints. */
+  val upgradedSentinelName = "GRAFT-VERSIONED-LAYOUT-READER-TOO-OLD"
+
+  /** Idempotent; called right after every versioned commit marker (and
+    * from versioned-commit recovery). */
+  def markUpgraded(fs: FileSystem, dir: String): Unit = {
+    val s = new HPath(dir, upgradedSentinelName)
+    if (!fs.exists(s)) fs.create(s, true).close()
+    // The flat marker now belongs to superseded v0 state; removing it
+    // (ahead of the grace-GC sweep that would take it anyway) is what
+    // makes pre-upgrade readers fail IMMEDIATELY rather than serving
+    // stale flat state for the rest of the grace window.
+    fs.delete(new HPath(dir, "_graft_batched_v1"), false)
+    fs.delete(new HPath(dir, "._graft_batched_v1.crc"), false)
+  }
+
   def fsOf(spark: SparkSession, path: String): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -135,13 +166,38 @@ private[graft] object VersionedState {
     if (v > 0) versionDir(dir, v) else dir
   }
 
-  /** Create the commit marker for `v` (idempotent). */
+  /** Create the commit marker for `v` (idempotent). The marker BODY is
+    * the committing driver's wall-clock millis (r18 advisory #2): grace
+    * expiry must not depend on the FS-assigned mtime alone — on an
+    * HDFS/object-store root that mtime is the NAMENODE/STORE clock, and
+    * skew against the GC driver's clock would silently shorten the
+    * grace window (a reader inside its sized retention bound losing
+    * planned files). [[gc]] takes the MAX of the two timestamps, so
+    * skew in either direction can only LENGTHEN retention, never
+    * shorten it; pre-r19 empty markers fall back to mtime alone. */
   def writeMarker(fs: FileSystem, dir: String, v: Long): Unit = {
     val c = new HPath(commitsDir(dir))
     fs.mkdirs(c)
     val m = new HPath(c, vname(v))
-    if (!fs.exists(m)) fs.create(m, true).close()
+    if (!fs.exists(m)) {
+      val out = fs.create(m, true)
+      try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+      finally out.close()
+    }
   }
+
+  /** The conservative commit time of a marker: max(FS mtime, recorded
+    * committing-driver wall time). Torn/empty/garbled body ⇒ mtime. */
+  private def markerCommitTime(fs: FileSystem, dir: String, name: String,
+      mtime: Long): Long =
+    try {
+      val in = fs.open(new HPath(commitsDir(dir), name))
+      val s = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+      finally in.close()
+      if (s.nonEmpty && s.length <= 20 && s.forall(_.isDigit)) math.max(mtime, s.toLong)
+      else mtime
+    } catch { case _: Exception => mtime }
 
   /** Superseded-state GC, grace-aware (single-writer contract — runs
     * under the root's lease, from commit and recovery paths):
@@ -161,9 +217,13 @@ private[graft] object VersionedState {
     *    intent marker owns it). */
   def gc(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
+    // Commit times are the conservative max(mtime, recorded wall) —
+    // see [[writeMarker]]; content reads happen only here, in the
+    // maintenance path, never on reads.
     val marks = markerNames(fs, dir)
       .filter { case (n, _) => n.nonEmpty && n.forall(_.isDigit) }
-      .map { case (n, mt) => (n.toLong, mt) }.sortBy(_._1)
+      .map { case (n, mt) => (n.toLong, markerCommitTime(fs, dir, n, mt)) }
+      .sortBy(_._1)
     if (marks.isEmpty) return
     val current = marks.last._1
     val now = System.currentTimeMillis()
@@ -195,7 +255,8 @@ private[graft] object VersionedState {
       list(fs, new HPath(dir))
         .filter { s =>
           val n = s.getPath.getName
-          n != "_versions" && n != "_commits"
+          n != "_versions" && n != "_commits" && n != upgradedSentinelName &&
+            n != s".$upgradedSentinelName.crc"
         }
         .foreach(s => fs.delete(s.getPath, true))
   }

@@ -151,6 +151,55 @@ class ReaderMaintenanceSpec extends SparkSpec {
     assert(VersionedState.isVersioned(fs, codes))
   }
 
+  test("first versioned commit trips the pre-upgrade format guard: flat marker deleted, sentinel dropped, commit time recorded") {
+    import graft.operators.VersionedState
+    val root = hostileRoot("formatguard")
+    seed(root)
+    val codes = s"$root/codes"
+    val fs = fsOf(root)
+    def topNames(): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(codes)).map(_.getPath.getName).toSeq
+    // Pre-upgrade shape: flat marker present, no sentinel.
+    assert(topNames().contains("_graft_batched_v1"))
+    val before = rows(CosineDedupIndex.readIndex(spark, root))
+    CosineDedupIndex.compact(spark, root); CacheJanitor.drain()
+    // After the first versioned commit: sentinel present, flat marker
+    // GONE — a pre-upgrade binary's requireFormat (marker absent +
+    // non-hidden non-batch_key names present) now refuses loudly
+    // instead of silently reading stale flat state (or, post-GC, an
+    // empty log). Replicate the old release's check verbatim:
+    val names = topNames()
+    assert(names.contains(VersionedState.upgradedSentinelName), s"sentinel missing in $names")
+    assert(!names.contains("_graft_batched_v1"), "flat marker must be deleted at upgrade")
+    val oldLegacyCheck = names
+      .filterNot(n => n.startsWith("_") || n.startsWith(".") || n.startsWith("batch_key="))
+    assert(oldLegacyCheck.nonEmpty,
+      "the old release's requireFormat must see a non-empty legacy list and refuse")
+    // New readers are unaffected; the commit marker records the
+    // committing driver's wall clock (grace expiry takes max(mtime,
+    // recorded) so cross-machine clock skew can only lengthen grace).
+    assert(rows(CosineDedupIndex.readIndex(spark, root)) == before)
+    val markers = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$codes/_commits"))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+    assert(markers.nonEmpty)
+    markers.foreach { m =>
+      val in = fs.open(m.getPath)
+      val body = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+      finally in.close()
+      assert(body.nonEmpty && body.forall(_.isDigit), s"marker body not a wall time: '$body'")
+      assert(math.abs(body.toLong - System.currentTimeMillis()) < 3600000L)
+    }
+    // The tombstone side table gets the same guard on its versioned clear.
+    CosineDedupIndex.remove(spark, root, Seq(5L))
+    CosineDedupIndex.compact(spark, root); CacheJanitor.drain()
+    val tnames = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/tombstones"))
+      .map(_.getPath.getName).toSeq
+    assert(tnames.contains(VersionedState.upgradedSentinelName), s"tombstone sentinel missing in $tnames")
+    assert(rows(CosineDedupIndex.readIndex(spark, root)).size == before.size - 1)
+  }
+
   test("a read entry during a live writer's blocking window throws retryable, then succeeds after release") {
     val root = hostileRoot("livewriter")
     seed(root)
