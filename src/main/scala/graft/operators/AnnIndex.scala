@@ -68,21 +68,39 @@ object AnnIndex {
   private def arr(a: Array[Double]): String =
     a.map(TrainingData.litD).mkString("array(", ", ", ")")
 
+  /** The directory the CURRENT quantizer artifacts live in: inside the
+    * resolved codes version (`codes/_versions/<n>/_quantizer` — written
+    * by every versioned refreeze since r19 and carried forward by
+    * compaction stages, so quantizer + codes resolve as ONE committed
+    * pair), falling back to the top-level `root/quantizer` for roots
+    * whose quantizer was first-batch-trained and never refrozen under
+    * the versioned protocol. Resolution goes through [[BatchLog]]'s
+    * snapshot cache, so inside a read section the quantizer and the
+    * codes scan pin the SAME version. */
+  private[graft] def quantizerDir(spark: SparkSession, root: String): String = {
+    val inVersion =
+      s"${BatchLog.resolve(spark, s"$root/codes")}/${RefreezeProtocol.quantStageName}"
+    if (BatchLog.hasCommittedFiles(spark, s"$inVersion/centroids")) inVersion
+    else s"$root/quantizer"
+  }
+
   /** Load the frozen quantizer if present. */
   private def loadQuantizer(spark: SparkSession, root: String)
-      : Option[(Array[Array[Double]], Array[Double], Array[Double])] =
+      : Option[(Array[Array[Double]], Array[Double], Array[Double])] = {
+    val qd = quantizerDir(spark, root)
     // Committed-data probe, not a bare directory probe: a crash DURING
     // the centroids write leaves the directory holding only _temporary
     // task state, which must read as "never trained" (the next first
     // batch retrains over it) rather than as a half-quantizer that
     // fails schema inference forever.
-    if (!BatchLog.hasCommittedFiles(spark, s"$root/quantizer/centroids")) None
+    if (!BatchLog.hasCommittedFiles(spark, s"$qd/centroids")) None
     else {
-      val cents = spark.read.parquet(s"$root/quantizer/centroids")
+      val cents = spark.read.parquet(s"$qd/centroids")
         .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-      val st = spark.read.parquet(s"$root/quantizer/stats").orderBy("pos").collect()
+      val st = spark.read.parquet(s"$qd/stats").orderBy("pos").collect()
       Some((cents, st.map(_.getDouble(1)), st.map(_.getDouble(2))))
     }
+  }
 
   /** First batch trains and persists the quantizer; later batches load
     * it. WRITE ORDER is the crash contract: stats land first, centroids
@@ -260,7 +278,21 @@ object AnnIndex {
     val dest = s"$root/codes"
     val tmp = s"$root/codes.__compact_tmp"
     BatchLog.stageRewrite(readCodes(spark, root), dest, tmp, partitionBy = Seq("cell"))
+    copyQuantizerIntoStage(spark, root, tmp)
     Tombstones.commitCompaction(spark, root, tmp, dest)
+  }
+
+  /** Carry the current quantizer into a codes stage (`_quantizer`
+    * subdir): every committed codes version is then SELF-CONTAINED —
+    * without this, a compaction committed after a versioned refreeze
+    * would create a version whose quantizer fallback resolves to the
+    * stale top-level dir (silently wrong cells). KB-scale copy. */
+  private def copyQuantizerIntoStage(spark: SparkSession, root: String,
+      tmp: String): Unit = {
+    val src = quantizerDir(spark, root)
+    if (BatchLog.hasCommittedFiles(spark, s"$src/centroids"))
+      RefreezeProtocol.copyDir(spark, src,
+        s"$tmp/${RefreezeProtocol.quantStageName}")
   }
 
   // ---------------------------------------------------------------- refreeze
@@ -273,7 +305,7 @@ object AnnIndex {
     * older side-by-side layout: installed by [[commitRefreeze]] when
     * recovering a stage that release sealed, swept as a stray
     * otherwise. */
-  private val quantStage = "_quantizer"
+  private val quantStage = RefreezeProtocol.quantStageName
 
   /** Ladder-step migration — the escape hatch for a quantizer frozen on
     * a first batch the corpus has long outgrown (cells sized for the
@@ -343,27 +375,49 @@ object AnnIndex {
     } finally graft.CacheJanitor.drain()
   }
 
-  /** Commit a sealed stage: quantizer into place first (its absence
-    * with the staged codes intact means a prior commit attempt already
-    * renamed it — within the failure model, rename is the only way the
-    * subdir leaves a surviving stage), then the codes swap. Idempotent
-    * under crash-and-rerun at every step.
+  /** Commit a sealed stage. VERSIONED roots (the default): the staged
+    * quantizer STAYS inside the codes stage, and the one commit step is
+    * the versioned codes commit — quantizer + codes land together as
+    * `codes/_versions/<n+1>`, so a read entering mid-commit resolves
+    * either the old (quantizer, codes) pair or the new, never a mix and
+    * never a retry (the r18 verdict's last loud-retry window, closed;
+    * [[ReadGuard]] leaves the sealed stage non-blocking when the
+    * in-stage quantizer is present). A stage sealed by the OLD
+    * side-by-side release (`quantizer.__refreeze_tmp`) is upgraded in
+    * place — its quantizer copies into the stage before the commit (the
+    * marker landed after both writes, so the side tmp is complete).
+    * The superseded top-level `root/quantizer` is left for readers
+    * still pinned to pre-refreeze versions (it is their fallback until
+    * grace-GC retires those versions; later versions carry their own
+    * `_quantizer`, so it is never resolved again).
     *
-    * A stage sealed by the PREVIOUS release staged its quantizer
-    * side-by-side (`quantizer.__refreeze_tmp`) instead of in-stage; a
-    * marked stage implies that tmp was fully written (the marker landed
-    * after both writes), so when the in-stage subdir is absent the
-    * quantizer installs from there — committing such a stage's codes
-    * while silently skipping its quantizer would serve the new codes
-    * under the OLD centroids, silently wrong neighbors. */
+    * IN-PLACE roots (versioning disabled, never versioned): the
+    * pre-r19 protocol — quantizer into place first (its absence with
+    * the staged codes intact means a prior commit attempt already
+    * renamed it), then the codes swap. Idempotent under
+    * crash-and-rerun at every step in both protocols. */
   private def commitRefreeze(spark: SparkSession, root: String): Unit = {
     val ctmp = codesRefreezeTmp(root)
     val staged = s"$ctmp/$quantStage"
-    if (RefreezeProtocol.exists(spark, staged))
-      RefreezeProtocol.swapIfStaged(spark, staged, s"$root/quantizer")
-    else
-      RefreezeProtocol.swapIfStaged(spark, quantRefreezeTmp(root), s"$root/quantizer")
-    Tombstones.commitCompaction(spark, root, ctmp, s"$root/codes")
+    val dest = s"$root/codes"
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (VersionedState.enabled || VersionedState.isVersioned(fs, dest)) {
+      // Atomic install (copy-to-tmp + one rename): this runs POST-
+      // marker, so a crash-and-rerun must find the staged quantizer
+      // complete or absent — never half-copied-then-committed.
+      if (!RefreezeProtocol.exists(spark, staged) &&
+          RefreezeProtocol.exists(spark, quantRefreezeTmp(root)))
+        RefreezeProtocol.copyDirAtomic(spark, quantRefreezeTmp(root), staged)
+      Tombstones.commitCompaction(spark, root, ctmp, dest)
+      RefreezeProtocol.deleteIfExists(spark, quantRefreezeTmp(root))
+    } else {
+      if (RefreezeProtocol.exists(spark, staged))
+        RefreezeProtocol.swapIfStaged(spark, staged, s"$root/quantizer")
+      else
+        RefreezeProtocol.swapIfStaged(spark, quantRefreezeTmp(root), s"$root/quantizer")
+      Tombstones.commitCompaction(spark, root, ctmp, dest)
+    }
   }
 
   /** Complete or abandon a crashed [[refreeze]] — see its scaladoc. */
@@ -413,6 +467,13 @@ object AnnIndex {
   private def topKRecovered(spark: SparkSession, root: String, queries: DataFrame,
       k: Int, rerank: Option[DataFrame],
       nprobe: Option[Int]): DataFrame = BatchLog.withManifestSnapshot {
+    // Tombstones pinned FIRST — before the quantizer load resolves the
+    // codes version (the versioned-swap consistency order,
+    // [[Tombstones.excluding]]'s contract): resolving data first could
+    // pair old codes with a just-cleared side table and resurface
+    // removed ids. The codes read below shares this section's
+    // resolution snapshot, so quantizer and codes pin ONE version.
+    val tomb = Tombstones.read(spark, root, "vec_id")
     val (cents, mn, span) = loadQuantizer(spark, root)
       .getOrElse(sys.error(s"no ANN index at $root — ingest at least one batch first"))
     val d = sprk
@@ -433,16 +494,16 @@ object AnnIndex {
     // Partition filter FIRST (on the raw inferred partition column, so
     // the `cell=` pruning is static — batch_key dirs above it prune
     // per-batch, cells prune within), then the tombstone anti-join —
-    // removed vec_ids must never surface as neighbors. The read goes
+    // removed vec_ids must never surface as neighbors (the side table
+    // was pinned at entry, before any data resolution). The read goes
     // through BatchLog (r15): a compaction/refreeze fold serves its
     // cell files from the fold manifest — zero listings over the
     // corpus-sized directory tree — while flat-era increments keep the
     // listing read; the isin filter prunes identically in both.
-    val codes = Tombstones.excluding(spark, root, "vec_id") {
-      BatchLog.read(spark, s"$root/codes", "AnnIndex")
-        .where(col("cell").isin(probed: _*))
-        .withColumn("cell", col("cell").cast("long"))
-    }
+    val codes = BatchLog.read(spark, s"$root/codes", "AnnIndex")
+      .where(col("cell").isin(probed: _*))
+      .withColumn("cell", col("cell").cast("long"))
+      .join(tomb, Seq("vec_id"), "left_anti")
     // Scoring never materializes a dequantized array: the codegen'd SQ8
     // kernels dequantize-and-fold in one tight loop per pair (the hot
     // inner loop of the whole index at corpus scale).

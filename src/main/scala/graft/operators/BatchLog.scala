@@ -892,9 +892,30 @@ private[graft] object BatchLog {
     finally out.close()
   }
 
+  /** The point-lookup fold layout's kill/contrast switch (JVM property
+    * `graft.fold.point.layout.disable=true`): fold writes fall back to
+    * the pre-r19 arrival-order rows + default row groups — the
+    * ProdLookupBench contrast arm and the ops rollback. Read by the
+    * fold writers (the within-partition id sort) and by
+    * [[pointLookupWriteOptions]]. */
+  def pointLayoutDisabled: Boolean =
+    java.lang.Boolean.getBoolean("graft.fold.point.layout.disable")
+
+  /** Parquet row-group byte bound for point-lookup-adopted fold writes
+    * (r18 pricing, SCALEBENCH_r18_pointlookup: id-sorted rows + 1 MB
+    * row groups turn a pushed `In(id)` into a row-group-pruned read —
+    * ×0.08 of the arrival-order bytes at k=1, corpus-independent). The
+    * sort itself is the CALLER's (`sortWithinPartitions` ahead of the
+    * stage call — partition-local, no extra shuffle); this option rides
+    * the fold write so min/max windows stay ~1 MB instead of 128 MB.
+    * Empty when the layout is disabled ([[pointLayoutDisabled]]). */
+  def pointLookupWriteOptions: Map[String, String] =
+    if (pointLayoutDisabled) Map.empty
+    else Map("parquet.block.size" -> (1L << 20).toString)
+
   private def writeFold(df: DataFrame, tmpPath: String, key: String,
-      partitionBy: Seq[String]): Unit = {
-    val w = df.write.mode("overwrite")
+      partitionBy: Seq[String], writeOptions: Map[String, String]): Unit = {
+    val w = df.write.mode("overwrite").options(writeOptions)
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
       .parquet(dirFor(tmpPath, key))
     writeRowCount(df.sparkSession, dirFor(tmpPath, key))
@@ -907,7 +928,7 @@ private[graft] object BatchLog {
   /** Stage a layout-only rewrite (legacy migration) into `tmpPath`:
     * single batch directory plus marker, no keys retired. */
   def stage(df: DataFrame, tmpPath: String, partitionBy: Seq[String] = Nil): Unit =
-    writeFold(df, tmpPath, "a00001", partitionBy)
+    writeFold(df, tmpPath, "a00001", partitionBy, Map.empty)
 
   /** Stage a full-log REWRITE (compaction, refreeze) of the log at
     * `srcPath` into `tmpPath` — one FRESH-auto-keyed fold directory plus
@@ -918,7 +939,8 @@ private[graft] object BatchLog {
     * key, for operators that stow layout sidecars inside the staged fold
     * directory before the swap. */
   def stageRewrite(df: DataFrame, srcPath: String, tmpPath: String,
-      partitionBy: Seq[String] = Nil): String = {
+      partitionBy: Seq[String] = Nil,
+      writeOptions: Map[String, String] = Map.empty): String = {
     val spark = df.sparkSession
     // Retire exactly the keys whose files the fold's plan actually READ
     // (`df.inputFiles` — the FileIndex snapshot the scan resolved when
@@ -950,7 +972,13 @@ private[graft] object BatchLog {
           case _ => Nil
         }
     }.flatten.toSet[String].flatMap { f =>
-      val q = fs.makeQualified(new HPath(f)).toString
+      // A fold frame may legitimately scan files on a DIFFERENT
+      // filesystem than the log it rewrites (a refreeze corpus on the
+      // lake beside an index on hostile://hdfs://...): makeQualified
+      // throws Wrong-FS for those, and they can never be absorbed keys
+      // — keep them unqualified, the prefix test excludes them.
+      val p = new HPath(f)
+      val q = scala.util.Try(fs.makeQualified(p).toString).getOrElse(f)
       if (q.startsWith(prefix)) Some(q.stripPrefix(prefix).takeWhile(_ != '/'))
       else None
     }
@@ -965,7 +993,7 @@ private[graft] object BatchLog {
         "(lineage truncated?) — it must be derived from the log it rewrites")
     val folded = retiredKeys(spark, srcPath) ++ absorbed
     val foldKey = nextAutoKey(spark, srcPath)
-    writeFold(df, tmpPath, foldKey, partitionBy)
+    writeFold(df, tmpPath, foldKey, partitionBy, writeOptions)
     writeRetired(spark, tmpPath, folded)
     // The legacy-name snapshot must survive the swap: post-compaction
     // replays of pre-upgrade keys still resolve through it (and are then

@@ -61,24 +61,37 @@ object PqIndex {
       .map(TrainingData.litD).mkString("array(", ", ", ")"))
       .mkString("array(", ", ", ")")
 
+  /** The directory the CURRENT quantizer artifacts live in — see
+    * [[AnnIndex]]'s quantizerDir: in-version `_quantizer` (the ONE-
+    * committed-pair protocol) with the top-level fallback for
+    * never-versioned-refrozen roots. */
+  private def quantizerDir(spark: SparkSession, root: String): String = {
+    val inVersion =
+      s"${BatchLog.resolve(spark, s"$root/codes")}/${RefreezeProtocol.quantStageName}"
+    if (BatchLog.hasCommittedFiles(spark, s"$inVersion/centroids")) inVersion
+    else s"$root/quantizer"
+  }
+
   /** Load the frozen quantizers if present. */
   private def loadQuantizer(spark: SparkSession, root: String)
-      : Option[(Array[Array[Double]], Array[Array[Array[Double]]])] =
+      : Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = {
+    val qd = quantizerDir(spark, root)
     // Committed-data probe, not a bare directory probe: a crash DURING
     // the centroids write leaves the directory holding only _temporary
     // task state, which must read as "never trained" (the next first
     // batch retrains over it) rather than as a half-quantizer that
     // fails schema inference forever.
-    if (!BatchLog.hasCommittedFiles(spark, s"$root/quantizer/centroids")) None
+    if (!BatchLog.hasCommittedFiles(spark, s"$qd/centroids")) None
     else {
-      val cents = spark.read.parquet(s"$root/quantizer/centroids")
+      val cents = spark.read.parquet(s"$qd/centroids")
         .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-      val rows = spark.read.parquet(s"$root/quantizer/codebooks")
+      val rows = spark.read.parquet(s"$qd/codebooks")
         .orderBy("subspace", "code").collect()
       val cb = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
         .map(_._2.sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray).toArray).toArray
       Some((cents, cb))
     }
+  }
 
   /** First batch trains and persists both quantizers; later batches
     * load. WRITE ORDER is the crash contract (same as
@@ -225,7 +238,19 @@ object PqIndex {
     val dest = s"$root/codes"
     val tmp = s"$root/codes.__compact_tmp"
     BatchLog.stageRewrite(readCodes(spark, root), dest, tmp, partitionBy = Seq("cell"))
+    copyQuantizerIntoStage(spark, root, tmp)
     Tombstones.commitCompaction(spark, root, tmp, dest)
+  }
+
+  /** Carry the current quantizer into a codes stage — see
+    * [[AnnIndex]]'s copyQuantizerIntoStage (every committed version is
+    * self-contained once the pair protocol is in effect). */
+  private def copyQuantizerIntoStage(spark: SparkSession, root: String,
+      tmp: String): Unit = {
+    val src = quantizerDir(spark, root)
+    if (BatchLog.hasCommittedFiles(spark, s"$src/centroids"))
+      RefreezeProtocol.copyDir(spark, src,
+        s"$tmp/${RefreezeProtocol.quantStageName}")
   }
 
   // ---------------------------------------------------------------- refreeze
@@ -238,7 +263,7 @@ object PqIndex {
     * older side-by-side layout: installed by [[commitRefreeze]] when
     * recovering a stage that release sealed, swept as a stray
     * otherwise. */
-  private val quantStage = "_quantizer"
+  private val quantStage = RefreezeProtocol.quantStageName
 
   /** Ladder-step migration, same contract and crash story as
     * [[AnnIndex.refreeze]]: retrain coarse centroids AND the per-
@@ -287,17 +312,30 @@ object PqIndex {
     } finally graft.CacheJanitor.drain()
   }
 
-  /** Commit a sealed stage — see [[AnnIndex]]'s commitRefreeze for the
-    * ordering/idempotence argument and the old-layout (side-by-side
-    * quantizer tmp) install fallback. */
+  /** Commit a sealed stage — see [[AnnIndex]]'s commitRefreeze: on
+    * versioned roots the quantizer rides the codes commit as ONE
+    * version (wait-free for readers); the in-place protocol (and the
+    * old side-by-side stage upgrade) is preserved for the rest. */
   private def commitRefreeze(spark: SparkSession, root: String): Unit = {
     val ctmp = codesRefreezeTmp(root)
     val staged = s"$ctmp/$quantStage"
-    if (RefreezeProtocol.exists(spark, staged))
-      RefreezeProtocol.swapIfStaged(spark, staged, s"$root/quantizer")
-    else
-      RefreezeProtocol.swapIfStaged(spark, quantRefreezeTmp(root), s"$root/quantizer")
-    Tombstones.commitCompaction(spark, root, ctmp, s"$root/codes")
+    val dest = s"$root/codes"
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (VersionedState.enabled || VersionedState.isVersioned(fs, dest)) {
+      // Atomic install — post-marker path, see AnnIndex.commitRefreeze.
+      if (!RefreezeProtocol.exists(spark, staged) &&
+          RefreezeProtocol.exists(spark, quantRefreezeTmp(root)))
+        RefreezeProtocol.copyDirAtomic(spark, quantRefreezeTmp(root), staged)
+      Tombstones.commitCompaction(spark, root, ctmp, dest)
+      RefreezeProtocol.deleteIfExists(spark, quantRefreezeTmp(root))
+    } else {
+      if (RefreezeProtocol.exists(spark, staged))
+        RefreezeProtocol.swapIfStaged(spark, staged, s"$root/quantizer")
+      else
+        RefreezeProtocol.swapIfStaged(spark, quantRefreezeTmp(root), s"$root/quantizer")
+      Tombstones.commitCompaction(spark, root, ctmp, dest)
+    }
   }
 
   /** Complete or abandon a crashed [[refreeze]]. */
@@ -339,6 +377,9 @@ object PqIndex {
   private def topKRecovered(spark: SparkSession, root: String, queries: DataFrame,
       k: Int, rerank: Option[DataFrame],
       nprobe: Option[Int]): DataFrame = BatchLog.withManifestSnapshot {
+    // Tombstones pinned FIRST, before the quantizer load resolves the
+    // codes version — see [[AnnIndex]]'s topKRecovered.
+    val tomb = Tombstones.read(spark, root, "vec_id")
     val (cents, cb) = loadQuantizer(spark, root)
       .getOrElse(sys.error(s"no PQ index at $root — ingest at least one batch first"))
     val d = sprk
@@ -360,11 +401,11 @@ object PqIndex {
     val probed = qp.select("cell").distinct().collect().map(_.getLong(0)).toSeq
     // Manifest-aware read (r15, same as AnnIndex.topK): fold cell files
     // come from the fold manifest, zero listings; flat increments list.
-    val codes = Tombstones.excluding(spark, root, "vec_id") {
-      BatchLog.read(spark, s"$root/codes", "PqIndex")
-        .where(col("cell").isin(probed: _*))
-        .withColumn("cell", col("cell").cast("long"))
-    }
+    // Tombstone anti-join against the set pinned at entry.
+    val codes = BatchLog.read(spark, s"$root/codes", "PqIndex")
+      .where(col("cell").isin(probed: _*))
+      .withColumn("cell", col("cell").cast("long"))
+      .join(tomb, Seq("vec_id"), "left_anti")
     val scored = qp.join(codes, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .selectExpr("query_id", "vec_id AS neighbor_id", "cell",

@@ -15,6 +15,54 @@ private[graft] object RefreezeProtocol {
 
   val markerName = "_refreeze_complete"
 
+  /** Hidden subdir of a codes stage (or committed codes version) that
+    * holds the quantizer artifacts paired with those codes. Staged
+    * inside the codes stage so no failure can split the pair; since
+    * round 19 it also RIDES THE VERSIONED COMMIT into
+    * `codes/_versions/<n>/_quantizer` — quantizer + codes are ONE
+    * committed version, so a read entering mid-refreeze resolves
+    * either the old pair or the new, never a mix (the last loud-retry
+    * window, closed). Underscore-prefixed: invisible to parquet
+    * readers and every BatchLog walk. */
+  val quantStageName = "_quantizer"
+
+  /** Recursive small-dir copy (quantizer artifacts are a few KB-scale
+    * files) — used to carry the current quantizer forward into
+    * compaction/migration stages so every committed codes version
+    * stays self-contained once the pair protocol is in effect. Safe
+    * ONLY pre-marker (a crash mid-copy leaves an unmarked/unintended
+    * stage that recovery drops whole); post-marker paths must use
+    * [[copyDirAtomic]]. */
+  def copyDir(spark: SparkSession, src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(spark, src)
+    if (fs.exists(new HPath(src)))
+      require(org.apache.hadoop.fs.FileUtil.copy(
+        fs, new HPath(src), fs, new HPath(dst), false, true, conf),
+        s"could not copy $src into $dst")
+  }
+
+  /** [[copyDir]] made crash-idempotent for POST-MARKER use (the
+    * legacy-stage upgrade inside commitRefreeze): the copy lands in a
+    * sibling tmp and installs by ONE rename. The commit path guards on
+    * `!exists(dst)` before copying, so a crash-and-rerun either sees no
+    * `dst` (tmp swept, copy re-runs whole) or a COMPLETE `dst` — never
+    * a half-copied quantizer committed as a real one (which would
+    * resolve new codes under the stale top-level fallback: the silent
+    * old-quantizer/new-codes mix this protocol exists to prevent). */
+  def copyDirAtomic(spark: SparkSession, src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(spark, src)
+    if (!fs.exists(new HPath(src))) return
+    val tmp = s"$dst.__copy_tmp"
+    fs.delete(new HPath(tmp), true)
+    require(org.apache.hadoop.fs.FileUtil.copy(
+      fs, new HPath(src), fs, new HPath(tmp), false, true, conf),
+      s"could not copy $src into $tmp")
+    require(fs.rename(new HPath(tmp), new HPath(dst)),
+      s"could not install $tmp at $dst")
+  }
+
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

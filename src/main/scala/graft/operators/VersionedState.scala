@@ -41,12 +41,13 @@ import org.apache.spark.sql.SparkSession
   * reader therefore completes against its planned file set as long as
   * its scan takes less than the grace period — the retention contract
   * an operator sizes against its longest query, exactly as in every
-  * LSM store. [[ReadGuard]]'s loud-retry remains the fallback for
+  * LSM store. [[ReadGuard]]'s loud-retry remains the fallback ONLY for
   * roots that predate the upgrade (their swaps stay in-place until the
-  * first versioned commit) and for the refreeze protocol's sealed
-  * small-file window (the quantizer artifacts swap in place — they are
-  * driver-collected at entry, not scanned, so versioning them buys
-  * nothing).
+  * first versioned commit) and for legacy-shaped refreeze stages:
+  * since r19 the refreeze protocol stages its quantizer artifacts
+  * INSIDE the codes stage, so quantizer + codes commit as ONE version
+  * (`codes/_versions/<n>/_quantizer`) and the sealed window is
+  * wait-free too — see [[RefreezeProtocol.quantStageName]].
   *
   * Increments APPEND INSIDE the current version directory (fold
   * directories stay immutable; the version dir gains sibling

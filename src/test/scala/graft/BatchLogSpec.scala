@@ -175,10 +175,13 @@ class BatchLogSpec extends SparkSpec {
       "a torn sidecar must force the footer fallback, loudly, never throw")
 
     // Compaction rewrites the log into one fold directory WITH a fresh
-    // sidecar — the fast path heals along with the stats chain.
+    // sidecar — the fast path heals along with the stats chain. The
+    // footer read must RESOLVE first: the versioned commit dropped the
+    // reader-too-old sentinel at the logical top level (by design — a
+    // raw read here is exactly the pre-upgrade read it refuses).
     SignatureIndex.compact(spark, root)
     assert(BatchLog.committedRowCount(spark, log)
-      .contains(spark.read.parquet(log).count()))
+      .contains(spark.read.parquet(BatchLog.resolve(spark, log)).count()))
   }
 
   test("keyless ingests still accumulate distinct auto-keyed batches") {
@@ -358,13 +361,22 @@ class BatchLogSpec extends SparkSpec {
       .select(col("vec_id").as("query_id"), col("embedding"))
     assert(AnnIndex.topK(spark, root, q0, k = 1).count() == 1)
     CacheJanitor.drain()
-    assert(!Files.exists(Paths.get(qtmp)), "the staged quantizer must be renamed, not skipped")
+    assert(!Files.exists(Paths.get(qtmp)), "the staged quantizer must be consumed, not skipped")
     assert(!Files.exists(Paths.get(ctmp)))
-    val installedParts = Files.list(Paths.get(s"$root/quantizer/centroids"))
+    // Since r19 recovery UPGRADES a legacy stage into the versioned
+    // pair protocol: the staged quantizer rides the codes commit as
+    // `codes/_versions/<n>/_quantizer` (one committed state — a read
+    // can never pair the new codes with the old centroids), while the
+    // top-level `quantizer` dir stays untouched as the fallback for
+    // readers still pinned to pre-refreeze versions.
+    val resolved = BatchLog.resolve(spark, s"$root/codes")
+    assert(resolved.contains("_versions"),
+      "recovery must commit the legacy stage through the versioned protocol")
+    val installedParts = Files.list(Paths.get(s"$resolved/_quantizer/centroids"))
       .iterator().asScala.map(_.getFileName.toString)
       .filter(_.endsWith(".parquet")).toSet
     assert(installedParts == stagedParts,
-      "recovery must install the quantizer the crashed refreeze staged")
+      "recovery must install the quantizer the crashed refreeze staged, in-version")
   }
 
   test("refreeze refuses a corpus with missing or duplicate live ids") {

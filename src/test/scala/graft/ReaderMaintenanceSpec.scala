@@ -200,6 +200,106 @@ class ReaderMaintenanceSpec extends SparkSpec {
     assert(rows(CosineDedupIndex.readIndex(spark, root)).size == before.size - 1)
   }
 
+  test("refreeze unit is versioned: a topK planned before a refreeze completes after it; quantizer + codes resolve as one pair") {
+    import graft.operators.AnnIndex
+    import org.apache.spark.sql.functions.col
+    val root = hostileRoot("refreezeunit")
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    AnnIndex.ingest(spark, root, vecs.where(col("vec_id") < 250), Some("b1"))
+    CacheJanitor.drain()
+    AnnIndex.ingest(spark, root, vecs.where(col("vec_id") >= 250), Some("b2"))
+    CacheJanitor.drain()
+    val queries = vecs.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val before = rows(AnnIndex.topK(spark, root, queries, k = 3))
+    // Plan a topK (quantizer loaded + codes version resolved NOW), then
+    // commit a refreeze under it, then execute: the planned frame reads
+    // the OLD (quantizer, codes) pair to completion — versioned commit,
+    // no retry, no missing files, no mixed pair. This is the r18
+    // verdict's item 2 "Done" criterion, on hostile://.
+    val planned = AnnIndex.topK(spark, root, queries, k = 3)
+    AnnIndex.refreeze(spark, root, vecs)
+    CacheJanitor.drain()
+    assert(rows(planned) == before,
+      "a topK planned before the refreeze must complete against the old pair")
+    // The committed version carries its quantizer INSIDE (the pair is
+    // one committed state), and a fresh topK resolves the new pair.
+    val fs = fsOf(root)
+    val vdirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/codes/_versions"))
+      .map(_.getPath.getName).sorted
+    assert(vdirs.nonEmpty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/codes/_versions/${vdirs.last}/_quantizer/centroids")),
+      "the refrozen version must carry its quantizer in-version")
+    val after = AnnIndex.topK(spark, root, queries, k = 3)
+    assert(after.count() == 9, "fresh topK after refreeze answers")
+    // A compaction AFTER the versioned refreeze carries the quantizer
+    // forward — the new version stays self-contained (no stale
+    // top-level fallback possible).
+    AnnIndex.remove(spark, root, Seq(499L))
+    AnnIndex.compact(spark, root)
+    CacheJanitor.drain()
+    val vdirs2 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/codes/_versions"))
+      .map(_.getPath.getName).sorted
+    assert(vdirs2.last > vdirs.last)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/codes/_versions/${vdirs2.last}/_quantizer/centroids")),
+      "compaction must carry the in-version quantizer forward")
+    assert(rows(AnnIndex.topK(spark, root, queries, k = 3)).nonEmpty)
+  }
+
+  test("a SEALED refreeze stage no longer blocks readers when the stage carries its quantizer (versioned protocol); legacy stages still do") {
+    import graft.operators.AnnIndex
+    import org.apache.spark.sql.functions.col
+    val root = hostileRoot("sealednonblock")
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    AnnIndex.ingest(spark, root, vecs.where(col("vec_id") < 400), Some("b1"))
+    CacheJanitor.drain()
+    val queries = vecs.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val clean = rows(AnnIndex.topK(spark, root, queries, k = 3))
+    val fs = fsOf(root)
+    val tmp = s"$root/codes.__refreeze_tmp"
+    // Synthesize a SEALED new-protocol stage (committed data file +
+    // in-stage quantizer + completion marker) and hold the writer lease
+    // live around it — the exact mid-refreeze window.
+    import spark.implicits._
+    Seq((1L, 1L, Array(1.toByte))).toDF("vec_id", "cell", "codes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/batch_key=a00001")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/_quantizer"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_refreeze_complete"), true).close()
+    val inWindow = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    @volatile var writerErr: Option[Throwable] = None
+    val writer = new Thread(() => {
+      try WriterLease.withLease(spark, root) {
+        inWindow.countDown(); release.await()
+      } catch { case t: Throwable => writerErr = Some(t); inWindow.countDown() }
+    }, "sealed-writer")
+    writer.start(); inWindow.await()
+    try {
+      assert(writerErr.isEmpty, s"writer thread failed: $writerErr")
+      // New-protocol sealed stage: WAIT-FREE — the commit would be one
+      // versioned rename; the committed state is untouched either way.
+      assert(rows(AnnIndex.topK(spark, root, queries, k = 3)) == clean,
+        "a sealed in-stage-quantizer stage must not block reads")
+      // Legacy shape (no in-stage quantizer, root quantizer present):
+      // the commit would swap root/quantizer IN PLACE — loud retry.
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/_quantizer"), true)
+      intercept[ConcurrentMaintenanceException] {
+        AnnIndex.topK(spark, root, queries, k = 3)
+      }
+    } finally { release.countDown(); writer.join(30000) }
+    assert(!writer.isAlive)
+    // Writer gone: the stage is crash debris now; recovery under the
+    // lease completes the (legacy-shaped) commit or drops it, and reads
+    // converge. Drop the husk to keep the root clean for the tail read.
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    assert(rows(AnnIndex.topK(spark, root, queries, k = 3)) == clean)
+  }
+
   test("a read entry during a live writer's blocking window throws retryable, then succeeds after release") {
     val root = hostileRoot("livewriter")
     seed(root)

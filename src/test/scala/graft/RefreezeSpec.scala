@@ -152,8 +152,13 @@ class RefreezeSpec extends SparkSpec {
     CacheJanitor.drain()
     assert(graft.operators.Tombstones.bytesOnDisk(spark, root) == 0L)
     // The retrained quantizer equals the fresh root's (same training set,
-    // deterministic k-means) — frozen-artifact parity.
-    def quant(r0: String) = spark.read.parquet(s"$r0/quantizer/centroids")
+    // deterministic k-means) — frozen-artifact parity. Read through the
+    // family's resolution: since r19 a refrozen root's CURRENT quantizer
+    // lives in-version (`codes/_versions/<n>/_quantizer` — one committed
+    // pair with its codes), while the top level keeps the pre-refreeze
+    // fallback for pinned readers.
+    def quant(r0: String) = spark.read
+      .parquet(s"${AnnIndex.quantizerDir(spark, r0)}/centroids")
       .orderBy("cell").collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     assert(quant(root) == quant(fresh))
     // topK agrees end-to-end after the migration.
