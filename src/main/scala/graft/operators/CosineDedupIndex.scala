@@ -113,10 +113,19 @@ object CosineDedupIndex {
 
   /** The staged fold frame for a rewrite of `live` rows under group
     * count `g`: pgrp derived from the stored bucket, one shuffle so
-    * each group lands whole in one task (≤ 1 file per `pgrp=` dir). */
-  private def foldFrame(live: DataFrame, g: Int): DataFrame =
-    live.withColumn(pgrpCol, pmod(col("bucket"), lit(g.toLong)))
+    * each group lands whole in one task (≤ 1 file per `pgrp=` dir).
+    * Rows are vec_id-SORTED within each group (partition-local sort, no
+    * extra shuffle — the point-lookup layout adopted r19): together
+    * with [[BatchLog.pointLookupWriteOptions]]' bounded row groups, a
+    * pushed `In(vec_id)` ([[fetch]]) prunes to ~K row groups. Probe
+    * reads are order-blind (they filter on `pgrp` and join on bucket),
+    * so the bucket road is untouched. */
+  private def foldFrame(live: DataFrame, g: Int): DataFrame = {
+    val base = live.withColumn(pgrpCol, pmod(col("bucket"), lit(g.toLong)))
       .repartition(col(pgrpCol))
+    if (BatchLog.pointLayoutDisabled) base
+    else base.sortWithinPartitions(col(pgrpCol), col("vec_id"))
+  }
 
   /** The frozen bucket mask, or None before the first batch. Stored
     * through the atomic snapshot protocol (`LandingLog.writeSnapshot`):
@@ -242,6 +251,20 @@ object CosineDedupIndex {
     }
   }
 
+  /** Point lookup: the live code rows for exactly `ids` — the takedown
+    * -verification road. The fold layout groups by BUCKET (`pgrp` — the
+    * probe road's pruning axis), so an id probe has no partition filter
+    * to push; the adopted layout still bounds it: fold rows are
+    * vec_id-sorted within each group with ~1 MB row groups
+    * ([[foldFrame]]), so the pushed `In(vec_id)` (session
+    * `inFilterThreshold` = 1024 keeps it a literal set) prunes every
+    * non-hit ROW GROUP by min/max — ~K row groups of bytes, footers
+    * aside, instead of the whole log. Same rows as
+    * `readIndex(...).where(id isin ...)` by construction — the filter
+    * rides the same tombstone-pinned read. */
+  def fetch(spark: SparkSession, root: String, ids: Seq[Long]): DataFrame =
+    readIndex(spark, root).where(col("vec_id").isin(ids.map(Long.box): _*))
+
   /** Crash recovery alone (refreeze + compaction swap windows) — for
     * callers that probe state without reading rows
     * ([[DedupPipeline.health]]); see `SignatureIndex.recoverState`. */
@@ -282,7 +305,8 @@ object CosineDedupIndex {
     val tmp = s"$path.__compact_tmp"
     val g = frozenMask(spark, root).map(pgrpGroupsFor).getOrElse(1)
     val foldKey = BatchLog.stageRewrite(foldFrame(readIndex(spark, root), g),
-      path, tmp, partitionBy = Seq(pgrpCol))
+      path, tmp, partitionBy = Seq(pgrpCol),
+      writeOptions = BatchLog.pointLookupWriteOptions)
     writePgrpSidecar(spark, BatchLog.dirOf(tmp, foldKey), g)
     Tombstones.commitCompaction(spark, root, tmp, path)
   }
@@ -324,7 +348,8 @@ object CosineDedupIndex {
       val g = pgrpGroupsFor(newMask)
       val foldKey = BatchLog.stageRewrite(
         foldFrame(encode(live.select(col("vec_id"), col("embedding")), newMask), g),
-        codesDir(root), tmp, partitionBy = Seq(pgrpCol))
+        codesDir(root), tmp, partitionBy = Seq(pgrpCol),
+        writeOptions = BatchLog.pointLookupWriteOptions)
       writePgrpSidecar(spark, BatchLog.dirOf(tmp, foldKey), g)
       RefreezeProtocol.sealStage(spark, tmp, newMask.toString)
       commitRefreeze(spark, root, newMask)

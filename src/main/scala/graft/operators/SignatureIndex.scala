@@ -175,6 +175,47 @@ object SignatureIndex {
     }
   }
 
+  /** Point lookup: the LIVE signature rows for exactly `ids` — the
+    * takedown-verification / spot-audit road, reading through every
+    * layer of the adopted layout instead of scanning the log:
+    *
+    *  - static `dgrp=` partition pruning on group-fold directories
+    *    (ids hash to their groups via the fold's own sidecar G —
+    *    non-candidate groups' heavy shingle bytes are never opened);
+    *  - a pushed `In(doc_id)` predicate (the session default
+    *    `inFilterThreshold` = 1024 keeps it a literal id set, not a
+    *    useless [min,max] range — the r18 pricing's measured catch),
+    *    which prunes ROW GROUPS by min/max inside the hit group: fold
+    *    files are id-sorted with ~1 MB row groups since r19, so a K-id
+    *    probe reads ~K row groups (~K MB), not K whole group files;
+    *  - tombstones pinned BEFORE the data read (the versioned-swap
+    *    consistency order), so a removed id can never resurface.
+    *
+    * Exactness does not depend on the layout: flat-era increments are
+    * read whole (filter applied in the scan) and pre-r19 folds simply
+    * prune less — the answer is the same rows [[readIndex]] would
+    * produce filtered to `ids`. */
+  def fetch(spark: SparkSession, root: String, ids: Seq[Long],
+      table: String = "signatures"): DataFrame = {
+    ReadGuard.recoverForRead(spark, root)(recoverState(spark, root, table))
+    BatchLog.withManifestSnapshot {
+      val path = s"$root/$table"
+      Tombstones.excluding(spark, root, "doc_id") {
+        val ks = BatchLog.committedKeys(spark, path)
+        val base =
+          if (ks.isEmpty) BatchLog.read(spark, path, "SignatureIndex.fetch").drop(dgrpCol)
+          else {
+            val parted = BatchLog.partitionedKeys(spark, path, dgrpCol)
+            val gs = sidecarGs(spark, path, ks.toSet.filter(parted), dgrpSidecarName)
+            groupPrunedRead(spark, path, ks, parted, dgrpCol, gs,
+              if (pruningDisabled) None else Some(ids.toArray),
+              keepKey = false, "SignatureIndex.fetch")
+          }
+        base.where(col("doc_id").isin(ids.map(Long.box): _*))
+      }
+    }
+  }
+
   /** Crash recovery alone (the compaction swap window) — for callers
     * that probe state without reading rows ([[DedupPipeline.health]]):
     * an existence probe during the swap window would otherwise misread
@@ -242,13 +283,28 @@ object SignatureIndex {
     // grace window — 2-3× the live log, silently oversizing G (the r18
     // advisory's sibling of the Tombstones.bytesOnDisk fix).
     val g = groupsForBytes(dirBytes(spark, BatchLog.resolve(spark, path)))
+    // Point-lookup layout ADOPTED (r18 pricing, shipped r19): rows are
+    // id-sorted WITHIN each group (partition-local sort, no extra
+    // shuffle — the repartition above already co-located the group) and
+    // row groups byte-bounded, so [[fetch]]'s pushed In(doc_id) prunes
+    // to ~K row groups instead of K whole group files (×0.08 bytes at
+    // k=1, SCALEBENCH_r18_pointlookup). Row SET unchanged — the
+    // content-identical-to-rebuild contract is order-free.
+    // `graft.fold.point.layout.disable=true` writes the pre-r19
+    // arrival-order fold — the measurement contrast arm
+    // (ProdLookupBench) and the ops rollback switch.
+    val adopt = !BatchLog.pointLayoutDisabled
+    def laid(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+      if (adopt) df.sortWithinPartitions(cols: _*) else df
+    val opts = if (adopt) BatchLog.pointLookupWriteOptions else Map.empty[String, String]
     if (g >= 2 && rowsOpt.exists(_ >= foldLayoutMinRows)) {
       val fk = BatchLog.stageRewrite(
-        live.withColumn(dgrpCol, pmod(col("doc_id"), lit(g.toLong)).cast("int"))
-          .repartition(col(dgrpCol)),
-        path, tmp, partitionBy = Seq(dgrpCol))
+        laid(live.withColumn(dgrpCol, pmod(col("doc_id"), lit(g.toLong)).cast("int"))
+          .repartition(col(dgrpCol)), col(dgrpCol), col("doc_id")),
+        path, tmp, partitionBy = Seq(dgrpCol), writeOptions = opts)
       BatchLog.writeGroupsSidecar(spark, BatchLog.dirOf(tmp, fk), dgrpSidecarName, g)
-    } else BatchLog.stageRewrite(live, path, tmp)
+    } else BatchLog.stageRewrite(laid(live, col("doc_id")),
+      path, tmp, writeOptions = opts)
     Tombstones.commitCompaction(spark, root, tmp, path)
     // Rebuild the derived posting/df logs from the fold eagerly —
     // maintenance does the corpus-sized work, not the next batch. A

@@ -2977,6 +2977,55 @@ object TrainingData {
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
     })
 
+  /** Shared t77 projection: signature cardinality + an ORDER-EXACT
+    * polynomial fingerprint of the sorted shingle array (both engines
+    * sort at build — [[shSql]]'s note), so a wrong/missing/stale row
+    * breaks the hash, not just the count. */
+  private def t77Proj(d: Dialect): String =
+    s"doc_id, CAST(${d.size}(shs) AS BIGINT) AS n_sh, " +
+      d.foldLong("shs", 7L, s"(h, x) -> (h * 131 + x) % ${TextSim.P}") + " AS sh_fp"
+
+  /** t77 — POINT LOOKUP through the persisted index road (the r18
+    * verdict's adoption ask, shipped r19): the takedown-verification /
+    * spot-audit primitive, oracle-checked through the FULL lifecycle —
+    * ingest → tombstone → compact (which writes the id-sorted,
+    * row-group-bounded point-lookup fold layout) →
+    * [[graft.operators.SignatureIndex.fetch]] for a deterministic
+    * spread of doc_ids. Removed ids must be ABSENT from the fetch (the
+    * tombstone → fold → fetch chain); surviving rows are checked by an
+    * order-exact fingerprint of the stored shingle array, so a stale or
+    * partially-fetched row breaks the hash.
+    *
+    * Scale: [[graft.operators.SignatureIndex.fetch]] reads ~K row
+    * groups — static `dgrp=` partition pruning plus the pushed
+    * `In(doc_id)`'s min/max row-group pruning over the sorted fold
+    * (×0.08 of the arrival-order bytes at k=1,
+    * SCALEBENCH_r18_pointlookup; the production-path re-measure is
+    * SCALEBENCH_r19_pointlookup_prod) — never the corpus. The probe-id
+    * collect is K-bounded (the same driver budget as t74's candidate
+    * set). */
+  private val t77 = GQuery(
+    fn = (s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      val root = java.nio.file.Files.createTempDirectory("graft_t77").toString
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      graft.operators.SignatureIndex.ingest(s, root, docs, batchKey = Some("b1"))
+      val probeIds = docs.where("doc_id % 83 = 5").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      graft.operators.SignatureIndex.remove(s, root, probeIds.filter(_ % 2 == 0))
+      graft.operators.SignatureIndex.compact(s, root)
+      graft.operators.SignatureIndex.fetch(s, root, probeIds)
+        .createOrReplaceTempView("t77_f")
+      s.sql(s"SELECT ${t77Proj(sprk)} FROM t77_f ORDER BY doc_id")
+    },
+    oracle = Some {
+      val d = duck
+      s"""WITH sh AS (${shSql(d)})
+         |SELECT ${t77Proj(d)}
+         |FROM sh WHERE doc_id % 83 = 5 AND doc_id % 2 <> 0
+         |ORDER BY doc_id""".stripMargin
+    })
+
   val all: Map[String, GQuery] = Map(
     "t30_token_stats" -> t30,
     "t31_text_quality" -> t31,
@@ -3024,5 +3073,6 @@ object TrainingData {
     "t73_exact_substring_dedup" -> t73,
     "t74_indexed_dedup" -> t74,
     "t75_persisted_topk" -> t75,
-    "t76_persisted_pq_topk" -> t76)
+    "t76_persisted_pq_topk" -> t76,
+    "t77_point_lookup" -> t77)
 }
