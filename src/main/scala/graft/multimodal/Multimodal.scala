@@ -47,6 +47,64 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF
+    * — zero new dependencies, works in-sandbox; the r18 verdict's item
+    * 4). Per decoded image:
+    *
+    *  - `width`/`height` from the actual raster;
+    *  - `checksum` = the polynomial fold `h = (h*31 + sample) % P`
+    *    over band-0 samples in row-major order (init 7 — the same fold
+    *    family as `graft_poly_hash`), an ORDER-EXACT pixel digest: a
+    *    decoder that reads any pixel wrongly, out of order, or with a
+    *    color-model drift breaks it (c07's oracle recomputes it in
+    *    closed form for synthetic rasters);
+    *  - `embedding` = 8 coarse vertical-strip features (mean band-0
+    *    sample per `x % 8` strip, scaled to [0,1)) — integer-exact
+    *    before the final division;
+    *  - `n_frames` = 1 (still image).
+    *
+    * A payload `ImageIO` has no reader for (video containers, audio,
+    * corrupt bytes) falls back to the deterministic [[StubDecoder]]
+    * features — the documented stub boundary, now only for formats the
+    * JDK cannot parse. One decoder instance per partition, same batch
+    * contract as every [[MediaDecoder]]. */
+  final class ImageIoDecoder(embeddingDim: Int = 8) extends MediaDecoder {
+    private val P = 1000000007L
+    @transient private lazy val stub = new StubDecoder(embeddingDim)
+    def decode(batch: Seq[MediaRow]): Seq[MediaFeatures] = batch.map { r =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) stub.decode(Seq(r)).head
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var cs = 7L
+        val strips = new Array[Long](embeddingDim)
+        val counts = new Array[Long](embeddingDim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val s = raster.getSample(x, y, 0).toLong
+            cs = (cs * 31 + s) % P
+            strips(x % embeddingDim) += s
+            counts(x % embeddingDim) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val emb = Array.tabulate(embeddingDim)(d =>
+          if (counts(d) == 0) 0f
+          else (strips(d).toDouble / counts(d) / 256.0).toFloat)
+        MediaFeatures(
+          doc_id = r.doc_id, media_type = r.media_type,
+          n_bytes = r.payload.length.toLong,
+          width = w, height = h, n_frames = 1, checksum = cs, embedding = emb)
+      }
+    }
+  }
+
   /** Decode a media Dataset in fixed-size batches per partition. The
     * partitioning of the input is preserved (no shuffle); at 100 TB the
     * input should be range/bucket partitioned by doc_id upstream so
@@ -84,6 +142,33 @@ object Multimodal {
       val scaled = math.max((f.height.toLong * targetWidth / w).toInt, 1)
       f.copy(width = targetWidth, height = scaled)
     }
+  }
+
+  /** Deterministic synthetic grayscale PNG: pixel (x, y) of doc `d` is
+    * `(d*31 + x*7 + y*13) % 256` on a `(16 + d%8) × (12 + d%5)` raster,
+    * PNG-encoded. PNG is LOSSLESS, so the decoded samples are
+    * encoder-independent even where the encoded bytes are not — c07's
+    * oracle recomputes [[ImageIoDecoder]]'s pixel digest for these
+    * rasters in closed form without ever seeing the bytes. Runs on
+    * executors (pure function of the id). */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = 16 + (docId % 8).toInt
+    val h = 12 + (docId % 5).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((docId * 31 + x * 7 + y * 13) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Wrap a text table as fake media payloads (testing shim: documents

@@ -241,11 +241,48 @@ object Capability {
         |  CAST(count(*) AS BIGINT) AS n, true AS hll_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** c07 — REAL image decode through `javax.imageio` (r18 verdict item
+    * 4; c02 keeps the stub-decoder contract row): synthetic grayscale
+    * PNG fixtures are generated ON EXECUTORS (pure function of doc_id —
+    * [[Multimodal.syntheticPng]]), batch-decoded by
+    * [[Multimodal.ImageIoDecoder]] (the JDK PNG reader parsing real
+    * container bytes), and the decoded dimensions + an order-exact
+    * pixel digest are compared against the oracle's CLOSED-FORM
+    * recompute of the same rasters — the oracle never sees the PNG
+    * bytes (encoders may differ; PNG is lossless, so decoded samples
+    * cannot), so a decoder that misreads any pixel, row order, or
+    * color model turns the row red. Scale: generation + decode are
+    * scan-side per-partition work, no shuffle; the pattern is the
+    * image-corpus feature-extract road with the codec swapped in. */
+  private val c07 = GQuery(
+    fn = (s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).where("doc_id % 37 = 0")
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id, "image/png", Multimodal.syntheticPng(id)))
+      Multimodal.decodeAll(media, new Multimodal.ImageIoDecoder(8))
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("checksum"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 8 AS BIGINT) AS width,
+        |  CAST(12 + doc_id % 5 AS BIGINT) AS height,
+        |  list_reduce(
+        |    list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(range(0, (16 + doc_id % 8) * (12 + doc_id % 5)),
+        |        p -> (doc_id * 31 + (p % (16 + doc_id % 8)) * 7
+        |              + (p // (16 + doc_id % 8)) * 13) % 256)),
+        |    (a, g) -> (a * 31 + g) % 1000000007) AS checksum
+        |FROM documents WHERE doc_id % 37 = 0 ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, GQuery] = Map(
     "c01_hll_distinct" -> c01,
     "c02_multimodal_decode" -> c02,
     "c03_approx_percentile" -> c03,
     "c04_bloom_join_prune" -> c04,
     "c05_cms_heavy_hitters" -> c05,
-    "c06_incremental_distinct" -> c06)
+    "c06_incremental_distinct" -> c06,
+    "c07_imageio_decode" -> c07)
 }
