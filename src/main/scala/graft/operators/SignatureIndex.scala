@@ -197,21 +197,52 @@ object SignatureIndex {
     * produce filtered to `ids`. */
   def fetch(spark: SparkSession, root: String, ids: Seq[Long],
       table: String = "signatures"): DataFrame = {
+    // Above this many hit groups the probe unions one scan LEG per
+    // group; the cap bounds plan size — past it, one global-In scan
+    // (the saturated regime: with that many spread ids most row groups
+    // match their own group's ids anyway).
+    val maxLegs = 64
     ReadGuard.recoverForRead(spark, root)(recoverState(spark, root, table))
     BatchLog.withManifestSnapshot {
       val path = s"$root/$table"
+      val inIds = (df: DataFrame) => df.where(col("doc_id").isin(ids.map(Long.box): _*))
       Tombstones.excluding(spark, root, "doc_id") {
         val ks = BatchLog.committedKeys(spark, path)
-        val base =
-          if (ks.isEmpty) BatchLog.read(spark, path, "SignatureIndex.fetch").drop(dgrpCol)
-          else {
-            val parted = BatchLog.partitionedKeys(spark, path, dgrpCol)
-            val gs = sidecarGs(spark, path, ks.toSet.filter(parted), dgrpSidecarName)
-            groupPrunedRead(spark, path, ks, parted, dgrpCol, gs,
-              if (pruningDisabled) None else Some(ids.toArray),
-              keepKey = false, "SignatureIndex.fetch")
-          }
-        base.where(col("doc_id").isin(ids.map(Long.box): _*))
+        if (ks.isEmpty)
+          inIds(BatchLog.read(spark, path, "SignatureIndex.fetch").drop(dgrpCol))
+        else {
+          val parted = BatchLog.partitionedKeys(spark, path, dgrpCol)
+          val gs = sidecarGs(spark, path, ks.toSet.filter(parted), dgrpSidecarName)
+          val byG = ks.filter(parted).sorted.groupBy(k => gs.getOrElse(k, None))
+          val flat = ks.filterNot(parted)
+          val frames = byG.toSeq.sortBy(_._1).map { case (gOpt, ksame) =>
+            val base = BatchLog.readKeysWithKey(spark, path, ksame,
+              "SignatureIndex.fetch")
+            gOpt match {
+              case Some(g) if !pruningDisabled =>
+                // One union LEG per hit group, each pushing ONLY that
+                // group's ids: a global In across several group files
+                // saturates min/max geometry (every spread id matches
+                // one row group in EVERY scanned file — the value
+                // windows can't express the mod-G structure; measured
+                // re-reading the whole fold at k=16, ProdLookupBench),
+                // while a per-group id set matches only its own rows'
+                // groups — ~ids-per-group row groups per file.
+                val byGrp = ids.groupBy(i => java.lang.Math.floorMod(i, g.toLong).toInt)
+                if (byGrp.size <= maxLegs)
+                  byGrp.toSeq.sortBy(_._1).map { case (grp, gids) =>
+                    base.where(col(dgrpCol) === lit(grp) &&
+                      col("doc_id").isin(gids.map(Long.box): _*))
+                  }.reduce(_ unionByName _).drop(dgrpCol)
+                else inIds(base.where(col(dgrpCol)
+                  .isin(byGrp.keys.toSeq.sorted.map(Int.box): _*))).drop(dgrpCol)
+              case _ => inIds(base).drop(dgrpCol)
+            }
+          } ++ (if (flat.isEmpty) Nil
+                else Seq(inIds(BatchLog.readKeysWithKey(spark, path, flat,
+                  "SignatureIndex.fetch")).drop(dgrpCol)))
+          frames.reduce(_ unionByName _).drop("batch_key")
+        }
       }
     }
   }
@@ -572,7 +603,11 @@ object SignatureIndex {
     * set, listed ONCE by the caller per probe, and `gByKey` its group
     * sidecars, read ONCE by the caller per probe (three logs × one
     * listing + one sidecar pass each — not re-read here, object-store
-    * round-trips are the probe's driver-side budget). */
+    * round-trips are the probe's driver-side budget). [[fetch]] does
+    * NOT route here — an id probe keeps its group filter past
+    * saturation (it is a static partition filter, zero per-row cost)
+    * and pushes per-group id subsets, which this shared shingle-probe
+    * road has no use for. */
   private def groupPrunedRead(spark: SparkSession, path: String, ks: Seq[String],
       partedAll: Set[String], partCol: String, gByKey: Map[String, Option[Int]],
       probe: Option[Array[Long]], keepKey: Boolean, op: String): DataFrame = {

@@ -105,7 +105,10 @@ class PointLookupSpec extends SparkSpec {
     val files = scans.map(_.metrics("numFiles").value).sum
     assert(files <= hit.size,
       s"fetch must scan only the ${hit.size} hit groups' files, scanned $files")
-    assert(scans.exists(_.metadata("PushedFilters").contains("In(doc_id")),
+    // Per-group legs push exactly their own ids (a 1-id leg folds to
+    // EqualTo) — either shape row-group-prunes via min/max.
+    assert(scans.exists(s => s.metadata("PushedFilters").contains("In(doc_id") ||
+      s.metadata("PushedFilters").contains("EqualTo(doc_id")),
       "the probe id set must be pushed to parquet (row-group pruning precondition)")
     assert(rowsOf(fetched) == rowsOf(SignatureIndex.readIndex(spark, root)
       .where(col("doc_id").isin(probe.map(Long.box): _*))))
