@@ -230,6 +230,11 @@ object DedupPipeline {
       before.labelLogRows > logDepthRatio * before.labelledDocs ||
       BatchLog.committedKeys(spark, ClusterLabels.dir(root)).size > maxLogDirs)
     if (labelsCompacted) ClusterLabels.compact(spark, root)
+    // Retention enforcement rides the maintenance loop (r19): grace-GC
+    // on commit paths alone leaves the LAST superseded fold pending
+    // forever once a log stops compacting — the loop is the natural
+    // place to expire it (driver-side FS ops, under this lease).
+    VersionedState.gcAll(spark, root)
     Maintenance(refrozen, indexCompacted, labelsCompacted,
       before, health(spark, root, vector))
   }

@@ -216,6 +216,25 @@ private[graft] object VersionedState {
     *    commit's abandoned partial — deleted (an unmarked dir above
     *    current is an IN-FLIGHT commit and is never touched here; its
     *    intent marker owns it). */
+  /** Enforce grace retention on EVERY versioned table dir one level
+    * under `root` (r19): [[gc]] otherwise runs only on commit paths,
+    * so a superseded version whose grace expires AFTER its log's last
+    * commit would linger until that log's next compaction — a steady
+    * loop that folds each log once then only appends would retain the
+    * superseded fold forever (observed: the x100 loop ending at
+    * 345 MB root with the old fold pending). Driver-side FS ops only
+    * (one listStatus of the root + one `_commits` probe per child +
+    * the gc marker scans); call under the root's writer lease — the
+    * maintenance loop is where retention enforcement belongs. */
+  def gcAll(spark: SparkSession, root: String): Unit = {
+    val fs = fsOf(spark, root)
+    val rp = new HPath(root)
+    if (!fs.exists(rp)) return
+    list(fs, rp).filter(_.isDirectory).map(_.getPath).foreach { d =>
+      if (fs.exists(new HPath(d, "_commits"))) gc(spark, d.toString)
+    }
+  }
+
   def gc(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
     // Commit times are the conservative max(mtime, recorded wall) —

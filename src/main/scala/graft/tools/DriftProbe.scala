@@ -141,8 +141,11 @@ object DriftProbe {
       val perRep = rs.groupBy(_._3).map(_._2.map(_._4).sum).toSeq.sorted
       s""""$q":{"wall_min":${f(perRep.min)},"wall_med":${f(perRep(perRep.size / 2))}}"""
     }.mkString(",")
+    // Round-agnostic label (the r18 artifact shipped with a stale
+    // "_r16" suffix baked in — round identity belongs to the FILE
+    // name, not the metric key round tooling joins on).
     val json =
-      s"""{"metric":"drift_adjudicate_r16","sf_dir":"$dir","reps":$reps,""" +
+      s"""{"metric":"drift_adjudicate","sf_dir":"$dir","reps":$reps,""" +
         s""""cpus":${graft.GraftSession.cpus},"legs":{$legJson},""" +
         s""""totals":{$totals},""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""

@@ -200,6 +200,66 @@ class ReaderMaintenanceSpec extends SparkSpec {
     assert(rows(CosineDedupIndex.readIndex(spark, root)).size == before.size - 1)
   }
 
+  test("maintenance-loop retention: maintainOnce's gcAll sweeps an expired superseded fold WITHOUT a new commit; a reader outliving grace fails loud, retry clean") {
+    import graft.operators.DedupPipeline
+    val root = hostileRoot("gcloop")
+    val docs = (0L until 400L)
+      .map(i => (i, (0 until 9).map(j => s"w${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    DedupPipeline.runOnce(spark, root, docs, batchKey = Some("b1"))
+    CacheJanitor.drain()
+    val codes = s"$root/signatures"
+    val fs = fsOf(root)
+    def versionDirs(): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$codes/_versions")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName).toSet
+    }
+    // One compaction supersedes the flat state under a LARGE grace...
+    System.setProperty("graft.swap.grace.ms", "3600000")
+    try {
+      graft.operators.SignatureIndex.compact(spark, root); CacheJanitor.drain()
+      assert(versionDirs() == Set("00000001"))
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(codes))
+        .exists(_.getPath.getName.startsWith("batch_key=")),
+        "flat state must survive the grace window")
+      // ...and a maintenance pass INSIDE the grace sweeps nothing (the
+      // x100-loop steady state: no compaction signal, gcAll runs, all
+      // retention intact).
+      DedupPipeline.maintainOnce(spark, root)
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(codes))
+        .exists(_.getPath.getName.startsWith("batch_key=")))
+    } finally System.clearProperty("graft.swap.grace.ms")
+    // Past grace: the NEXT maintenance pass — with NO new commit to
+    // piggyback on (the pre-r19 gap: commit-path GC alone left the
+    // last superseded fold pending forever; the x100 loop ended 345 vs
+    // 298 MB) — expires it. A frame planned against the swept flat
+    // state fails LOUD (the longest-query bound); a fresh read is
+    // clean.
+    val stale = spark.read.parquet(s"$codes/batch_key=${BatchLog.sanitize("b1")}")
+    System.setProperty("graft.swap.grace.ms", "0")
+    try {
+      DedupPipeline.maintainOnce(spark, root)
+      assert(!fs.listStatus(new org.apache.hadoop.fs.Path(codes))
+        .exists(_.getPath.getName.startsWith("batch_key=")),
+        "maintenance alone must expire superseded retention past grace")
+      val e = intercept[Exception] { stale.collect() }
+      def missing(t: Throwable): Boolean = {
+        var c: Throwable = t
+        while (c != null) {
+          if (c.isInstanceOf[java.io.FileNotFoundException] ||
+            (c.getMessage != null && (c.getMessage.contains("does not exist") ||
+              c.getMessage.contains("FileNotFound")))) return true
+          c = c.getCause
+        }
+        false
+      }
+      assert(missing(e), s"an outlived plan must fail loud-missing, got: $e")
+    } finally System.clearProperty("graft.swap.grace.ms")
+    assert(graft.operators.SignatureIndex.readIndex(spark, root).count() == 400,
+      "fresh reads clean after the maintenance sweep")
+  }
+
   test("refreeze unit is versioned: a topK planned before a refreeze completes after it; quantizer + codes resolve as one pair") {
     import graft.operators.AnnIndex
     import org.apache.spark.sql.functions.col
