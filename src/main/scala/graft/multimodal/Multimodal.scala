@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * decoder instance per partition, rows processed in fixed-size batches,
   * schema and partitioning carried by the Dataset encoder.
   *
-  * The actual codec is STUBBED (no image/audio libraries in this
-  * environment): [[StubDecoder]] produces deterministic pseudo-features
-  * from the bytes. The Spark-side contract — batch shape, per-partition
-  * decoder lifecycle, typed output schema — is real and tested; swapping
-  * in a real codec touches only [[MediaDecoder.decode]].
+  * Real codecs ship where the JDK provides them with zero dependencies:
+  * [[ImageIoDecoder]] (PNG/JPEG/BMP/GIF via `javax.imageio`) and
+  * [[WavDecoder]] (WAV/PCM via `javax.sound.sampled`). [[StubDecoder]]
+  * produces deterministic pseudo-features from the bytes and remains
+  * the documented fallback boundary for containers the JDK cannot
+  * parse (video, exotic formats). The Spark-side contract — batch
+  * shape, per-partition decoder lifecycle, typed output schema — is
+  * identical across all three; swapping in another codec touches only
+  * [[MediaDecoder.decode]].
   */
 object Multimodal {
 
@@ -105,6 +109,79 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/RIFF
+    * PCM + the other `AudioSystem` container readers — zero new
+    * dependencies; the audio member of the codec family next to
+    * [[ImageIoDecoder]]). Per decoded clip:
+    *
+    *  - `width` = sample rate in Hz, `height` = channel count,
+    *    `n_frames` = PCM frame count — the audio analog of raster dims;
+    *  - `checksum` = the polynomial fold `h = (h*31 + u) % P` over
+    *    channel-0 samples in frame order, where `u` is the UNSIGNED
+    *    16-bit representation (`signed + 32768`) — an ORDER-EXACT
+    *    sample digest in the same fold family as the pixel digest and
+    *    `graft_poly_hash`; PCM is lossless, so the decoded samples are
+    *    container-encoder-independent and c08's oracle recomputes this
+    *    in closed form without seeing the bytes;
+    *  - `embedding` = 8 coarse features (mean unsigned channel-0 sample
+    *    per `frame_idx % 8` comb, scaled to [0,1)) — integer-exact
+    *    before the final division.
+    *
+    * Only 16-bit signed PCM is digested (both endiannesses, any channel
+    * count); payloads `AudioSystem` has no reader for — or non-PCM16
+    * encodings — fall back to the deterministic [[StubDecoder]], the
+    * same documented stub boundary as the image side. One decoder
+    * instance per partition, same batch contract as every
+    * [[MediaDecoder]]. */
+  final class WavDecoder(embeddingDim: Int = 8) extends MediaDecoder {
+    private val P = 1000000007L
+    @transient private lazy val stub = new StubDecoder(embeddingDim)
+    def decode(batch: Seq[MediaRow]): Seq[MediaFeatures] = batch.map { r =>
+      val parsed: Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val fmt = in.getFormat
+            if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+                || fmt.getSampleSizeInBits != 16 || fmt.getFrameSize <= 0) None
+            else Some((fmt, in.readAllBytes()))
+          } finally in.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+        }
+      parsed match {
+        case None => stub.decode(Seq(r)).head
+        case Some((fmt, bytes)) =>
+          val frameSize = fmt.getFrameSize
+          val nFrames = bytes.length / frameSize
+          val (lo, hi) = if (fmt.isBigEndian) (1, 0) else (0, 1)
+          var cs = 7L
+          val combs = new Array[Long](embeddingDim)
+          val counts = new Array[Long](embeddingDim)
+          var i = 0
+          while (i < nFrames) {
+            val off = i * frameSize
+            val s = ((bytes(off + hi) << 8) | (bytes(off + lo) & 0xff)).toShort.toLong
+            val u = s + 32768L
+            cs = (cs * 31 + u) % P
+            combs(i % embeddingDim) += u
+            counts(i % embeddingDim) += 1
+            i += 1
+          }
+          val emb = Array.tabulate(embeddingDim)(d =>
+            if (counts(d) == 0) 0f
+            else (combs(d).toDouble / counts(d) / 65536.0).toFloat)
+          MediaFeatures(
+            doc_id = r.doc_id, media_type = r.media_type,
+            n_bytes = r.payload.length.toLong,
+            width = fmt.getSampleRate.toInt, height = fmt.getChannels,
+            n_frames = nFrames, checksum = cs, embedding = emb)
+      }
+    }
+  }
+
   /** Decode a media Dataset in fixed-size batches per partition. The
     * partitioning of the input is preserved (no shuffle); at 100 TB the
     * input should be range/bucket partitioned by doc_id upstream so
@@ -168,6 +245,33 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic mono PCM16 WAV: frame `i` of doc `d` is the
+    * unsigned 16-bit value `(d*31 + i*7) % 65536` (stored signed-LE,
+    * i.e. `u - 32768`) over `200 + d%64` frames at 8 kHz, containerized
+    * by the JDK's own WAV writer. PCM is LOSSLESS, so the decoded
+    * samples are encoder-independent — c08's oracle recomputes
+    * [[WavDecoder]]'s sample digest for these clips in closed form
+    * without ever seeing the bytes. Runs on executors (pure function of
+    * the id). */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val n = 200 + (docId % 64).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((docId * 31 + i * 7) % 65536) - 32768).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 

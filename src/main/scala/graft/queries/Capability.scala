@@ -277,6 +277,44 @@ object Capability {
         |    (a, g) -> (a * 31 + g) % 1000000007) AS checksum
         |FROM documents WHERE doc_id % 37 = 0 ORDER BY doc_id""".stripMargin))
 
+  /** c08 — REAL audio decode through `javax.sound.sampled` (the audio
+    * twin of c07): synthetic mono PCM16 WAV fixtures are generated ON
+    * EXECUTORS (pure function of doc_id — [[Multimodal.syntheticWav]],
+    * containerized by the JDK's own WAV writer), batch-decoded by
+    * [[Multimodal.WavDecoder]] (the JDK RIFF/PCM reader parsing real
+    * container bytes), and the decoded rate/frame-count + an
+    * order-exact sample digest are compared against the oracle's
+    * CLOSED-FORM recompute of the same clips — the oracle never sees
+    * the WAV bytes (PCM is lossless, so decoded samples cannot differ
+    * across encoders), so a decoder that misreads any sample, frame
+    * order, endianness, or sign convention turns the row red. Scale:
+    * generation + decode are scan-side per-partition work, no shuffle;
+    * the pattern is the audio-corpus feature-extract road with the
+    * codec swapped in. */
+  private val c08 = GQuery(
+    fn = (s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).where("doc_id % 41 = 0")
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id, "audio/wav", Multimodal.syntheticWav(id)))
+      Multimodal.decodeAll(media, new Multimodal.WavDecoder(8))
+        .select(col("doc_id"), col("width").cast("long").as("sample_rate"),
+          col("height").cast("long").as("channels"),
+          col("n_frames").cast("long").as("n_frames"), col("checksum"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(
+      """SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(200 + doc_id % 64 AS BIGINT) AS n_frames,
+        |  list_reduce(
+        |    list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(range(0, 200 + doc_id % 64),
+        |        i -> (doc_id * 31 + i * 7) % 65536)),
+        |    (a, g) -> (a * 31 + g) % 1000000007) AS checksum
+        |FROM documents WHERE doc_id % 41 = 0 ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, GQuery] = Map(
     "c01_hll_distinct" -> c01,
     "c02_multimodal_decode" -> c02,
@@ -284,5 +322,6 @@ object Capability {
     "c04_bloom_join_prune" -> c04,
     "c05_cms_heavy_hitters" -> c05,
     "c06_incremental_distinct" -> c06,
-    "c07_imageio_decode" -> c07)
+    "c07_imageio_decode" -> c07,
+    "c08_wav_decode" -> c08)
 }

@@ -84,6 +84,66 @@ class MultimodalSpec extends SparkSpec {
       "undecodable payloads take the deterministic stub road")
   }
 
+  test("WavDecoder decodes real WAV bytes: rate/frames and sample digest match the closed form") {
+    val ids = Seq(0L, 3L, 41L, 63L, 200L)
+    val media = ids.map(id =>
+      MediaRow(id, "audio/wav", Multimodal.syntheticWav(id))).toDS()
+    val out = Multimodal.decodeAll(media, new Multimodal.WavDecoder(8))
+      .collect().sortBy(_.doc_id)
+    // The closed form the c08 oracle recomputes in SQL: frame i of doc
+    // d is the unsigned 16-bit value (d*31 + i*7) % 65536 over
+    // 200 + d%64 frames at 8 kHz mono.
+    for ((f, id) <- out.zip(ids)) {
+      val n = 200 + (id % 64).toInt
+      assert(f.width == 8000 && f.height == 1 && f.n_frames == n, s"format for $id")
+      var cs = 7L
+      for (i <- 0 until n) cs = (cs * 31 + (id * 31 + i * 7) % 65536) % 1000000007L
+      assert(f.checksum == cs, s"sample digest for $id — the decoder read real PCM frames")
+      assert(f.embedding.length == 8 && f.embedding.forall(e => e >= 0f && e < 1f))
+    }
+  }
+
+  test("WavDecoder handles stereo and big-endian PCM; stub-falls-back on undecodable payloads") {
+    // Stereo interleaved frames: channel 0 carries i*3, channel 1 noise
+    // the digest must IGNORE; big-endian flag exercises the other byte
+    // order through the identical decode path.
+    def wav(nFrames: Int, channels: Int, bigEndian: Boolean): Array[Byte] = {
+      val pcm = new Array[Byte](nFrames * 2 * channels)
+      for (i <- 0 until nFrames; c <- 0 until channels) {
+        val s = (if (c == 0) i * 3 - 32768 else i * 11 - 5) // ch0 = unsigned i*3
+        val off = (i * channels + c) * 2
+        if (bigEndian) { pcm(off) = ((s >> 8) & 0xff).toByte; pcm(off + 1) = (s & 0xff).toByte }
+        else { pcm(off) = (s & 0xff).toByte; pcm(off + 1) = ((s >> 8) & 0xff).toByte }
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, channels, true, bigEndian)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val garbage = Array.tabulate[Byte](80)(i => (i * 53).toByte)
+    val media = Seq(
+      MediaRow(1L, "audio/wav", wav(40, 2, bigEndian = false)),
+      MediaRow(2L, "audio/wav", wav(40, 1, bigEndian = true)),
+      MediaRow(3L, "audio/raw", garbage)).toDS()
+    val out = Multimodal.decodeAll(media, new Multimodal.WavDecoder(8))
+      .collect().sortBy(_.doc_id)
+    var cs = 7L
+    for (i <- 0 until 40) cs = (cs * 31 + i * 3) % 1000000007L
+    assert(out(0).height == 2 && out(0).n_frames == 40 && out(0).checksum == cs,
+      "stereo: digest over channel 0 only, frame count per-channel")
+    // NOTE: the JDK WAV writer normalizes PCM to little-endian in the
+    // container regardless of the stream's endianness flag — both clips
+    // must decode to the identical channel-0 digest.
+    assert(out(1).height == 1 && out(1).n_frames == 40 && out(1).checksum == cs,
+      "big-endian input: same samples, same digest")
+    val stubbed = new StubDecoder(8).decode(Seq(MediaRow(3L, "audio/raw", garbage))).head
+    assert(out(2).checksum == stubbed.checksum && out(2).width == stubbed.width,
+      "undecodable payloads take the deterministic stub road")
+  }
+
   test("decoder batches never exceed the configured size") {
     val media = (1L to 50L).map(i => MediaRow(i, "image/stub", Array.fill(10)(i.toByte)))
       .toDS().repartition(2)
