@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): the r19 baseline bench measured the 8g heap
+  // GC-thrashing mid-session — t72 35.4 s vs 7.0 s at 16g with IDENTICAL
+  // job counts (BENCH_raw_r19_baseline vs _mem16; OPTIMIZATION_r19.md §heap).
+  // A long session accumulates persisted/localCheckpoint blocks faster
+  // than the async unpersist + ContextCleaner retire them; the sandbox
+  // has 128 GiB, so headroom is the right default. Env-overridable for
+  // smaller boxes (local[2] CI runs fine at 8g).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

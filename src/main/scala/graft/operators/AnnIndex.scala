@@ -340,13 +340,19 @@ object AnnIndex {
       // The corpus must supply exactly the live ids, once each: missing
       // ids would silently SHRINK the index on commit (the semi-join
       // just drops them); duplicate ids would commit duplicate code
-      // rows. Refuse both loudly, before anything destructive.
-      val matched = survivors.select("vec_id").distinct().count()
+      // rows. Refuse both loudly, before anything destructive. One
+      // fused agg (count + exact countDistinct) — the separate
+      // distinct().count() and count() jobs this replaces computed the
+      // same two numbers in two passes over the persisted survivors
+      // (r19 optimization).
+      val chk = survivors.agg(count(lit(1)).as("n"),
+        countDistinct(col("vec_id")).as("nd")).head
+      val matched = chk.getLong(1)
       require(matched == liveN,
         s"refreeze corpus is missing ${liveN - matched} of $liveN live " +
           "vec_ids — it must supply embeddings for every live id; " +
           "aborting before any commit")
-      require(survivors.count() == liveN,
+      require(chk.getLong(0) == liveN,
         "refreeze corpus supplies duplicate vec_ids; aborting before any commit")
       survivors.createOrReplaceTempView("graft_ann_refreeze")
       val cents = TrainingData.trainCentroids(spark, "graft_ann_refreeze")

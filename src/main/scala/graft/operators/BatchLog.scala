@@ -160,26 +160,65 @@ private[graft] object BatchLog {
   private val countName = "_row_count.json"
 
   /** Row-count sidecar, written into a batch directory right after its
-    * data commit: one footer-metadata count over THAT directory only
-    * (O(increment) files), so LOG-level row counts become driver-side
-    * file reads ([[committedRowCount]]) instead of a footer job over
-    * every directory — the job the x100 loop measured growing linearly
-    * with batch count in the health poll. Best-effort: a failed or
-    * crashed sidecar write only costs callers their fast path. */
+    * data commit, so LOG-level row counts become driver-side file reads
+    * ([[committedRowCount]]) instead of a footer job over every
+    * directory — the job the x100 loop measured growing linearly with
+    * batch count in the health poll. Best-effort: a failed or crashed
+    * sidecar write only costs callers their fast path. The count comes
+    * from the WRITE ITSELF ([[writeCounted]]'s `observe` — zero extra
+    * jobs, zero re-read); this read-back count (one footer-metadata job
+    * over the directory) is only the fallback for the rare observed-
+    * metric failure. r19 optimization: the read-back used to run after
+    * EVERY append/fold write — at fold scale that re-reads the entire
+    * just-written fold to learn a number the write already knew. */
   private def writeRowCount(spark: SparkSession, dir: String): Unit =
-    try {
-      val n = spark.read.parquet(dir).count()
-      val p = new HPath(dir, countName)
-      val out = fsOf(spark, dir).create(p, true)
-      try out.write(
-        (graft.sources.MiniJson.renderFlat(Map("rows" -> n.toString)) + "\n")
-          .getBytes("UTF-8"))
-      finally out.close()
-    } catch {
+    try writeRowCountValue(spark, dir, spark.read.parquet(dir).count())
+    catch {
       case e: Exception =>
         System.err.println(
           s"[graft] BatchLog: row-count sidecar for $dir failed ($e); counts fall back to footers")
     }
+
+  private def writeRowCountValue(spark: SparkSession, dir: String, n: Long): Unit = {
+    val p = new HPath(dir, countName)
+    val out = fsOf(spark, dir).create(p, true)
+    try out.write(
+      (graft.sources.MiniJson.renderFlat(Map("rows" -> n.toString)) + "\n")
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The one parquet-write road for appends and fold stages: lands `df`
+    * under `dir` with `mode(overwrite)` and stows the row-count sidecar
+    * from the write's own observed metric — the count the read-back job
+    * used to recompute (`numOutputRows` equivalent via `observe`, exact:
+    * accumulator updates apply once per successful task, and the write
+    * is the plan's only action). Falls back to the footer-count job only
+    * if the observed metric is unavailable (never expected in batch). */
+  private def writeCounted(df: DataFrame, dir: String,
+      partitionBy: Seq[String], writeOptions: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val spark = df.sparkSession
+    val obs = org.apache.spark.sql.Observation()
+    val w = df.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").options(writeOptions)
+    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*)).parquet(dir)
+    (try Some(obs.get("rows").asInstanceOf[Long])
+     catch {
+       case e: Exception =>
+         System.err.println(
+           s"[graft] BatchLog: observed row count for $dir unavailable ($e); falling back to a footer count")
+         None
+     }) match {
+      case Some(n) =>
+        try writeRowCountValue(spark, dir, n)
+        catch {
+          case e: Exception => System.err.println(
+            s"[graft] BatchLog: row-count sidecar for $dir failed ($e); counts fall back to footers")
+        }
+      case None => writeRowCount(spark, dir)
+    }
+  }
 
   private def readRowCount(spark: SparkSession, dir: String): Option[Long] = {
     val p = new HPath(dir, countName)
@@ -387,10 +426,7 @@ private[graft] object BatchLog {
     // advances the version pointer.
     val rp = resolve(spark, path)
     writeMarker(spark, rp)
-    val w = df.write.mode("overwrite")
-    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
-      .parquet(dirFor(rp, key))
-    writeRowCount(spark, dirFor(rp, key))
+    writeCounted(df, dirFor(rp, key), partitionBy, Map.empty)
     true
   }
 
@@ -915,10 +951,7 @@ private[graft] object BatchLog {
 
   private def writeFold(df: DataFrame, tmpPath: String, key: String,
       partitionBy: Seq[String], writeOptions: Map[String, String]): Unit = {
-    val w = df.write.mode("overwrite").options(writeOptions)
-    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
-      .parquet(dirFor(tmpPath, key))
-    writeRowCount(df.sparkSession, dirFor(tmpPath, key))
+    writeCounted(df, dirFor(tmpPath, key), partitionBy, writeOptions)
     // Manifest inside the staged directory — it rides the commit swap
     // with the data, so a fold is either absent or manifest-described.
     writeFoldManifest(df.sparkSession, dirFor(tmpPath, key))

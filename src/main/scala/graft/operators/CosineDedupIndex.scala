@@ -342,8 +342,9 @@ object CosineDedupIndex {
     // -data require, a failed write) must not leak the corpus-sized
     // persisted frame.
     try {
-      if (live.count() == 0L) return // nothing to migrate
-      val newMask = TextSim.lshMaskValue(live.count()).toLong
+      val liveN = live.count() // one job: the 0-gate and the ladder share it
+      if (liveN == 0L) return // nothing to migrate
+      val newMask = TextSim.lshMaskValue(liveN).toLong
       val tmp = refreezeTmp(root)
       val g = pgrpGroupsFor(newMask)
       val foldKey = BatchLog.stageRewrite(
