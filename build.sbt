@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes STRAIGHT to this process's stdout/stderr —
+// no `[info] `/`[error] ` logger prefixes. The driver parses Bench's
+// one-line JSON summary from stdout; three rounds of its BENCH
+// artifacts recorded `parsed: null` against the prefixed form (r19
+// verdict #2). Spark's log4j writes to stderr, so stdout carries ONLY
+// the program's own println lines.
+run / outputStrategy := Some(StdoutOutput)
+// ... and nothing may follow that line: sbt's `[success] Total time:`
+// epilogue was the other candidate for the driver's parse failure.
+Global / showSuccess := false
+// sbt's unused-key lint doesn't track this global flag (it IS honored —
+// compile/run output ends without the epilogue).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

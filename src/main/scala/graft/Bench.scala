@@ -87,7 +87,12 @@ object Bench {
         try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
-        finally CacheJanitor.drain()
+        // Blocking barrier drain, OUTSIDE the timed region (times were
+        // recorded above): the r19 round measured the async drain losing
+        // to block accumulation over a 111-query session — dead persisted
+        // + localCheckpoint blocks GC-thrashed the heavy queries at 8 GB
+        // heaps with identical job counts. Each rep now starts clean.
+        finally CacheJanitor.drain(blocking = true)
         jobs += jobCounter.settled() - j0
         r += 1
       }
@@ -112,7 +117,12 @@ object Bench {
     val total = results.collect { case QRes(_, m, _, _, None, _) => m }.sum
     val nErr = results.count(_.err.nonEmpty)
     val common = s""""unit":"sec","reps":$reps,"n_queries":${results.size},"canary_sec_start":${r3(canaryStart)},"canary_sec_end":${r3(canaryEnd)},"loadavg_start":"${esc(loadStart)}","loadavg_end":"${esc(loadEnd)}","n_errors":$nErr,"jobs_settle_bound_hits":${jobCounter.boundHits.get()},"sf":"$sfDir""""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_raw_HEAD.json")
+    // Per-ARM default raw path (r19 verdict #2): the driver's 8-CPU
+    // scaling rerun overwrote BENCH_raw_HEAD.json, destroying its own
+    // 32-core per-query record — the core count in the name keeps the
+    // two arms' records distinct. SPARK_GRAFT_BENCH_OUT still wins.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"BENCH_raw_HEAD_c${GraftSession.cpus}.json")
     // The FULL record (exact per-query medians, per-rep spread + job
     // counts, error detail) always lands in a file — committed as
     // BENCH_raw_r{N}.json.
@@ -120,12 +130,22 @@ object Bench {
       .map(q => s"\"${esc(q.name)}\":" + (if (q.err.isEmpty) q.median else -1))
       .mkString("{", ",", "}")},"spread":$spread,"jobs":$jobsJson,"errors":$errs}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
-    // STDOUT gets ONLY the summary record, as the LAST line, with a
-    // pointer to the full file. The per-query map leaves stdout entirely
-    // (r18 verdict #3, carried twice): the driver's tail capture keeps
-    // the last 2000 characters, so the final line must fit in that
-    // budget — this one is ~350 bytes.
-    println(s"""{"metric":"total","value":${r3(total)},$common,"raw":"${esc(outPath)}"}""")
+    // STDOUT gets the driver-contract record — metric/value/unit/
+    // queries/sf — as the genuinely LAST line (build.sbt routes forked
+    // stdout straight through, prefix-free, and suppresses sbt's
+    // [success] epilogue; r19 verdict #2, third and contract-honest
+    // attempt: the r19 compact line DROPPED the queries map the contract
+    // declares, and the driver recorded parsed:null all three rounds).
+    // Per-query seconds are 1 ms-rounded to keep the line compact; the
+    // raw file keeps full precision + spread + jobs. One write, with the
+    // newline attached, so the line cannot interleave with stderr even
+    // under a merged-pipe capture.
+    val qJson = results
+      .map(q => s"\"${esc(q.name)}\":" + (if (q.err.isEmpty) r3(q.median) else "-1"))
+      .mkString("{", ",", "}")
+    System.out.print(
+      s"""{"metric":"total","value":${r3(total)},$common,"queries":$qJson,"raw":"${esc(outPath)}"}""" + "\n")
+    System.out.flush()
     spark.stop()
   }
 }

@@ -48,7 +48,9 @@ object Verify {
         errors(name) = msg
         System.err.println(s"[verify] $name FAILED: $msg")
       }
-      finally CacheJanitor.drain()
+      // Blocking barrier (same as Bench): the dump loop is untimed, and a
+      // 111-query session otherwise accumulates dead blocks (r19 §heap).
+      finally CacheJanitor.drain(blocking = true)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

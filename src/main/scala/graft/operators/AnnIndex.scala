@@ -331,7 +331,14 @@ object AnnIndex {
   def refreeze(spark: SparkSession, root: String, corpus: DataFrame): Unit = WriterLease.withLease(spark, root) {
     refreezeRecover(spark, root, deletePartial = true) // clear any prior attempt
     val liveIds = readCodes(spark, root).select("vec_id")
-    val liveN = liveIds.count()
+    // With no tombstones pending, live == committed log rows, served
+    // driver-side from the write-time sidecars (the DedupPipeline.health
+    // pattern, r20) — the full-scan count job runs only while takedowns
+    // are pending (when the anti-joined count genuinely differs).
+    val liveN =
+      if (Tombstones.isEmpty(spark, root))
+        BatchLog.committedRowCount(spark, s"$root/codes").getOrElse(liveIds.count())
+      else liveIds.count()
     if (liveN == 0L) return // nothing to migrate
     val survivors = graft.CacheJanitor.register(
       corpus.select(col("vec_id"), col("embedding"))

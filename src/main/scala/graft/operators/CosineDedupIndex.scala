@@ -337,12 +337,26 @@ object CosineDedupIndex {
     * crash can therefore never mix old buckets with a new mask. */
   def refreeze(spark: SparkSession, root: String): Unit = WriterLease.withLease(spark, root) {
     refreezeRecover(spark, root, deletePartial = true) // clear any prior attempt
-    val live = graft.CacheJanitor.register(readIndex(spark, root).persist())
+    // With no takedowns pending, the live count is the committed log row
+    // count — served driver-side from the write-time sidecars (r20, the
+    // DedupPipeline.health pattern). The fold below is then the frame's
+    // ONLY consumer, so the persist + count materialization pass is
+    // skipped entirely: one scan-side encode straight into the staged
+    // rewrite. With tombstones pending the anti-joined count genuinely
+    // differs — persist + count as before (the re-encode reads the
+    // cache).
+    val sidecarN =
+      if (Tombstones.isEmpty(spark, root))
+        BatchLog.committedRowCount(spark, codesDir(root))
+      else None
+    val live =
+      if (sidecarN.isDefined) readIndex(spark, root)
+      else graft.CacheJanitor.register(readIndex(spark, root).persist())
     // finally, not a happy-path tail call: an abort (sealStage's staged
     // -data require, a failed write) must not leak the corpus-sized
     // persisted frame.
     try {
-      val liveN = live.count() // one job: the 0-gate and the ladder share it
+      val liveN = sidecarN.getOrElse(live.count()) // 0-gate and ladder share it
       if (liveN == 0L) return // nothing to migrate
       val newMask = TextSim.lshMaskValue(liveN).toLong
       val tmp = refreezeTmp(root)

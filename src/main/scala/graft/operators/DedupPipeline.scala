@@ -234,7 +234,11 @@ object DedupPipeline {
     // on commit paths alone leaves the LAST superseded fold pending
     // forever once a log stops compacting — the loop is the natural
     // place to expire it (driver-side FS ops, under this lease).
-    VersionedState.gcAll(spark, root)
+    // Amortized to the grace timescale (r20): a sweep per batch cannot
+    // expire anything a quarter-grace-later sweep wouldn't, and the
+    // per-batch marker reads were steady-state protocol tax.
+    VersionedState.gcAllAmortized(spark, root,
+      force = refrozen || indexCompacted || labelsCompacted)
     Maintenance(refrozen, indexCompacted, labelsCompacted,
       before, health(spark, root, vector))
   }

@@ -274,7 +274,12 @@ object PqIndex {
   def refreeze(spark: SparkSession, root: String, corpus: DataFrame): Unit = WriterLease.withLease(spark, root) {
     refreezeRecover(spark, root, deletePartial = true) // clear any prior attempt
     val liveIds = readCodes(spark, root).select("vec_id")
-    val liveN = liveIds.count()
+    // Sidecar-served live count while no takedowns are pending (the
+    // DedupPipeline.health pattern, r20) — see [[AnnIndex.refreeze]].
+    val liveN =
+      if (Tombstones.isEmpty(spark, root))
+        BatchLog.committedRowCount(spark, s"$root/codes").getOrElse(liveIds.count())
+      else liveIds.count()
     if (liveN == 0L) return // nothing to migrate
     val survivors = graft.CacheJanitor.register(
       corpus.select(col("vec_id"), col("embedding"))

@@ -315,9 +315,25 @@ object Relational {
     // computes the convergence sum in a single job — an eager
     // checkpoint would spend a second job per round on a graph walk
     // whose per-round cost is dominated by fixed job overhead.
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = false)
-      else df.localCheckpoint(eager = false)
+    // Truncation returns the checkpointed frame PLUS the persisted RDD
+    // ids the checkpoint registered: `Dataset.unpersist` cannot release
+    // localCheckpoint blocks (they live outside the CacheManager), so
+    // the loop's per-round `labels.unpersist()` silently left every
+    // round's blocks pinned until the weak-ref ContextCleaner collected
+    // them — the r19 session-memory accumulation (8 GB heap GC-thrash on
+    // flat job counts). Each round now frees its predecessor's blocks
+    // explicitly once the new round is materialized; the FINAL round's
+    // ids are handed to CacheJanitor for the caller's barrier drain.
+    val scCc = pairs.sparkSession.sparkContext
+    def truncate(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = scCc.getPersistentRDDs.keySet
+      val out =
+        if (checkpointDir.isDefined) df.checkpoint(eager = false)
+        else df.localCheckpoint(eager = false)
+      (out, (scCc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def freeRdds(ids: Set[Int]): Unit =
+      ids.foreach(id => scCc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val p2 = graft.CacheJanitor.register(pairs.toDF("a", "b").persist())
     val undirected = p2.union(p2.select(col("b"), col("a"))).toDF("src", "dst")
     // Size gate first (the count materializes the pair cache — round 0
@@ -374,8 +390,8 @@ object Relational {
     // materializing action disappear. One action covers round-0 state
     // + the starting convergence sum.
     val tInit = System.nanoTime()
-    var labels = graft.CacheJanitor.register(truncate(
-      edges.groupBy(col("src").as("node")).agg(min(col("dst")).as("label"))))
+    var (labels, labelRdds) = truncate(
+      edges.groupBy(col("src").as("node")).agg(min(col("dst")).as("label")))
     var prevSum = labelSum(labels)
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       println(f"[cc] init+round0 ${(System.nanoTime() - tInit) / 1e9}%.2f s sum $prevSum")
@@ -401,9 +417,9 @@ object Relational {
           p.join(hop, p("label") === col("hop_node"))
             .select(p("node").as("node"), col("hop_label").as("label"))
         }
-      val next = graft.CacheJanitor.register(
-        (if ((rounds + 1) % ccCheckpointEvery == 0) truncate(doubled)
-         else doubled.persist()))
+      val (next, nextRdds) =
+        if ((rounds + 1) % ccCheckpointEvery == 0) truncate(doubled)
+        else (graft.CacheJanitor.register(doubled.persist()), Set.empty[Int])
       // Labels are per-node monotone non-increasing and the node set is
       // fixed, so the exact label sum strictly decreases iff any node
       // changed — one overflow-free aggregate is the full convergence
@@ -413,11 +429,18 @@ object Relational {
         println(f"[cc] round $rounds total ${(System.nanoTime() - tRound) / 1e9}%.2f s sum $nextSum")
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
+      // This round is materialized; the previous round's blocks (cache
+      // AND checkpoint) are dead — free them now, not at session GC.
       labels.unpersist()
+      freeRdds(labelRdds)
       labels = next
+      labelRdds = nextRdds
       rounds += 1
     }
     require(converged, s"label propagation did not converge within $rounds rounds")
+    // The returned frame's own checkpoint blocks outlive this call (the
+    // caller's action reads them) — released at the driver's barrier.
+    graft.CacheJanitor.registerRdds(scCc, labelRdds)
     labels
   }
 }

@@ -64,6 +64,21 @@ private[graft] object Tombstones {
       .coalesce(1).write.mode("append")
       .parquet(VersionedState.resolve(ids.sparkSession, dir(root)))
 
+  /** Zero-job emptiness probe: true iff [[read]] would return the empty
+    * frame (side table absent, or its resolved version holds no
+    * committed files — the exact gate `read` itself uses). Lets callers
+    * that only need "are any takedowns pending?" skip building and
+    * counting the frame: with no tombstones pending, a log's live row
+    * count equals its committed row count, which the write-time sidecars
+    * serve driver-side ([[BatchLog.committedRowCount]]) — the
+    * [[DedupPipeline.health]] pattern, reused by the refreeze paths. */
+  def isEmpty(spark: SparkSession, root: String): Boolean = {
+    val resolved = VersionedState.resolve(spark, dir(root))
+    val d = new HPath(resolved)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    !fs.exists(d) || !BatchLog.hasCommittedFiles(spark, resolved)
+  }
+
   /** Total on-disk bytes of the LIVE tombstone state (0 when absent) —
     * the driver-side proxy read paths gate explicit broadcast() hints
     * on: steady-state removals keep the set tiny, but a BULK takedown

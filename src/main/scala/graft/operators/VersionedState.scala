@@ -226,6 +226,31 @@ private[graft] object VersionedState {
     * (one listStatus of the root + one `_commits` probe per child +
     * the gc marker scans); call under the root's writer lease — the
     * maintenance loop is where retention enforcement belongs. */
+  private val lastGcAllMs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** [[gcAll]] amortized to the GRACE timescale (r19 verdict #4: the
+    * versioned-refreeze/gcAll commits added per-batch commit-protocol FS
+    * ops to the steady maintenance path). Grace retention can only
+    * expire at graceMs granularity, so sweeping every versioned child's
+    * marker files on EVERY maintenance poll pays driver FS ops for
+    * sweeps that cannot find anything new. A poll sweeps when (a)
+    * maintenance just committed (`force` — a new version supersedes an
+    * old one, and commit-path [[gc]] may have left older expired state),
+    * or (b) at least graceMs/4 passed since this root's last sweep — the
+    * last superseded fold of a log that stops compacting still expires
+    * within ~1.25× its grace (ReaderMaintenanceSpec pins the sweep-
+    * without-new-commit property), while a steady loop pays ~4 sweeps
+    * per grace window instead of one per batch. */
+  def gcAllAmortized(spark: SparkSession, root: String, force: Boolean): Unit = {
+    val now = System.currentTimeMillis()
+    val last = Option(lastGcAllMs.get(root)).map(_.longValue).getOrElse(0L)
+    if (force || now - last >= graceMs / 4) {
+      lastGcAllMs.put(root, now)
+      gcAll(spark, root)
+    }
+  }
+
   def gcAll(spark: SparkSession, root: String): Unit = {
     val fs = fsOf(spark, root)
     val rp = new HPath(root)

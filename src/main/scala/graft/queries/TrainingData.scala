@@ -1585,8 +1585,22 @@ object TrainingData {
              |SELECT vec_id, embedding, n2,
              |  CAST(array_position(ds, array_min(ds)) AS BIGINT) AS cell
              |FROM fd""".stripMargin)
-        graft.CacheJanitor.register(assigned.persist())
-          .createOrReplaceTempView("t56_assigned")
+        // NOT persist(): r19 committed the refuting after-plan — the
+        // cached plan's HOF `lambdafunction` (the distance-fold
+        // transform) defeats CacheManager plan canonicalization, so the
+        // tail's three references never substituted the cache and the
+        // corpus paid the 64-centroid argmin three times (r19 verdict
+        // "What's wrong" #3). An EAGER localCheckpoint computes the fold
+        // exactly once and hands the tail a lambda-free LogicalRDD scan
+        // that needs no canonicalization match at all. The checkpoint's
+        // blocks are invisible to Dataset.unpersist, so they register
+        // with the janitor by RDD id for the driver's barrier drain.
+        val scT56 = s.sparkContext
+        val beforeT56 = scT56.getPersistentRDDs.keySet
+        val assignedCk = assigned.localCheckpoint()
+        graft.CacheJanitor.registerRdds(scT56,
+          scT56.getPersistentRDDs.keySet -- beforeT56)
+        assignedCk.createOrReplaceTempView("t56_assigned")
         s.sql(
           s"""WITH dups AS (
              |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS keeper_id
@@ -3090,8 +3104,20 @@ object TrainingData {
       val root = java.nio.file.Files.createTempDirectory("graft_t77").toString
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       graft.operators.SignatureIndex.ingest(s, root, docs, batchKey = Some("b1"))
-      val probeIds = docs.where("doc_id % 83 = 5").select("doc_id")
-        .collect().map(_.getLong(0)).sorted.toSeq
+      // Bounded probe-set collect (r19 verdict #6): ~1.2% of the corpus
+      // matches the residue, which is fine at the test SFs but O(corpus)
+      // at 100 TB — a spot-audit primitive must refuse an unbounded
+      // driver pull loudly instead of OOMing it. limit(cap+1) bounds the
+      // job's result; exactly <= cap rows proves the filter's FULL match
+      // set was collected (limit only truncates past cap), so the
+      // answer is identical whenever the query is legal at all.
+      val probeCap = 1000000
+      val probeRows = docs.where("doc_id % 83 = 5").select("doc_id")
+        .limit(probeCap + 1).collect()
+      require(probeRows.length <= probeCap,
+        s"t77 probe set exceeds the $probeCap-id driver budget at this " +
+          "corpus size — ship the ids as a frame instead of a collect")
+      val probeIds = probeRows.map(_.getLong(0)).sorted.toSeq
       graft.operators.SignatureIndex.remove(s, root, probeIds.filter(_ % 2 == 0))
       graft.operators.SignatureIndex.compact(s, root)
       graft.operators.SignatureIndex.fetch(s, root, probeIds)

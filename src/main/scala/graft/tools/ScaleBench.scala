@@ -451,7 +451,15 @@ object ScaleBench {
       s"""{"metric":"scale_ladder","seed":"$seedDir","factor":$factor,"reps":$reps,""" +
         s""""cpus":${graft.GraftSession.cpus},"shuffle_partitions":${graft.GraftSession.shufflePartitions},""" +
         (if (p1 > 0) s""""x1_partitions":$p1,"x$factor${"_partitions"}":$pF,""" else "") +
-        s""""driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",""" +
+        // Effective heap, not a guessed default: build.sbt's forked-JVM
+        // default is 24g since r19, so an unset env var must not record
+        // "8g" (the r19 advisory — a mislabeled artifact would poison the
+        // heap-sensitivity adjudication). The JVM's own -Xmx argument is
+        // authoritative (maxMemory under-reports by a survivor space).
+        s""""driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM",
+          java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
+            .toArray.map(String.valueOf).filter(_.startsWith("-Xmx"))
+            .lastOption.map(_.stripPrefix("-Xmx")).getOrElse("jvm-default"))}",""" +
         s""""tiers":{"x1":{"documents":$d1,"embeddings":$e1},"x$factor":{"documents":$dF,"embeddings":$eF}},""" +
         s""""queries":$qJson,"pipeline_loop":$loopJson,""" +
         vecIncOpt.map(n => s""""vec_inc":$n,""").getOrElse("") +
