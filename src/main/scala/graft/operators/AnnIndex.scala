@@ -63,7 +63,21 @@ object AnnIndex {
     * declines by design and is reported, not floored. */
   def probesFor(cells: Int): Int = math.max(probeCells, cells / 4)
 
-  final case class Batch(newCodes: DataFrame, allCodes: DataFrame)
+  /** An ingest's result. `allCodes` is CONSTRUCT-ON-FIRST-USE (r20):
+    * building the full-index frame costs a parquet schema-inference job
+    * plus the log's listing/manifest FS ops, and no production caller
+    * (the registry lifecycle queries, the x100 loops) ever consumes it —
+    * only specs do, and they read it before any further mutation of the
+    * root, which is the documented contract: the frame pins the log
+    * state at FIRST ACCESS, not at ingest return. */
+  final class Batch private[AnnIndex] (val newCodes: DataFrame,
+      allCodesF: () => DataFrame) {
+    lazy val allCodes: DataFrame = allCodesF()
+  }
+  object Batch {
+    def apply(newCodes: DataFrame, allCodes: => DataFrame): Batch =
+      new Batch(newCodes, () => allCodes)
+  }
 
   private def arr(a: Array[Double]): String =
     a.map(TrainingData.litD).mkString("array(", ", ", ")")
@@ -95,9 +109,19 @@ object AnnIndex {
     // fails schema inference forever.
     if (!BatchLog.hasCommittedFiles(spark, s"$qd/centroids")) None
     else {
-      val cents = spark.read.parquet(s"$qd/centroids")
-        .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-      val st = spark.read.parquet(s"$qd/stats").orderBy("pos").collect()
+      // Driver-side sort, NOT `.orderBy(...).collect()` (r20): these are
+      // KB-scale single-file artifacts (≤ cells rows), and a global sort
+      // plans a range exchange whose sampling + AQE stage materialization
+      // cost ~3 extra driver jobs per collect — ~¼ of a lifecycle
+      // query's whole job count across its two loads. Same rows, same
+      // total order (cell/pos are unique keys), one scan job each.
+      // Schemas are DECLARED (the operator wrote these files itself),
+      // skipping the footer-inference job each open otherwise pays.
+      val cents = spark.read.schema("cell BIGINT, centroid ARRAY<DOUBLE>")
+        .parquet(s"$qd/centroids")
+        .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      val st = spark.read.schema("pos BIGINT, mn DOUBLE, span DOUBLE")
+        .parquet(s"$qd/stats").collect().sortBy(_.getLong(0))
       Some((cents, st.map(_.getDouble(1)), st.map(_.getDouble(2))))
     }
   }
@@ -113,8 +137,14 @@ object AnnIndex {
       : (Array[Array[Double]], Array[Double], Array[Double]) =
     loadQuantizer(spark, root).getOrElse {
       increment.createOrReplaceTempView("graft_ann_train")
-      val cents = TrainingData.trainCentroids(spark, "graft_ann_train")
-      val (mn, span) = TrainingData.quantStats(spark, "graft_ann_train")
+      // Stats pass FIRST, carrying the view's row count in the same
+      // aggregate (r20): the trainer's separate `SELECT count(*)` job
+      // computed a number the stats scan already knows. One fewer full
+      // pass over the increment; the trained numbers are unchanged
+      // (the count rides the existing group-by, min/max untouched).
+      val (mn, span, n) = TrainingData.quantStatsN(spark, "graft_ann_train")
+      val cents = TrainingData.trainCentroids(spark, "graft_ann_train",
+        knownN = Some(n))
       import spark.implicits._
       mn.indices.map(i => (i.toLong, mn(i), span(i)))
         .toDF("pos", "mn", "span")
@@ -362,7 +392,11 @@ object AnnIndex {
       require(chk.getLong(0) == liveN,
         "refreeze corpus supplies duplicate vec_ids; aborting before any commit")
       survivors.createOrReplaceTempView("graft_ann_refreeze")
-      val cents = TrainingData.trainCentroids(spark, "graft_ann_refreeze")
+      // The validated liveN IS the view's row count (the require above
+      // pinned count == liveN) — the trainer's own count job would
+      // re-derive it from the same persisted frame (r20).
+      val cents = TrainingData.trainCentroids(spark, "graft_ann_refreeze",
+        knownN = Some(liveN))
       val (mn, span) = TrainingData.quantStats(spark, "graft_ann_refreeze")
       import spark.implicits._
       val ctmp = codesRefreezeTmp(root)

@@ -148,7 +148,19 @@ object CosineDedupIndex {
       s"${TextSim.lshCode(TextSim.spark, "embedding")} % ${mask}L AS bucket")
   }
 
-  final case class Batch(newCodes: DataFrame, allCodes: DataFrame, deltaPairs: DataFrame)
+  /** `allCodes` construct-on-first-use (r20) — same contract as
+    * [[AnnIndex.Batch]]: pins the log at first access; the pruned pair
+    * path never consumes it. `deltaPairs` stays eager (the batch's
+    * verified delta at ingest time). */
+  final class Batch private[CosineDedupIndex] (val newCodes: DataFrame,
+      allCodesF: () => DataFrame, val deltaPairs: DataFrame) {
+    lazy val allCodes: DataFrame = allCodesF()
+  }
+  object Batch {
+    def apply(newCodes: DataFrame, allCodes: => DataFrame,
+        deltaPairs: DataFrame): Batch =
+      new Batch(newCodes, () => allCodes, deltaPairs)
+  }
 
   /** One maintenance batch: freeze the mask on the first call (ladder
     * over the first increment's count), encode the increment ONLY,
@@ -176,7 +188,11 @@ object CosineDedupIndex {
     // delta join reads it back instead of re-encoding.
     val newCached = graft.CacheJanitor.register(encode(increment, mask).persist())
     val key = BatchLog.append(newCached, codesDir(root), batchKey, "CosineDedupIndex")
-    val all = readIndex(spark, root)
+    // Lazy (r20): when the pruned live view serves pair detection, the
+    // full-index frame is never built — its schema-inference job +
+    // listing FS ops only run on the fallback (or at the caller's first
+    // allCodes access). `getOrElse` takes it by name.
+    lazy val all = readIndex(spark, root)
     // Pair detection runs against the PRUNED live view when the fold
     // layout + probe density allow it (see the fold-layout note above) —
     // answer-identical to the full read by the probe-join argument; the

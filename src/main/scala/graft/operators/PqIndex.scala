@@ -50,7 +50,17 @@ object PqIndex {
   val probeCells = 3
   val rerankPool = 25
 
-  final case class Batch(newCodes: DataFrame, allCodes: DataFrame)
+  /** An ingest's result — `allCodes` construct-on-first-use, same
+    * contract and rationale as [[AnnIndex.Batch]] (r20): the frame pins
+    * the log state at first access; no production caller consumes it. */
+  final class Batch private[PqIndex] (val newCodes: DataFrame,
+      allCodesF: () => DataFrame) {
+    lazy val allCodes: DataFrame = allCodesF()
+  }
+  object Batch {
+    def apply(newCodes: DataFrame, allCodes: => DataFrame): Batch =
+      new Batch(newCodes, () => allCodes)
+  }
 
   private def cbLit(cb: Array[Array[Array[Double]]]): String =
     cb.map(ck => ck.map(cv => cv.map(TrainingData.litD).mkString("array(", ", ", ")"))
@@ -83,10 +93,19 @@ object PqIndex {
     // fails schema inference forever.
     if (!BatchLog.hasCommittedFiles(spark, s"$qd/centroids")) None
     else {
-      val cents = spark.read.parquet(s"$qd/centroids")
-        .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-      val rows = spark.read.parquet(s"$qd/codebooks")
-        .orderBy("subspace", "code").collect()
+      // Driver-side sort, not `.orderBy(...).collect()` — see
+      // [[AnnIndex.loadQuantizer]] (r20): a global sort on these
+      // KB-scale artifacts costs ~3 extra driver jobs per collect. The
+      // codebooks grouping below already re-sorts by (subspace, code),
+      // so its Spark-side orderBy was pure plan tax even before.
+      // Declared schemas (the operator wrote these files itself) skip
+      // the footer-inference job each open otherwise pays.
+      val cents = spark.read.schema("cell BIGINT, centroid ARRAY<DOUBLE>")
+        .parquet(s"$qd/centroids")
+        .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      val rows = spark.read
+        .schema("subspace BIGINT, code BIGINT, centroid ARRAY<DOUBLE>")
+        .parquet(s"$qd/codebooks").collect()
       val cb = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
         .map(_._2.sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray).toArray).toArray
       Some((cents, cb))
@@ -300,7 +319,10 @@ object PqIndex {
       require(chk.getLong(0) == liveN,
         "refreeze corpus supplies duplicate vec_ids; aborting before any commit")
       survivors.createOrReplaceTempView("graft_pq_refreeze")
-      val cents = TrainingData.trainCentroids(spark, "graft_pq_refreeze")
+      // The validated liveN IS the view's row count — see
+      // [[AnnIndex.refreeze]] (r20): no re-count job.
+      val cents = TrainingData.trainCentroids(spark, "graft_pq_refreeze",
+        knownN = Some(liveN))
       val cb = TrainingData.trainPqCodebooks(spark, "graft_pq_refreeze")
       import spark.implicits._
       val ctmp = codesRefreezeTmp(root)

@@ -80,7 +80,23 @@ object SignatureIndex {
     * full index as read back from disk, and the batch's verified delta
     * pairs. The increment must carry doc_ids not already in the index
     * (keep-last dedup is the landing layer's job, upstream of this). */
-  final case class Batch(newSigs: DataFrame, allSigs: DataFrame, deltaPairs: DataFrame)
+  /** `allSigs` is construct-on-first-use (r20, same contract as
+    * [[AnnIndex.Batch]]): its construction costs a schema-inference job
+    * + the log's listing FS ops, and on the indexed pair path nothing
+    * consumes it. It pins the log state at FIRST ACCESS — read it before
+    * further mutations of the root (every existing caller does).
+    * `deltaPairs` stays EAGER: it is the batch's verified delta at
+    * ingest time, and specs legitimately read an old batch's pairs after
+    * later appends. */
+  final class Batch private[SignatureIndex] (val newSigs: DataFrame,
+      allSigsF: () => DataFrame, val deltaPairs: DataFrame) {
+    lazy val allSigs: DataFrame = allSigsF()
+  }
+  object Batch {
+    def apply(newSigs: DataFrame, allSigs: => DataFrame,
+        deltaPairs: DataFrame): Batch =
+      new Batch(newSigs, () => allSigs, deltaPairs)
+  }
 
   /** `batchKey` is the replay-idempotence handle ([[BatchLog]]): pass
     * the landing batch id and a crash-after-commit retry of the same
@@ -103,7 +119,10 @@ object SignatureIndex {
     val coveredBefore = derivedCovered(spark, root, table)
     BatchLog.appendResolved(newCached, path, key, "SignatureIndex")
     maintainDerived(spark, root, table, key, newCached, coveredBefore)
-    val all = readIndex(spark, root, table)
+    // Lazy (r20): the indexed pair path below never touches the full-
+    // index frame, so its schema-inference job + listing FS ops only
+    // run on the frame path (or at the caller's first allSigs access).
+    lazy val all = readIndex(spark, root, table)
     // Cost-based path choice, decided from the row-count sidecars
     // (driver-side file reads, zero Spark jobs): the indexed path's
     // per-batch cost is FLAT (broadcast-round scheduling ~constant,

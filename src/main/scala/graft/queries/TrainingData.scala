@@ -579,9 +579,17 @@ object TrainingData {
     * 0-based, so an AnnIndex first batch whose ids begin at 1000+
     * trains the same quality quantizer. The DuckDB kmeans CTEs select
     * the identical rows by the identical scramble. */
-  private[graft] def trainCentroids(s: SparkSession, view: String): Array[Array[Double]] = {
-    val n = s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n FROM $view")
-      .collect()(0).getLong(0)
+  private[graft] def trainCentroids(s: SparkSession, view: String,
+      knownN: Option[Long] = None): Array[Array[Double]] = {
+    // `knownN` skips the sizing count when the caller already holds the
+    // view's exact row count (r20): the refreeze paths validate
+    // survivors == liveN immediately before training, and the first-
+    // ingest path's stats aggregate carries the count — re-deriving it
+    // here was one full pass over the training input per quantizer
+    // train. The ladder math below is byte-identical either way.
+    val n = knownN.getOrElse(
+      s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n FROM $view")
+        .collect()(0).getLong(0))
     val k = TextSim.ivfCellsValue(n)
     val cap = k.toLong * TextSim.ivfTrainPerCell
     // The non-terminal `ORDER BY vec_id LIMIT cap` below only plans as a
@@ -597,13 +605,18 @@ object TrainingData {
     // sums in vec_id order (the sample arrives vec_id-sorted), empty
     // cells keep the previous centroid — so the trained centroids stay
     // bit-identical to [[duckKmeansCtes]] (t41/t48/t49/t56/t63
-    // hash-match the oracle THROUGH this trainer).
+    // hash-match the oracle THROUGH this trainer). The vec_id sort is
+    // applied DRIVER-SIDE over the collected sample (r20): the SQL's
+    // outer `ORDER BY vec_id` was a global sort on ≤ cap rows whose
+    // range exchange + AQE stages cost extra driver jobs per trainer
+    // call; vec_id is unique, so the driver sort is the identical total
+    // order and every fold sees byte-identical input.
     val rows = s.sql(
       s"""SELECT CAST(vec_id AS BIGINT) AS vec_id,
          |  transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM (
          |  SELECT vec_id, embedding FROM $view
-         |  ORDER BY ${TextSim.idShuffle("vec_id")}, vec_id LIMIT $cap)
-         |ORDER BY vec_id""".stripMargin).collect()
+         |  ORDER BY ${TextSim.idShuffle("vec_id")}, vec_id LIMIT $cap)""".stripMargin)
+      .collect().sortBy(_.getLong(0))
     val ids: Array[Long] = rows.map(_.getLong(0))
     val sample: Array[Array[Double]] = rows.map(_.getSeq[Double](1).toArray)
     // Seed = the k rows with the smallest idShuffle values, IN that
@@ -697,11 +710,31 @@ object TrainingData {
     * doubles). */
   private[graft] def quantStats(s: SparkSession, view: String = "embeddings")
       : (Array[Double], Array[Double]) = {
+    // Driver-side pos sort (r20): `ORDER BY pos` after the aggregate was
+    // a global sort on dim rows — range-exchange jobs for a per-dim
+    // array the driver sorts for free. pos is unique; same order.
     val stats = s.sql(
       s"""SELECT pos, min(CAST(col AS DOUBLE)) AS mn, max(CAST(col AS DOUBLE)) AS mx
          |FROM $view LATERAL VIEW posexplode(embedding) t AS pos, col
-         |GROUP BY pos ORDER BY pos""".stripMargin).collect()
+         |GROUP BY pos""".stripMargin).collect().sortBy(_.getInt(0))
     (stats.map(_.getDouble(1)), stats.map(r => r.getDouble(2) - r.getDouble(1)))
+  }
+
+  /** [[quantStats]] plus the view's exact row count, in the SAME
+    * aggregate pass (r20): every embedding row contributes one value per
+    * position, so any position's value count IS the row count — the
+    * caller's separate `SELECT count(*)` sizing job becomes free. The
+    * (mn, span) numbers are untouched (same scan, same group-by, same
+    * min/max arithmetic). */
+  private[graft] def quantStatsN(s: SparkSession, view: String)
+      : (Array[Double], Array[Double], Long) = {
+    val stats = s.sql(
+      s"""SELECT pos, min(CAST(col AS DOUBLE)) AS mn, max(CAST(col AS DOUBLE)) AS mx,
+         |  CAST(count(*) AS BIGINT) AS c
+         |FROM $view LATERAL VIEW posexplode(embedding) t AS pos, col
+         |GROUP BY pos""".stripMargin).collect().sortBy(_.getInt(0))
+    val n = if (stats.isEmpty) 0L else stats(0).getLong(3)
+    (stats.map(_.getDouble(1)), stats.map(r => r.getDouble(2) - r.getDouble(1)), n)
   }
 
   /** The oracle's CTEs computing [[quantStats]]'s identical numbers
@@ -1850,12 +1883,14 @@ object TrainingData {
       : Array[Array[Array[Double]]] = {
     require(pqCap <= s.conf.get("spark.sql.execution.topKSortFallbackThreshold").toLong,
       s"PQ training cap $pqCap exceeds topKSortFallbackThreshold — the LIMIT would plan as a global sort")
+    // Driver-side vec_id sort over the collected sample — same
+    // rationale and identical order as [[trainCentroids]] (r20).
     val rows = s.sql(
       s"""SELECT CAST(vec_id AS BIGINT) AS vec_id,
          |  transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM (
          |  SELECT vec_id, embedding FROM $view
-         |  ORDER BY ${TextSim.idShuffle("vec_id")}, vec_id LIMIT $pqCap)
-         |ORDER BY vec_id""".stripMargin).collect()
+         |  ORDER BY ${TextSim.idShuffle("vec_id")}, vec_id LIMIT $pqCap)""".stripMargin)
+      .collect().sortBy(_.getLong(0))
     val ids: Array[Long] = rows.map(_.getLong(0))
     val sample: Array[Array[Double]] = rows.map(_.getSeq[Double](1).toArray)
     require(sample.length >= pqK, s"degenerate PQ seed: ${sample.length} sample rows < $pqK")
